@@ -1,0 +1,304 @@
+"""Ranking / evaluation operators — SURVEY.md §2.3 R1–R7.
+
+The reference evaluates by scoring ALL items per user, then gathering 100
+candidates (99 sampled negatives + the held-out positive, positive always at
+index 99) and computing HR/NDCG/MRR@K from an argsort
+(``my_utils.py:70-152``). The Spark spelling inverts that into a join-first
+plan — score only the candidates, never the full catalog — which is the
+single biggest asymptotic win over the reference (it scores |users|×|items|;
+we score |users|×100). The index-99 convention becomes an explicit
+``is_pos`` flag (SURVEY.md §7.4).
+
+Metric semantics preserved exactly (``my_utils.py:70-80``):
+- HR@K   = 1 if the positive ranks ≤ K else 0
+- NDCG@K = ln(2)/ln(rank+1) at the hit rank (single relevant ⇒ IDCG=1)
+- MRR@K  = 1/rank, K-truncated (0 on miss)
+macro-averaged over users per domain (``my_utils.py:145-150``).
+
+The scoring model here is the engine's deterministic baseline: train-split
+item popularity plus a portable-hash jitter (tie-spreader). Model-produced
+scores (ALS / mapInPandas CDAE, see etl_master_spark.model) plug into the
+same pipeline via ``eval_from_scores``.
+
+Scale: one shuffle to build popularity (map-side combined), one broadcast
+join (popularity dim ≪ interactions), one window over (user, domain) whose
+cardinality ≫ cores. No full-catalog scoring, no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import PHASH_P, phash_frag
+from ..sources.io import RATINGS_SQL
+from .recsplit import (
+    _RANKED_CTE,
+    NEGATIVES_ORACLE,
+    SPLIT_SEED,
+    negatives,
+    splits,
+)
+
+JITTER_SEED = 7  # decorrelates the deterministic baseline scores from rank order
+DEFAULT_KS = [5, 10]  # reference topK_list (main_my.py:28)
+
+
+def candidate_scores(
+    spark: SparkSession, sf_dir: str, mode: str = "test"
+) -> DataFrame:
+    """(user_id, item_id, domain, is_pos, score) for the 100-candidate eval.
+
+    ``mode`` selects the held-out positive: 'vali' or 'test' (the reference's
+    mode switch, ``my_utils.py:92-103``).
+    """
+    if mode not in ("vali", "test"):
+        raise ValueError(f"mode must be 'vali' or 'test', got {mode!r}")
+    sp = splits(spark, sf_dir)
+    neg = negatives(spark, sf_dir)
+    pos = sp.filter(F.col("split") == mode).select(
+        "user_id", "item_id", "domain", F.lit(1).alias("is_pos")
+    )
+    cand = neg.select(
+        "user_id", "item_id", "domain", F.lit(0).alias("is_pos")
+    ).unionByName(pos)
+
+    train = sp.filter(F.col("split") == "train")
+    pop = train.groupBy("domain", "item_id").agg(F.count(F.lit(1)).alias("pop"))
+    jitter = (
+        F.expr(phash_frag("user_id", "item_id", seed=JITTER_SEED)).cast("double")
+        / F.lit(float(PHASH_P))
+    )
+    return (
+        cand.join(F.broadcast(pop), ["domain", "item_id"], "left")
+        .withColumn(
+            "score", F.coalesce(F.col("pop"), F.lit(0)).cast("double") + jitter
+        )
+        .select("user_id", "item_id", "domain", "is_pos", "score")
+    )
+
+
+def _cand_sql(mode: str) -> str:
+    """Portable SQL mirror of candidate_scores (shared CTE text)."""
+    jitter = (
+        f"(CAST({phash_frag('c.user_id', 'c.item_id', seed=JITTER_SEED)} AS DOUBLE)"
+        f" / CAST({PHASH_P} AS DOUBLE))"
+    )
+    return f"""
+neg AS (
+    SELECT user_id, item_id, domain, 0 AS is_pos
+    FROM ({NEGATIVES_ORACLE})
+),
+pos AS (
+    SELECT user_id, item_id, domain, 1 AS is_pos FROM ranked
+    WHERE {"rn = 1" if mode == "vali" else "(cnt >= 2 AND rn = 2) OR (cnt = 1 AND rn = 1)"}
+),
+cand AS (SELECT * FROM neg UNION ALL SELECT * FROM pos),
+train AS (
+    SELECT user_id, item_id, domain FROM ranked
+    WHERE rn >= 3 OR (cnt = 2 AND rn = 2)
+),
+pop AS (
+    SELECT domain, item_id, COUNT(*) AS pop
+    FROM train GROUP BY domain, item_id
+),
+scored AS (
+    SELECT c.user_id, c.item_id, c.domain, c.is_pos,
+           CAST(COALESCE(p.pop, 0) AS DOUBLE) + {jitter} AS score
+    FROM cand c
+    LEFT JOIN pop p ON c.domain = p.domain AND c.item_id = p.item_id
+)
+"""
+
+
+def ranked_candidates(
+    spark: SparkSession, sf_dir: str, mode: str = "test"
+) -> DataFrame:
+    """R1: per-(user, domain) dense candidate ranking by score desc
+    (``my_utils.py:71`` argsort; item_id tie-break for argsort stability)."""
+    scored = candidate_scores(spark, sf_dir, mode)
+    w = Window.partitionBy("user_id", "domain").orderBy(
+        F.col("score").desc(), F.col("item_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def topk_per_user(
+    spark: SparkSession, sf_dir: str, mode: str = "test", k: int = 10
+) -> DataFrame:
+    """Top-K candidate items per user (R1 output surface)."""
+    return (
+        ranked_candidates(spark, sf_dir, mode)
+        .filter(F.col("rank") <= k)
+        .select(
+            "user_id",
+            "item_id",
+            "domain",
+            "is_pos",
+            "rank",
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def topk_oracle(mode: str = "test", k: int = 10) -> str:
+    return f"""
+WITH ratings AS ({RATINGS_SQL}),
+{_RANKED_CTE},
+{_cand_sql(mode)},
+rr AS (
+    SELECT user_id, item_id, domain, is_pos, score,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id, domain
+               ORDER BY score DESC, item_id ASC
+           ) AS INT) AS rank
+    FROM scored
+)
+SELECT user_id, item_id, domain, is_pos, rank, ROUND(score, 6) AS score
+FROM rr WHERE rank <= {k}
+"""
+
+
+def eval_metrics(
+    spark: SparkSession,
+    sf_dir: str,
+    mode: str = "test",
+    ks: list[int] | None = None,
+) -> DataFrame:
+    """R2–R5 + R7: HR/NDCG/MRR at each K in one pass, macro-averaged per
+    domain. This is the engine's flagship query (SURVEY.md §3.3)."""
+    ks = ks or DEFAULT_KS
+    rc = ranked_candidates(spark, sf_dir, mode)
+    # hit rank per user (exactly one positive per (user, domain))
+    per_user = rc.groupBy("user_id", "domain").agg(
+        F.min(F.when(F.col("is_pos") == 1, F.col("rank"))).alias("hit_rank")
+    )
+    with_k = per_user.join(
+        F.broadcast(
+            spark.createDataFrame([(k,) for k in ks], "k int")
+        ),
+        how="cross",
+    )
+    hit = F.col("hit_rank") <= F.col("k")
+    per_user_k = with_k.select(
+        "user_id",
+        "domain",
+        "k",
+        F.when(hit, F.lit(1.0)).otherwise(F.lit(0.0)).alias("hr"),
+        F.when(
+            hit,
+            F.log(F.lit(2.0)) / F.log(F.col("hit_rank").cast("double") + F.lit(1.0)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+        F.when(hit, F.lit(1.0) / F.col("hit_rank").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("mrr"),
+    )
+    return (
+        per_user_k.groupBy("domain", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("hr"), 6).alias("hr"),
+            F.round(F.avg("ndcg"), 6).alias("ndcg"),
+            F.round(F.avg("mrr"), 6).alias("mrr"),
+        )
+        .orderBy("domain", "k")
+    )
+
+
+def eval_metrics_oracle(mode: str = "test", ks: list[int] | None = None) -> str:
+    ks = ks or DEFAULT_KS
+    ks_sql = " UNION ALL ".join(f"SELECT {k} AS k" for k in ks)
+    return f"""
+WITH ratings AS ({RATINGS_SQL}),
+{_RANKED_CTE},
+{_cand_sql(mode)},
+rr AS (
+    SELECT user_id, item_id, domain, is_pos, score,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, domain
+               ORDER BY score DESC, item_id ASC
+           ) AS rank
+    FROM scored
+),
+per_user AS (
+    SELECT user_id, domain,
+           MIN(CASE WHEN is_pos = 1 THEN rank END) AS hit_rank
+    FROM rr GROUP BY user_id, domain
+),
+ks AS ({ks_sql}),
+per_user_k AS (
+    SELECT u.user_id, u.domain, ks.k,
+           CASE WHEN u.hit_rank <= ks.k THEN 1.0 ELSE 0.0 END AS hr,
+           CASE WHEN u.hit_rank <= ks.k
+                THEN LN(2.0) / LN(CAST(u.hit_rank AS DOUBLE) + 1.0)
+                ELSE 0.0 END AS ndcg,
+           CASE WHEN u.hit_rank <= ks.k
+                THEN 1.0 / CAST(u.hit_rank AS DOUBLE)
+                ELSE 0.0 END AS mrr
+    FROM per_user u CROSS JOIN ks
+)
+SELECT domain, k,
+       COUNT(*) AS n_users,
+       ROUND(AVG(hr), 6) AS hr,
+       ROUND(AVG(ndcg), 6) AS ndcg,
+       ROUND(AVG(mrr), 6) AS mrr
+FROM per_user_k
+GROUP BY domain, k
+ORDER BY domain, k
+"""
+
+
+def eval_from_scores(
+    scores: DataFrame, holdout: DataFrame, negs: DataFrame, ks: list[int] | None = None
+) -> DataFrame:
+    """R6 generalized: evaluate ANY model's scores DataFrame
+    (user_id, item_id, domain, score) against a holdout + negatives pair.
+    Used by the model path (etl_master_spark.model); same plan shape as
+    ``eval_metrics``."""
+    ks = ks or DEFAULT_KS
+    spark = scores.sparkSession
+    pos = holdout.select("user_id", "item_id", "domain", F.lit(1).alias("is_pos"))
+    cand = negs.select(
+        "user_id", "item_id", "domain", F.lit(0).alias("is_pos")
+    ).unionByName(pos)
+    scored = cand.join(scores, ["user_id", "item_id", "domain"], "left").fillna(
+        {"score": 0.0}
+    )
+    w = Window.partitionBy("user_id", "domain").orderBy(
+        F.col("score").desc(), F.col("item_id").asc()
+    )
+    rc = scored.withColumn("rank", F.row_number().over(w))
+    per_user = rc.groupBy("user_id", "domain").agg(
+        F.min(F.when(F.col("is_pos") == 1, F.col("rank"))).alias("hit_rank")
+    )
+    with_k = per_user.join(
+        F.broadcast(spark.createDataFrame([(k,) for k in ks], "k int")), how="cross"
+    )
+    hit = F.col("hit_rank") <= F.col("k")
+    return (
+        with_k.select(
+            "domain",
+            "k",
+            F.when(hit, F.lit(1.0)).otherwise(F.lit(0.0)).alias("hr"),
+            F.when(
+                hit,
+                F.log(F.lit(2.0))
+                / F.log(F.col("hit_rank").cast("double") + F.lit(1.0)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+            F.when(hit, F.lit(1.0) / F.col("hit_rank").cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("mrr"),
+        )
+        .groupBy("domain", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("hr"), 6).alias("hr"),
+            F.round(F.avg("ndcg"), 6).alias("ndcg"),
+            F.round(F.avg("mrr"), 6).alias("mrr"),
+        )
+        .orderBy("domain", "k")
+    )

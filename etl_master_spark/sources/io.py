@@ -1,0 +1,101 @@
+"""Parquet sources + the events→ratings derivation.
+
+Replaces the reference's pickle loads (``Dataset_CDAE.py:26-33`` — four
+``user->items`` / ``item->users`` dicts) with columnar parquet reads and a
+long-form ``ratings`` table, per SURVEY.md §1.3. Pickles are single-node by
+construction; parquet scans push filters/projections down and split across
+executors, which is the 100 TB story.
+
+Timestamp normalization: the driver's synthetic parquet stores
+TIMESTAMP(NANOS), which Spark's reader refuses natively. With
+``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) the column
+arrives as INT64 nanos; we floor-divide to micros and rebuild a TIMESTAMP_NTZ,
+matching DuckDB's own nanos→micros truncation bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# table -> columns stored as TIMESTAMP(NANOS) in the driver's parquet
+TS_COLUMNS: dict[str, list[str]] = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table, normalizing nano-timestamp columns."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in TS_COLUMNS.get(name, []):
+        if dict(df.dtypes).get(c) == "bigint":
+            # nanos -> micros (floor), identical to DuckDB's truncation
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"CAST({c} DIV 1000 AS BIGINT)"))
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (mirrors the driver's
+    DuckDB setup, where the same names are pre-registered)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# events -> ratings: the engine's analog of the reference's interaction dicts.
+#
+# The reference's unit of data is (user, item) implicit feedback split across
+# two domains with shared users (``Dataset_CDAE.py:26-33``). The driver's
+# `events` table carries user_id plus a dense 0..99 key inside the JSON
+# ``props`` — we use that as item_id, and derive the two domains from
+# event_type (click/view -> 'x', the rest -> 'y'). DISTINCT collapses repeat
+# interactions to presence/absence, exactly like dict membership.
+#
+# This fragment is *portable SQL* shared verbatim by the Spark queries and
+# the DuckDB oracles, so both engines derive byte-identical ratings.
+# ---------------------------------------------------------------------------
+
+RATINGS_SQL = """
+SELECT DISTINCT
+    user_id,
+    CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS item_id,
+    CASE WHEN event_type IN ('click', 'view') THEN 'x' ELSE 'y' END AS domain
+FROM events
+"""
+
+
+def with_ratings_cte(body: str) -> str:
+    """Wrap a query body with the shared ratings CTE."""
+    return f"WITH ratings AS ({RATINGS_SQL})\n{body}"
+
+
+def ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The long-form ratings table (user_id, item_id, domain)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id",
+            F.regexp_extract("props", r"([0-9]+)", 1).cast("bigint").alias("item_id"),
+            F.when(F.col("event_type").isin("click", "view"), F.lit("x"))
+            .otherwise(F.lit("y"))
+            .alias("domain"),
+        )
+        .distinct()
+    )

@@ -33,6 +33,9 @@ def entry(spark: SparkSession) -> DataFrame:
     # the driver may construct the session itself; the nanos flag is
     # session-level, so set it defensively here too
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from etl_master_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     from etl_master_spark.operators.ranking import eval_metrics
 
     return eval_metrics(spark, _SMOKE_SF, mode="test")
@@ -44,6 +47,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            from etl_master_spark.session import ensure_package_shipped
+
+            ensure_package_shipped(spark)
             return fn(spark, sf_dir)
 
         return run

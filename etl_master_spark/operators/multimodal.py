@@ -1,0 +1,108 @@
+"""Multimodal column plumbing — binary payloads with typed metadata.
+
+Driver-mandated extension (BASELINE.json north_star): at 100 TB, image/audio/
+video travel as opaque ``binary`` columns next to typed metadata, and the
+decode / feature-extract / resize / frame-sample stages are Arrow-batched
+Python UDFs over ``mapInPandas``. The media libraries are not in this
+container, so the *decode* step is stubbed (``decode_image`` raises
+``NotImplementedError`` unless ``fake=True``), but everything Spark-side —
+schema, batch shape, partitioning, UDF signatures — is real and tested.
+
+The synthetic payload derives from ``documents.text`` (utf-8 bytes), which
+keeps the oracle-checkable part (payload sizing / metadata profiling) exact
+across engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+
+FEATURE_DIM = 8
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal table shape: (media_id, payload BINARY, meta STRUCT).
+    Payload = utf-8 bytes of the document text (deterministic synthetic
+    media); meta carries format/bytes the way an ingest service would."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("fake/rgb8").alias("format"),
+            F.octet_length("text").alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata profiling over the binary column — per origin: count, total
+    and mean payload bytes. Pure JVM; the oracle-checked face of the
+    multimodal surface."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.groupBy(F.col("meta.origin").alias("origin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.round(F.avg(F.octet_length("payload")), 6).alias("avg_bytes"),
+        )
+        .orderBy("origin")
+    )
+
+
+MEDIA_STATS_ORACLE = """
+SELECT source AS origin,
+       COUNT(*) AS n_media,
+       SUM(octet_length(encode(text))) AS total_bytes,
+       ROUND(AVG(octet_length(encode(text))), 6) AS avg_bytes
+FROM documents
+GROUP BY source ORDER BY origin
+"""
+
+
+def decode_image(payload: bytes, fake: bool = False) -> list[float]:
+    """Decode a media payload into pixel features.
+
+    STUB: real decoding needs PIL/ffmpeg, absent in this container. With
+    ``fake=True`` returns a deterministic FEATURE_DIM-vector derived from
+    the payload digest — stable across runs/executors, so downstream plumbing
+    is fully testable."""
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires image/audio libraries not present here; "
+            "pass fake=True for the deterministic test double"
+        )
+    d = hashlib.md5(payload).digest()
+    return [d[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over the binary column: Arrow batches
+    in, (media_id, feature ARRAY<DOUBLE>, n_bytes) out. This is the real
+    100 TB decode-stage shape — per-partition batched Python, no collect,
+    payload never leaves the executor."""
+    media = media_table(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image(p, fake=True) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": feats,
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, "media_id long, feature array<double>, n_bytes long"
+    )

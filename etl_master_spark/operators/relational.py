@@ -1,0 +1,263 @@
+"""General relational coverage — joins, aggregations, windows, as-of.
+
+SURVEY.md §2.8: the reference has no joins/grouping-sets/sorts *as such*,
+but E1–R7 are all spelled with them in Spark; these queries exercise the
+same primitives on the TPC-H-ish star schema so the engine's relational
+surface is independently oracle-checked (and benchmarked at sf0.1).
+
+Scale notes are per-query; the common themes:
+- dimension sides (region/nation/part/supplier at TPC-H ratios) broadcast;
+- aggregations rely on map-side partial agg (sums/counts);
+- windows partition by high-cardinality keys (custkey), so parallelism
+  survives a 1000-executor scale-up;
+- every filter is a deterministic pushdown-friendly predicate (shows up in
+  parquet PushedFilters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+
+
+# -- TPC-H Q1 flavor: pricing summary ---------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-heavy grouped aggregation (TPC-H Q1 shape). One shuffle over a
+    4-value grouping key; everything before it is map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# -- TPC-H Q3 flavor: shipping priority -------------------------------------
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way join + agg + deterministic top-10. customer filter prunes
+    before the join; join order lets AQE pick broadcast for the filtered
+    customer side."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_ORACLE = """
+SELECT l_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+       o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# -- TPC-H Q5 flavor: local supplier volume ----------------------------------
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-way star join; all dimensions broadcast (region→nation→customer/
+    supplier fan-out), one shuffle for the final group-by."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_ORACLE = """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+# -- windowed ranking: top orders per customer -------------------------------
+
+def top_orders_per_customer(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Per-customer top-k orders by total price (row_number window — the
+    same primitive as R1, on the star schema). Partition key = custkey:
+    high cardinality, scales."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+def top_orders_oracle(k: int = 3) -> str:
+    return f"""
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+           ) AS INT) AS rnk
+    FROM orders
+) WHERE rnk <= {k}
+"""
+
+
+# -- as-of join: latest event state at order time ----------------------------
+
+def asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: for each order, the latest event of the
+    matching user strictly before the order date. The reference lacks this
+    operator; it is a first-class citizen of event-stream analytics, so the
+    engine ships it (SURVEY.md §2.8 extension).
+
+    Spark spelling: union-then-window (the scalable as-of pattern — one
+    shuffle on the key, one ordered window, no range cross-join):
+    tag both sides, sort by (key, time), carry the last event forward with
+    a running ``last(..., ignorenulls)`` window, keep the order rows.
+    Users are events.user_id; orders map via o_custkey % 100 (the driver's
+    synthetic tables don't share a key domain, so we fold custkey onto the
+    event user space deterministically).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id")).alias("k"),
+        F.col("ts").alias("t"),
+        F.col("event_type").alias("ev_type"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(0).alias("is_order"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 100).alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("string").alias("ev_type"),
+        F.col("o_orderkey"),
+        F.lit(1).alias("is_order"),
+    )
+    # is_order ASC in the sort ⇒ at equal timestamps the event sorts first,
+    # so "strictly before" semantics hold via the preceding-rows frame
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("is_order").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.unionByName(orders)
+        .withColumn("last_event_type", F.last("ev_type", ignorenulls=True).over(w))
+        .filter(F.col("is_order") == 1)
+        .select(
+            "o_orderkey",
+            F.col("k").alias("user_id"),
+            F.coalesce("last_event_type", F.lit("none")).alias("last_event_type"),
+        )
+    )
+
+
+ASOF_LATEST_EVENT_ORACLE = """
+WITH tagged AS (
+    SELECT user_id AS k, ts AS t, event_type AS ev_type,
+           CAST(NULL AS BIGINT) AS o_orderkey, 0 AS is_order
+    FROM events
+    UNION ALL
+    SELECT o_custkey % 100 AS k, o_orderdate AS t, CAST(NULL AS VARCHAR) AS ev_type,
+           o_orderkey, 1 AS is_order
+    FROM orders
+),
+filled AS (
+    SELECT k, o_orderkey, is_order,
+           LAST_VALUE(ev_type IGNORE NULLS) OVER (
+               PARTITION BY k
+               ORDER BY t ASC, is_order ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS last_event_type
+    FROM tagged
+)
+SELECT o_orderkey, k AS user_id,
+       COALESCE(last_event_type, 'none') AS last_event_type
+FROM filled WHERE is_order = 1
+"""

@@ -1,0 +1,523 @@
+"""Text analysis + deduplication — the LLM-data-pipeline extension surface.
+
+The reference has no text operators (SURVEY.md §2.8); these are the
+driver-mandated extensions (BASELINE.json north_star) for training-data
+curation at 100 TB: exact dedup, n-gram-Jaccard near-dup, MinHash-LSH,
+SimHash, token/quality stats, language-ID, document fingerprinting.
+
+Design for scale:
+- Exact dedup: hash-groupBy on a content digest — one shuffle keyed by
+  md5(text), no text comparison beyond the digest.
+- MinHash-LSH: shingle → K minhash signatures → band buckets → pair-join
+  inside buckets only. Never an all-pairs comparison; the band join is the
+  only shuffle and its key (band digest) is uniformly distributed by
+  construction. This is the standard web-scale near-dup pipeline
+  (shingling/minhash per Broder '97; banding per Leskovec et al., MMDS ch.3).
+- n-gram Jaccard: exact verification on *candidate pairs only* (prefix
+  buckets here; at scale the candidates come from the LSH stage).
+- All hashing is md5-based so every stage is portable SQL — the DuckDB
+  oracle replays the identical pipeline (md5 agrees bit-for-bit across
+  engines; MinHash uses min() over md5 strings, a valid uniform hash family).
+- The SimHash fast path is a vectorized Arrow UDF (simhash64); the
+  oracle-checked variant is a 16-bit portable-SQL spelling (simhash16).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..sources.io import load_table
+
+STOPWORDS = ["the", "a", "of", "and", "to"]  # closed-vocab corpus markers
+MINHASH_K = 16  # signature length
+MINHASH_BANDS = 4  # 4 bands x 4 rows: catches J>=~0.5 pairs w.h.p.
+SHINGLE_N = 3
+
+
+# -- token/quality statistics ------------------------------------------------
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics: doc counts, token counts (whitespace),
+    char lengths, stopword ratio. The per-doc exprs are all JVM builtins —
+    no Python in the hot path."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(STOPWORDS))
+    )
+    return (
+        docs.select(
+            "lang",
+            n_tok.alias("n_tokens"),
+            F.length("text").alias("n_chars_live"),
+            (stop_hits.cast("double") / n_tok.cast("double")).alias("stop_ratio"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.round(F.avg("n_chars_live"), 6).alias("avg_chars"),
+            F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+TEXT_STATS_ORACLE = f"""
+WITH per_doc AS (
+    SELECT lang,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_live,
+           CAST(len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_IN})))
+                AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)
+               AS stop_ratio
+    FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       ROUND(AVG(n_tokens), 6) AS avg_tokens,
+       ROUND(AVG(n_chars_live), 6) AS avg_chars,
+       ROUND(AVG(stop_ratio), 6) AS avg_stop_ratio
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+# -- quality scoring ---------------------------------------------------------
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score — the standard cheap pre-filter for
+    training-data curation (length band + stopword presence + mean word
+    length). Deterministic arithmetic only; returns every doc with its
+    score so downstream filters are a predicate, not a recompute."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+    mean_wlen = F.length("text").cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double") / n_tok
+    )
+    len_score = F.when((n_tok >= 20) & (n_tok <= 80), 1.0).otherwise(0.5)
+    score = F.round(
+        len_score * 0.5 + stop_ratio * 2.0 + (mean_wlen / 10.0) * 0.25, 6
+    )
+    return docs.select("doc_id", "lang", score.alias("quality"))
+
+
+QUALITY_SCORES_ORACLE = f"""
+SELECT doc_id, lang,
+       ROUND(
+         (CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 80
+               THEN 1.0 ELSE 0.5 END) * 0.5
+         + (CAST(len(list_filter(string_split(text,' '), t -> t IN ({_STOP_IN})))
+                 AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE)) * 2.0
+         + ((CAST(length(text) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE))
+            / 10.0) * 0.25
+       , 6) AS quality
+FROM documents
+"""
+
+
+# -- language identification (n-gram/marker heuristic) -----------------------
+
+_LANG_MARKERS = {
+    "en": ["the", "and"],
+    "de": ["der", "und"],
+    "fr": ["le", "et"],
+    "es": ["el", "y"],
+    "zh": ["de", "shi"],
+}
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID vs the labeled lang — a confusion matrix.
+    On this closed-vocab synthetic corpus the heuristic is near-chance;
+    the query's value is the deterministic end-to-end machinery (per-doc
+    scoring → argmax with fixed tie order → grouped confusion counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    scores = {
+        lang: sum(
+            (F.size(F.split(padded, f" {m} ")) - F.lit(1)) for m in markers
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    # deterministic argmax: alphabetical lang order, first max wins
+    langs = sorted(scores)
+    pred = F.lit(langs[0])
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
+        best = F.when(scores[lang] > best, scores[lang]).otherwise(best)
+    return (
+        docs.select(F.col("lang").alias("actual"), pred.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("actual", "predicted")
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(
+        f"(len(string_split(' ' || text || ' ', ' {m} ')) - 1)"
+        for m in _LANG_MARKERS[lang]
+    )
+
+
+def _lang_pred_sql() -> str:
+    langs = sorted(_LANG_MARKERS)
+    pred = f"'{langs[0]}'"
+    best = f"({_lang_score_sql(langs[0])})"
+    for lang in langs[1:]:
+        s = f"({_lang_score_sql(lang)})"
+        pred = f"CASE WHEN {s} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN {s} > {best} THEN {s} ELSE {best} END"
+    return pred
+
+
+LANG_ID_ORACLE = f"""
+SELECT lang AS actual, {_lang_pred_sql()} AS predicted, COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2
+ORDER BY actual, predicted
+"""
+
+
+# -- document fingerprinting & exact dedup -----------------------------------
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint = md5 of whitespace-normalized lowercase text.
+    Per source: distinct-fingerprint counts (corpus redundancy profile)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_FINGERPRINTS_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_distinct
+FROM documents
+GROUP BY source ORDER BY source
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest, canonical = min doc_id.
+    Output one row per doc with its canonical id and duplicate flag —
+    the standard keep-first exact-dedup contract. One shuffle on the
+    digest; text itself never leaves the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_fp = docs.select("doc_id", F.md5("text").alias("fp"))
+    w = Window.partitionBy("fp")
+    return (
+        with_fp.withColumn("canonical_id", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).cast("int").alias("is_dup"),
+        )
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_dup
+FROM documents
+"""
+
+
+# -- shingles (shared by Jaccard + MinHash) ----------------------------------
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles per doc via posexplode + lead window
+    (pure JVM; no Python). Output: (doc_id, shingle)."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "tok", "t1", "t2").alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = """
+toks AS (
+    SELECT doc_id, pos, tok
+    FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    )
+),
+shingles AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle,
+               LEAD(tok, 2) OVER w AS t2
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE t2 IS NOT NULL
+)
+"""
+
+
+# -- n-gram Jaccard near-dup on candidate pairs ------------------------------
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.1
+) -> DataFrame:
+    """Exact 3-gram Jaccard similarity over candidate pairs (docs sharing a
+    32-char prefix — the cheap blocking key for this corpus; at scale the
+    candidates come from MinHash-LSH below). Jaccard is a ratio of integer
+    set sizes — exact across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    pref = docs.select("doc_id", F.substring("text", 1, 32).alias("pfx"))
+    pairs = (
+        pref.alias("a")
+        .join(pref.alias("b"), "pfx")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .fillna({"n_inter": 0})
+        .join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (
+                    F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_ngram_jaccard_oracle(threshold: float = 0.1) -> str:
+    return f"""
+WITH {_SHINGLES_SQL},
+pref AS (SELECT doc_id, substr(text, 1, 32) AS pfx FROM documents),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pref a JOIN pref b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+    FROM pairs p
+    JOIN shingles sa ON sa.doc_id = p.doc_a
+    JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / CAST(za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE), 6)
+           AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN sizes za ON za.doc_id = p.doc_a
+JOIN sizes zb ON zb.doc_id = p.doc_b
+WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+      / CAST(za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE) >= {threshold}
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
+# -- MinHash + LSH near-dup candidates ---------------------------------------
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)/LSH(4x4) candidate pairs. Hash family: md5(seed||shingle)
+    ordered as strings — uniform, portable, and seedable. Band key =
+    md5(minhash_i..minhash_{i+3}); docs sharing any band bucket become a
+    candidate pair (the only join, keyed by band digest — uniformly spread,
+    skew-free). Output: (doc_a, doc_b, n_shared_bands)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"s{j}|"), F.col("shingle")))).alias(
+                f"mh{j}"
+            )
+            for j in range(MINHASH_K)
+        ]
+    )
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    bands = None
+    for b in range(MINHASH_BANDS):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("bkey"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_lsh_oracle() -> str:
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    aggs = ", ".join(
+        f"MIN(md5('s{j}|' || shingle)) AS mh{j}" for j in range(MINHASH_K)
+    )
+    band_selects = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bkey FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_SQL},
+sig AS (SELECT doc_id, {aggs} FROM shingles GROUP BY doc_id),
+bands AS (
+    {band_selects}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY doc_a, doc_b
+"""
+
+
+# -- SimHash -----------------------------------------------------------------
+
+def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc, portable-SQL spelling (bit votes from the
+    first 4 hex chars of md5(token)); output bucket histogram. The 64-bit
+    Arrow-vectorized version below is the scale path."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    h = F.md5("tok")
+    bit_cols = []
+    for i in range(16):
+        nib = i // 4
+        bit = i % 4
+        digit = F.instr(
+            F.lit("0123456789abcdef"), F.substring(h, nib + 1, 1)
+        ) - F.lit(1)
+        bit_val = (digit.cast("bigint") / F.lit(2 ** bit)).cast("bigint") % F.lit(2)
+        bit_cols.append(
+            F.sum(F.when(bit_val == 1, 1).otherwise(-1)).alias(f"v{i}")
+        )
+    votes = toks.groupBy("doc_id").agg(*bit_cols)
+    sim = None
+    for i in range(16):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return (
+        votes.select("doc_id", sim.cast("bigint").alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("simhash")
+    )
+
+
+def simhash16_oracle() -> str:
+    vote_exprs = []
+    for i in range(16):
+        nib = i // 4
+        bit = i % 4
+        digit = f"(instr('0123456789abcdef', substr(md5(tok), {nib + 1}, 1)) - 1)"
+        bit_val = f"((CAST({digit} AS BIGINT) // {2 ** bit}) % 2)"
+        vote_exprs.append(
+            f"SUM(CASE WHEN {bit_val} = 1 THEN 1 ELSE -1 END) AS v{i}"
+        )
+    sim = " + ".join(f"CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(16))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+votes AS (
+    SELECT doc_id, {', '.join(vote_exprs)} FROM toks GROUP BY doc_id
+)
+SELECT CAST({sim} AS BIGINT) AS simhash, COUNT(*) AS n_docs
+FROM votes GROUP BY 1 ORDER BY simhash
+"""
+
+
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash via an Arrow-batched pandas UDF — the scale path
+    (one pass, no explode, no shuffle until the final histogram)."""
+
+    @F.pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            votes = [0] * 64
+            for tok in t.split(" "):
+                d = int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:8], "big", signed=False
+                )
+                for i in range(64):
+                    votes[i] += 1 if (d >> i) & 1 else -1
+            v = 0
+            for i in range(64):
+                if votes[i] > 0:
+                    v |= 1 << i
+            # keep the sign bit clear so the value fits signed int64
+            out.append(v & 0x7FFFFFFFFFFFFFFF)
+        return pd.Series(out, dtype="int64")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", _simhash(F.col("text")).alias("simhash"))

@@ -1,0 +1,356 @@
+"""Embedding / similarity-search operators — SURVEY.md §2.5 (MMD) + the
+driver-mandated ANN extension.
+
+The reference's only vector math is model-internal tensor ops plus a dead
+multi-scale RBF MMD utility (``my_utils.py:12-68``). Here the embedding
+column is a first-class ``ARRAY<FLOAT>`` DataFrame column and every operator
+is a declarative plan:
+
+- brute-force cosine top-k: the exactness baseline. Query side broadcast,
+  corpus side streamed — the full corpus is scanned once per batch of
+  queries, never materialized driver-side. Per-row math is JVM higher-order
+  functions (``aggregate``/``zip_with``) — no Python in the loop.
+- sign-LSH (random hyperplane) bucketing: the scale path. Hyperplanes are
+  derived from the portable hash (seeded, engine-independent), so even the
+  LSH variant is oracle-checkable — a deliberately deterministic twist on
+  Charikar '02 sign-LSH.
+- RBF-kernel MMD² (biased, one σ): relational spelling of
+  ``my_utils.py:12-35`` (``_mix_rbf_kernel`` / ``_mmd2``): blockable
+  cross-join + mean of kernel values. The mapInPandas blocked-Gram variant
+  (``mmd_rbf_fast``) is the throughput path for wide data.
+
+Float discipline: float32 embeddings are widened to float64 before any
+arithmetic (exact), sums are rounded to 6 dp at the boundary, and ranks are
+computed on ROUNDED scores with vec_id tie-breaks so both engines rank
+identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import PHASH_P, phash_frag
+from ..sources.io import load_table
+
+N_QUERY_VECS = 5  # vec_id < 5 are the demo query set
+TOPK = 10
+LSH_PLANES = 8
+LSH_SEED = 11
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+# -- per-label norm statistics ----------------------------------------------
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label count + mean L2 norm (the sanity profile every embedding
+    table gets before similarity work)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(norm), 6).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_NORMS_ORACLE = """
+SELECT label, COUNT(*) AS n,
+       ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+# -- brute-force cosine top-k ------------------------------------------------
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for the query set (vec_id < 5).
+
+    Plan: broadcast the queries, stream the corpus once, rank per query.
+    At 100 TB this shape survives: |queries| × |corpus| work is distributed
+    over corpus partitions and the only shuffle is the final per-query
+    top-k (a tiny window over ≤ |queries|·|corpus| scored rows — in
+    practice pushed down to per-partition top-k + merge by AQE)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("qv"), F.col("embedding")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOPK)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+ANN_COSINE_TOPK_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROUND(
+             list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))), 6)
+               AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+           ) AS INT) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {TOPK}
+"""
+
+
+# -- deterministic sign-LSH bucketing ----------------------------------------
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector (Charikar sign-LSH), with
+    hyperplanes generated from the portable hash — deterministic across
+    engines AND executors (no broadcast of numpy state needed).
+
+    plane_j[i] = phash(j, i, seed)/P - 0.5;  bit_j = <v, plane_j> >= 0.
+    Output: per-bucket membership counts (the ANN index profile)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("i", "x")
+    )
+    planes = spark.range(LSH_PLANES).select(
+        F.col("id").cast("int").alias("j")
+    ).crossJoin(
+        spark.range(64).select(F.col("id").cast("int").alias("i"))
+    ).select(
+        "j",
+        "i",
+        (
+            F.expr(phash_frag("j", "i", seed=LSH_SEED)).cast("double")
+            / F.lit(float(PHASH_P))
+            - F.lit(0.5)
+        ).alias("w"),
+    )
+    dots = (
+        comp.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x").cast("double") * F.col("w")).alias("d"))
+    )
+    bucket = (
+        dots.groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(F.col("d") >= 0, F.pow(F.lit(2.0), F.col("j")).cast("bigint"))
+                .otherwise(F.lit(0))
+            ).alias("bucket")
+        )
+    )
+    return (
+        bucket.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("bucket")
+    )
+
+
+LSH_BUCKETS_ORACLE = f"""
+WITH comp AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS i,
+           unnest(CAST(embedding AS DOUBLE[])) AS x
+    FROM embeddings
+),
+planes AS (
+    SELECT j.j, i.i,
+           CAST({phash_frag('j.j', 'i.i', seed=LSH_SEED)} AS DOUBLE)
+               / CAST({PHASH_P} AS DOUBLE) - 0.5 AS w
+    FROM (SELECT unnest(range(0, {LSH_PLANES})) AS j) j
+    CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+),
+dots AS (
+    SELECT c.vec_id, p.j, SUM(c.x * p.w) AS d
+    FROM comp c JOIN planes p ON c.i = p.i
+    GROUP BY c.vec_id, p.j
+),
+buckets AS (
+    SELECT vec_id,
+           SUM(CASE WHEN d >= 0 THEN CAST(POW(2.0, j) AS BIGINT) ELSE 0 END)
+               AS bucket
+    FROM dots GROUP BY vec_id
+)
+SELECT bucket, COUNT(*) AS n_vecs FROM buckets GROUP BY bucket ORDER BY bucket
+"""
+
+
+# -- RBF MMD² ----------------------------------------------------------------
+
+def mmd_rbf(
+    spark: SparkSession, sf_dir: str, label_a: int = 0, label_b: int = 1,
+    sigma: float = 4.0,
+) -> DataFrame:
+    """Biased RBF-kernel MMD² between two label groups — the relational
+    spelling of the reference's ``MMD`` utility (``my_utils.py:12-68``),
+    single σ: MMD² = mean(Kxx) + mean(Kyy) - 2·mean(Kxy),
+    K(x,y) = exp(-‖x-y‖² / (2σ²)), ‖x-y‖² = x·x - 2x·y + y·y.
+
+    The all-pairs joins are block-partitioned by Spark automatically; for
+    wide embeddings / big groups use ``mmd_rbf_fast`` (BLAS Gram blocks)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sides = {}
+    for name, lbl in (("a", label_a), ("b", label_b)):
+        sides[name] = emb.filter(F.col("label") == lbl).select(
+            F.col("vec_id").alias(f"id_{name}"),
+            F.col("embedding").alias(f"v_{name}"),
+            _dot(F.col("embedding"), F.col("embedding")).alias(f"sq_{name}"),
+        )
+
+    gamma = 1.0 / (2.0 * sigma * sigma)
+
+    def kmean(x: DataFrame, y: DataFrame, xn: str, yn: str) -> DataFrame:
+        d2 = (
+            F.col(f"sq_{xn}")
+            - 2 * _dot(F.col(f"v_{xn}"), F.col(f"v_{yn}"))
+            + F.col(f"sq_{yn}")
+        )
+        return x.crossJoin(y).select(F.exp(-F.lit(gamma) * d2).alias("k")).agg(
+            F.avg("k").alias("m")
+        )
+
+    kxx = kmean(sides["a"], sides["a"].withColumnsRenamed(
+        {"id_a": "id_b2", "v_a": "v_b", "sq_a": "sq_b"}), "a", "b")
+    kyy = kmean(sides["b"].withColumnsRenamed(
+        {"id_b": "id_a", "v_b": "v_a", "sq_b": "sq_a"}), sides["b"], "a", "b")
+    kxy = kmean(sides["a"], sides["b"], "a", "b")
+    return (
+        kxx.select(F.col("m").alias("kxx"))
+        .crossJoin(kyy.select(F.col("m").alias("kyy")))
+        .crossJoin(kxy.select(F.col("m").alias("kxy")))
+        .select(
+            F.lit(label_a).alias("label_a"),
+            F.lit(label_b).alias("label_b"),
+            F.round(F.col("kxx") + F.col("kyy") - 2 * F.col("kxy"), 6).alias(
+                "mmd2"
+            ),
+        )
+    )
+
+
+def mmd_rbf_oracle(label_a: int = 0, label_b: int = 1, sigma: float = 4.0) -> str:
+    gamma = 1.0 / (2.0 * sigma * sigma)
+    return f"""
+WITH side_a AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           list_dot_product(CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])) AS sq
+    FROM embeddings WHERE label = {label_a}
+),
+side_b AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           list_dot_product(CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])) AS sq
+    FROM embeddings WHERE label = {label_b}
+),
+kxx AS (
+    SELECT AVG(EXP(-{gamma} * (x.sq - 2 * list_dot_product(x.v, y.v) + y.sq))) AS m
+    FROM side_a x CROSS JOIN side_a y
+),
+kyy AS (
+    SELECT AVG(EXP(-{gamma} * (x.sq - 2 * list_dot_product(x.v, y.v) + y.sq))) AS m
+    FROM side_b x CROSS JOIN side_b y
+),
+kxy AS (
+    SELECT AVG(EXP(-{gamma} * (x.sq - 2 * list_dot_product(x.v, y.v) + y.sq))) AS m
+    FROM side_a x CROSS JOIN side_b y
+)
+SELECT {label_a} AS label_a, {label_b} AS label_b,
+       ROUND(kxx.m + kyy.m - 2 * kxy.m, 6) AS mmd2
+FROM kxx, kyy, kxy
+"""
+
+
+def mmd_rbf_fast(
+    spark: SparkSession, sf_dir: str, label_a: int = 0, label_b: int = 1,
+    sigma: float = 4.0, block: int = 2048,
+) -> DataFrame:
+    """Throughput path for MMD²: numpy BLAS Gram blocks inside mapInPandas.
+
+    Each task receives a block of X rows and computes its kernel-sum against
+    the (broadcast) other side — O(|X|·|Y|) flops at BLAS speed, O(block·dim)
+    memory per task. Returns the same (label_a, label_b, mmd2) shape;
+    not oracle-checked (numpy summation order differs), used for BENCH."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xa = np.array(
+        [r["embedding"] for r in emb.filter(F.col("label") == label_a)
+         .select("embedding").collect()],
+        dtype=np.float64,
+    )
+    xb = np.array(
+        [r["embedding"] for r in emb.filter(F.col("label") == label_b)
+         .select("embedding").collect()],
+        dtype=np.float64,
+    )
+    gamma = 1.0 / (2.0 * sigma * sigma)
+    sc = spark.sparkContext
+    bxa, bxb = sc.broadcast(xa), sc.broadcast(xb)
+
+    def ksum(x: np.ndarray, y: np.ndarray) -> float:
+        sq_x = (x * x).sum(axis=1)[:, None]
+        sq_y = (y * y).sum(axis=1)[None, :]
+        d2 = sq_x - 2.0 * (x @ y.T) + sq_y
+        return float(np.exp(-gamma * d2).sum())
+
+    def part(pdfs):
+        for pdf in pdfs:
+            idx = pdf["i"].to_numpy()
+            xblk = bxa.value[idx]
+            yield pd.DataFrame(
+                {
+                    "sxx": [ksum(xblk, bxa.value)],
+                    "sxy": [ksum(xblk, bxb.value)],
+                    "n": [len(idx)],
+                }
+            )
+
+    n_a, n_b = len(xa), len(xb)
+    blocks = spark.range(n_a).select(F.col("id").cast("int").alias("i")).repartition(
+        max(1, n_a // block)
+    )
+    sums = blocks.mapInPandas(part, "sxx double, sxy double, n long").agg(
+        F.sum("sxx").alias("sxx"), F.sum("sxy").alias("sxy")
+    ).collect()[0]
+    kyy = ksum(xb, xb) / (n_b * n_b)
+    mmd2 = sums["sxx"] / (n_a * n_a) + kyy - 2.0 * sums["sxy"] / (n_a * n_b)
+    return spark.createDataFrame(
+        [(label_a, label_b, round(mmd2, 6))], "label_a int, label_b int, mmd2 double"
+    )

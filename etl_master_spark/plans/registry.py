@@ -1,8 +1,10 @@
 """Query registry — the single source of truth behind ``__spark_entry__.py``.
 
 Each entry couples a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
-with its DuckDB oracle SQL (or None for genuinely non-SQL-expressible ops,
-which the driver checks rows-only). Names track SURVEY.md §2 operator ids.
+with its DuckDB oracle SQL, or None for genuinely non-SQL-expressible ops
+(model training, Arrow-UDF fast paths) which the driver checks rows-only.
+Names track SURVEY.md §2 operator ids; see each operator's docstring for the
+reference file:line parity citations.
 """
 
 from __future__ import annotations
@@ -11,7 +13,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import ranking, recsplit
+from ..operators import multimodal, ranking, recsplit, relational, stats, text, vectors
+from ..streaming import windows
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -26,11 +29,7 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 
 
 # -- recsplit (E1-E5) --------------------------------------------------------
-register(
-    "cardinalities",
-    recsplit.cardinalities,
-    recsplit.CARDINALITIES_ORACLE,
-)
+register("cardinalities", recsplit.cardinalities, recsplit.CARDINALITIES_ORACLE)
 register("splits_leave_two_out", recsplit.splits, recsplit.SPLITS_ORACLE)
 register("negatives_sample", recsplit.negatives, recsplit.NEGATIVES_ORACLE)
 register(
@@ -55,3 +54,70 @@ register(
     lambda spark, sf: ranking.eval_metrics(spark, sf, "vali"),
     ranking.eval_metrics_oracle("vali"),
 )
+
+# -- stats / bookkeeping (E11-E13, F1-F4) ------------------------------------
+register("loss_means", stats.loss_means, stats.LOSS_MEANS_ORACLE)
+register("best_epoch", stats.best_epoch, stats.BEST_EPOCH_ORACLE)
+register("union_labels", stats.union_labels, stats.UNION_LABELS_ORACLE)
+register("scalar_functions", stats.scalar_functions, stats.SCALAR_FUNCTIONS_ORACLE)
+
+# -- relational coverage (joins / aggs / windows / as-of) --------------------
+register("pricing_summary", relational.pricing_summary, relational.PRICING_SUMMARY_ORACLE)
+register(
+    "shipping_priority",
+    relational.shipping_priority,
+    relational.SHIPPING_PRIORITY_ORACLE,
+)
+register(
+    "local_supplier_volume",
+    relational.local_supplier_volume,
+    relational.LOCAL_SUPPLIER_VOLUME_ORACLE,
+)
+register(
+    "top_orders_per_customer",
+    lambda spark, sf: relational.top_orders_per_customer(spark, sf, 3),
+    relational.top_orders_oracle(3),
+)
+register(
+    "asof_latest_event", relational.asof_latest_event, relational.ASOF_LATEST_EVENT_ORACLE
+)
+
+# -- text analysis / dedup (LLM-pipeline extensions) -------------------------
+register("text_stats", text.text_stats, text.TEXT_STATS_ORACLE)
+register("quality_scores", text.quality_scores, text.QUALITY_SCORES_ORACLE)
+register("lang_id_confusion", text.lang_id_confusion, text.LANG_ID_ORACLE)
+register("doc_fingerprints", text.doc_fingerprints, text.DOC_FINGERPRINTS_ORACLE)
+register("dedup_exact", text.dedup_exact, text.DEDUP_EXACT_ORACLE)
+register(
+    "dedup_ngram_jaccard",
+    lambda spark, sf: text.dedup_ngram_jaccard(spark, sf, 0.1),
+    text.dedup_ngram_jaccard_oracle(0.1),
+)
+register("minhash_lsh_pairs", text.minhash_lsh_pairs, text.minhash_lsh_oracle())
+register("simhash16", text.simhash16, text.simhash16_oracle())
+register("simhash64", text.simhash64, None)  # Arrow-UDF fast path: rows-only
+
+# -- vectors / similarity ----------------------------------------------------
+register("embedding_norms", vectors.embedding_norms, vectors.EMBEDDING_NORMS_ORACLE)
+register("ann_cosine_topk", vectors.ann_cosine_topk, vectors.ANN_COSINE_TOPK_ORACLE)
+register("lsh_buckets", vectors.lsh_buckets, vectors.LSH_BUCKETS_ORACLE)
+register("mmd_rbf", vectors.mmd_rbf, vectors.mmd_rbf_oracle())
+register("mmd_rbf_fast", vectors.mmd_rbf_fast, None)  # BLAS path: rows-only
+
+# -- streaming twins (batch form oracle-checked) -----------------------------
+register("events_hourly", windows.events_hourly, windows.EVENTS_HOURLY_ORACLE)
+register("user_sessions", windows.user_sessions, windows.USER_SESSIONS_ORACLE)
+
+# -- multimodal plumbing -----------------------------------------------------
+register("media_stats", multimodal.media_stats, multimodal.MEDIA_STATS_ORACLE)
+register("media_features", multimodal.extract_features, None)  # decode stub: rows-only
+
+
+# -- model path (not SQL-expressible: rows-only by design) -------------------
+def _als_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..model.als import als_eval
+
+    return als_eval(spark, sf_dir, "test")
+
+
+register("als_eval_test", _als_eval, None)

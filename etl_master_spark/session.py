@@ -14,10 +14,34 @@ nanos→micros, and so do we, keeping the two engines bit-identical).
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship ``etl_master_spark`` to the Python workers via ``addPyFile``.
+
+    Worker processes don't inherit driver-side ``sys.path`` edits, so any
+    Arrow UDF / mapInPandas closure that references this package would fail
+    with ModuleNotFoundError when the driver runs from another cwd. Zipping
+    the package and ``addPyFile``-ing it is the same mechanism spark-submit
+    uses for ``--py-files`` on a real cluster, so this mirrors production.
+    """
+    key = id(spark.sparkContext)
+    if key in _SHIPPED_SESSIONS:
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    zip_base = Path(tempfile.gettempdir()) / "etl_master_spark_pyfiles"
+    zip_path = shutil.make_archive(str(zip_base), "zip", pkg_dir.parent, pkg_dir.name)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
 
 
 def get_spark(
@@ -59,4 +83,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    ensure_package_shipped(spark)
     return spark

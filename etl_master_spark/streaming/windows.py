@@ -1,0 +1,167 @@
+"""Structured Streaming spellings of the event pipeline.
+
+The reference is pure batch (SURVEY.md §1.3 — epoch loops over in-memory
+tensors), but the engine's `events` surface is a stream in production; these
+operators exist in BOTH forms:
+
+- a batch DataFrame form (oracle-checked against DuckDB), and
+- a ``readStream`` form with watermarking, verified in tests via
+  ``trigger(availableNow=True)`` over the same parquet, asserting the final
+  state equals the batch result.
+
+The batch/stream duality is free because both are the same unresolved plan —
+Catalyst compiles the windowed aggregation to an incremental stateful
+operator under streaming and to a hash aggregate under batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+
+SESSION_GAP_MIN = 30
+
+
+# -- tumbling-window counts (batch form) -------------------------------------
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour, per-type event counts + value sums. Batch spelling of the
+    canonical streaming windowed aggregation. Window start is exported as
+    epoch seconds (BIGINT) — timestamp-encoding-neutral across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+EVENTS_HOURLY_ORACLE = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_start, event_type
+"""
+
+
+def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_hourly``: parquet stream source, 2-hour
+    watermark for late data, update-mode-compatible windowed aggregation.
+    Caller attaches the sink (tests use a memory sink + availableNow)."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (
+        spark.readStream.schema(batch_schema)
+        .parquet(f"{sf_dir}")
+    )
+    # ts arrives as INT64 nanos (same normalization as the batch reader)
+    ev = ev.withColumn(
+        "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+    )
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# -- sessionization ----------------------------------------------------------
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap): per user, session
+    count, avg events/session, avg session seconds. Batch spelling is the
+    classic lag+cumsum window pair; the streaming twin would be
+    ``session_window``/``applyInPandasWithState`` — the batch form is the
+    oracle-checkable one.
+
+    Scale: both windows partition by user_id (high cardinality); one shuffle
+    total since the second window reuses the first's partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
+    with_new = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    )
+    with_sess = with_new.withColumn(
+        "session_id", F.sum("is_new").over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    per_session = with_sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))
+        ).alias("dur_s"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+            F.round(F.avg("dur_s"), 6).alias("avg_session_seconds"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_SESSIONS_ORACLE = f"""
+WITH with_gap AS (
+    SELECT user_id, event_id, ts,
+           CAST(FLOOR(epoch(ts)) AS BIGINT)
+             - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap
+    FROM events
+),
+with_new AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN gap IS NULL OR gap > {SESSION_GAP_MIN * 60} THEN 1 ELSE 0 END
+               AS is_new
+    FROM with_gap
+),
+with_sess AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_id
+    FROM with_new
+),
+per_session AS (
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) - CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS dur_s
+    FROM with_sess GROUP BY user_id, session_id
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       ROUND(AVG(n_events), 6) AS avg_events_per_session,
+       ROUND(AVG(dur_s), 6) AS avg_session_seconds
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""

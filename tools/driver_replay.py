@@ -83,14 +83,19 @@ def main() -> int:
     failures = 0
     for name, fn in qs.items():
         t0 = time.time()
+        if name not in oracles:
+            try:
+                n = fn(spark, GATE_SF).count()
+                print(f"{name}: rows-only ({n} rows, {time.time() - t0:.1f}s)")
+            except Exception as e:
+                print(f"{name}: SPARK-ERROR {e!r}")
+                failures += 1
+            continue
         try:
             sp = normalize(fn(spark, GATE_SF).toPandas())
         except Exception as e:
             print(f"{name}: SPARK-ERROR {e!r}")
             failures += 1
-            continue
-        if name not in oracles:
-            print(f"{name}: rows-only ({len(sp)} rows, {time.time() - t0:.1f}s)")
             continue
         try:
             du = normalize(con.sql(oracles[name]).df())

@@ -1,0 +1,83 @@
+"""BENCH harness: runs the engine's headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with a count() over the final plan (no driver-side
+materialization of wide results — we time the engine, not pandas transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: the flagship eval pipeline + one representative per family
+BENCH_QUERIES = [
+    "eval_metrics_test",
+    "splits_leave_two_out",
+    "negatives_sample",
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "top_orders_per_customer",
+    "asof_latest_event",
+    "events_hourly",
+    "user_sessions",
+    "text_stats",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "ann_cosine_topk",
+    "lsh_buckets",
+    "mmd_rbf_fast",
+    "media_stats",
+]
+
+
+def main() -> None:
+    from etl_master_spark.plans.registry import QUERIES
+    from etl_master_spark.session import get_spark
+
+    spark = get_spark(app_name="etl_master_spark_bench")
+    # warm the JVM + parquet footers once so per-query times measure the
+    # engine, not first-touch costs
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,23 @@ def phash_frag(*cols: str, seed: int = 2020) -> str:
     return h
 
 
+def phash_col(*cols, seed: int = 2020):
+    """Column-expression form of the portable hash (same arithmetic as
+    ``phash_frag``), usable inside higher-order-function lambdas where a SQL
+    fragment can't reference the lambda variable."""
+    from pyspark.sql import functions as F
+
+    h = F.lit(seed % PHASH_P).cast("bigint")
+    for c in cols:
+        c = c if hasattr(c, "cast") else F.col(c)
+        h = (
+            h * F.lit(PHASH_A).cast("bigint")
+            + F.lit(PHASH_B).cast("bigint")
+            + (c.cast("bigint") % F.lit(PHASH_P).cast("bigint"))
+        ) % F.lit(PHASH_P).cast("bigint")
+    return h
+
+
 def phash_py(*vals: int, seed: int = 2020) -> int:
     """Python reference implementation (for unit tests / golden fixtures)."""
     h = seed % PHASH_P

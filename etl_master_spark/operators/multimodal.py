@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.io import load_table
+from ..sources.io import load_table, spread
 
 FEATURE_DIM = 8
 
@@ -103,6 +103,6 @@ def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(
+    return spread(media.select("media_id", "payload")).mapInPandas(
         extract, "media_id long, feature array<double>, n_bytes long"
     )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import phash_frag
+from ..functions.hashing import phash_col, phash_frag
 from ..sources.io import RATINGS_SQL, ratings
 
 SPLIT_SEED = 2020  # reference split/negative seed (Dataset_CDAE.py:103,111)
@@ -83,6 +83,30 @@ def _ranked_ratings(r: DataFrame) -> DataFrame:
     ).withColumn("cnt", F.count(F.lit(1)).over(w))
 
 
+def _shuffled_items(r: DataFrame, seed: int = SPLIT_SEED) -> DataFrame:
+    """(user_id, domain, items ARRAY<BIGINT>) with items in seeded-shuffle
+    order — ONE shuffle (the groupBy), then a purely row-local sort:
+    transform to (hash, item) structs, array_sort (lexicographic ⇒ hash asc
+    then item asc, identical to the window ORDER BY), project the items
+    back out. This replaces a row_number window — same output order, one
+    fewer shuffle, and the per-group sort runs inside codegen."""
+    grouped = r.groupBy("user_id", "domain").agg(
+        F.collect_list("item_id").alias("raw_items")
+    )
+    keyed = F.transform(
+        F.col("raw_items"),
+        lambda x: F.struct(
+            phash_col(F.col("user_id"), x, seed=seed).alias("h"),
+            x.alias("item"),
+        ),
+    )
+    return grouped.select(
+        "user_id",
+        "domain",
+        F.transform(F.array_sort(keyed), lambda s: s["item"]).alias("items"),
+    )
+
+
 def splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-two-out split (reference ``Dataset_CDAE.py:100-124`` + the train
     purge of ``Dataset_CDAE.py:72-77``), all reference quirks preserved:
@@ -96,19 +120,35 @@ def splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (user_id, item_id, domain, split) — duplicated item rows across
     splits exactly where the quirks demand it.
+
+    Plan: one shuffle total (see ``_shuffled_items``); split assembly is a
+    row-local array construction + explode. The window spelling this
+    replaces (kept in the DuckDB oracle as the semantic definition) needed
+    a second exchange for the row_number.
     """
-    ranked = _ranked_ratings(ratings(spark, sf_dir))
-    vali = ranked.filter(F.col("rn") == 1).select(
-        "user_id", "item_id", "domain", F.lit("vali").alias("split")
+    su = _shuffled_items(ratings(spark, sf_dir))
+    cnt = F.size(F.col("items"))
+    items = F.col("items")
+    vali = F.array(F.struct(items[0].alias("item_id"), F.lit("vali").alias("split")))
+    test_item = F.when(cnt >= 2, items[1]).otherwise(items[0])
+    test = F.array(F.struct(test_item.alias("item_id"), F.lit("test").alias("split")))
+    train_items = (
+        F.when(cnt == 2, F.slice(items, 2, 1))
+        .when(cnt > 2, F.expr("slice(items, 3, size(items) - 2)"))
+        .otherwise(F.array().cast("array<bigint>"))
     )
-    test = ranked.filter(
-        ((F.col("cnt") >= 2) & (F.col("rn") == 2))
-        | ((F.col("cnt") == 1) & (F.col("rn") == 1))
-    ).select("user_id", "item_id", "domain", F.lit("test").alias("split"))
-    train = ranked.filter(
-        (F.col("rn") >= 3) | ((F.col("cnt") == 2) & (F.col("rn") == 2))
-    ).select("user_id", "item_id", "domain", F.lit("train").alias("split"))
-    return vali.unionByName(test).unionByName(train)
+    train = F.transform(
+        train_items,
+        lambda x: F.struct(x.alias("item_id"), F.lit("train").alias("split")),
+    )
+    return (
+        su.select(
+            "user_id",
+            "domain",
+            F.explode(F.concat(vali, test, train)).alias("s"),
+        )
+        .select("user_id", F.col("s.item_id").alias("item_id"), "domain", F.col("s.split").alias("split"))
+    )
 
 
 _RANKED_CTE = f"""
@@ -144,28 +184,47 @@ def negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference ``Dataset_CDAE.py:110-111,123-124``:
     ``shuffle(set(range(num_item)) - set(items), seed=2020)[:99]``).
 
-    Plan: per-domain item dimension (distinct item_id — broadcast-sized) ×
-    per-domain users, anti-join the interactions, rank by seeded hash, keep
-    the first 99. The expanded candidate set is |users| × |catalog| *per
-    domain* before the anti-join; at very large catalogs switch to
-    sample-and-reject (see module docstring) — the output contract (ranked
-    99 per user) is unchanged.
+    Plan: ONE shuffle (per-user collect_set, reusing the ratings
+    partitioning) + a broadcast of the per-domain item universe; the set
+    difference, seeded shuffle, and top-99 all happen row-locally with
+    higher-order array functions (array_except → hash-keyed array_sort →
+    slice). This is the direct distributed spelling of the reference's
+    ``set(range(num_item)) − set(items)`` — and strictly cheaper than the
+    users×catalog anti-join it replaces (no expanded candidate exchange).
+
+    Scale bound: the universe array must fit in a row (catalog ≤ ~1e6);
+    beyond that switch to sample-and-reject (hash-sample ~110 candidate ids
+    per user, anti-join the interactions, keep first 99) — same output
+    contract. The DuckDB oracle keeps the anti-join spelling as the
+    semantic definition.
     """
     r = ratings(spark, sf_dir)
-    items = r.select("domain", "item_id").distinct()
-    users = r.select("domain", "user_id").distinct()
-    cand = (
-        users.join(F.broadcast(items), "domain")
-        .join(r, ["user_id", "item_id", "domain"], "left_anti")
+    universe = r.groupBy("domain").agg(
+        F.collect_set("item_id").alias("universe")
     )
-    order_key = F.expr(phash_frag("user_id", "item_id", seed=SPLIT_SEED))
-    w = Window.partitionBy("user_id", "domain").orderBy(
-        order_key.asc(), F.col("item_id").asc()
+    per_user = r.groupBy("user_id", "domain").agg(
+        F.collect_set("item_id").alias("seen")
+    )
+    cands = F.array_except(F.col("universe"), F.col("seen"))
+    keyed = F.transform(
+        cands,
+        lambda x: F.struct(
+            phash_col(F.col("user_id"), x, seed=SPLIT_SEED).alias("h"),
+            x.alias("item"),
+        ),
+    )
+    top99 = F.slice(
+        F.transform(F.array_sort(keyed), lambda s: s["item"]), 1, N_NEGATIVES
     )
     return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= N_NEGATIVES)
-        .select("user_id", "item_id", "domain", F.col("rank").cast("int").alias("rank"))
+        per_user.join(F.broadcast(universe), "domain")
+        .select("user_id", "domain", F.posexplode(top99).alias("pos", "item_id"))
+        .select(
+            "user_id",
+            "item_id",
+            "domain",
+            (F.col("pos") + 1).cast("int").alias("rank"),
+        )
     )
 
 

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from ..sources.io import load_table
+from ..sources.io import load_table, spread
 
 STOPWORDS = ["the", "a", "of", "and", "to"]  # closed-vocab corpus markers
 MINHASH_K = 16  # signature length
@@ -248,21 +248,26 @@ FROM documents
 # -- shingles (shared by Jaccard + MinHash) ----------------------------------
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """Distinct word-3-gram shingles per doc via posexplode + lead window
-    (pure JVM; no Python). Output: (doc_id, shingle)."""
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        toks.withColumn("t1", F.lead("tok", 1).over(w))
-        .withColumn("t2", F.lead("tok", 2).over(w))
-        .filter(F.col("t2").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(" ", "tok", "t1", "t2").alias("shingle"),
+    """Distinct word-3-gram shingles per doc, built entirely inside the row
+    with higher-order array functions (transform over a position sequence) —
+    no shuffle, no Python, stays in whole-stage codegen. The explode happens
+    only AFTER array_distinct, so duplicate shingles never hit the exchange.
+    Output: (doc_id, shingle)."""
+    toks = F.split(F.col("text"), " ")
+    shingle_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - SHINGLE_N),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
         )
-        .distinct()
+    )
+    return (
+        spread(docs.filter(F.size(toks) >= SHINGLE_N))
+        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
     )
 
 
@@ -372,32 +377,67 @@ ORDER BY p.doc_a, p.doc_b
 
 # -- MinHash + LSH near-dup candidates ---------------------------------------
 
+def _minhash_consts() -> list[tuple[int, int]]:
+    """(a_j, b_j) per hash function, derived from the portable hash so both
+    engines share them; a_j forced odd/nonzero for a proper universal family."""
+    from ..functions.hashing import PHASH_P, phash_py
+
+    return [
+        (phash_py(j, 1, seed=909) | 1, phash_py(j, 2, seed=909) % PHASH_P)
+        for j in range(MINHASH_K)
+    ]
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16)/LSH(4x4) candidate pairs. Hash family: md5(seed||shingle)
-    ordered as strings — uniform, portable, and seedable. Band key =
-    md5(minhash_i..minhash_{i+3}); docs sharing any band bucket become a
+    """MinHash(16)/LSH(4x4) candidate pairs.
+
+    Hash family: ONE md5 per shingle parsed to a 56-bit integer, then 16
+    universal-hash rehashes ``(a_j·h + b_j) mod p`` (Carter–Wegman) — 16×
+    cheaper than 16 md5 passes and portable (DuckDB parses '0x…'::BIGINT,
+    Spark uses conv(hex,16,10); both yield the identical integer). Band key
+    = md5 of 4 signature values; docs sharing any band bucket become a
     candidate pair (the only join, keyed by band digest — uniformly spread,
     skew-free). Output: (doc_a, doc_b, n_shared_bands)."""
+    from ..functions.hashing import PHASH_P
+
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs)
+    h = (
+        F.conv(F.substring(F.md5("shingle"), 1, 14), 16, 10).cast("bigint")
+        % F.lit(PHASH_P)
+    )
+    sh = sh.select("doc_id", h.alias("h"))
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"s{j}|"), F.col("shingle")))).alias(
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(PHASH_P)).alias(
                 f"mh{j}"
             )
-            for j in range(MINHASH_K)
+            for j, (a, b) in enumerate(_minhash_consts())
         ]
     )
     rows_per_band = MINHASH_K // MINHASH_BANDS
-    bands = None
-    for b in range(MINHASH_BANDS):
-        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *cols)).alias("bkey"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
+    # one explode instead of a 4-way union: the union spelling recomputes
+    # the signature aggregate once per band (and once more per join side)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            f"mh{b * rows_per_band + r}"
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     return (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bkey"])
@@ -411,22 +451,31 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_lsh_oracle() -> str:
+    from ..functions.hashing import PHASH_P
+
     rows_per_band = MINHASH_K // MINHASH_BANDS
     aggs = ", ".join(
-        f"MIN(md5('s{j}|' || shingle)) AS mh{j}" for j in range(MINHASH_K)
+        f"MIN((h * {a} + {b}) % {PHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(_minhash_consts())
     )
     band_selects = "\n    UNION ALL\n    ".join(
         "SELECT doc_id, {b} AS band, md5({expr}) AS bkey FROM sig".format(
             b=b,
             expr=" || '|' || ".join(
-                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+                f"CAST(mh{b * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
             ),
         )
         for b in range(MINHASH_BANDS)
     )
     return f"""
 WITH {_SHINGLES_SQL},
-sig AS (SELECT doc_id, {aggs} FROM shingles GROUP BY doc_id),
+hashed AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(shingle), 1, 14) AS BIGINT) % {PHASH_P} AS h
+    FROM shingles
+),
+sig AS (SELECT doc_id, {aggs} FROM hashed GROUP BY doc_id),
 bands AS (
     {band_selects}
 )
@@ -444,7 +493,7 @@ def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per doc, portable-SQL spelling (bit votes from the
     first 4 hex chars of md5(token)); output bucket histogram. The 64-bit
     Arrow-vectorized version below is the scale path."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
@@ -519,5 +568,5 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(v & 0x7FFFFFFFFFFFFFFF)
         return pd.Series(out, dtype="int64")
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", _simhash(F.col("text")).alias("simhash"))

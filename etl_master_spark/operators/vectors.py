@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import PHASH_P, phash_frag
-from ..sources.io import load_table
+from ..sources.io import load_table, spread
 
 N_QUERY_VECS = 5  # vec_id < 5 are the demo query set
 TOPK = 10
@@ -88,7 +88,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    pairs = emb.crossJoin(F.broadcast(q)).filter(
+    pairs = spread(emb).crossJoin(F.broadcast(q)).filter(
         F.col("vec_id") != F.col("query_id")
     )
     cos = _dot(F.col("qv"), F.col("embedding")) / (
@@ -147,7 +147,7 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     plane_j[i] = phash(j, i, seed)/P - 0.5;  bit_j = <v, plane_j> >= 0.
     Output: per-bucket membership counts (the ANN index profile)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = emb.select(
+    comp = spread(emb).select(
         "vec_id", F.posexplode(F.col("embedding")).alias("i", "x")
     )
     planes = spark.range(LSH_PLANES).select(

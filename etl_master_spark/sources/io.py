@@ -51,6 +51,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Repartition a DataFrame to full core parallelism before CPU-heavy
+    per-row work (hashing, shingling, array math).
+
+    On a real cluster, large inputs arrive pre-split (maxPartitionBytes);
+    the driver's small single-file tables arrive as ONE partition, which
+    would serialize any expensive projection onto one core. The repartition
+    is a round-robin exchange of the raw rows — cheap relative to the work
+    it parallelizes, and a no-op decision the optimizer cannot make for us
+    because it doesn't know the downstream expression cost."""
+    spark = df.sparkSession
+    return df.repartition(n or spark.sparkContext.defaultParallelism)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (mirrors the driver's
     DuckDB setup, where the same names are pre-registered)."""

@@ -107,7 +107,7 @@ def _shuffled_items(r: DataFrame, seed: int = SPLIT_SEED) -> DataFrame:
     )
 
 
-def splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+def splits_of(r: DataFrame) -> DataFrame:
     """Leave-two-out split (reference ``Dataset_CDAE.py:100-124`` + the train
     purge of ``Dataset_CDAE.py:72-77``), all reference quirks preserved:
 
@@ -126,7 +126,7 @@ def splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces (kept in the DuckDB oracle as the semantic definition) needed
     a second exchange for the row_number.
     """
-    su = _shuffled_items(ratings(spark, sf_dir))
+    su = _shuffled_items(r)
     cnt = F.size(F.col("items"))
     items = F.col("items")
     vali = F.array(F.struct(items[0].alias("item_id"), F.lit("vali").alias("split")))
@@ -149,6 +149,11 @@ def splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", F.col("s.item_id").alias("item_id"), "domain", F.col("s.split").alias("split"))
     )
+
+
+def splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`splits_of` over the sf_dir's events-derived ratings."""
+    return splits_of(ratings(spark, sf_dir))
 
 
 _RANKED_CTE = f"""
@@ -198,7 +203,10 @@ def negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract. The DuckDB oracle keeps the anti-join spelling as the
     semantic definition.
     """
-    r = ratings(spark, sf_dir)
+    return negatives_of(ratings(spark, sf_dir))
+
+
+def negatives_of(r: DataFrame) -> DataFrame:
     universe = r.groupBy("domain").agg(
         F.collect_set("item_id").alias("universe")
     )

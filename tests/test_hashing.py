@@ -1,0 +1,44 @@
+"""The portable hash must agree between Python, Spark SQL, and DuckDB —
+it is the determinism primitive every seeded operator builds on."""
+
+from __future__ import annotations
+
+import duckdb
+
+from etl_master_spark.functions.hashing import (
+    PHASH_P,
+    phash_col,
+    phash_frag,
+    phash_py,
+)
+
+
+def test_python_matches_duckdb():
+    for u, i, seed in [(0, 0, 2020), (7, 93, 2020), (12345, 67890, 72), (2**40, 3, 7)]:
+        frag = phash_frag(str(u), str(i), seed=seed)
+        (duck,) = duckdb.sql(f"SELECT {frag}").fetchone()
+        assert duck == phash_py(u, i, seed=seed)
+
+
+def test_python_matches_spark_frag_and_col(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(0, 0), (7, 93), (12345, 67890), (2**40, 3)]
+    df = spark.createDataFrame(rows, "u long, i long")
+    out = df.select(
+        "u",
+        "i",
+        F.expr(phash_frag("u", "i", seed=2020)).alias("frag"),
+        phash_col(F.col("u"), F.col("i"), seed=2020).alias("col"),
+    ).collect()
+    for r in out:
+        expect = phash_py(r["u"], r["i"], seed=2020)
+        assert r["frag"] == expect
+        assert r["col"] == expect
+
+
+def test_range_and_dispersion():
+    vals = {phash_py(u, i) for u in range(30) for i in range(30)}
+    assert all(0 <= v < PHASH_P for v in vals)
+    # 900 keys -> expect essentially no collisions
+    assert len(vals) >= 895

@@ -1,0 +1,67 @@
+"""Model-path tests: ALS protocol smoke + cross-domain map recovery."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_cross_domain_map_recovers_exact_linear(spark):
+    """If y = x·W exactly, the distributed ridge fit must recover W (small
+    reg) and the inverse-consistency metric must be ~0 for orthogonal W."""
+    from etl_master_spark.model.crossdomain import (
+        fit_linear_map,
+        inverse_consistency,
+        transform_embeddings,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, n = 8, 400
+    # random orthogonal map (QR of a gaussian)
+    w_true, _ = np.linalg.qr(rng.randn(dim, dim))
+    x = rng.randn(n, dim)
+    y = x @ w_true
+    emb_x = spark.createDataFrame(
+        [(i, x[i].tolist()) for i in range(n)], "user_id long, embedding array<double>"
+    )
+    emb_y = spark.createDataFrame(
+        [(i, y[i].tolist()) for i in range(n)], "user_id long, embedding array<double>"
+    )
+    maps = fit_linear_map(emb_x, emb_y, strategy="shared", reg=1e-6)
+    assert np.allclose(maps["W"], w_true, atol=1e-4)
+    # transform applies the map
+    out = transform_embeddings(emb_x, maps["W"])
+    got = {r["user_id"]: np.array(r["embedding"]) for r in out.collect()}
+    assert np.allclose(got[0], y[0], atol=1e-6)
+    # orthogonal W => inverse consistency ~ 0 (reference T7 metric)
+    assert inverse_consistency(emb_x, maps["W"]) == pytest.approx(0.0, abs=1e-6)
+
+    two = fit_linear_map(emb_x, emb_y, strategy="two_maps", reg=1e-6)
+    assert np.allclose(two["W1"] @ two["W2"], np.eye(dim), atol=1e-3)
+
+
+def test_als_eval_protocol_shape(spark, sf_dir):
+    from etl_master_spark.model.als import als_eval
+
+    rows = als_eval(spark, sf_dir, "test").collect()
+    cells = {(r["domain"], r["k"]) for r in rows}
+    assert cells == {("x", 5), ("x", 10), ("y", 5), ("y", 10)}
+    for r in rows:
+        for m in ("hr", "ndcg", "mrr"):
+            assert 0.0 <= r[m] <= 1.0
+
+
+def test_media_decode_stub_contract(spark, sf_dir):
+    from etl_master_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_image,
+        extract_features,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x01")
+    feats = extract_features(spark, sf_dir).limit(5).collect()
+    for r in feats:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])

@@ -1,0 +1,92 @@
+"""Recsplit invariants (FIXTURES.md §4) + the reference's edge-case quirks
+(``Dataset_CDAE.py:73-77,106-108``) on injected synthetic ratings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_master_spark.operators.recsplit import (
+    N_NEGATIVES,
+    negatives,
+    negatives_of,
+    splits,
+    splits_of,
+)
+from etl_master_spark.sources.io import ratings
+
+
+@pytest.fixture(scope="module")
+def synth(spark):
+    """users: 1 item (singleton), 2 items (leak quirk), 5 items (normal)."""
+    rows = (
+        [(1, 10, "x")]
+        + [(2, i, "x") for i in (10, 11)]
+        + [(3, i, "x") for i in (10, 11, 12, 13, 14)]
+    )
+    return spark.createDataFrame(rows, "user_id long, item_id long, domain string")
+
+
+def test_singleton_vali_equals_test(synth):
+    sp = splits_of(synth).filter(F.col("user_id") == 1).collect()
+    by_split = {r["split"]: r["item_id"] for r in sp}
+    assert by_split["vali"] == 10 and by_split["test"] == 10
+    assert "train" not in {r["split"] for r in sp} or not [
+        r for r in sp if r["split"] == "train"
+    ]
+
+
+def test_two_item_user_test_leaks_into_train(synth):
+    sp = splits_of(synth).filter(F.col("user_id") == 2).collect()
+    test_item = [r["item_id"] for r in sp if r["split"] == "test"]
+    train_items = [r["item_id"] for r in sp if r["split"] == "train"]
+    # reference quirk: for exactly-2-item users the test item stays in train
+    assert train_items == test_item
+
+
+def test_normal_user_partition(synth):
+    sp = splits_of(synth).filter(F.col("user_id") == 3).collect()
+    items = sorted(r["item_id"] for r in sp)
+    assert items == [10, 11, 12, 13, 14]  # exact partition, no dup, no loss
+    counts = {s: sum(1 for r in sp if r["split"] == s) for s in ("vali", "test", "train")}
+    assert counts == {"vali": 1, "test": 1, "train": 3}
+
+
+def test_negatives_disjoint_and_capped(synth):
+    neg = negatives_of(synth)
+    overlap = neg.join(synth, ["user_id", "item_id", "domain"]).count()
+    assert overlap == 0
+    per_user = neg.groupBy("user_id").count().collect()
+    for r in per_user:
+        assert r["count"] <= N_NEGATIVES
+    # universe has 5 items; user 3 interacted with all -> no negatives
+    assert neg.filter(F.col("user_id") == 3).count() == 0
+    # user 1 interacted with 1 of 5 -> 4 negatives, ranks 1..4
+    u1 = neg.filter(F.col("user_id") == 1).orderBy("rank").collect()
+    assert [r["rank"] for r in u1] == [1, 2, 3, 4]
+
+
+def test_splits_partition_real_data(spark, sf_dir):
+    r = ratings(spark, sf_dir)
+    sp = splits(spark, sf_dir)
+    # every (user, domain) has exactly one vali and one test
+    per = (
+        sp.groupBy("user_id", "domain")
+        .agg(
+            F.sum(F.when(F.col("split") == "vali", 1).otherwise(0)).alias("v"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("t"),
+        )
+        .collect()
+    )
+    assert all(row["v"] == 1 and row["t"] == 1 for row in per)
+    # split items are a subset of the user's rated items
+    assert sp.join(r, ["user_id", "item_id", "domain"], "left_anti").count() == 0
+
+
+def test_determinism(spark, sf_dir):
+    a = sorted(map(tuple, splits(spark, sf_dir).collect()))
+    b = sorted(map(tuple, splits(spark, sf_dir).collect()))
+    assert a == b
+    na = sorted(map(tuple, negatives(spark, sf_dir).collect()))
+    nb = sorted(map(tuple, negatives(spark, sf_dir).collect()))
+    assert na == nb

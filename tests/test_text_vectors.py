@@ -1,0 +1,112 @@
+"""Unit tests for text/dedup and vector operators beyond the parity gate."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_master_spark.operators import text, vectors
+
+
+def test_shingles_of_short_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "x y z")], "doc_id long, text string"
+    )
+    sh = {(r["doc_id"], r["shingle"]) for r in text._shingles(docs).collect()}
+    assert sh == {(1, "a b c"), (1, "b c d"), (3, "x y z")}  # doc 2 too short
+
+
+def test_simhash64_matches_python_reference(spark, sf_dir):
+    rows = text.simhash64(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+
+    def ref(t: str) -> int:
+        votes = [0] * 64
+        for tok in t.split(" "):
+            d = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for i in range(64):
+                votes[i] += 1 if (d >> i) & 1 else -1
+        v = 0
+        for i in range(64):
+            if votes[i] > 0:
+                v |= 1 << i
+        return v & 0x7FFFFFFFFFFFFFFF
+
+    for r in rows[:20]:
+        assert r["simhash"] == ref(docs[r["doc_id"]])
+
+
+def test_exact_dedup_flags_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("___tmp")
+    with_fp = docs.select("doc_id", F.md5("text").alias("fp"))
+    from pyspark.sql import Window
+
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["is_dup"])
+        for r in with_fp.withColumn(
+            "canonical_id", F.min("doc_id").over(Window.partitionBy("fp"))
+        )
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).cast("int").alias("is_dup"),
+        )
+        .collect()
+    }
+    assert out == {1: (1, 0), 2: (1, 1), 3: (3, 0)}
+
+
+def test_minhash_similar_docs_collide(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different content with no overlap whatsoever in any way at all"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    sh = text._shingles(docs)
+    from etl_master_spark.functions.hashing import PHASH_P
+
+    h = (
+        F.conv(F.substring(F.md5("shingle"), 1, 14), 16, 10).cast("bigint")
+        % F.lit(PHASH_P)
+    )
+    sig = sh.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(PHASH_P)).alias(f"mh{j}")
+            for j, (a, b) in enumerate(text._minhash_consts())
+        ]
+    )
+    rows = {r["doc_id"]: [r[f"mh{j}"] for j in range(text.MINHASH_K)] for r in sig.collect()}
+    agree_near = sum(a == b for a, b in zip(rows[1], rows[2]))
+    agree_far = sum(a == b for a, b in zip(rows[1], rows[3]))
+    assert agree_near > agree_far  # near-dup shares most minhashes
+    assert agree_far == 0
+
+
+def test_cosine_topk_self_excluded_and_sorted(spark, sf_dir):
+    rows = vectors.ann_cosine_topk(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(vectors.N_QUERY_VECS))
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rnk"])
+        assert all(r["neighbor_id"] != q for r in rs)
+        scores = [r["cosine"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_mmd_nonnegative_and_symmetric_zero(spark, sf_dir):
+    same = vectors.mmd_rbf(spark, sf_dir, label_a=0, label_b=0).collect()[0]
+    assert same["mmd2"] == pytest.approx(0.0, abs=1e-9)
+    diff = vectors.mmd_rbf(spark, sf_dir, label_a=0, label_b=1).collect()[0]
+    assert diff["mmd2"] >= 0.0

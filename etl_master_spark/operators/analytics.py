@@ -1,0 +1,280 @@
+"""Wider analytics surface — rollups, set ops, date/string/JSON functions,
+percentiles, vectorization shapes, seeded samplers.
+
+SURVEY.md §2.8 records these operator classes as ABSENT from the reference;
+they are nonetheless part of "an engine a reference user could switch to",
+so the engine ships them as first-class, oracle-checked queries:
+
+- grouping sets / ROLLUP (subtotal lattices)
+- INTERSECT / EXCEPT set operators
+- date part extraction + truncation
+- JSON extraction over the events props column
+- exact interpolated percentiles
+- E6's per-user vector assembly (``main_my.py:81-88`` COO→matrix, kept
+  long/array-form — never a dense user×item matrix)
+- F3's Gaussian prior sampler (``main_my.py:168``) as a deterministic
+  Box–Muller over portable-hash uniforms — the distributed, replayable
+  replacement for ``np.random.normal``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import PHASH_P, phash_frag
+from ..sources.io import RATINGS_SQL, load_table
+
+
+# -- ROLLUP subtotals --------------------------------------------------------
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region/nation revenue with ROLLUP subtotals + grand total. Spark and
+    DuckDB agree on the grouping-set NULL convention; labels are coalesced
+    so the output is join-key-safe."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+REVENUE_ROLLUP_ORACLE = """
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(n_name, 'ALL') AS nation,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY region, nation
+"""
+
+
+# -- INTERSECT / EXCEPT ------------------------------------------------------
+
+def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra over user populations: purchasers ∩ clickers,
+    purchasers ∖ clickers, symmetric counts. The reference's only set op is
+    Python ``set`` subtraction (E3); these are the engine-level spellings."""
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    both = buyers.intersect(clickers)
+    only_buy = buyers.exceptAll(clickers)
+    only_click = clickers.exceptAll(buyers)
+    return (
+        both.withColumn("relation", F.lit("both"))
+        .unionByName(only_buy.withColumn("relation", F.lit("purchase_only")))
+        .unionByName(only_click.withColumn("relation", F.lit("click_only")))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("relation")
+    )
+
+
+USER_SET_OPS_ORACLE = """
+WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+tagged AS (
+    SELECT user_id, 'both' AS relation FROM (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM clickers)
+    UNION ALL
+    SELECT user_id, 'purchase_only' AS relation FROM (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM clickers)
+    UNION ALL
+    SELECT user_id, 'click_only' AS relation FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+)
+SELECT relation, COUNT(*) AS n_users FROM tagged GROUP BY relation ORDER BY relation
+"""
+
+
+# -- date functions ----------------------------------------------------------
+
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + monthly truncation over orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            "o_totalprice",
+        )
+        .groupBy("yr", "mo", "qtr")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.countDistinct("dow").alias("active_weekdays"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+ORDERS_BY_MONTH_ORACLE = """
+SELECT EXTRACT(year FROM o_orderdate) AS yr,
+       EXTRACT(month FROM o_orderdate) AS mo,
+       EXTRACT(quarter FROM o_orderdate) AS qtr,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(DISTINCT (EXTRACT(dow FROM o_orderdate) + 1)) AS active_weekdays
+FROM orders
+GROUP BY 1, 2, 3
+ORDER BY yr, mo
+"""
+
+
+# -- JSON functions ----------------------------------------------------------
+
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props (`{"k": <int>}`) — the engine's
+    semi-structured column surface. Buckets the extracted key."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+PROPS_JSON_STATS_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY 1 ORDER BY k_bucket
+"""
+
+
+# -- percentiles -------------------------------------------------------------
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (Spark ``percentile``
+    ≡ DuckDB ``quantile_cont``). At 100 TB switch to ``approx_percentile``
+    (t-digest sketch, mergeable one-pass) — exact percentile is a full sort
+    per group."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_PERCENTILES_ORACLE = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# -- E6: per-user vector assembly (long-form, never dense) -------------------
+
+def user_item_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's answer to the reference's COO→dense-matrix build
+    (``main_my.py:81-88``): per (user, domain), the sorted interaction
+    vector — as a compact string so both engines hash it identically.
+    The dense multi-hot row only ever materializes inside an Arrow batch
+    (see model path), never globally."""
+    from ..sources.io import ratings
+
+    r = ratings(spark, sf_dir)
+    return (
+        r.groupBy("user_id", "domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.array_join(F.sort_array(F.collect_list("item_id")), ",").alias(
+                "items_csv"
+            ),
+        )
+        .orderBy("user_id", "domain")
+    )
+
+
+USER_ITEM_VECTORS_ORACLE = f"""
+WITH ratings AS ({RATINGS_SQL})
+SELECT user_id, domain,
+       COUNT(*) AS n_items,
+       string_agg(CAST(item_id AS VARCHAR), ',' ORDER BY item_id) AS items_csv
+FROM ratings
+GROUP BY user_id, domain
+ORDER BY user_id, domain
+"""
+
+
+# -- F3: deterministic Gaussian prior sampler --------------------------------
+
+PRIOR_N = 4096
+PRIOR_SEED = 31
+
+
+def prior_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference draws GAN priors with ``np.random.normal(0,1,[B,E])``
+    (``main_my.py:168``). Distributed + replayable spelling: Box–Muller over
+    two portable-hash uniforms per sample —
+    z = sqrt(-2 ln u1) · cos(2π u2) — identical on any engine/executor.
+    Output: moment check per bucket (mean≈0, std≈1). sf_dir is unused
+    (pure generator) but kept for the uniform query signature."""
+    ids = spark.range(PRIOR_N).select(F.col("id").cast("bigint").alias("i"))
+    u1 = (
+        F.expr(phash_frag("i", seed=PRIOR_SEED)).cast("double") + F.lit(1.0)
+    ) / F.lit(float(PHASH_P + 1))
+    u2 = (
+        F.expr(phash_frag("i", seed=PRIOR_SEED + 1)).cast("double") + F.lit(1.0)
+    ) / F.lit(float(PHASH_P + 1))
+    z = F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(F.lit(2.0) * F.lit(3.141592653589793) * u2)
+    return (
+        ids.select((F.col("i") % 4).alias("bucket"), z.alias("z"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("z"), 6).alias("mean_z"),
+            F.round(F.stddev_pop("z"), 6).alias("std_z"),
+        )
+        .orderBy("bucket")
+    )
+
+
+PRIOR_SAMPLE_STATS_ORACLE = f"""
+WITH ids AS (SELECT unnest(range(0, {PRIOR_N})) AS i),
+z AS (
+    SELECT i % 4 AS bucket,
+           sqrt(-2.0 * ln((CAST({phash_frag('i', seed=PRIOR_SEED)} AS DOUBLE) + 1.0)
+                          / {float(PHASH_P + 1)!r}))
+           * cos(2.0 * 3.141592653589793
+                 * (CAST({phash_frag('i', seed=PRIOR_SEED + 1)} AS DOUBLE) + 1.0)
+                 / {float(PHASH_P + 1)!r}) AS z
+    FROM ids
+)
+SELECT bucket, COUNT(*) AS n,
+       ROUND(AVG(z), 6) AS mean_z,
+       ROUND(stddev_pop(z), 6) AS std_z
+FROM z GROUP BY bucket ORDER BY bucket
+"""

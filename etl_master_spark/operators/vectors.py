@@ -299,6 +299,242 @@ FROM kxx, kyy, kxy
 """
 
 
+MMD_SIGMAS = [1.0, 2.0, 4.0, 8.0]  # reference uses a multi-σ list (my_utils.py:15)
+
+
+def mmd_rbf_multiscale(
+    spark: SparkSession, sf_dir: str, label_a: int = 0, label_b: int = 1
+) -> DataFrame:
+    """Multi-scale RBF MMD² — the reference's actual kernel is a SUM of RBF
+    kernels over a σ list (``my_utils.py:12-35`` ``_mix_rbf_kernel``); one
+    cross-join pass computes every σ simultaneously (same ‖x−y‖², k scalar
+    exps per pair)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def side(name: str, lbl: int) -> DataFrame:
+        return emb.filter(F.col("label") == lbl).select(
+            F.col("vec_id").alias(f"id_{name}"),
+            F.col("embedding").alias(f"v_{name}"),
+            _dot(F.col("embedding"), F.col("embedding")).alias(f"sq_{name}"),
+        )
+
+    a = side("a", label_a)
+    b = side("b", label_b)
+    a2 = a.withColumnsRenamed({"id_a": "id_b", "v_a": "v_b", "sq_a": "sq_b"})
+    b2 = b.withColumnsRenamed({"id_b": "id_a", "v_b": "v_a", "sq_b": "sq_a"})
+    d2 = (
+        F.col("sq_a") - 2 * _dot(F.col("v_a"), F.col("v_b")) + F.col("sq_b")
+    )
+    ksum = sum(
+        F.exp(-d2 / F.lit(2.0 * s * s)) for s in MMD_SIGMAS
+    )
+    kxx = a.crossJoin(a2).select(ksum.alias("k")).agg(F.avg("k").alias("kxx"))
+    kyy = b2.crossJoin(b).select(ksum.alias("k")).agg(F.avg("k").alias("kyy"))
+    kxy = a.crossJoin(b).select(ksum.alias("k")).agg(F.avg("k").alias("kxy"))
+    return (
+        kxx.crossJoin(kyy)
+        .crossJoin(kxy)
+        .select(
+            F.lit(label_a).alias("label_a"),
+            F.lit(label_b).alias("label_b"),
+            F.round(F.col("kxx") + F.col("kyy") - 2 * F.col("kxy"), 6).alias("mmd2"),
+        )
+    )
+
+
+def mmd_rbf_multiscale_oracle(label_a: int = 0, label_b: int = 1) -> str:
+    ks = " + ".join(
+        f"EXP(-(x.sq - 2 * list_dot_product(x.v, y.v) + y.sq) / {2.0 * s * s!r})"
+        for s in MMD_SIGMAS
+    )
+    side = (
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+        "list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS sq "
+        "FROM embeddings WHERE label = {lbl}"
+    )
+    return f"""
+WITH side_a AS ({side.format(lbl=label_a)}),
+side_b AS ({side.format(lbl=label_b)}),
+kxx AS (SELECT AVG({ks}) AS m FROM side_a x CROSS JOIN side_a y),
+kyy AS (SELECT AVG({ks}) AS m FROM side_b x CROSS JOIN side_b y),
+kxy AS (SELECT AVG({ks}) AS m FROM side_a x CROSS JOIN side_b y)
+SELECT {label_a} AS label_a, {label_b} AS label_b,
+       ROUND(kxx.m + kyy.m - 2 * kxy.m, 6) AS mmd2
+FROM kxx, kyy, kxy
+"""
+
+
+# -- embedding-cosine near-duplicate detection -------------------------------
+
+COSINE_DUP_THRESHOLD = 0.99
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors by cosine ≥ threshold — the embedding-space
+    member of the dedup family (exact / Jaccard / MinHash / SimHash /
+    cosine). All-pairs here (exact, oracle-checkable); the scale path
+    prefilters pairs through ``lsh_buckets`` signatures so only same-bucket
+    pairs are scored — identical output for thresholds near 1 since
+    high-cosine pairs collide in every sign-LSH bucket w.h.p."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lhs = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a")
+    )
+    rhs = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b")
+    )
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (
+        F.sqrt(_dot(F.col("v_a"), F.col("v_a")))
+        * F.sqrt(_dot(F.col("v_b"), F.col("v_b")))
+    )
+    return (
+        spread(lhs)
+        .join(rhs, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_EMBEDDING_COSINE_ORACLE = f"""
+SELECT id_a, id_b, cosine FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+               AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+)
+WHERE cosine >= {COSINE_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# -- IVF (coarse-quantized) ANN ----------------------------------------------
+
+IVF_CELLS = 8
+IVF_SEED = 23
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of ``IVF_CELLS``
+    deterministic coarse centroids (portable-hash-derived, so the oracle
+    replays them); each query searches ONLY its own cell — the classic
+    inverted-file trade of recall for a |corpus|/cells scan reduction.
+    Output: per query (vec_id < 5), top-5 same-cell neighbors by cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    # centroid c[j][i] = phash(j,i)/P - 0.5 — same construction as lsh planes
+    cent = (
+        spark.range(IVF_CELLS)
+        .select(F.col("id").cast("int").alias("cell"))
+        .crossJoin(spark.range(dim).select(F.col("id").cast("int").alias("i")))
+        .select(
+            "cell",
+            "i",
+            (
+                F.expr(phash_frag("cell", "i", seed=IVF_SEED)).cast("double")
+                / F.lit(float(PHASH_P))
+                - F.lit(0.5)
+            ).alias("w"),
+        )
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "w"))).alias("cw"))
+        .select("cell", F.transform("cw", lambda s: s["w"]).alias("c"))
+    )
+    with_cell = (
+        spread(emb)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("dot", _dot(F.col("embedding"), F.col("c")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("dot").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    q = with_cell.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "cell",
+    )
+    pairs = with_cell.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("qv"), F.col("embedding")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def ann_ivf_oracle() -> str:
+    return f"""
+WITH cent AS (
+    SELECT c.cell, list(p.w ORDER BY p.i) AS c
+    FROM (SELECT unnest(range(0, {IVF_CELLS})) AS cell) c,
+         LATERAL (
+             SELECT i.i,
+                    CAST({phash_frag('c.cell', 'i.i', seed=IVF_SEED)} AS DOUBLE)
+                        / CAST({PHASH_P} AS DOUBLE) - 0.5 AS w
+             FROM (SELECT unnest(range(0, 64)) AS i) i
+         ) p
+    GROUP BY c.cell
+),
+assigned AS (
+    SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c) DESC,
+                            c.cell ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, cell
+    FROM assigned WHERE vec_id < {N_QUERY_VECS}
+),
+scored AS (
+    SELECT q.query_id, a.vec_id AS neighbor_id,
+           ROUND(
+             list_dot_product(q.qv, CAST(a.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(a.embedding AS DOUBLE[])))), 6)
+               AS cosine
+    FROM assigned a JOIN q ON a.cell = q.cell
+    WHERE a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+           ) AS INT) AS rnk
+    FROM scored
+) WHERE rnk <= 5
+"""
+
+
 def mmd_rbf_fast(
     spark: SparkSession, sf_dir: str, label_a: int = 0, label_b: int = 1,
     sigma: float = 4.0, block: int = 2048,

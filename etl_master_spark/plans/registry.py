@@ -13,7 +13,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import multimodal, ranking, recsplit, relational, stats, text, vectors
+from ..operators import (
+    analytics,
+    multimodal,
+    ranking,
+    recsplit,
+    relational,
+    stats,
+    text,
+    vectors,
+)
 from ..streaming import windows
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -101,8 +110,30 @@ register("simhash64", text.simhash64, None)  # Arrow-UDF fast path: rows-only
 register("embedding_norms", vectors.embedding_norms, vectors.EMBEDDING_NORMS_ORACLE)
 register("ann_cosine_topk", vectors.ann_cosine_topk, vectors.ANN_COSINE_TOPK_ORACLE)
 register("lsh_buckets", vectors.lsh_buckets, vectors.LSH_BUCKETS_ORACLE)
+register("ann_ivf_topk", vectors.ann_ivf_topk, vectors.ann_ivf_oracle())
 register("mmd_rbf", vectors.mmd_rbf, vectors.mmd_rbf_oracle())
+register("mmd_rbf_multiscale", vectors.mmd_rbf_multiscale, vectors.mmd_rbf_multiscale_oracle())
 register("mmd_rbf_fast", vectors.mmd_rbf_fast, None)  # BLAS path: rows-only
+register(
+    "dedup_embedding_cosine",
+    vectors.dedup_embedding_cosine,
+    vectors.DEDUP_EMBEDDING_COSINE_ORACLE,
+)
+
+# -- wider analytics (rollup / set ops / date / JSON / percentiles / E6 / F3) -
+register("revenue_rollup", analytics.revenue_rollup, analytics.REVENUE_ROLLUP_ORACLE)
+register("user_set_ops", analytics.user_set_ops, analytics.USER_SET_OPS_ORACLE)
+register("orders_by_month", analytics.orders_by_month, analytics.ORDERS_BY_MONTH_ORACLE)
+register("props_json_stats", analytics.props_json_stats, analytics.PROPS_JSON_STATS_ORACLE)
+register(
+    "value_percentiles", analytics.value_percentiles, analytics.VALUE_PERCENTILES_ORACLE
+)
+register(
+    "user_item_vectors", analytics.user_item_vectors, analytics.USER_ITEM_VECTORS_ORACLE
+)
+register(
+    "prior_sample_stats", analytics.prior_sample_stats, analytics.PRIOR_SAMPLE_STATS_ORACLE
+)
 
 # -- streaming twins (batch form oracle-checked) -----------------------------
 register("events_hourly", windows.events_hourly, windows.EVENTS_HOURLY_ORACLE)

@@ -570,3 +570,40 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", _simhash(F.col("text")).alias("simhash"))
+
+
+# -- BPE-ish regex token counting ---------------------------------------------
+
+# GPT-2-style pre-tokenization shape, restricted to a regex dialect that Java
+# (Spark) and RE2-ish (DuckDB) evaluate identically: letter runs, digit runs,
+# and single non-alphanumeric non-space marks each count as one token.
+BPEISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token accounting: whitespace tokens vs BPE-ish regex
+    tokens plus the distinct-token count — the unit every data-mixture /
+    token-budget computation is denominated in. All three counts are JVM
+    regex builtins (whole-stage codegen); nothing leaves the executor until
+    the tiny per-doc result."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.expr(f"regexp_extract_all(text, '{BPEISH_RE}', 0)")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+            F.size(bpe).alias("bpeish_tokens"),
+            F.size(F.array_distinct(bpe)).alias("distinct_bpeish"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_COUNTS_ORACLE = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{BPEISH_RE}')) AS bpeish_tokens,
+       len(list_distinct(regexp_extract_all(text, '{BPEISH_RE}'))) AS distinct_bpeish
+FROM documents
+ORDER BY doc_id
+"""

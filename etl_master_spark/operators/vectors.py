@@ -366,10 +366,14 @@ FROM kxx, kyy, kxy
 
 # -- embedding-cosine near-duplicate detection -------------------------------
 
-COSINE_DUP_THRESHOLD = 0.99
+COSINE_DUP_THRESHOLD = 0.99  # production default; synthetic testdata has no
+# planted near-dups (max pairwise cosine ≈ 0.51 at sf0.01), so the registry
+# binds 0.4 to exercise real output through the gate.
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, threshold: float = COSINE_DUP_THRESHOLD
+) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold — the embedding-space
     member of the dedup family (exact / Jaccard / MinHash / SimHash /
     cosine). All-pairs here (exact, oracle-checkable); the scale path
@@ -391,12 +395,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(lhs)
         .join(rhs, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .filter(F.col("cosine") >= F.lit(threshold))
         .orderBy("id_a", "id_b")
     )
 
 
-DEDUP_EMBEDDING_COSINE_ORACLE = f"""
+def dedup_embedding_cosine_oracle(threshold: float = COSINE_DUP_THRESHOLD) -> str:
+    return f"""
 SELECT id_a, id_b, cosine FROM (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(
@@ -407,7 +412,7 @@ SELECT id_a, id_b, cosine FROM (
     FROM embeddings a
     JOIN embeddings b ON a.vec_id < b.vec_id
 )
-WHERE cosine >= {COSINE_DUP_THRESHOLD}
+WHERE cosine >= {threshold!r}
 ORDER BY id_a, id_b
 """
 

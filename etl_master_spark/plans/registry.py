@@ -103,6 +103,7 @@ register(
     text.dedup_ngram_jaccard_oracle(0.1),
 )
 register("minhash_lsh_pairs", text.minhash_lsh_pairs, text.minhash_lsh_oracle())
+register("token_counts", text.token_counts, text.TOKEN_COUNTS_ORACLE)
 register("simhash16", text.simhash16, text.simhash16_oracle())
 register("simhash64", text.simhash64, None)  # Arrow-UDF fast path: rows-only
 
@@ -115,9 +116,11 @@ register("mmd_rbf", vectors.mmd_rbf, vectors.mmd_rbf_oracle())
 register("mmd_rbf_multiscale", vectors.mmd_rbf_multiscale, vectors.mmd_rbf_multiscale_oracle())
 register("mmd_rbf_fast", vectors.mmd_rbf_fast, None)  # BLAS path: rows-only
 register(
+    # 0.4 exercises real pairs on the synthetic embeddings (no planted
+    # near-dups; max pairwise cosine ≈ 0.51) — production default is 0.99
     "dedup_embedding_cosine",
-    vectors.dedup_embedding_cosine,
-    vectors.DEDUP_EMBEDDING_COSINE_ORACLE,
+    lambda spark, sf: vectors.dedup_embedding_cosine(spark, sf, 0.4),
+    vectors.dedup_embedding_cosine_oracle(0.4),
 )
 
 # -- wider analytics (rollup / set ops / date / JSON / percentiles / E6 / F3) -
@@ -138,6 +141,13 @@ register(
 # -- streaming twins (batch form oracle-checked) -----------------------------
 register("events_hourly", windows.events_hourly, windows.EVENTS_HOURLY_ORACLE)
 register("user_sessions", windows.user_sessions, windows.USER_SESSIONS_ORACLE)
+register(
+    # batch twin of the applyInPandasWithState sessionizer (test-verified
+    # to converge to exactly these totals across micro-batches)
+    "user_session_totals",
+    windows.user_session_totals,
+    windows.USER_SESSION_TOTALS_ORACLE,
+)
 
 # -- multimodal plumbing -----------------------------------------------------
 register("media_stats", multimodal.media_stats, multimodal.MEDIA_STATS_ORACLE)

@@ -1,0 +1,67 @@
+"""Parquet sinks — the engine's spellings of the reference's output surface.
+
+- S2 (``Dataset_CDAE.py:91-145``): the reference computes splits + negatives
+  once and pickles them, loading the pickles on every later run. Engine
+  twin: ``materialize_splits`` — an idempotent compute-if-missing job that
+  writes both tables as parquet and reads them back when present. Parquet
+  replaces pickle because it is splittable, columnar, and
+  predicate-pushdown-friendly — the difference between "fits one node's
+  RAM" and "scans on 1000 executors".
+- S3 (``main_my.py:278-281`` append-only text log): ``append_metrics`` — an
+  append-mode parquet sink for the per-epoch metric rows; the relational
+  replacement for grep-able logs (``best_epoch`` then runs ON the sink).
+- S7 (``main_my.py:62-70`` rm-rf-and-rewrite log dir): ``mode("overwrite")``
+  on the writers — atomic-per-partition rather than shell deletion.
+- S5/S6 embedding export lives in ``model.als.export_user_embeddings``.
+
+All writers partition by a low-cardinality column when one exists (domain,
+split) so downstream readers prune; none of them collect to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.recsplit import negatives_of, splits_of
+from .io import ratings
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet writer (the engine's one sink primitive)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf).exists(p)
+
+
+def materialize_splits(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Compute-if-missing splits + negatives (S2). First call computes from
+    the ratings derivation and writes parquet partitioned by domain/split;
+    later calls only read. Deterministic by construction (seeded-hash
+    shuffle), so re-materializing yields byte-identical content."""
+    splits_path = f"{out_dir}/splits"
+    nega_path = f"{out_dir}/negatives"
+    if not (_exists(spark, splits_path) and _exists(spark, nega_path)):
+        r = ratings(spark, sf_dir)
+        write_table(splits_of(r), splits_path, partition_by=["domain", "split"])
+        write_table(negatives_of(r), nega_path, partition_by=["domain"])
+    return spark.read.parquet(splits_path), spark.read.parquet(nega_path)
+
+
+def append_metrics(metrics: DataFrame, path: str) -> None:
+    """Append-only metrics sink (S3): one row per (epoch, metric, value)."""
+    write_table(metrics, path, mode="append")

@@ -165,3 +165,125 @@ SELECT user_id,
        ROUND(AVG(dur_s), 6) AS avg_session_seconds
 FROM per_session GROUP BY user_id ORDER BY user_id
 """
+
+
+# -- custom stateful operator: incremental sessionization ---------------------
+
+SESSION_STATE_SCHEMA = "last_ts LONG, n_sessions INT, n_events LONG, total_dur LONG"
+SESSION_OUTPUT_SCHEMA = "user_id LONG, n_sessions INT, n_events LONG, total_dur LONG"
+
+
+def user_session_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful sessionizer: per user, total sessions /
+    events / in-session seconds. Same lag+cumsum pipeline as
+    ``user_sessions`` but additive outputs, so the incremental stream can be
+    checked for exact equality."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
+    return (
+        ev.withColumn("gap", gap)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("gap").isNull() | (F.col("gap") > SESSION_GAP_MIN * 60), 1
+                ).otherwise(0)
+            )
+            .cast("int")
+            .alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("gap") <= SESSION_GAP_MIN * 60, F.col("gap")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("total_dur"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_SESSION_TOTALS_ORACLE = f"""
+WITH with_gap AS (
+    SELECT user_id,
+           CAST(FLOOR(epoch(ts)) AS BIGINT)
+             - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap
+    FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_MIN * 60}
+                THEN 1 ELSE 0 END) AS INT) AS n_sessions,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN gap <= {SESSION_GAP_MIN * 60} THEN gap ELSE 0 END) AS total_dur
+FROM with_gap GROUP BY user_id ORDER BY user_id
+"""
+
+
+def user_sessions_stateful(spark: SparkSession, sf_dir: str, stream_dir: str | None = None) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    incremental gap sessionization. Spark has no built-in "running session
+    totals in update mode" — this is the engine's template for operators the
+    built-ins can't express (SURVEY.md §7.3 last resort tier).
+
+    State per user is four scalars (last_ts, n_sessions, n_events,
+    total_dur); each micro-batch folds its sorted new events into the state
+    vectorized (numpy gap arithmetic, no per-row Python loop). Requires
+    event-time-ordered arrival per user across batches — the file-stream
+    chunking in production (and the test) provides it. At 100 TB the state
+    store shards by user_id across executors; per-key state is O(1)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir or sf_dir)
+    )
+    # ts arrives as INT64 nanos (same normalization as the batch reader)
+    ev = ev.select(
+        "user_id",
+        (F.col("ts").cast("bigint") / F.lit(1_000_000_000))
+        .cast("bigint")
+        .alias("ts_s"),
+    )
+    gap_s = SESSION_GAP_MIN * 60
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        ts = np.sort(
+            np.concatenate([p["ts_s"].to_numpy(dtype="int64") for p in pdfs])
+        )
+        if state.exists:
+            last_ts, n_sessions, n_events, total_dur = state.get
+        else:
+            last_ts, n_sessions, n_events, total_dur = -(10**15), 0, 0, 0
+        prev = np.concatenate(([last_ts], ts[:-1]))
+        gaps = ts - prev
+        n_sessions += int((gaps > gap_s).sum())
+        total_dur += int(gaps[gaps <= gap_s].sum())
+        n_events += int(len(ts))
+        state.update((int(ts[-1]), n_sessions, n_events, total_dur))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "n_sessions": n_sessions,
+                    "n_events": n_events,
+                    "total_dur": total_dur,
+                }
+            ]
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

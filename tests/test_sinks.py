@@ -1,0 +1,43 @@
+"""S2 compute-if-missing materialization + S3 append sink."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_master_spark.operators.recsplit import splits_of
+from etl_master_spark.sources.io import ratings
+from etl_master_spark.sources.sinks import append_metrics, materialize_splits
+
+
+def _success_mtime(path: str) -> float:
+    return os.path.getmtime(os.path.join(path, "_SUCCESS"))
+
+
+def test_materialize_splits_idempotent(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "mat")
+    s1, n1 = materialize_splits(spark, sf_dir, out)
+    want = {
+        (r["user_id"], r["item_id"], r["domain"], r["split"])
+        for r in splits_of(ratings(spark, sf_dir)).collect()
+    }
+    got = {
+        (r["user_id"], r["item_id"], r["domain"], r["split"]) for r in s1.collect()
+    }
+    assert got == want
+    assert n1.groupBy().count().first()[0] > 0
+    mt = _success_mtime(f"{out}/splits")
+    s2, _ = materialize_splits(spark, sf_dir, out)  # second call: read-only
+    assert _success_mtime(f"{out}/splits") == mt
+    assert s2.count() == s1.count()
+
+
+def test_append_metrics(spark, tmp_path):
+    path = str(tmp_path / "metrics")
+    m = spark.range(3).select(
+        F.col("id").alias("epoch"), F.lit("hr").alias("metric"), F.lit(0.5).alias("value")
+    )
+    append_metrics(m, path)
+    append_metrics(m, path)
+    assert spark.read.parquet(path).count() == 6

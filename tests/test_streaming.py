@@ -26,3 +26,52 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path):
         for r in events_hourly(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stateful_sessions_converge(spark, sf_dir, tmp_path):
+    """The applyInPandasWithState sessionizer, fed the events table as three
+    time-ordered micro-batches, must end at exactly the batch totals."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    from etl_master_spark.streaming.windows import (
+        user_session_totals,
+        user_sessions_stateful,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    order = tbl.column("ts").to_pandas().sort_values().index
+    tbl = tbl.take(list(order))
+    chunks = tmp_path / "chunks"
+    chunks.mkdir()
+    n = tbl.num_rows
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        pq.write_table(tbl.slice(lo, hi - lo), chunks / f"part-{i}.parquet")
+        time.sleep(0.05)  # distinct mtimes -> deterministic batch order
+
+    q = (
+        user_sessions_stateful(spark, sf_dir, str(chunks))
+        .writeStream.format("memory")
+        .queryName("stateful_sessions_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM stateful_sessions_test").collect()
+    # n_events is monotone per user: the max-row is the final state
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    got = {
+        u: (r["n_sessions"], r["n_events"], r["total_dur"]) for u, r in final.items()
+    }
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"], r["total_dur"])
+        for r in user_session_totals(spark, sf_dir).collect()
+    }
+    assert got == want

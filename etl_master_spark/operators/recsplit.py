@@ -126,7 +126,14 @@ def splits_of(r: DataFrame) -> DataFrame:
     replaces (kept in the DuckDB oracle as the semantic definition) needed
     a second exchange for the row_number.
     """
-    su = _shuffled_items(r)
+    return splits_from_shuffled(_shuffled_items(r))
+
+
+def splits_from_shuffled(su: DataFrame) -> DataFrame:
+    """`splits_of` body over a precomputed ``_shuffled_items`` frame — the
+    reuse point that lets the eval pipeline share ONE grouped/shuffled
+    subtree across splits, negatives, and popularity (see
+    ``ranking.candidate_scores``)."""
     cnt = F.size(F.col("items"))
     items = F.col("items")
     vali = F.array(F.struct(items[0].alias("item_id"), F.lit("vali").alias("split")))
@@ -207,12 +214,21 @@ def negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def negatives_of(r: DataFrame) -> DataFrame:
-    universe = r.groupBy("domain").agg(
-        F.collect_set("item_id").alias("universe")
+    return negatives_from_shuffled(_shuffled_items(r))
+
+
+def negatives_from_shuffled(su: DataFrame) -> DataFrame:
+    """``negatives_of`` body over a precomputed ``_shuffled_items`` frame.
+    ``items`` is duplicate-free (ratings is DISTINCT), so it doubles as the
+    per-user seen-set; the domain universe re-aggregates from the same frame
+    (map-side combine collapses it to |items| per domain before the tiny
+    exchange)."""
+    universe = (
+        su.select("domain", F.explode("items").alias("item_id"))
+        .groupBy("domain")
+        .agg(F.collect_set("item_id").alias("universe"))
     )
-    per_user = r.groupBy("user_id", "domain").agg(
-        F.collect_set("item_id").alias("seen")
-    )
+    per_user = su.select("user_id", "domain", F.col("items").alias("seen"))
     cands = F.array_except(F.col("universe"), F.col("seen"))
     keyed = F.transform(
         cands,

@@ -278,3 +278,132 @@ SELECT bucket, COUNT(*) AS n,
        ROUND(stddev_pop(z), 6) AS std_z
 FROM z GROUP BY bucket ORDER BY bucket
 """
+
+
+# -- moving-average window frames --------------------------------------------
+
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series frame windows over the hourly event rollup: 3-hour
+    trailing moving average, previous-hour delta (lag), next-hour peek
+    (lead), cumulative volume. One partition-by-type window chain — a
+    single shuffle keyed by event_type, every frame computed in the same
+    sort pass."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    return (
+        hourly.select(
+            F.unix_timestamp("hour").alias("hour_start"),
+            "event_type",
+            "n",
+            F.round(F.avg("n").over(w.rowsBetween(-2, 0)), 6).alias("ma3"),
+            (F.col("n") - F.lag("n", 1).over(w)).alias("delta_prev"),
+            F.lead("n", 1).over(w).alias("next_n"),
+            F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_n"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+EVENTS_MOVING_AVG_ORACLE = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT CAST(epoch(hour) AS BIGINT) AS hour_start,
+       event_type,
+       n,
+       ROUND(AVG(n) OVER (PARTITION BY event_type ORDER BY hour
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3,
+       n - LAG(n, 1) OVER (PARTITION BY event_type ORDER BY hour) AS delta_prev,
+       LEAD(n, 1) OVER (PARTITION BY event_type ORDER BY hour) AS next_n,
+       SUM(n) OVER (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+FROM hourly
+ORDER BY hour_start, event_type
+"""
+
+
+# -- CUBE (full grouping-set lattice) ----------------------------------------
+
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (order year, customer market segment): all four grouping
+    sets in one pass — Spark expands the lattice before the single hash
+    aggregate, so it costs one shuffle, not four queries."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(F.year("o_orderdate").alias("yr"), "c_mktsegment", "o_totalprice")
+        .cube("yr", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("yr", "segment")
+    )
+
+
+ORDERS_CUBE_ORACLE = """
+SELECT COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), 'ALL') AS yr,
+       COALESCE(c_mktsegment, 'ALL') AS segment,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (EXTRACT(year FROM o_orderdate), c_mktsegment)
+ORDER BY yr, segment
+"""
+
+
+# -- string function library --------------------------------------------------
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's string surface in one query over part names: case
+    mapping, substring, concat, trim/pad, replace, split, position,
+    reverse — all JVM builtins with exact DuckDB twins."""
+    part = load_table(spark, sf_dir, "part")
+    first_word = F.element_at(F.split(F.col("p_name"), " "), 1)
+    return (
+        part.select(
+            "p_partkey",
+            F.upper(first_word).alias("upper_first"),
+            F.lower(F.substring("p_name", 1, 5)).alias("lower_prefix"),
+            F.concat_ws("-", F.lit("p"), F.col("p_partkey").cast("string")).alias("tag"),
+            F.length(F.trim(F.col("p_name"))).alias("trimmed_len"),
+            F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+            F.regexp_replace("p_name", " ", "_").alias("snake_name"),
+            F.size(F.split(F.col("p_name"), " ")).alias("n_words"),
+            F.instr("p_name", "a").alias("first_a"),
+            F.reverse(first_word).alias("rev_first"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+STRING_FUNCTIONS_ORACLE = """
+SELECT p_partkey,
+       UPPER(string_split(p_name, ' ')[1]) AS upper_first,
+       LOWER(SUBSTRING(p_name, 1, 5)) AS lower_prefix,
+       CONCAT_WS('-', 'p', CAST(p_partkey AS VARCHAR)) AS tag,
+       LENGTH(TRIM(p_name)) AS trimmed_len,
+       LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+       REPLACE(p_name, ' ', '_') AS snake_name,
+       len(string_split(p_name, ' ')) AS n_words,
+       CASE WHEN POSITION('a' IN p_name) IS NULL THEN 0
+            ELSE POSITION('a' IN p_name) END AS first_a,
+       REVERSE(string_split(p_name, ' ')[1]) AS rev_first
+FROM part
+ORDER BY p_partkey
+"""

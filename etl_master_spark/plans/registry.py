@@ -137,6 +137,11 @@ register(
 register(
     "prior_sample_stats", analytics.prior_sample_stats, analytics.PRIOR_SAMPLE_STATS_ORACLE
 )
+register(
+    "events_moving_avg", analytics.events_moving_avg, analytics.EVENTS_MOVING_AVG_ORACLE
+)
+register("orders_cube", analytics.orders_cube, analytics.ORDERS_CUBE_ORACLE)
+register("string_functions", analytics.string_functions, analytics.STRING_FUNCTIONS_ORACLE)
 
 # -- streaming twins (batch form oracle-checked) -----------------------------
 register("events_hourly", windows.events_hourly, windows.EVENTS_HOURLY_ORACLE)

@@ -113,3 +113,31 @@ def ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# -- non-parquet source formats ----------------------------------------------
+# The reference reads only pickles (single-node). The engine's source layer
+# speaks the three interchange formats a pipeline actually meets: parquet
+# (primary, columnar), CSV and JSON-lines (ingest edges). Both text formats
+# take an EXPLICIT schema — schema inference is a full extra pass at 100 TB
+# and type-unstable besides.
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

@@ -68,8 +68,8 @@ def fit_linear_map(
     - 'shared': one W with ẑy = zx·W and ẑx = zy·Wᵀ (reference full ETL) —
       fit W on x→y, reuse its transpose for the reverse direction.
     - 'two_maps': independent W1 (x→y), W2 (y→x) (variant2).
-    - 'mlp': the 2-layer nonlinear variant (variant3) — requires an
-      iterative trainer; stubbed pending the mapInPandas SGD kernel.
+    - 'mlp': the 2-layer nonlinear variant (variant3) — distributed
+      gradient descent, see ``fit_mlp_map``.
     """
     dim = len(emb_x.select("embedding").first()["embedding"])
     pairs = emb_x.alias("a").join(emb_y.alias("b"), "user_id").select(
@@ -87,10 +87,79 @@ def fit_linear_map(
         w_yx = np.linalg.solve(ytx + reg * np.eye(dim), ytyx)
         return {"W1": w_xy, "W2": w_yx}
     if strategy == "mlp":
-        raise NotImplementedError(
-            "variant3 2-layer map needs the mapInPandas SGD kernel (planned)"
-        )
+        return fit_mlp_map(pairs, dim)
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def fit_mlp_map(
+    pairs: DataFrame,
+    dim: int,
+    hidden: int | None = None,
+    epochs: int = 30,
+    lr: float = 0.05,
+    seed: int = 72,
+) -> dict[str, np.ndarray]:
+    """Variant3's 2-layer bias-free nonlinear map
+    (``model_my_variant3.py:41-45,57-69``): ŷ = relu(x·W1)·W2, fit by
+    full-batch gradient descent.
+
+    Distribution pattern: each epoch, executors compute PARTIAL gradient
+    sums over their Arrow batches (numpy BLAS), the driver sums the
+    O(E·H)-sized partials and takes the step, then re-broadcasts the
+    weights. Row data never moves; per-epoch driver traffic is
+    |partitions| × E×H — the standard data-parallel loop (parameter
+    averaging degenerate case: exact full-batch gradient), and the same
+    shape `mapInPandas` training takes at 100 TB.
+    """
+    hidden = hidden or dim
+    rng = np.random.default_rng(seed)
+    w1 = rng.normal(0.0, 0.1, (dim, hidden))
+    w2 = rng.normal(0.0, 0.1, (hidden, dim))
+    spark = pairs.sparkSession
+    pairs = pairs.persist()
+    try:
+        n_rows = pairs.count()  # also materializes the persist
+        for _ in range(epochs):
+            bw = spark.sparkContext.broadcast({"w1": w1, "w2": w2})
+
+            def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                p1, p2 = bw.value["w1"], bw.value["w2"]
+                g1 = np.zeros_like(p1)
+                g2 = np.zeros_like(p2)
+                loss = 0.0
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    x = np.array(pdf["x"].tolist(), dtype=np.float64)
+                    y = np.array(pdf["y"].tolist(), dtype=np.float64)
+                    h_pre = x @ p1
+                    h = np.maximum(h_pre, 0.0)
+                    r = h @ p2 - y
+                    loss += float((r * r).sum())
+                    g2 += h.T @ r
+                    gh = r @ p2.T
+                    gh[h_pre <= 0.0] = 0.0
+                    g1 += x.T @ gh
+                yield pd.DataFrame(
+                    {
+                        "g1": [g1.ravel().tolist()],
+                        "g2": [g2.ravel().tolist()],
+                        "loss": [loss],
+                    }
+                )
+
+            partials = pairs.mapInPandas(
+                part, "g1 array<double>, g2 array<double>, loss double"
+            ).collect()
+            bw.unpersist()
+            g1 = sum(np.array(p["g1"]) for p in partials).reshape(w1.shape)
+            g2 = sum(np.array(p["g2"]) for p in partials).reshape(w2.shape)
+            scale = 2.0 / max(n_rows, 1)
+            w1 -= lr * scale * g1
+            w2 -= lr * scale * g2
+    finally:
+        pairs.unpersist()
+    return {"W1": w1, "W2": w2}
 
 
 def transform_embeddings(emb: DataFrame, w: np.ndarray) -> DataFrame:
@@ -134,3 +203,28 @@ def inverse_consistency(emb_x: DataFrame, w: np.ndarray) -> float:
         .collect()
     )
     return float(res[0]["m"])
+
+
+def transform_embeddings_mlp(
+    emb: DataFrame, w1: np.ndarray, w2: np.ndarray
+) -> DataFrame:
+    """Apply the variant3 nonlinear map: relu(z·W1)·W2, Arrow-batched."""
+    spark = emb.sparkSession
+    bw = spark.sparkContext.broadcast((w1, w2))
+
+    def apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p1, p2 = bw.value
+        for pdf in batches:
+            z = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            out = (
+                np.maximum(z @ p1, 0.0) @ p2
+                if len(z)
+                else np.zeros((0, p2.shape[1]))
+            )
+            yield pd.DataFrame(
+                {"user_id": pdf["user_id"], "embedding": out.tolist()}
+            )
+
+    return emb.select(
+        "user_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).mapInPandas(apply, "user_id long, embedding array<double>")

@@ -65,3 +65,50 @@ def test_media_decode_stub_contract(spark, sf_dir):
     for r in feats:
         assert len(r["feature"]) == FEATURE_DIM
         assert all(0.0 <= v <= 1.0 for v in r["feature"])
+
+
+def test_mlp_map_learns_nonlinear_transform(spark):
+    """Variant3 strategy: distributed full-batch GD on relu(x·W1)·W2 must
+    drive the fit loss well below the linear ridge fit on a genuinely
+    nonlinear ground truth."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_master_spark.model.crossdomain import (
+        fit_linear_map,
+        fit_mlp_map,
+        transform_embeddings,
+        transform_embeddings_mlp,
+    )
+
+    rng = np.random.default_rng(3)
+    dim, n = 6, 400
+    a = rng.normal(size=(dim, dim))
+    b = rng.normal(size=(dim, dim))
+    x = rng.normal(size=(n, dim))
+    y = np.maximum(x @ a, 0.0) @ b
+    emb_x = spark.createDataFrame(
+        [(i, x[i].tolist()) for i in range(n)], "user_id long, embedding array<double>"
+    )
+    emb_y = spark.createDataFrame(
+        [(i, y[i].tolist()) for i in range(n)], "user_id long, embedding array<double>"
+    )
+
+    def mse(pred_df):
+        pred = {
+            r["user_id"]: np.array(r["embedding"])
+            for r in pred_df.collect()
+        }
+        return float(
+            np.mean([((pred[i] - y[i]) ** 2).sum() for i in range(n)])
+        )
+
+    lin = fit_linear_map(emb_x, emb_y, strategy="shared", reg=1e-6)
+    mse_lin = mse(transform_embeddings(emb_x, lin["W"]))
+
+    pairs = emb_x.alias("a").join(emb_y.alias("b"), "user_id").select(
+        F.col("a.embedding").alias("x"), F.col("b.embedding").alias("y")
+    )
+    mlp = fit_mlp_map(pairs, dim, hidden=16, epochs=60, lr=0.02)
+    mse_mlp = mse(transform_embeddings_mlp(emb_x, mlp["W1"], mlp["W2"]))
+    assert mse_mlp < 0.7 * mse_lin, (mse_mlp, mse_lin)

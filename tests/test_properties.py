@@ -1,0 +1,96 @@
+"""Property-based pipeline invariants (SURVEY.md §5.3) over
+hypothesis-generated interaction tables — the quirk rules must hold for ANY
+input shape, not just the handcrafted fixtures."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_master_spark.operators.recsplit import N_NEGATIVES, negatives_of, splits_of
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from etl_master_spark.session import get_spark
+
+        _spark = get_spark(app_name="etl_master_spark_props", shuffle_partitions=4)
+    return _spark
+
+
+ratings_tables = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # user_id
+        st.integers(min_value=0, max_value=20),  # item_id
+        st.sampled_from(["x", "y"]),  # domain
+    ),
+    min_size=1,
+    max_size=60,
+    unique=True,
+)
+
+
+def _df(rows):
+    return _get_spark().createDataFrame(
+        rows, "user_id long, item_id long, domain string"
+    )
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(ratings_tables)
+def test_split_invariants(rows):
+    ratings = defaultdict(set)
+    for u, i, d in rows:
+        ratings[(u, d)].add(i)
+    got = defaultdict(lambda: defaultdict(list))
+    for r in splits_of(_df(rows)).collect():
+        got[(r["user_id"], r["domain"])][r["split"]].append(r["item_id"])
+    assert set(got) == set(ratings)
+    for key, items in ratings.items():
+        by_split = got[key]
+        # exactly one vali and one test, both real interactions
+        assert len(by_split["vali"]) == 1 and len(by_split["test"]) == 1
+        assert set(by_split["vali"]) <= items and set(by_split["test"]) <= items
+        n, train = len(items), set(by_split["train"])
+        assert len(by_split["train"]) == len(train)  # no dup train rows
+        if n == 1:  # singleton: vali == test, no train
+            assert by_split["vali"] == by_split["test"] and not train
+        elif n == 2:  # leak quirk: test item stays in train
+            assert train == {by_split["test"][0]}
+        else:  # normal: train = items minus both holdouts
+            assert train == items - {by_split["vali"][0], by_split["test"][0]}
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(ratings_tables)
+def test_negative_invariants(rows):
+    seen = defaultdict(set)
+    universe = defaultdict(set)
+    for u, i, d in rows:
+        seen[(u, d)].add(i)
+        universe[d].add(i)
+    got = defaultdict(list)
+    for r in negatives_of(_df(rows)).collect():
+        got[(r["user_id"], r["domain"])].append((r["rank"], r["item_id"]))
+    assert set(got) <= set(seen)
+    for key, ranked in got.items():
+        u, d = key
+        items = {i for _, i in ranked}
+        assert not (items & seen[key])  # never a seen item
+        assert items <= universe[d]  # only catalog items
+        want_n = min(N_NEGATIVES, len(universe[d] - seen[key]))
+        assert len(ranked) == want_n
+        assert sorted(r for r, _ in ranked) == list(range(1, want_n + 1))
+    # users with an exhausted catalog legitimately get zero rows
+    for key in seen:
+        if key not in got:
+            assert not (universe[key[1]] - seen[key])

@@ -1,0 +1,64 @@
+"""Skew-mitigation helpers for power-law keys.
+
+AQE's skew-join splitting (on in session.py) handles most sort-merge skew at
+runtime; these helpers cover the cases AQE can't re-plan:
+
+- ``salted_join``: an inner equi-join where ONE side carries hot keys and the
+  other side is small-per-key but too big to broadcast. The hot side gets a
+  deterministic salt in [0, n); the other side is replicated n ways. The
+  shuffle key becomes (key, salt), splitting each hot key's rows across n
+  reducers. Classic MapReduce-era salting, expressed declaratively.
+- ``salted_count_distinct``: two-phase distinct-count for a single
+  low-cardinality grouping key (the worst distinct-agg skew shape): phase 1
+  dedups (group, salt, value) partitions, phase 2 merges per-group partial
+  distinct counts. Exact, two small shuffles instead of one hot one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    hot: DataFrame,
+    other: DataFrame,
+    keys: list[str],
+    n_salt: int = 8,
+) -> DataFrame:
+    """Inner join ``hot ⋈ other`` on ``keys`` with n-way salt splitting.
+
+    Result equals ``hot.join(other, keys)`` (column order: keys, hot's
+    non-keys, other's non-keys). The salt on the hot side hashes ALL of the
+    row's columns, so replicated hot-key rows spread uniformly; ``other``
+    is exploded ×n — only acceptable when |other| ≪ |hot|, which is exactly
+    the salting regime.
+    """
+    salt = (F.abs(F.xxhash64(*hot.columns)) % n_salt).alias("_salt")
+    hot_s = hot.withColumn("_salt", salt)
+    other_s = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    joined = hot_s.join(other_s, [*keys, "_salt"])
+    return joined.drop("_salt")
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Exact COUNT(DISTINCT value) GROUP BY group for hot groups, in two
+    map-side-combinable phases keyed by (group, salt(value))."""
+    salted = df.select(
+        group_col,
+        value_col,
+        (F.abs(F.xxhash64(F.col(value_col))) % n_salt).alias("_salt"),
+    )
+    partial = salted.groupBy(group_col, "_salt").agg(
+        F.countDistinct(value_col).alias("_part")
+    )
+    return partial.groupBy(group_col).agg(
+        F.sum("_part").alias("n_distinct")
+    )

@@ -330,3 +330,108 @@ SELECT user_id, item_id, domain
 FROM sranked
 WHERE srn <= ROUND({percent} * scnt)
 """
+
+
+# -- E3 at catalog scale: sample-and-reject negatives -------------------------
+
+REJECT_OVERSAMPLE = 3  # trials per wanted negative; re-round if underfilled
+
+
+def negatives_sample_reject(
+    r: DataFrame, n: int = N_NEGATIVES, max_rounds: int = 4
+) -> DataFrame:
+    """The 100 TB spelling of negative sampling (same output contract as
+    ``negatives_of``: n deterministic never-interacted items per (user,
+    domain) with a dense 1..n rank — different, equally-deterministic item
+    choice).
+
+    ``negatives_of`` holds the whole per-domain catalog in one array row —
+    fine to ~1e6 items, impossible beyond. Here no row ever sees the
+    catalog: each user hashes out ``3n`` trial slots, each slot maps through
+    a dense item index (one uniform shuffle), seen items are anti-joined
+    away, and the first n survivors (by trial order) win. Skew-free by
+    construction — every join/shuffle key (trial index, user) is
+    hash-uniform. Heavy users that exhaust their trials re-round with a
+    shifted seed (driver loop, geometrically unlikely past round 1 when
+    catalog ≫ interactions-per-user).
+    """
+    spark = r.sparkSession
+    # dense per-domain item index: idx in [0, n_items) — tiny, broadcastable
+    items = (
+        r.select("domain", "item_id")
+        .distinct()
+        .withColumn(
+            "idx",
+            F.row_number()
+            .over(Window.partitionBy("domain").orderBy("item_id"))
+            .cast("bigint")
+            - 1,
+        )
+    )
+    n_items = items.groupBy("domain").agg(F.count(F.lit(1)).alias("n_items"))
+    users = r.select("user_id", "domain").distinct().join(
+        F.broadcast(n_items), "domain"
+    )
+    seen = r.select("user_id", "domain", "item_id")
+
+    out: DataFrame | None = None
+    have = users.select("user_id", "domain", F.lit(0).alias("n_have"))
+    for rnd in range(max_rounds):
+        need = have.filter(F.col("n_have") < n)
+        if rnd > 0 and need.isEmpty():
+            break
+        trials = (
+            users.join(need.select("user_id", "domain"), ["user_id", "domain"])
+            .select(
+                "user_id",
+                "domain",
+                "n_items",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(REJECT_OVERSAMPLE * n - 1))
+                ).alias("t"),
+            )
+            .withColumn(
+                "idx",
+                F.expr(
+                    phash_frag("user_id", "t", seed=SPLIT_SEED + 7 * rnd)
+                ).cast("bigint")
+                % F.col("n_items"),
+            )
+        )
+        cand = (
+            trials.join(items, ["domain", "idx"])
+            .join(seen, ["user_id", "domain", "item_id"], "left_anti")
+            # a trial pair may hash to the same idx twice: keep first trial
+            .groupBy("user_id", "domain", "item_id")
+            .agg(F.min("t").alias("t"))
+        )
+        ranked = cand.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("user_id", "domain").orderBy("t", "item_id")
+            ),
+        ).filter(F.col("rk") <= n)
+        picked = ranked.select("user_id", "domain", "item_id", "t")
+        out = picked if out is None else (
+            # keep earlier rounds' picks; later rounds only top up
+            out.unionByName(
+                picked.join(
+                    out.select("user_id", "domain", "item_id"),
+                    ["user_id", "domain", "item_id"],
+                    "left_anti",
+                ).withColumn("t", F.col("t") + F.lit((rnd + 1) * 10**9))
+            )
+        )
+        if rnd + 1 < max_rounds:
+            have = out.groupBy("user_id", "domain").agg(
+                F.count(F.lit(1)).alias("n_have")
+            )
+            seen = seen.unionByName(out.select("user_id", "domain", "item_id"))
+    assert out is not None
+    final = out.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.partitionBy("user_id", "domain").orderBy("t", "item_id"))
+        .cast("int"),
+    ).filter(F.col("rank") <= n)
+    return final.select("user_id", "item_id", "domain", "rank")

@@ -47,6 +47,17 @@ register(
     recsplit.percent_sample_oracle(0.5),
 )
 
+
+def _negatives_sample_reject(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.io import ratings
+
+    return recsplit.negatives_sample_reject(ratings(spark, sf))
+
+
+# scale path for E3 (no per-row catalog array); invariant contract is
+# test-verified (tests/test_recsplit.py), driver checks rows-only
+register("negatives_sample_reject", _negatives_sample_reject, None)
+
 # -- ranking / evaluation (R1-R7) -------------------------------------------
 register(
     "topk_per_user",

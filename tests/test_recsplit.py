@@ -90,3 +90,41 @@ def test_determinism(spark, sf_dir):
     na = sorted(map(tuple, negatives(spark, sf_dir).collect()))
     nb = sorted(map(tuple, negatives(spark, sf_dir).collect()))
     assert na == nb
+
+
+def test_sample_reject_negatives_contract(spark, sf_dir):
+    """The scale-path sampler must satisfy the same contract as the
+    array-based one: deterministic, seen-disjoint, dense 1..n ranks, and
+    exactly min(99, catalog−seen) rows per (user, domain)."""
+    from collections import defaultdict
+
+    from etl_master_spark.operators.recsplit import negatives_sample_reject
+
+    r = ratings(spark, sf_dir)
+    rows = r.collect()
+    seen = defaultdict(set)
+    universe = defaultdict(set)
+    for x in rows:
+        seen[(x["user_id"], x["domain"])].add(x["item_id"])
+        universe[x["domain"]].add(x["item_id"])
+
+    got = negatives_sample_reject(r).collect()
+    by_user = defaultdict(list)
+    for x in got:
+        by_user[(x["user_id"], x["domain"])].append((x["rank"], x["item_id"]))
+    assert set(by_user) == set(seen)
+    for key, ranked in by_user.items():
+        items = {i for _, i in ranked}
+        assert not (items & seen[key])
+        assert items <= universe[key[1]]
+        want = min(N_NEGATIVES, len(universe[key[1]] - seen[key]))
+        assert len(ranked) == want, (key, len(ranked), want)
+        assert sorted(rk for rk, _ in ranked) == list(range(1, want + 1))
+
+    again = sorted(
+        (x["user_id"], x["domain"], x["rank"], x["item_id"])
+        for x in negatives_sample_reject(r).collect()
+    )
+    assert again == sorted(
+        (x["user_id"], x["domain"], x["rank"], x["item_id"]) for x in got
+    )

@@ -407,3 +407,59 @@ SELECT p_partkey,
 FROM part
 ORDER BY p_partkey
 """
+
+
+# -- correlation / covariance -------------------------------------------------
+
+def price_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance of lineitem quantity vs
+    extended price per return flag — the two-moment aggregates every
+    profiler needs. Single map-side-combinable pass (corr/covar are
+    algebraic aggregates: sums of x, y, xy, x², y²)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PRICE_CORRELATIONS_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       ROUND(stddev_samp(l_extendedprice), 4) AS std_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# -- sketch-based approximations (the registered 100 TB switchovers) ----------
+
+def approx_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path twins of `cardinalities` and `value_percentiles` in
+    one pass: HLL distinct sketches + t-digest percentiles per event type.
+    Sketch values differ engine-to-engine by design, so this is a
+    rows-only query; the tolerance contract vs the exact operators is
+    pinned in tests/test_approx.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
+            F.expr("approx_percentile(value, array(0.5, 0.9, 0.99))").alias(
+                "approx_pcts"
+            ),
+        )
+        .orderBy("event_type")
+    )

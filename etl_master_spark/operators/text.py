@@ -607,3 +607,78 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# -- end-to-end curation pipeline ---------------------------------------------
+
+CURATION_MIN_QUALITY = 0.6
+
+
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-training-data curation composition, end to end in ONE plan:
+    exact-dedup keep-first → quality threshold → per-language survivor
+    stats (doc count, total whitespace tokens, mean quality). This is the
+    query shape a 100 TB corpus actually runs nightly; every stage is a
+    stage of the same Catalyst plan, so scan/pushdown/shuffle costs are
+    shared rather than re-paid per step."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+    mean_wlen = F.length("text").cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double") / n_tok
+    )
+    len_score = F.when((n_tok >= 20) & (n_tok <= 80), 1.0).otherwise(0.5)
+    quality = F.round(
+        len_score * 0.5 + stop_ratio * 2.0 + (mean_wlen / 10.0) * 0.25, 6
+    )
+    w = Window.partitionBy("fp")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("fp"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    kept = (
+        scored.withColumn("canonical_id", F.min("doc_id").over(w))
+        .filter(
+            (F.col("doc_id") == F.col("canonical_id"))
+            & (F.col("quality") >= CURATION_MIN_QUALITY)
+        )
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 5).alias("mean_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+CURATED_CORPUS_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROUND(
+             (CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 80
+                   THEN 1.0 ELSE 0.5 END) * 0.5
+             + (CAST(len(list_filter(string_split(text,' '), t -> t IN ({_STOP_IN})))
+                     AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE)) * 2.0
+             + ((CAST(length(text) AS DOUBLE)
+                 / CAST(len(string_split(text,' ')) AS DOUBLE)) / 10.0) * 0.25
+           , 6) AS quality
+    FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       ROUND(AVG(quality), 5) AS mean_quality
+FROM scored
+WHERE doc_id = canonical_id AND quality >= {CURATION_MIN_QUALITY}
+GROUP BY lang
+ORDER BY lang
+"""

@@ -114,6 +114,7 @@ register(
     text.dedup_ngram_jaccard_oracle(0.1),
 )
 register("minhash_lsh_pairs", text.minhash_lsh_pairs, text.minhash_lsh_oracle())
+register("curated_corpus", text.curated_corpus, text.CURATED_CORPUS_ORACLE)
 register("token_counts", text.token_counts, text.TOKEN_COUNTS_ORACLE)
 register("simhash16", text.simhash16, text.simhash16_oracle())
 register("simhash64", text.simhash64, None)  # Arrow-UDF fast path: rows-only
@@ -153,6 +154,14 @@ register(
 )
 register("orders_cube", analytics.orders_cube, analytics.ORDERS_CUBE_ORACLE)
 register("string_functions", analytics.string_functions, analytics.STRING_FUNCTIONS_ORACLE)
+register(
+    "price_correlations",
+    analytics.price_correlations,
+    analytics.PRICE_CORRELATIONS_ORACLE,
+)
+# sketch outputs are engine-specific by design: rows-only, tolerance pinned
+# against the exact twins in tests/test_approx.py
+register("approx_profiles", analytics.approx_profiles, None)
 
 # -- streaming twins (batch form oracle-checked) -----------------------------
 register("events_hourly", windows.events_hourly, windows.EVENTS_HOURLY_ORACLE)

@@ -261,3 +261,80 @@ SELECT o_orderkey, k AS user_id,
        COALESCE(last_event_type, 'none') AS last_event_type
 FROM filled WHERE is_order = 1
 """
+
+
+# -- range join ---------------------------------------------------------------
+
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (the non-equi companion of the as-of join): for every
+    purchase event, count the same user's click events in the preceding
+    hour — the classic attribution-window query.
+
+    Plan shape: equi key (user_id) carries the shuffle; the range predicate
+    evaluates inside the joined partitions, so cost is per-user pair work,
+    not a cross join. At 100 TB add a coarse time-bucket equi key
+    (date_trunc to the window size) to bound per-pair scans."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (clicks.c_ts < purchases.p_ts)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(F.count("c_ts").alias("clicks_prev_hour"))
+        .orderBy("purchase_id")
+    )
+
+
+PURCHASE_CLICK_ATTRIBUTION_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       COUNT(c.ts) AS clicks_prev_hour
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts < p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+ORDER BY purchase_id
+"""
+
+
+# -- pivot --------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts, one column per event type. Spark's
+    ``pivot`` with an EXPLICIT value list — never the value-discovery form,
+    which runs a distinct scan first and breaks plan determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("user_id")
+    )
+
+
+USER_EVENT_PIVOT_ORACLE = f"""
+SELECT user_id,
+       {", ".join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""

@@ -435,9 +435,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    bands = sig.select(
-        "doc_id", F.explode(band_structs).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    bands = (
+        sig.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select(
+            "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+        )
+        # both sides of the self-join read this 4×|docs|-row frame; without
+        # the cache the shingle→md5→signature subtree (the expensive part)
+        # executes once per side
+        .cache()
+    )
     return (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bkey"])

@@ -101,6 +101,14 @@ register(
 register(
     "asof_latest_event", relational.asof_latest_event, relational.ASOF_LATEST_EVENT_ORACLE
 )
+register(
+    "purchase_click_attribution",
+    relational.purchase_click_attribution,
+    relational.PURCHASE_CLICK_ATTRIBUTION_ORACLE,
+)
+register(
+    "user_event_pivot", relational.user_event_pivot, relational.USER_EVENT_PIVOT_ORACLE
+)
 
 # -- text analysis / dedup (LLM-pipeline extensions) -------------------------
 register("text_stats", text.text_stats, text.TEXT_STATS_ORACLE)

@@ -287,3 +287,27 @@ def user_sessions_stateful(spark: SparkSession, sf_dir: str, stream_dir: str | N
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming sink: foreachBatch upsert-to-parquet ---------------------------
+
+def stream_hourly_to_parquet(
+    spark: SparkSession, sf_dir: str, out_path: str, checkpoint: str
+):
+    """Land the streaming hourly rollup in parquet via ``foreachBatch`` —
+    the standard sink pattern when the target needs overwrite/upsert
+    semantics a file sink's append mode can't express. Checkpointed, so a
+    restarted query resumes from the last committed micro-batch. Returns
+    the started query (caller awaits)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_path)
+
+    return (
+        events_hourly_stream(spark, sf_dir)
+        .writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -75,3 +75,23 @@ def test_stateful_sessions_converge(spark, sf_dir, tmp_path):
         for r in user_session_totals(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_parquet_sink_equals_batch(spark, sf_dir, tmp_path):
+    from etl_master_spark.streaming.windows import (
+        events_hourly,
+        stream_hourly_to_parquet,
+    )
+
+    out = str(tmp_path / "hourly_parquet")
+    q = stream_hourly_to_parquet(spark, sf_dir, out, str(tmp_path / "ckpt2"))
+    q.awaitTermination(120)
+    got = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in events_hourly(spark, sf_dir).collect()
+    }
+    assert got == want

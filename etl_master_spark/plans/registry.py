@@ -195,3 +195,13 @@ def _als_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("als_eval_test", _als_eval, None)
+
+
+def _cdae_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..model.cdae import cdae_eval
+
+    return cdae_eval(spark, sf_dir, "test")
+
+
+# the reference's own model family (denoising AE), distributed training loop
+register("cdae_eval_test", _cdae_eval, None)

@@ -112,3 +112,19 @@ def test_mlp_map_learns_nonlinear_transform(spark):
     mlp = fit_mlp_map(pairs, dim, hidden=16, epochs=60, lr=0.02)
     mse_mlp = mse(transform_embeddings_mlp(emb_x, mlp["W1"], mlp["W2"]))
     assert mse_mlp < 0.7 * mse_lin, (mse_mlp, mse_lin)
+
+
+def test_cdae_trains_and_evaluates(spark, sf_dir):
+    """The distributed CDAE loop must actually learn (strictly lower BCE
+    after training) and its scores must flow through the shared eval
+    pipeline with valid metrics."""
+    from etl_master_spark.model.cdae import cdae_eval, train_cdae
+
+    model = train_cdae(spark, sf_dir, "x", emb=8, epochs=12, lr=0.3)
+    losses = model["losses"]
+    assert losses[-1] < 0.8 * losses[0], losses
+    rows = cdae_eval(spark, sf_dir, "test").collect()
+    assert {r["domain"] for r in rows} == {"x", "y"}
+    for r in rows:
+        for m in ("hr", "ndcg", "mrr"):
+            assert 0.0 <= r[m] <= 1.0

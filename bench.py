@@ -31,14 +31,23 @@ BENCH_QUERIES = [
     "local_supplier_volume",
     "top_orders_per_customer",
     "asof_latest_event",
+    "purchase_click_attribution",
+    "user_event_pivot",
+    "revenue_rollup",
+    "orders_cube",
+    "events_moving_avg",
     "events_hourly",
     "user_sessions",
+    "user_session_totals",
     "text_stats",
+    "token_counts",
     "dedup_exact",
+    "curated_corpus",
     "minhash_lsh_pairs",
     "simhash64",
     "ann_cosine_topk",
     "lsh_buckets",
+    "ann_ivf_topk",
     "mmd_rbf_fast",
     "media_stats",
 ]

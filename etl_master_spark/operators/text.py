@@ -401,19 +401,39 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import PHASH_P
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
-    h = (
-        F.conv(F.substring(F.md5("shingle"), 1, 14), 16, 10).cast("bigint")
-        % F.lit(PHASH_P)
+    toks = F.split(F.col("text"), " ")
+    shingle_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - SHINGLE_N),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        )
     )
-    sh = sh.select("doc_id", h.alias("h"))
-    sig = sh.groupBy("doc_id").agg(
+    # the ENTIRE signature is row-local: hash the shingle array in place,
+    # then each minhash is an array_min over a rehash — no explode, no
+    # pre-join exchange at all (the band self-join is this plan's only
+    # shuffle). Semantically identical to the grouped-min spelling the
+    # DuckDB oracle keeps.
+    hs = F.transform(
+        shingle_arr,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("bigint")
+        % F.lit(PHASH_P),
+    )
+    def _rehash(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(PHASH_P)
+
+    sig = spread(docs.filter(F.size(toks) >= SHINGLE_N)).select(
+        "doc_id", hs.alias("hs")
+    ).select(
+        "doc_id",
         *[
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(PHASH_P)).alias(
-                f"mh{j}"
-            )
+            F.array_min(F.transform("hs", _rehash(a, b))).alias(f"mh{j}")
             for j, (a, b) in enumerate(_minhash_consts())
-        ]
+        ],
     )
     rows_per_band = MINHASH_K // MINHASH_BANDS
     # one explode instead of a 4-way union: the union spelling recomputes

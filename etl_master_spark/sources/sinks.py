@@ -65,3 +65,30 @@ def materialize_splits(
 def append_metrics(metrics: DataFrame, path: str) -> None:
     """Append-only metrics sink (S3): one row per (epoch, metric, value)."""
     write_table(metrics, path, mode="append")
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table (S2 at co-location scale): pre-shuffling a
+    fact table into stable hash buckets at WRITE time lets every later
+    equi-join or aggregation on the bucket key run with ZERO exchanges —
+    the write is the one shuffle all downstream jobs share. This is the
+    bulk-pipeline answer to repeated joins on the same key (user_id at
+    100 TB)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Hive-layout partitioned parquet: directory-level pruning turns a
+    partition-key predicate into 'do not even list those files'."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

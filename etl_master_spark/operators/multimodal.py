@@ -106,3 +106,59 @@ def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread(media.select("media_id", "payload")).mapInPandas(
         extract, "media_id long, feature array<double>, n_bytes long"
     )
+
+
+def resize_media(
+    spark: SparkSession, sf_dir: str, target_bytes: int = 64
+) -> DataFrame:
+    """Resize stage: payload → fixed-size payload. Real resize needs codec
+    libraries (absent here); the deterministic double truncates or right-pads the
+    byte stream to ``target_bytes``, which preserves exactly what the
+    pipeline cares about — a binary-in/binary-out Arrow-batched stage whose
+    output schema and sizing downstream stages can rely on."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                bytes(p[:target_bytes]).ljust(target_bytes, b"\0")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "orig_bytes": [len(p) for p in pdf["payload"]],
+                }
+            )
+
+    media = media_table(spark, sf_dir)
+    return spread(media.select("media_id", "payload")).mapInPandas(
+        resize, "media_id long, payload binary, orig_bytes long"
+    )
+
+
+FRAME_STRIDE = 16
+
+
+def sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage: one payload row → N frame rows (every
+    ``FRAME_STRIDE`` bytes stands in for a video frame boundary). The shape
+    that matters at 100 TB: a row-EXPANDING mapInPandas stage (batch in, a
+    differently-sized batch out) feeding per-frame feature extraction."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, chunks = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for j, off in enumerate(range(0, len(p), FRAME_STRIDE)):
+                    ids.append(mid)
+                    fidx.append(j)
+                    chunks.append(bytes(p[off : off + FRAME_STRIDE]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": fidx, "frame": chunks}
+            )
+
+    media = media_table(spark, sf_dir)
+    return spread(media.select("media_id", "payload")).mapInPandas(
+        frames, "media_id long, frame_idx int, frame binary"
+    )

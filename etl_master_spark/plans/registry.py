@@ -185,6 +185,8 @@ register(
 # -- multimodal plumbing -----------------------------------------------------
 register("media_stats", multimodal.media_stats, multimodal.MEDIA_STATS_ORACLE)
 register("media_features", multimodal.extract_features, None)  # decode stub: rows-only
+register("media_resize", multimodal.resize_media, None)  # binary-out: rows-only
+register("media_frames", multimodal.sample_frames, None)  # row-expanding: rows-only
 
 
 # -- model path (not SQL-expressible: rows-only by design) -------------------

@@ -128,3 +128,30 @@ def test_cdae_trains_and_evaluates(spark, sf_dir):
     for r in rows:
         for m in ("hr", "ndcg", "mrr"):
             assert 0.0 <= r[m] <= 1.0
+
+
+def test_media_resize_and_frames_contracts(spark, sf_dir):
+    """Resize emits fixed-size payloads; frame sampling is lossless
+    (concatenated frames reproduce the original payload)."""
+    from etl_master_spark.operators.multimodal import (
+        FRAME_STRIDE,
+        media_table,
+        resize_media,
+        sample_frames,
+    )
+
+    sized = resize_media(spark, sf_dir, target_bytes=64).collect()
+    assert sized and all(len(r["payload"]) == 64 for r in sized)
+
+    orig = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media_table(spark, sf_dir).collect()
+    }
+    frames = {}
+    for r in sample_frames(spark, sf_dir).collect():
+        frames.setdefault(r["media_id"], []).append((r["frame_idx"], bytes(r["frame"])))
+    assert set(frames) == set(orig)
+    for mid, fs in frames.items():
+        joined = b"".join(f for _, f in sorted(fs))
+        assert joined == orig[mid]
+        assert len(fs) == -(-len(orig[mid]) // FRAME_STRIDE)

@@ -62,7 +62,13 @@ def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     it parallelizes, and a no-op decision the optimizer cannot make for us
     because it doesn't know the downstream expression cost."""
     spark = df.sparkSession
-    return df.repartition(n or spark.sparkContext.defaultParallelism)
+    target = n or spark.sparkContext.defaultParallelism
+    # already parallel (the normal state on a real cluster, where
+    # maxPartitionBytes splits big scans): adding an exchange would be pure
+    # cost, so this helper only acts on under-split inputs
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

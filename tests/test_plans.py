@@ -1,0 +1,32 @@
+"""Plan-quality regression gate over the whole registry: no accidental
+cartesian products, and broadcast-nested-loop joins only where a small-side
+cross join is the intended algorithm."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_master_spark.plans.registry import QUERIES
+
+# intentional small-side cross joins: K-cutoff fanout (eval), broadcast
+# query/hyperplane/centroid sets (ann/lsh/ivf), all-pairs kernels (mmd,
+# cosine dedup)
+BNLJ_OK = {
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "eval_metrics_test",
+    "eval_metrics_vali",
+    "lsh_buckets",
+    "mmd_rbf",
+    "mmd_rbf_multiscale",
+}
+SKIP = {"als_eval_test", "cdae_eval_test"}  # training loops, not one plan
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
+def test_no_accidental_cross_joins(spark, sf_dir, name):
+    plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    if name not in BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -14,11 +14,19 @@ different function. So the shuffle key used in oracle-checked operators is a
 fragment that parses and evaluates identically in Spark SQL and DuckDB:
 
     h0 = seed % P;  h_{i+1} = (h_i * A + B + (col_i % P)) % P
+    h   = (h_n * A + B) % P          -- final mixing round
 
 with P = 2^31 - 1 (prime), A/B the classic glibc LCG constants. Every term is
 cast to BIGINT explicitly: Spark 4 runs in ANSI mode and would otherwise plan
 INT multiplication that overflows (max intermediate here is P*A ≈ 2.4e18,
 comfortably inside signed-64 range 9.2e18).
+
+The final round (no column folded in) is load-bearing: the per-column step
+ENDS with "+ col", so without it two keys whose last column differs by 1 hash
+1/P apart — and every caller whose last key column is a small sequential id
+(item_id in the split shuffle, the component index in LSH planes, the row id
+in the prior sampler) would get a near-identity mapping instead of a shuffle.
+One more multiply turns a unit step in the last column into a ~0.51·P jump.
 
 This is a *shuffle key*, not a cryptographic hash — the only requirements are
 determinism, portability, and enough dispersion to decorrelate rank order
@@ -44,7 +52,10 @@ def phash_frag(*cols: str, seed: int = 2020) -> str:
             f" + (CAST({c} AS BIGINT) % CAST({PHASH_P} AS BIGINT)))"
             f" % CAST({PHASH_P} AS BIGINT))"
         )
-    return h
+    return (
+        f"((({h}) * CAST({PHASH_A} AS BIGINT) + CAST({PHASH_B} AS BIGINT))"
+        f" % CAST({PHASH_P} AS BIGINT))"
+    )
 
 
 def phash_col(*cols, seed: int = 2020):
@@ -61,7 +72,9 @@ def phash_col(*cols, seed: int = 2020):
             + F.lit(PHASH_B).cast("bigint")
             + (c.cast("bigint") % F.lit(PHASH_P).cast("bigint"))
         ) % F.lit(PHASH_P).cast("bigint")
-    return h
+    return (
+        h * F.lit(PHASH_A).cast("bigint") + F.lit(PHASH_B).cast("bigint")
+    ) % F.lit(PHASH_P).cast("bigint")
 
 
 def phash_py(*vals: int, seed: int = 2020) -> int:
@@ -69,4 +82,4 @@ def phash_py(*vals: int, seed: int = 2020) -> int:
     h = seed % PHASH_P
     for v in vals:
         h = (h * PHASH_A + PHASH_B + (int(v) % PHASH_P)) % PHASH_P
-    return h
+    return (h * PHASH_A + PHASH_B) % PHASH_P

@@ -241,13 +241,19 @@ def prior_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     two portable-hash uniforms per sample —
     z = sqrt(-2 ln u1) · cos(2π u2) — identical on any engine/executor.
     Output: moment check per bucket (mean≈0, std≈1). sf_dir is unused
-    (pure generator) but kept for the uniform query signature."""
+    (pure generator) but kept for the uniform query signature.
+
+    u2 folds i one round earlier than u1 (extra trailing 0 column) so the
+    two streams carry DIFFERENT multipliers of i (A vs A²): two seeds with
+    the same fold depth are affine-shifted copies of each other mod P, and
+    Box–Muller over perfectly correlated uniforms is visibly biased
+    (measured mean 0.31 instead of 0)."""
     ids = spark.range(PRIOR_N).select(F.col("id").cast("bigint").alias("i"))
     u1 = (
         F.expr(phash_frag("i", seed=PRIOR_SEED)).cast("double") + F.lit(1.0)
     ) / F.lit(float(PHASH_P + 1))
     u2 = (
-        F.expr(phash_frag("i", seed=PRIOR_SEED + 1)).cast("double") + F.lit(1.0)
+        F.expr(phash_frag("i", "0", seed=PRIOR_SEED)).cast("double") + F.lit(1.0)
     ) / F.lit(float(PHASH_P + 1))
     z = F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(F.lit(2.0) * F.lit(3.141592653589793) * u2)
     return (
@@ -269,7 +275,7 @@ z AS (
            sqrt(-2.0 * ln((CAST({phash_frag('i', seed=PRIOR_SEED)} AS DOUBLE) + 1.0)
                           / {float(PHASH_P + 1)!r}))
            * cos(2.0 * 3.141592653589793
-                 * (CAST({phash_frag('i', seed=PRIOR_SEED + 1)} AS DOUBLE) + 1.0)
+                 * (CAST({phash_frag('i', '0', seed=PRIOR_SEED)} AS DOUBLE) + 1.0)
                  / {float(PHASH_P + 1)!r}) AS z
     FROM ids
 )

@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import PHASH_P, phash_frag
+from ..functions.hashing import PHASH_P, phash_frag, phash_py
 from ..sources.io import load_table, spread
 
 N_QUERY_VECS = 5  # vec_id < 5 are the demo query set
@@ -139,46 +139,54 @@ SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {TOPK}
 
 # -- deterministic sign-LSH bucketing ----------------------------------------
 
+def _phash_plane(j: int, dim: int, seed: int):
+    """Literal ARRAY<DOUBLE> of plane/centroid weights
+    w[i] = phash(j, i, seed)/P - 0.5, computed driver-side with the Python
+    twin of the SQL fragment (bit-identical doubles: same integer hash, same
+    single divide and subtract). Embedding the 64 constants in the plan keeps
+    the signature math row-local — no generated-table join, no explode.
+    Proper dispersion across adjacent i relies on the hash's final mixing
+    round (see functions/hashing.py) — without it each plane degenerates to
+    a near-constant vector and all sign bits collapse to sign(Σv)."""
+    return F.array(
+        *[F.lit(phash_py(j, i, seed=seed) / float(PHASH_P) - 0.5) for i in range(dim)]
+    )
+
+
+def lsh_signature(v, n_planes: int = LSH_PLANES, dim: int = 64, seed: int = LSH_SEED):
+    """Row-local sign-LSH bucket id of vector column ``v``:
+    bit_j = <v, plane_j> >= 0, bucket = Σ 2^j·bit_j. Narrow expression —
+    at 100 TB the signature costs zero shuffle; the only exchange any
+    LSH consumer pays is its own bucket-level aggregation/join."""
+    bits = [
+        F.when(_dot(v, _phash_plane(j, dim, seed)) >= 0, F.lit(1 << j).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+        for j in range(n_planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket per vector (Charikar sign-LSH), with
     hyperplanes generated from the portable hash — deterministic across
     engines AND executors (no broadcast of numpy state needed).
 
     plane_j[i] = phash(j, i, seed)/P - 0.5;  bit_j = <v, plane_j> >= 0.
-    Output: per-bucket membership counts (the ANN index profile)."""
+    Output: per-bucket membership counts (the ANN index profile).
+
+    Plan shape: one narrow pass computing the 8-bit signature per row
+    (the planes are plan literals), one map-side-combined count. The
+    earlier spelling (posexplode ×64 → plane join → two vec_id shuffles)
+    amplified the corpus 64× before its first exchange — unacceptable at
+    scale; this one never shuffles vector data at all."""
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = spread(emb).select(
-        "vec_id", F.posexplode(F.col("embedding")).alias("i", "x")
-    )
-    planes = spark.range(LSH_PLANES).select(
-        F.col("id").cast("int").alias("j")
-    ).crossJoin(
-        spark.range(64).select(F.col("id").cast("int").alias("i"))
-    ).select(
-        "j",
-        "i",
-        (
-            F.expr(phash_frag("j", "i", seed=LSH_SEED)).cast("double")
-            / F.lit(float(PHASH_P))
-            - F.lit(0.5)
-        ).alias("w"),
-    )
-    dots = (
-        comp.join(F.broadcast(planes), "i")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("x").cast("double") * F.col("w")).alias("d"))
-    )
-    bucket = (
-        dots.groupBy("vec_id")
-        .agg(
-            F.sum(
-                F.when(F.col("d") >= 0, F.pow(F.lit(2.0), F.col("j")).cast("bigint"))
-                .otherwise(F.lit(0))
-            ).alias("bucket")
-        )
-    )
     return (
-        bucket.groupBy("bucket")
+        spread(emb)
+        .select(lsh_signature(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .orderBy("bucket")
     )
@@ -431,38 +439,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per query (vec_id < 5), top-5 same-cell neighbors by cosine."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = 64
-    # centroid c[j][i] = phash(j,i)/P - 0.5 — same construction as lsh planes
-    cent = (
-        spark.range(IVF_CELLS)
-        .select(F.col("id").cast("int").alias("cell"))
-        .crossJoin(spark.range(dim).select(F.col("id").cast("int").alias("i")))
-        .select(
-            "cell",
-            "i",
-            (
-                F.expr(phash_frag("cell", "i", seed=IVF_SEED)).cast("double")
-                / F.lit(float(PHASH_P))
-                - F.lit(0.5)
-            ).alias("w"),
-        )
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "w"))).alias("cw"))
-        .select("cell", F.transform("cw", lambda s: s["w"]).alias("c"))
-    )
-    with_cell = (
-        spread(emb)
-        .crossJoin(F.broadcast(cent))
-        .withColumn("dot", _dot(F.col("embedding"), F.col("c")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("dot").desc(), F.col("cell").asc()
+    # centroid c[j][i] = phash(j,i)/P - 0.5 — same construction as lsh
+    # planes, embedded as plan literals so cell assignment is row-local
+    # (argmax over 8 dots per row; no generated-table cross join, no
+    # per-vec_id window shuffle — the old spelling amplified the corpus
+    # 8× and shuffled it before its first useful operator)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _dot(F.col("embedding"), _phash_plane(c, dim, IVF_SEED)).alias(
+                        "dot"
+                    ),
+                    # negated so struct-max ties (equal dot) pick the LOWEST cell
+                    F.lit(-c).cast("int").alias("negcell"),
                 )
-            ),
+                for c in range(IVF_CELLS)
+            ]
         )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
+    )
+    with_cell = spread(emb).select(
+        "vec_id", "embedding", (-best["negcell"]).cast("int").alias("cell")
     )
     q = with_cell.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),

@@ -42,3 +42,26 @@ def test_range_and_dispersion():
     assert all(0 <= v < PHASH_P for v in vals)
     # 900 keys -> expect essentially no collisions
     assert len(vals) >= 895
+
+
+def test_last_column_unit_step_disperses():
+    """Regression: the hash chain's per-column step ends with "+ col", so
+    without the final mixing round two keys whose LAST column differs by 1
+    hashed 1 apart — turning every seeded shuffle whose last key is a small
+    sequential id (item_id, component index) into a near-identity mapping."""
+    for base in (0, 7, 12345):
+        diffs = {
+            abs(phash_py(base, i + 1) - phash_py(base, i)) for i in range(50)
+        }
+        assert min(diffs) > PHASH_P // 1000
+
+
+def test_seeded_order_is_a_real_shuffle():
+    """Ordering items of one user by the hash must not be monotone in
+    item_id (that was the observable symptom of the missing mixing round)."""
+    items = list(range(100))
+    order = sorted(items, key=lambda i: phash_py(42, i, seed=2020))
+    inversions = sum(
+        1 for a in range(99) if order[a] > order[a + 1]
+    )
+    assert inversions > 20  # a sorted list has 0; random permutations ~50

@@ -13,11 +13,9 @@ from etl_master_spark.plans.registry import QUERIES
 # cosine dedup)
 BNLJ_OK = {
     "ann_cosine_topk",
-    "ann_ivf_topk",
     "dedup_embedding_cosine",
     "eval_metrics_test",
     "eval_metrics_vali",
-    "lsh_buckets",
     "mmd_rbf",
     "mmd_rbf_multiscale",
 }

@@ -110,3 +110,51 @@ def test_mmd_nonnegative_and_symmetric_zero(spark, sf_dir):
     assert same["mmd2"] == pytest.approx(0.0, abs=1e-9)
     diff = vectors.mmd_rbf(spark, sf_dir, label_a=0, label_b=1).collect()[0]
     assert diff["mmd2"] >= 0.0
+
+
+def test_lsh_buckets_disperse(spark, sf_dir):
+    """Sign-LSH with 8 planes must actually use the bucket space: with the
+    degenerate (pre-mixing-fix) planes every vector collapsed into 2
+    buckets (sign of the component sum)."""
+    rows = vectors.lsh_buckets(spark, sf_dir).collect()
+    assert len(rows) >= 16  # sf0.001: 100 vectors over 256 buckets
+    assert max(r["n_vecs"] for r in rows) < sum(r["n_vecs"] for r in rows) * 0.5
+
+
+def test_ivf_cells_all_populated(spark, sf_dir):
+    """IVF coarse quantization must spread the corpus across cells —
+    degenerate near-constant centroids routed ~everything into one cell,
+    destroying the |corpus|/cells scan reduction the index exists for."""
+    from etl_master_spark.operators.vectors import IVF_CELLS, IVF_SEED, _dot, _phash_plane
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _dot(F.col("embedding"), _phash_plane(c, 64, IVF_SEED)).alias("dot"),
+                    F.lit(-c).cast("int").alias("negcell"),
+                )
+                for c in range(IVF_CELLS)
+            ]
+        )
+    )
+    counts = (
+        emb.select((-best["negcell"]).alias("cell"))
+        .groupBy("cell")
+        .count()
+        .collect()
+    )
+    assert len(counts) >= IVF_CELLS - 2
+    assert max(c["count"] for c in counts) < sum(c["count"] for c in counts) * 0.6
+
+
+def test_prior_sampler_moments(spark):
+    """Box–Muller over the portable-hash uniforms must actually be N(0,1):
+    affine-correlated u1/u2 streams (two seeds, same fold depth) biased the
+    mean to 0.31; the degenerate pre-fix uniforms collapsed std to ~0."""
+    from etl_master_spark.operators.analytics import prior_sample_stats
+
+    for r in prior_sample_stats(spark, "/root/testdata/sf0.001").collect():
+        assert abs(r["mean_z"]) < 0.1, r
+        assert 0.9 < r["std_z"] < 1.1, r

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash64",
     "ann_cosine_topk",
+    "dedup_embedding_cosine_lsh",
     "lsh_buckets",
     "ann_ivf_topk",
     "mmd_rbf_fast",

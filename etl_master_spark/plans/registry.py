@@ -142,6 +142,13 @@ register(
     lambda spark, sf: vectors.dedup_embedding_cosine(spark, sf, 0.4),
     vectors.dedup_embedding_cosine_oracle(0.4),
 )
+register(
+    # scale path: banded sign-LSH candidate join + exact cosine verify;
+    # same 0.4 gate threshold as the exact spelling
+    "dedup_embedding_cosine_lsh",
+    lambda spark, sf: vectors.dedup_embedding_cosine_lsh(spark, sf, 0.4),
+    vectors.dedup_embedding_cosine_lsh_oracle(0.4),
+)
 
 # -- wider analytics (rollup / set ops / date / JSON / percentiles / E6 / F3) -
 register("revenue_rollup", analytics.revenue_rollup, analytics.REVENUE_ROLLUP_ORACLE)

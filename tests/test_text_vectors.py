@@ -158,3 +158,26 @@ def test_prior_sampler_moments(spark):
     for r in prior_sample_stats(spark, "/root/testdata/sf0.001").collect():
         assert abs(r["mean_z"]) < 0.1, r
         assert 0.9 < r["std_z"] < 1.1, r
+
+
+def test_lsh_dedup_subset_of_exact_with_bounded_recall(spark, sf_dir):
+    """The banded-LSH dedup must (a) never invent pairs the exact spelling
+    doesn't have, and (b) keep recall in the S-curve's predicted range even
+    at the low 0.4 gate threshold (at the 0.99 production threshold the
+    predicted miss rate is < 1e-4)."""
+    from etl_master_spark.operators.vectors import (
+        dedup_embedding_cosine,
+        dedup_embedding_cosine_lsh,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_embedding_cosine(spark, sf_dir, 0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_embedding_cosine_lsh(spark, sf_dir, 0.4).collect()
+    }
+    assert lsh <= exact
+    assert exact  # fixture sanity: threshold low enough to produce pairs
+    assert len(lsh) / len(exact) > 0.5

@@ -312,6 +312,117 @@ ORDER BY purchase_id
 """
 
 
+# -- ranking-function battery -------------------------------------------------
+
+def order_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full window ranking-function surface in one pass: dense_rank,
+    percent_rank, cume_dist, ntile(4) over order price within priority
+    class. All four share ONE window spec, so Catalyst plans a single
+    sort+window operator — adding rank flavors is free once the partition
+    is paid for. o_orderkey tie-break keeps every function deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.dense_rank().over(w).cast("int").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+ORDER_RANK_FUNCTIONS_ORACLE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CAST(DENSE_RANK() OVER w AS INT) AS drank,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+       ROUND(CUME_DIST() OVER w, 6) AS cdist,
+       CAST(NTILE(4) OVER w AS INT) AS quartile
+FROM orders
+WINDOW w AS (
+    PARTITION BY o_orderpriority
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+)
+"""
+
+
+# -- semi / anti joins --------------------------------------------------------
+
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (the 'NOT EXISTS' spelling): customers with no
+    URGENT-priority order, counted per nation. Anti-joins are also the
+    engine's train-set purge primitive (E4); this exercises the standalone
+    surface. The orders side filters + projects ONLY the join key before
+    the join — at scale the anti-join's build side is a distinct-key set,
+    not the fact table.
+
+    Aggregates are rounded SUMs, not AVGs: the money columns carry exactly
+    2 decimals, so a sum is exactly representable at 2 dp (FP error ≪ the
+    rounding step), while an average routinely lands ON a half-cent
+    boundary where engine summation order decides the rounded digit."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+CUSTOMERS_WITHOUT_URGENT_ORDERS_ORACLE = """
+SELECT c_nationkey,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+FROM customer
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def parts_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (the 'EXISTS' spelling): parts that appear in at
+    least one lineitem, profiled per brand. Semi-join instead of
+    join+distinct: no fact-side duplication ever reaches the aggregate.
+    Rounded SUM, not AVG — see ``customers_without_urgent_orders``."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+PARTS_WITH_SHIPMENTS_ORACLE = """
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       ROUND(SUM(p_retailprice), 2) AS sum_price
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 # -- pivot --------------------------------------------------------------------
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]

@@ -109,6 +109,21 @@ register(
 register(
     "user_event_pivot", relational.user_event_pivot, relational.USER_EVENT_PIVOT_ORACLE
 )
+register(
+    "order_rank_functions",
+    relational.order_rank_functions,
+    relational.ORDER_RANK_FUNCTIONS_ORACLE,
+)
+register(
+    "customers_without_urgent_orders",
+    relational.customers_without_urgent_orders,
+    relational.CUSTOMERS_WITHOUT_URGENT_ORDERS_ORACLE,
+)
+register(
+    "parts_with_shipments",
+    relational.parts_with_shipments,
+    relational.PARTS_WITH_SHIPMENTS_ORACLE,
+)
 
 # -- text analysis / dedup (LLM-pipeline extensions) -------------------------
 register("text_stats", text.text_stats, text.TEXT_STATS_ORACLE)
@@ -180,6 +195,13 @@ register("approx_profiles", analytics.approx_profiles, None)
 
 # -- streaming twins (batch form oracle-checked) -----------------------------
 register("events_hourly", windows.events_hourly, windows.EVENTS_HOURLY_ORACLE)
+register(
+    # batch twin of dropDuplicatesWithinWatermark delivery dedup
+    # (test-verified to repair a doubled stream to exactly these counts)
+    "events_dedup",
+    windows.events_dedup,
+    windows.EVENTS_DEDUP_ORACLE,
+)
 register("user_sessions", windows.user_sessions, windows.USER_SESSIONS_ORACLE)
 register(
     # batch twin of the applyInPandasWithState sessionizer (test-verified

@@ -289,6 +289,59 @@ def user_sessions_stateful(spark: SparkSession, sf_dir: str, stream_dir: str | N
     )
 
 
+# -- exactly-once dedup (at-least-once delivery repair) -----------------------
+
+def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch spelling of delivery dedup: one row per event_id (first by ts),
+    profiled per event type. The fixture events are already unique, so this
+    is deterministic; the operator's real job is the streaming twin below,
+    which repairs at-least-once redelivery across micro-batches."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_id").orderBy("ts")
+    dd = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        dd.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_DEDUP_ORACLE = """
+WITH dd AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+        FROM events
+    ) WHERE rn = 1
+)
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM dd GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_dedup_stream(
+    spark: SparkSession, sf_dir: str, stream_dir: str | None = None
+) -> DataFrame:
+    """Streaming twin: ``dropDuplicatesWithinWatermark`` on event_id — the
+    state-store-backed exactly-once repair for an at-least-once source.
+    Duplicate events arriving in ANY later micro-batch (within the
+    watermark horizon) are dropped; state for ids older than the watermark
+    is evicted, so state size tracks the horizon, not the stream history.
+    Tests feed the same file twice and assert the batch counts come back."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = spark.readStream.schema(batch_schema).parquet(stream_dir or sf_dir)
+    ev = ev.withColumn(
+        "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+    )
+    return ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 # -- streaming sink: foreachBatch upsert-to-parquet ---------------------------
 
 def stream_hourly_to_parquet(

@@ -95,3 +95,47 @@ def test_stream_parquet_sink_equals_batch(spark, sf_dir, tmp_path):
         for r in events_hourly(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_dedup_repairs_redelivery(spark, sf_dir, tmp_path):
+    """Feed the SAME events file twice (at-least-once redelivery across
+    micro-batches); dropDuplicatesWithinWatermark must restore exactly the
+    batch per-type profile."""
+    import shutil
+    import time
+
+    from etl_master_spark.streaming.windows import events_dedup, events_dedup_stream
+
+    doubled = tmp_path / "doubled"
+    doubled.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", doubled / "delivery-0.parquet")
+    time.sleep(0.05)  # distinct mtimes -> the copies land in separate batches
+    shutil.copy(f"{sf_dir}/events.parquet", doubled / "delivery-1.parquet")
+
+    q = (
+        events_dedup_stream(spark, sf_dir, str(doubled))
+        .writeStream.format("memory")
+        .queryName("events_dedup_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    from pyspark.sql import functions as F
+
+    got = {
+        r["event_type"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM events_dedup_stream_test")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .collect()
+    }
+    want = {
+        r["event_type"]: (r["n_events"], r["sum_value"])
+        for r in events_dedup(spark, sf_dir).collect()
+    }
+    assert got == want

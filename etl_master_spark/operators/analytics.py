@@ -373,6 +373,48 @@ ORDER BY yr, segment
 """
 
 
+def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status, priority), (status), ()) — the
+    asymmetric lattice rollup/cube can't express (no per-priority margin).
+    Like those, Spark expands the sets before ONE hash aggregate: one
+    shuffle for all three levels. ``grouping_id`` disambiguates aggregated
+    columns from genuine NULLs (both engines share the bitmask convention:
+    leftmost grouping column = most significant bit)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+PRIORITY_GROUPING_SETS_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY status, priority
+"""
+
+
 # -- string function library --------------------------------------------------
 
 def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -423,6 +423,168 @@ ORDER BY p_brand
 """
 
 
+# -- correlated scalar subquery, decorrelated ---------------------------------
+
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 flavor: revenue from lineitems whose quantity is below
+    0.2× that part's own average quantity, profiled per brand. The oracle
+    spells this as a correlated scalar subquery; the engine spells the
+    decorrelation directly — one partial aggregate (l_partkey → threshold)
+    joined back onto the fact scan, so lineitem is scanned once and the
+    "subquery" costs a co-partitioned join, never a per-row rescan.
+
+    Scale: the thresholds side is |parts| rows (fact/30 at TPC-H ratios) —
+    small enough to broadcast for a while but NOT at 100 TB, so no
+    broadcast hint: AQE picks broadcast while it fits (it does at test
+    scale) and falls back to a sort-merge join co-partitioned on
+    l_partkey — which then reuses the aggregate's own shuffle — once it
+    doesn't. part (brand lookup) is a true dimension and is always
+    broadcast. Quantities are integral doubles, so per-part sums are
+    exact integers in both engines and the 0.2× threshold is
+    order-insensitive.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(thresholds, li.l_partkey == thresholds.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SMALL_QUANTITY_PART_REVENUE_ORACLE = """
+SELECT p_brand,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity)
+    FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey
+)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# -- window offset functions (lag / lead / first_value) ----------------------
+
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window OFFSET surface in one pass: per-user inter-event gap (lag),
+    next event type (lead), and the user's first event type (first_value),
+    plus a session-start flag at a 30-minute gap threshold.
+
+    All four share ONE (user_id, ts) window spec ⇒ a single sort+window
+    operator. Gap math stays in INTEGER microseconds (``unix_micros`` /
+    ``epoch_us``) — timestamps here are microsecond-grained, and float
+    epoch seconds would round differently across engines. (ts, event_id)
+    tie-break keeps every offset deterministic under concurrent events.
+    Scale: partitioned by user_id (high-cardinality), no global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return ev.select(
+        "event_id",
+        "user_id",
+        gap_us.alias("gap_us"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(w).alias("first_type"),
+        F.when(F.lag("ts").over(w).isNull(), F.lit(True))
+        .otherwise(gap_us > F.lit(1_800_000_000))
+        .alias("session_start"),
+    )
+
+
+EVENT_GAPS_ORACLE = """
+SELECT event_id, user_id,
+       epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us,
+       LAG(event_type) OVER w AS prev_type,
+       LEAD(event_type) OVER w AS next_type,
+       FIRST_VALUE(event_type) OVER w AS first_type,
+       CASE WHEN LAG(ts) OVER w IS NULL THEN TRUE
+            ELSE epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+       END AS session_start
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+# -- full outer join ----------------------------------------------------------
+
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-nation debtor-customer balance vs supplier
+    balance. Aggregate-then-join keeps the outer join at nation
+    cardinality (25 rows) instead of outer-joining fact tables; at small
+    scale factors whole nations genuinely lack suppliers or debtors, so
+    both null-fill paths execute. COALESCE across the two key columns
+    reassembles the unified key, and counts fill to 0 — outputs are
+    join-key-safe downstream."""
+    debtors = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .groupBy(F.col("c_nationkey").alias("cn"))
+        .agg(
+            F.count(F.lit(1)).alias("n_debtors"),
+            F.round(F.sum("c_acctbal"), 2).alias("debtor_bal"),
+        )
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sn"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("supplier_bal"),
+        )
+    )
+    return (
+        debtors.join(supp, debtors.cn == supp.sn, "full_outer")
+        .select(
+            F.coalesce("cn", "sn").alias("nationkey"),
+            F.coalesce("n_debtors", F.lit(0)).alias("n_debtors"),
+            "debtor_bal",
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            "supplier_bal",
+        )
+        .orderBy("nationkey")
+    )
+
+
+NATION_TRADE_BALANCE_ORACLE = """
+WITH debtors AS (
+    SELECT c_nationkey AS cn, COUNT(*) AS n_debtors,
+           ROUND(SUM(c_acctbal), 2) AS debtor_bal
+    FROM customer WHERE c_acctbal < 0 GROUP BY c_nationkey
+),
+supp AS (
+    SELECT s_nationkey AS sn, COUNT(*) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS supplier_bal
+    FROM supplier GROUP BY s_nationkey
+)
+SELECT COALESCE(cn, sn) AS nationkey,
+       COALESCE(n_debtors, 0) AS n_debtors,
+       debtor_bal,
+       COALESCE(n_suppliers, 0) AS n_suppliers,
+       supplier_bal
+FROM debtors FULL OUTER JOIN supp ON cn = sn
+ORDER BY nationkey
+"""
+
+
 # -- pivot --------------------------------------------------------------------
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]

@@ -124,6 +124,17 @@ register(
     relational.parts_with_shipments,
     relational.PARTS_WITH_SHIPMENTS_ORACLE,
 )
+register(
+    "small_quantity_part_revenue",
+    relational.small_quantity_part_revenue,
+    relational.SMALL_QUANTITY_PART_REVENUE_ORACLE,
+)
+register("event_gaps", relational.event_gaps, relational.EVENT_GAPS_ORACLE)
+register(
+    "nation_trade_balance",
+    relational.nation_trade_balance,
+    relational.NATION_TRADE_BALANCE_ORACLE,
+)
 
 # -- text analysis / dedup (LLM-pipeline extensions) -------------------------
 register("text_stats", text.text_stats, text.TEXT_STATS_ORACLE)
@@ -183,6 +194,11 @@ register(
     "events_moving_avg", analytics.events_moving_avg, analytics.EVENTS_MOVING_AVG_ORACLE
 )
 register("orders_cube", analytics.orders_cube, analytics.ORDERS_CUBE_ORACLE)
+register(
+    "priority_grouping_sets",
+    analytics.priority_grouping_sets,
+    analytics.PRIORITY_GROUPING_SETS_ORACLE,
+)
 register("string_functions", analytics.string_functions, analytics.STRING_FUNCTIONS_ORACLE)
 register(
     "price_correlations",

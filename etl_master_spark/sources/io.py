@@ -123,10 +123,11 @@ def ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- non-parquet source formats ----------------------------------------------
 # The reference reads only pickles (single-node). The engine's source layer
-# speaks the three interchange formats a pipeline actually meets: parquet
-# (primary, columnar), CSV and JSON-lines (ingest edges). Both text formats
-# take an EXPLICIT schema — schema inference is a full extra pass at 100 TB
-# and type-unstable besides.
+# speaks the interchange formats a pipeline actually meets: parquet
+# (primary, columnar), ORC (the other splittable columnar container, common
+# in Hive-lineage lakes), CSV and JSON-lines (ingest edges). The text
+# formats take an EXPLICIT schema — schema inference is a full extra pass
+# at 100 TB and type-unstable besides; ORC/parquet carry their own.
 
 def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
     return (
@@ -147,3 +148,13 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown properties as parquet (stripe-level stats,
+    column pruning, predicate pushdown via the vectorized reader)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

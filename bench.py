@@ -46,7 +46,7 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash64",
     "ann_cosine_topk",
-    "dedup_embedding_cosine_lsh",
+    "dedup_embedding_cosine_lsh_p99",
     "lsh_buckets",
     "ann_ivf_topk",
     "mmd_rbf_fast",

@@ -430,22 +430,34 @@ ORDER BY id_a, id_b
 
 # banded sign-LSH (OR-construction): b bands of r planes each. A pair
 # collides iff it agrees on ALL r bits of SOME band; for angle θ that is
-# 1-(1-(1-θ/π)^r)^b — the classic S-curve, steep around the target cosine.
-# 8×4 balances signature resolution (16 buckets/band bounds candidate
-# volume) against recall (~0.75 even at the low 0.4 gate threshold; >0.999
-# at the 0.99 production threshold).
+# 1-(1-(1-θ/π)^r)^b — the classic S-curve, steep around the gate cosine
+# (1/b)^(1/r) expressed as a bit-agreement probability. Band shape is an
+# OPERATING-POINT decision, not a constant:
+# - 8×4 (gate cos ≈ 0.35): permissive — needed so the registry's 0.4 demo
+#   threshold (synthetic data has no near-dups) keeps recall ~0.75. On
+#   uniform random vectors it passes ~1/16 of ALL pairs per band, so the
+#   candidate stage is near-quadratic — the price of a low gate.
+# - 4×8 (gate cos ≈ 0.88): the PRODUCTION shape for the 0.99 dedup
+#   threshold — recall 0.991 there, while random pairs (bit-agreement
+#   ≈ 0.54) collide at 0.54⁸ ≈ 0.7% per band: ~12× fewer candidates from
+#   the same 32 planes, just grouped into deeper bands.
 DEDUP_LSH_BANDS = 8
 DEDUP_LSH_ROWS = 4  # planes per band
+P99_LSH_BANDS = 4
+P99_LSH_ROWS = 8
 
 
 def dedup_embedding_cosine_lsh(
-    spark: SparkSession, sf_dir: str, threshold: float = COSINE_DUP_THRESHOLD
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    bands: int = DEDUP_LSH_BANDS,
+    rows: int = DEDUP_LSH_ROWS,
 ) -> DataFrame:
     """Scale path of ``dedup_embedding_cosine``: candidate pairs come from a
     banded sign-LSH equi-join instead of the all-pairs product, then the
-    exact cosine filter verifies them. 8 bands × 4 planes keeps recall high
-    (cos 0.99 ⇒ θ≈8°, band hit (1-θ/π)⁴≈0.83, miss-all-8 ≈ 1e-6) while the
-    join touches only same-signature pairs.
+    exact cosine filter verifies them. Band shape (b×r) is tuned to the
+    threshold — see the S-curve note above.
 
     Plan shape at 100 TB: the band signature is row-local (literal plane
     arrays), the only wide operation is b hash-join shuffles keyed on
@@ -454,59 +466,98 @@ def dedup_embedding_cosine_lsh(
     the difference between feasible and not; the trade is bounded,
     S-curve-quantified recall."""
     emb = load_table(spark, sf_dir, "embeddings")
+    return _dedup_lsh_pairs(spark, emb, threshold, bands, rows)
+
+
+def dedup_embedding_cosine_lsh_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production operating point of the banded-LSH dedup: threshold 0.99
+    with the 4×8 band shape. On a clean corpus (no near-dups) this is the
+    common case a 100 TB dedup pass actually runs — the cost is the
+    signature + candidate machinery, and deep bands keep that ~12× below
+    the permissive 8×4 demo shape."""
+    return dedup_embedding_cosine_lsh(
+        spark, sf_dir, COSINE_DUP_THRESHOLD, P99_LSH_BANDS, P99_LSH_ROWS
+    )
+
+
+def _dedup_lsh_pairs(
+    spark: SparkSession,
+    emb: DataFrame,
+    threshold: float,
+    bands: int,
+    rows: int,
+) -> DataFrame:
+    """Core of the banded-LSH dedup over any (vec_id, embedding) frame —
+    split out so tests can plant known near-duplicates and assert recall."""
     # per-band signature: sig_j = bit_{r·j} + 2·bit_{r·j+1} + ... (row-local)
     bits = [
         F.when(
             _dot(F.col("embedding"), _phash_plane(p, 64, LSH_SEED)) >= 0, F.lit(1)
         ).otherwise(F.lit(0))
-        for p in range(DEDUP_LSH_BANDS * DEDUP_LSH_ROWS)
+        for p in range(bands * rows)
     ]
-    bands = F.array(
+    band_arr = F.array(
         *[
             F.struct(
                 F.lit(j).alias("band"),
-                sum(
-                    (bits[j * DEDUP_LSH_ROWS + r] * F.lit(1 << r))
-                    for r in range(DEDUP_LSH_ROWS)
-                ).alias("sig"),
+                sum((bits[j * rows + r] * F.lit(1 << r)) for r in range(rows)).alias(
+                    "sig"
+                ),
             )
-            for j in range(DEDUP_LSH_BANDS)
+            for j in range(bands)
         ]
     )
     tagged = (
         spread(emb)
-        .select("vec_id", F.explode(bands).alias("bs"))
+        .select("vec_id", F.explode(band_arr).alias("bs"))
         .select(
             "vec_id",
             F.col("bs.band").alias("band"),
             F.col("bs.sig").alias("sig"),
         )
     )
+    # the signature frame feeds BOTH sides of the self-join; without
+    # materialization Spark plans the scan + 32 plane dots twice. Tiny
+    # relative to the corpus (3 narrow columns × b rows/vector) — at scale
+    # this is the standard "materialize the index" step.
+    tagged = tagged.cache()
     # candidate generation carries BARE ids: a pair can collide in several
     # bands, and deduping (a shuffle over the candidate volume) is much
     # cheaper before re-attaching the 64-float vectors than after.
-    # (band, sig) has only bands×2^rows distinct values — far fewer than
-    # cores — so a plain equi-join serializes pair generation into a
-    # handful of hot reducers, and AQE makes it WORSE: it coalesces by
-    # shuffle bytes (tiny here) and cannot see the quadratic expansion on
-    # the reduce side. Hence (a) a salt splitting each signature's pair
-    # work 16 ways and (b) explicit repartition-by-key, which AQE's
-    # coalescer leaves alone (measured 3× on the candidate stage).
-    n_salt = 16
-    n_part = 2 * spark.sparkContext.defaultParallelism
-    a = tagged.select(F.col("vec_id").alias("id_a"), "band", "sig").withColumn(
-        "_salt", (F.abs(F.xxhash64("id_a")) % n_salt).cast("long")
-    )
-    b = tagged.select(F.col("vec_id").alias("id_b"), "band", "sig").withColumn(
-        "_salt",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.lit(n_salt - 1).cast("long"))
-        ),
-    )
+    #
+    # Parallelism is decided by |keys| = bands×2^rows vs the cluster:
+    # when keys are FEWER than ~8× the core count, a plain equi-join
+    # serializes pair generation into a handful of hot reducers — and AQE
+    # makes it WORSE: it coalesces by shuffle bytes (tiny here) and cannot
+    # see the quadratic expansion on the reduce side. That regime gets
+    # (a) a salt splitting each signature's pair work 16 ways and (b)
+    # explicit repartition-by-key, which AQE's coalescer leaves alone
+    # (measured 3× on the candidate stage). With a large key space the
+    # salt is pure overhead (16× duplicated build side + two forced
+    # exchanges, ~2 s of fixed cost locally) and the plain join is both
+    # parallel and cheaper. The SAME code adapts either way — on a
+    # 1000-executor cluster defaultParallelism grows and deep-band key
+    # spaces drop back into the salted regime, which is again correct.
+    n_keys = bands * (1 << rows)
+    a = tagged.select(F.col("vec_id").alias("id_a"), "band", "sig")
+    b = tagged.select(F.col("vec_id").alias("id_b"), "band", "sig")
+    if n_keys < 8 * spark.sparkContext.defaultParallelism:
+        n_salt = 16
+        n_part = 2 * spark.sparkContext.defaultParallelism
+        a = a.withColumn("_salt", (F.abs(F.xxhash64("id_a")) % n_salt).cast("long"))
+        b = b.withColumn(
+            "_salt",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(n_salt - 1).cast("long"))
+            ),
+        )
+        joined = a.repartition(n_part, "band", "sig", "_salt").join(
+            b.repartition(n_part, "band", "sig", "_salt"), ["band", "sig", "_salt"]
+        )
+    else:
+        joined = a.join(b, ["band", "sig"])
     cand = (
-        a.repartition(n_part, "band", "sig", "_salt")
-        .join(b.repartition(n_part, "band", "sig", "_salt"), ["band", "sig", "_salt"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        joined.filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -534,8 +585,10 @@ def dedup_embedding_cosine_lsh(
 
 def dedup_embedding_cosine_lsh_oracle(
     threshold: float = COSINE_DUP_THRESHOLD,
+    bands: int = DEDUP_LSH_BANDS,
+    rows: int = DEDUP_LSH_ROWS,
 ) -> str:
-    n_planes = DEDUP_LSH_BANDS * DEDUP_LSH_ROWS
+    n_planes = bands * rows
     return f"""
 WITH comp AS (
     SELECT vec_id,
@@ -557,9 +610,9 @@ bits AS (
     GROUP BY c.vec_id, p.j
 ),
 bands AS (
-    SELECT vec_id, j // {DEDUP_LSH_ROWS} AS band,
-           SUM(b * CAST(POW(2, j % {DEDUP_LSH_ROWS}) AS BIGINT)) AS sig
-    FROM bits GROUP BY vec_id, j // {DEDUP_LSH_ROWS}
+    SELECT vec_id, j // {rows} AS band,
+           SUM(b * CAST(POW(2, j % {rows}) AS BIGINT)) AS sig
+    FROM bits GROUP BY vec_id, j // {rows}
 ),
 cand AS (
     SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b

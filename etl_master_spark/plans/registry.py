@@ -170,10 +170,22 @@ register(
 )
 register(
     # scale path: banded sign-LSH candidate join + exact cosine verify;
-    # same 0.4 gate threshold as the exact spelling
+    # same 0.4 gate threshold as the exact spelling (permissive 8×4 bands —
+    # the demo threshold forces them; see vectors.py S-curve note)
     "dedup_embedding_cosine_lsh",
     lambda spark, sf: vectors.dedup_embedding_cosine_lsh(spark, sf, 0.4),
     vectors.dedup_embedding_cosine_lsh_oracle(0.4),
+)
+register(
+    # production operating point: threshold 0.99, deep 4×8 bands (~12×
+    # fewer candidates from the same planes). Empty on the synthetic
+    # corpus (no planted near-dups) — recall is proven by the planted-
+    # duplicate test; the oracle still replays signatures + verify.
+    "dedup_embedding_cosine_lsh_p99",
+    vectors.dedup_embedding_cosine_lsh_p99,
+    vectors.dedup_embedding_cosine_lsh_oracle(
+        vectors.COSINE_DUP_THRESHOLD, vectors.P99_LSH_BANDS, vectors.P99_LSH_ROWS
+    ),
 )
 
 # -- wider analytics (rollup / set ops / date / JSON / percentiles / E6 / F3) -

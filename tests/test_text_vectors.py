@@ -181,3 +181,32 @@ def test_lsh_dedup_subset_of_exact_with_bounded_recall(spark, sf_dir):
     assert lsh <= exact
     assert exact  # fixture sanity: threshold low enough to produce pairs
     assert len(lsh) / len(exact) > 0.5
+
+
+def test_lsh_dedup_p99_finds_planted_duplicates(spark):
+    """The production 4×8 band shape must catch actual near-duplicates:
+    plant perturbed copies (cosine > 0.999) among random vectors and
+    require every planted pair at threshold 0.99, with no false
+    positives (the exact verify guarantees precision by construction)."""
+    import numpy as np
+
+    from etl_master_spark.operators.vectors import (
+        P99_LSH_BANDS,
+        P99_LSH_ROWS,
+        _dedup_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(50, 64)).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(50)]
+    # ids 100+i duplicate ids 0..4 with ~0.5% relative noise
+    for i in range(5):
+        dup = base[i] + 0.005 * rng.normal(size=64).astype("float32")
+        rows.append((100 + i, dup.astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in _dedup_lsh_pairs(spark, emb, 0.99, P99_LSH_BANDS, P99_LSH_ROWS)
+        .collect()
+    }
+    assert got == {(i, 100 + i) for i in range(5)}

@@ -33,14 +33,19 @@ BENCH_QUERIES = [
     "asof_latest_event",
     "purchase_click_attribution",
     "user_event_pivot",
+    "small_quantity_part_revenue",
+    "event_gaps",
     "revenue_rollup",
     "orders_cube",
+    "priority_grouping_sets",
     "events_moving_avg",
     "events_hourly",
     "user_sessions",
     "user_session_totals",
     "text_stats",
     "token_counts",
+    "word_counts",
+    "tfidf_top_terms",
     "dedup_exact",
     "curated_corpus",
     "minhash_lsh_pairs",

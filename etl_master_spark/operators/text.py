@@ -636,6 +636,115 @@ ORDER BY doc_id
 """
 
 
+# -- corpus vocabulary / tf-idf ----------------------------------------------
+
+TOP_WORDS = 50
+TFIDF_TOP_TERMS = 3
+
+
+def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: top-50 whitespace tokens by total count,
+    with document frequency — the explode/lateral-view member of the text
+    family (and the vocabulary pass any tokenizer-training job starts with).
+
+    Scale: explode is narrow (no shuffle); the aggregate is map-side
+    combined on the token, so the single shuffle carries one row per
+    (partition, distinct token), not one per token occurrence. The final
+    top-50 is a tiny sort after the aggregate. Zipfian token skew is
+    absorbed by the partial aggregation — the hot token's billions of
+    occurrences reduce to |partitions| partial rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("occurrences").desc(), F.col("word").asc())
+        .limit(TOP_WORDS)
+    )
+
+
+WORD_COUNTS_ORACLE = f"""
+SELECT word, COUNT(*) AS occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY occurrences DESC, word ASC
+LIMIT {TOP_WORDS}
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf — the explode → two aggregations
+    (term-per-doc, doc-frequency) → join → window composition, entirely
+    relational. tf = count/doc_len, idf = ln(N/df); the rank is over the
+    ROUNDED score with a term tie-break so both engines rank identically.
+
+    Scale: one explode, one shuffle per aggregate (both map-side
+    combined), then a join keyed on the term — the df side is
+    |vocabulary| rows, which AQE broadcasts while it fits. The doc-count
+    N is a scalar literal-ish aggregate both engines fold cheaply."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("c") / F.col("dl"))
+                * F.log(F.col("n").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+TFIDF_TOP_TERMS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+toks_f AS (SELECT * FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS c FROM toks_f GROUP BY doc_id, term),
+doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks_f GROUP BY doc_id),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks_f GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           ROUND((tf.c * 1.0 / doclen.dl) * ln(n.n * 1.0 / df.df), 6) AS tfidf
+    FROM tf
+    JOIN doclen ON tf.doc_id = doclen.doc_id
+    JOIN df ON tf.term = df.term
+    CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rnk FROM (
+    SELECT doc_id, term, tfidf,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+           ) AS INT) AS rnk
+    FROM scored
+)
+WHERE rnk <= {TFIDF_TOP_TERMS}
+"""
+
+
 # -- end-to-end curation pipeline ---------------------------------------------
 
 CURATION_MIN_QUALITY = 0.6

@@ -150,6 +150,8 @@ register(
 register("minhash_lsh_pairs", text.minhash_lsh_pairs, text.minhash_lsh_oracle())
 register("curated_corpus", text.curated_corpus, text.CURATED_CORPUS_ORACLE)
 register("token_counts", text.token_counts, text.TOKEN_COUNTS_ORACLE)
+register("word_counts", text.word_counts, text.WORD_COUNTS_ORACLE)
+register("tfidf_top_terms", text.tfidf_top_terms, text.TFIDF_TOP_TERMS_ORACLE)
 register("simhash16", text.simhash16, text.simhash16_oracle())
 register("simhash64", text.simhash64, None)  # Arrow-UDF fast path: rows-only
 

@@ -342,6 +342,56 @@ def events_dedup_stream(
     )
 
 
+# -- stream-stream interval join ----------------------------------------------
+
+def purchase_click_stream_join(
+    spark: SparkSession, sf_dir: str, stream_dir: str | None = None
+) -> DataFrame:
+    """Stream-stream INTERVAL join — the streaming twin of
+    ``relational.purchase_click_attribution``'s range join: purchases
+    joined to the same user's clicks from the preceding hour, both sides
+    live streams. Emits (purchase_id, click_id) attribution pairs in
+    append mode; the consumer aggregates (tests verify the pair set equals
+    the batch inner join exactly).
+
+    The watermark + the two-sided time constraint are what make this
+    bounded: Spark derives from them how long each side's rows must be
+    buffered (clicks: 1 h behind the purchase watermark; purchases: until
+    their own watermark passes), so join state is a sliding horizon, not
+    the stream history — the property that lets the same query run forever
+    at production volume."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = stream_dir or sf_dir
+    ev = spark.readStream.schema(batch_schema).parquet(src)
+    ev = ev.withColumn(
+        "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts < p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR"
+        ),
+    ).select("purchase_id", "click_id")
+
+
 # -- streaming sink: foreachBatch upsert-to-parquet ---------------------------
 
 def stream_hourly_to_parquet(

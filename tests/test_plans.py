@@ -10,7 +10,8 @@ from etl_master_spark.plans.registry import QUERIES
 
 # intentional small-side cross joins: K-cutoff fanout (eval), broadcast
 # query/hyperplane/centroid sets (ann/lsh/ivf), all-pairs kernels (mmd,
-# cosine dedup)
+# cosine dedup), 1-row scalar aggregates joined onto every row (tfidf's
+# corpus doc-count)
 BNLJ_OK = {
     "ann_cosine_topk",
     "dedup_embedding_cosine",
@@ -18,6 +19,7 @@ BNLJ_OK = {
     "eval_metrics_vali",
     "mmd_rbf",
     "mmd_rbf_multiscale",
+    "tfidf_top_terms",
 }
 SKIP = {"als_eval_test", "cdae_eval_test"}  # training loops, not one plan
 

@@ -139,3 +139,52 @@ def test_stream_dedup_repairs_redelivery(spark, sf_dir, tmp_path):
         for r in events_dedup(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """The stream-stream interval join must emit exactly the batch inner
+    join's (purchase, click) pairs once all data is processed."""
+    from pyspark.sql import functions as F
+
+    from etl_master_spark.sources.io import load_table
+    from etl_master_spark.streaming.windows import purchase_click_stream_join
+
+    q = (
+        purchase_click_stream_join(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ss_join_test").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("c_ts") < F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("purchase_id", "click_id")
+        .collect()
+    }
+    assert got == want
+    assert want  # fixture sanity: the window actually matches pairs

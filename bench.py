@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "curated_corpus",
     "minhash_lsh_pairs",
+    "dedup_clusters",
     "simhash64",
     "ann_cosine_topk",
     "dedup_embedding_cosine_lsh_p99",

@@ -514,6 +514,98 @@ ORDER BY doc_a, doc_b
 """
 
 
+# -- near-dup clustering (connected components) ------------------------------
+
+CC_MAX_ITERS = 20  # safety cap ≥ any realistic dedup-graph diameter
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pairs — the
+    dedup family's final stage: every document gets a cluster id (the min
+    doc_id in its component; singletons cluster to themselves), and
+    "keep one per cluster" is then ``filter(doc_id == cluster)``.
+
+    Algorithm: iterative hash-min label propagation — each round every
+    node takes the min label among itself and its neighbors; converges in
+    O(component diameter) rounds. Near-dup graphs are shallow (dup
+    clusters are near-cliques thanks to LSH banding), so the loop is
+    short; at adversarial diameters the same loop slots in the
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce"). Each round is ONE shuffle of the edge
+    list; ``localCheckpoint`` truncates lineage so the plan does not grow
+    exponentially with iterations (the classic iterative-DataFrame trap).
+    Convergence is detected by a changed-label count, which shares the
+    round's shuffle work. Not expressible as one SQL query in Spark —
+    the DuckDB oracle uses WITH RECURSIVE for the same fixpoint."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = load_table(spark, sf_dir, "documents").select("doc_id")
+    return _connected_components(nodes, pairs)
+
+
+def _connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Hash-min label propagation over undirected ``pairs`` edges; every
+    ``nodes.doc_id`` labeled with its component's min doc_id. Split out so
+    tests can plant a path graph and prove multi-hop convergence."""
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster")).localCheckpoint()
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("cluster", "old"), "doc_id"
+            )
+            .filter(F.col("cluster") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.orderBy("doc_id")
+
+
+def dedup_clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({minhash_lsh_oracle()})
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, root) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, MIN(root) AS cluster
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
 # -- SimHash -----------------------------------------------------------------
 
 def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -148,6 +148,7 @@ register(
     text.dedup_ngram_jaccard_oracle(0.1),
 )
 register("minhash_lsh_pairs", text.minhash_lsh_pairs, text.minhash_lsh_oracle())
+register("dedup_clusters", text.dedup_clusters, text.dedup_clusters_oracle())
 register("curated_corpus", text.curated_corpus, text.CURATED_CORPUS_ORACLE)
 register("token_counts", text.token_counts, text.TOKEN_COUNTS_ORACLE)
 register("word_counts", text.word_counts, text.WORD_COUNTS_ORACLE)

@@ -210,3 +210,21 @@ def test_lsh_dedup_p99_finds_planted_duplicates(spark):
         .collect()
     }
     assert got == {(i, 100 + i) for i in range(5)}
+
+
+def test_connected_components_multihop_chain(spark):
+    """A 6-node path graph (0-1-2-3-4-5) needs ~diameter rounds of label
+    propagation — proves the loop actually iterates to the fixpoint — and
+    disconnected singletons must keep their own label."""
+    from etl_master_spark.operators.text import _connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)] + [(6, 7)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_id"], r["cluster"])
+        for r in _connected_components(nodes, pairs).collect()
+    }
+    want = {(i, 0) for i in range(6)} | {(6, 6), (7, 6)}
+    assert got == want

@@ -167,6 +167,46 @@ FROM events GROUP BY 1 ORDER BY k_bucket
 """
 
 
+def user_type_value_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-column surface end to end: per-user event_type→total maps built
+    with ``map_from_entries(sort_array(collect_list(struct...)))``, probed
+    with ``size``, then ``explode``d back to rows. The map exists BETWEEN
+    relational stages, so the DuckDB oracle is plain SQL — the roundtrip
+    anchors the map functions to a checkable result. sort_array makes map
+    entry order deterministic (collect_list order is not).
+
+    Scale: both aggregations are map-side combined; maps stay bounded at
+    |event types| entries per user — never an unbounded collect."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.round(F.sum("value"), 4).alias("v")
+    )
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "v")))
+        ).alias("m")
+    )
+    return (
+        maps.select(
+            "user_id", F.size("m").cast("int").alias("n_types"), F.explode("m")
+        )
+        .withColumnsRenamed({"key": "event_type", "value": "total_value"})
+        .orderBy("user_id", "event_type")
+    )
+
+
+USER_TYPE_VALUE_MAP_ORACLE = """
+WITH per AS (
+    SELECT user_id, event_type, ROUND(SUM(value), 4) AS v
+    FROM events GROUP BY user_id, event_type
+),
+n AS (SELECT user_id, CAST(COUNT(*) AS INT) AS n_types FROM per GROUP BY user_id)
+SELECT p.user_id, n.n_types, p.event_type, p.v AS total_value
+FROM per p JOIN n ON p.user_id = n.user_id
+ORDER BY p.user_id, p.event_type
+"""
+
+
 # -- percentiles -------------------------------------------------------------
 
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:

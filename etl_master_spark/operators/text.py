@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from ..functions.hashing import PHASH_P, phash_frag
 from ..sources.io import load_table, spread
 
 STOPWORDS = ["the", "a", "of", "and", "to"]  # closed-vocab corpus markers
@@ -511,6 +512,60 @@ FROM bands a
 JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 ORDER BY doc_a, doc_b
+"""
+
+
+# -- data-mixture rebalancing -------------------------------------------------
+
+MIXTURE_SEED = 31
+
+
+def balanced_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing: deterministic Bernoulli downsample so every
+    language contributes ~equally (rate_lang = min_count / count_lang) —
+    the training-data-mixture op every multilingual corpus build runs.
+
+    Keep decision = portable-hash(doc_id) / P < rate: engine-replayable
+    (same doc survives in Spark, DuckDB, and any rerun — resumable
+    pipelines need this), and embarrassingly parallel — the per-stratum
+    rates are a |langs|-row aggregate joined back broadcast, the filter is
+    a narrow per-row expression. No sort, no per-stratum shuffle; compare
+    ``sampleBy``, whose fractions the caller must precompute anyway but
+    whose seed semantics are partition-dependent. Rates divide exact
+    BIGINT counts, so both engines compare identical doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    rates = counts.select(
+        "lang",
+        (
+            F.min("n").over(Window.partitionBy()).cast("double")
+            / F.col("n").cast("double")
+        ).alias("rate"),
+    )
+    u = F.expr(phash_frag("doc_id", seed=MIXTURE_SEED)).cast("double") / F.lit(
+        float(PHASH_P)
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def balanced_mixture_sample_oracle() -> str:
+    return f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+rates AS (
+    SELECT lang,
+           CAST(MIN(n) OVER () AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+    FROM counts
+)
+SELECT doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE CAST({phash_frag('doc_id', seed=MIXTURE_SEED)} AS DOUBLE)
+      / CAST({PHASH_P} AS DOUBLE) < r.rate
+ORDER BY doc_id
 """
 
 

@@ -149,6 +149,11 @@ register(
 )
 register("minhash_lsh_pairs", text.minhash_lsh_pairs, text.minhash_lsh_oracle())
 register("dedup_clusters", text.dedup_clusters, text.dedup_clusters_oracle())
+register(
+    "balanced_mixture_sample",
+    text.balanced_mixture_sample,
+    text.balanced_mixture_sample_oracle(),
+)
 register("curated_corpus", text.curated_corpus, text.CURATED_CORPUS_ORACLE)
 register("token_counts", text.token_counts, text.TOKEN_COUNTS_ORACLE)
 register("word_counts", text.word_counts, text.WORD_COUNTS_ORACLE)
@@ -196,6 +201,11 @@ register("revenue_rollup", analytics.revenue_rollup, analytics.REVENUE_ROLLUP_OR
 register("user_set_ops", analytics.user_set_ops, analytics.USER_SET_OPS_ORACLE)
 register("orders_by_month", analytics.orders_by_month, analytics.ORDERS_BY_MONTH_ORACLE)
 register("props_json_stats", analytics.props_json_stats, analytics.PROPS_JSON_STATS_ORACLE)
+register(
+    "user_type_value_map",
+    analytics.user_type_value_map,
+    analytics.USER_TYPE_VALUE_MAP_ORACLE,
+)
 register(
     "value_percentiles", analytics.value_percentiles, analytics.VALUE_PERCENTILES_ORACLE
 )

@@ -228,3 +228,28 @@ def test_connected_components_multihop_chain(spark):
     }
     want = {(i, 0) for i in range(6)} | {(6, 6), (7, 6)}
     assert got == want
+
+
+def test_balanced_mixture_sample_is_balanced_and_deterministic(spark, sf_dir):
+    """Every language's kept count must land within binomial noise of the
+    min-language count, and a second run must keep the identical doc set
+    (resumable-pipeline determinism)."""
+    import collections
+    import math
+
+    from etl_master_spark.operators.text import balanced_mixture_sample
+
+    rows = balanced_mixture_sample(spark, sf_dir).collect()
+    kept = collections.Counter(r["lang"] for r in rows)
+    full = collections.Counter(
+        r["lang"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang")
+        .collect()
+    )
+    target = min(full.values())
+    for lang in full:
+        # 5-sigma binomial envelope around the target count
+        assert abs(kept[lang] - target) <= 5 * math.sqrt(target) + 1, (lang, kept)
+    again = {r["doc_id"] for r in balanced_mixture_sample(spark, sf_dir).collect()}
+    assert again == {r["doc_id"] for r in rows}

@@ -237,6 +237,11 @@ register("approx_profiles", analytics.approx_profiles, None)
 # -- streaming twins (batch form oracle-checked) -----------------------------
 register("events_hourly", windows.events_hourly, windows.EVENTS_HOURLY_ORACLE)
 register(
+    "events_hourly_gapfill",
+    windows.events_hourly_gapfill,
+    windows.EVENTS_HOURLY_GAPFILL_ORACLE,
+)
+register(
     # batch twin of dropDuplicatesWithinWatermark delivery dedup
     # (test-verified to repair a doubled stream to exactly these counts)
     "events_dedup",

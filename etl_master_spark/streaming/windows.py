@@ -89,6 +89,73 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- gap-filled hourly series --------------------------------------------------
+
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse→dense time series: the hourly rollup LEFT-joined onto the
+    complete (hour × event_type) grid between the stream's min and max
+    hour, zero-filling silent hours — what every downstream
+    anomaly-detector / charting consumer wants instead of missing rows.
+
+    The grid is generated, not scanned: ``sequence(min_hour, max_hour,
+    1h)`` exploded from a 1-row bounds aggregate, crossed with the
+    |event types| dimension — both sides tiny forever (the grid grows
+    with TIME, not data volume), so the cross join and the broadcast
+    left join cost nothing at any corpus size. One scan of events total."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    return (
+        grid.join(hourly, ["hour", "event_type"], "left")
+        .select(
+            F.unix_timestamp("hour").alias("hour_start"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+EVENTS_HOURLY_GAPFILL_ORACLE = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+    FROM events
+),
+hours AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+grid AS (SELECT hour, event_type FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM events))
+SELECT CAST(epoch(g.hour) AS BIGINT) AS hour_start,
+       g.event_type,
+       COALESCE(h.n_events, 0) AS n_events,
+       COALESCE(h.sum_value, 0.0) AS sum_value
+FROM grid g LEFT JOIN hourly h ON g.hour = h.hour AND g.event_type = h.event_type
+ORDER BY 1, 2
+"""
+
+
 # -- sessionization ----------------------------------------------------------
 
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,8 +11,9 @@ from etl_master_spark.plans.registry import QUERIES
 # intentional small-side cross joins: K-cutoff fanout (eval), broadcast
 # query/hyperplane/centroid sets (ann/lsh/ivf), all-pairs kernels (mmd,
 # cosine dedup), 1-row scalar aggregates joined onto every row (tfidf's
-# corpus doc-count)
+# corpus doc-count), generated dimension grids (gapfill's hour × type)
 BNLJ_OK = {
+    "events_hourly_gapfill",
     "ann_cosine_topk",
     "dedup_embedding_cosine",
     "eval_metrics_test",

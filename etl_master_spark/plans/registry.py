@@ -250,6 +250,11 @@ register(
 )
 register("user_sessions", windows.user_sessions, windows.USER_SESSIONS_ORACLE)
 register(
+    "user_sessions_native",
+    windows.user_sessions_native,
+    windows.USER_SESSIONS_NATIVE_ORACLE,
+)
+register(
     # batch twin of the applyInPandasWithState sessionizer (test-verified
     # to converge to exactly these totals across micro-batches)
     "user_session_totals",

@@ -240,6 +240,72 @@ SESSION_STATE_SCHEMA = "last_ts LONG, n_sessions INT, n_events LONG, total_dur L
 SESSION_OUTPUT_SCHEMA = "user_id LONG, n_sessions INT, n_events LONG, total_dur LONG"
 
 
+def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` operator (the one the streaming
+    form uses): per-(user, session) event count and value sum, session =
+    maximal chain of events with inter-event gap < 30 min.
+
+    Semantics differ from the lag+cumsum spelling at boundaries — native
+    windows are microsecond-exact and a gap of EXACTLY 30:00.000000 starts
+    a new session (next window [ts, ts+30m) doesn't overlap), while the
+    lag spelling compares second-truncated gaps with '>'. The oracle
+    replays the native rule precisely (epoch_us, >=) — engine parity over
+    a rule this sharp is exactly what the gate is for.
+
+    Scale: one shuffle on user_id; window merging is per-key streaming
+    state under ``readStream``, a sort-based merge in batch."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+USER_SESSIONS_NATIVE_ORACLE = f"""
+WITH with_gap AS (
+    SELECT user_id, ts, value,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts
+           ) AS gap_us
+    FROM events
+),
+with_new AS (
+    SELECT user_id, ts, value,
+           CASE WHEN gap_us IS NULL OR gap_us >= {SESSION_GAP_MIN * 60 * 1000000}
+                THEN 1 ELSE 0 END AS is_new
+    FROM with_gap
+),
+with_sess AS (
+    SELECT user_id, ts, value,
+           SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_id
+    FROM with_new
+)
+SELECT user_id,
+       MIN(epoch_us(ts)) AS session_start_us,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM with_sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start_us
+"""
+
+
 def user_session_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stateful sessionizer: per user, total sessions /
     events / in-session seconds. Same lag+cumsum pipeline as

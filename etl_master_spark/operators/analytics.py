@@ -167,6 +167,54 @@ FROM events GROUP BY 1 ORDER BY k_bucket
 """
 
 
+HIST_BINS = 20
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (the profiling primitive):
+    20 bins between the observed min and max, per-bin count + sum. Bin
+    edges come from a 1-row min/max aggregate joined back broadcast; the
+    bin index is a narrow per-row expression, so the histogram costs one
+    scan + one 20-key aggregate at any data size. (Spark's
+    ``histogram_numeric`` sketch is engine-specific; this spelling is
+    exact and portable — both engines floor identical doubles.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bin_ = F.least(
+        F.lit(HIST_BINS - 1),
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS)))
+        ),
+    ).cast("int")
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(bin_.alias("bin"), "o_totalprice")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("bin")
+    )
+
+
+PRICE_HISTOGRAM_ORACLE = f"""
+WITH bounds AS (
+    SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+)
+SELECT CAST(LEAST({HIST_BINS - 1},
+            FLOOR((o_totalprice - lo) / ((hi - lo) / {float(HIST_BINS)}))) AS INT)
+           AS bin,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders CROSS JOIN bounds
+GROUP BY 1 ORDER BY bin
+"""
+
+
 def user_type_value_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAP-column surface end to end: per-user event_type→total maps built
     with ``map_from_entries(sort_array(collect_list(struct...)))``, probed

@@ -55,6 +55,60 @@ def cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def domain_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-domain user-overlap profile — the reference's premise made
+    measurable: the SAME user ids key both domain dicts
+    (``Dataset_CDAE.py:26-33``), and the whole method rests on the 'both'
+    segment. Per segment (x_only / y_only / both): user count, total
+    interactions, mean interactions per user.
+
+    Scale: one shuffle (the per-user conditional aggregation); the segment
+    rollup runs over |users| rows. This is the audit every cross-domain
+    dataset build runs before training — an empty 'both' segment means the
+    join key is broken, not that the model is bad."""
+    r = ratings(spark, sf_dir)
+    per_user = r.groupBy("user_id").agg(
+        F.max(F.when(F.col("domain") == "x", 1).otherwise(0)).alias("has_x"),
+        F.max(F.when(F.col("domain") == "y", 1).otherwise(0)).alias("has_y"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    segment = (
+        F.when((F.col("has_x") == 1) & (F.col("has_y") == 1), F.lit("both"))
+        .when(F.col("has_x") == 1, F.lit("x_only"))
+        .otherwise(F.lit("y_only"))
+    )
+    return (
+        per_user.select(segment.alias("segment"), "n")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n").alias("n_interactions"),
+            F.round(F.avg("n"), 6).alias("avg_per_user"),
+        )
+        .orderBy("segment")
+    )
+
+
+DOMAIN_OVERLAP_ORACLE = f"""
+WITH ratings AS ({RATINGS_SQL}),
+per_user AS (
+    SELECT user_id,
+           MAX(CASE WHEN domain = 'x' THEN 1 ELSE 0 END) AS has_x,
+           MAX(CASE WHEN domain = 'y' THEN 1 ELSE 0 END) AS has_y,
+           COUNT(*) AS n
+    FROM ratings GROUP BY user_id
+)
+SELECT CASE WHEN has_x = 1 AND has_y = 1 THEN 'both'
+            WHEN has_x = 1 THEN 'x_only'
+            ELSE 'y_only' END AS segment,
+       COUNT(*) AS n_users,
+       SUM(n) AS n_interactions,
+       ROUND(AVG(n), 6) AS avg_per_user
+FROM per_user
+GROUP BY 1 ORDER BY segment
+"""
+
+
 CARDINALITIES_ORACLE = f"""
 WITH ratings AS ({RATINGS_SQL})
 SELECT domain,

@@ -39,6 +39,7 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 
 # -- recsplit (E1-E5) --------------------------------------------------------
 register("cardinalities", recsplit.cardinalities, recsplit.CARDINALITIES_ORACLE)
+register("domain_overlap", recsplit.domain_overlap, recsplit.DOMAIN_OVERLAP_ORACLE)
 register("splits_leave_two_out", recsplit.splits, recsplit.SPLITS_ORACLE)
 register("negatives_sample", recsplit.negatives, recsplit.NEGATIVES_ORACLE)
 register(
@@ -209,6 +210,7 @@ register(
 register(
     "value_percentiles", analytics.value_percentiles, analytics.VALUE_PERCENTILES_ORACLE
 )
+register("price_histogram", analytics.price_histogram, analytics.PRICE_HISTOGRAM_ORACLE)
 register(
     "user_item_vectors", analytics.user_item_vectors, analytics.USER_ITEM_VECTORS_ORACLE
 )

@@ -11,9 +11,11 @@ from etl_master_spark.plans.registry import QUERIES
 # intentional small-side cross joins: K-cutoff fanout (eval), broadcast
 # query/hyperplane/centroid sets (ann/lsh/ivf), all-pairs kernels (mmd,
 # cosine dedup), 1-row scalar aggregates joined onto every row (tfidf's
-# corpus doc-count), generated dimension grids (gapfill's hour × type)
+# corpus doc-count), generated dimension grids (gapfill's hour × type),
+# 1-row min/max bounds (histogram bin edges)
 BNLJ_OK = {
     "events_hourly_gapfill",
+    "price_histogram",
     "ann_cosine_topk",
     "dedup_embedding_cosine",
     "eval_metrics_test",

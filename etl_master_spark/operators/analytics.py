@@ -19,7 +19,7 @@ so the engine ships them as first-class, oracle-checked queries:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import PHASH_P, phash_frag
@@ -599,3 +599,210 @@ def approx_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- sequential conversion funnel --------------------------------------------
+
+FUNNEL_WINDOW_US = 12 * 3600 * 1_000_000  # 12h per-stage conversion window
+
+
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel with a 12-hour per-stage window:
+    a click counts only if it follows the user's first view within 12h,
+    a purchase only if it follows that qualifying click within 12h.
+
+    The sequential dependency (stage N's deadline comes from stage N−1's
+    result) is two min-aggregate→join rounds, all keyed on user_id — the
+    natural parallel key — with timestamps held as INTEGER microseconds so
+    both engines compare identically. The four stage counts are 1-row
+    aggregates cross-joined back together (broadcast, free), the same
+    scalar-subquery decorrelation used by small_quantity_part_revenue.
+    Scale: each join is user_id↔user_id (co-partitioned by the shuffle),
+    stage frames only shrink, and nothing ever leaves the executors until
+    the final 1-row assembly."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(
+            (F.col("us") > F.col("t_view"))
+            & (F.col("us") <= F.col("t_view") + F.lit(FUNNEL_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(
+            (F.col("us") > F.col("t_click"))
+            & (F.col("us") <= F.col("t_click") + F.lit(FUNNEL_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    total = ev.agg(F.countDistinct("user_id").alias("users_total"))
+    n_view = views.agg(F.count(F.lit(1)).alias("viewed"))
+    n_click = clicks.agg(F.count(F.lit(1)).alias("clicked"))
+    n_buy = purchases.agg(F.count(F.lit(1)).alias("purchased"))
+    return (
+        total.crossJoin(n_view)
+        .crossJoin(n_click)
+        .crossJoin(n_buy)
+        .select(
+            "users_total",
+            "viewed",
+            "clicked",
+            "purchased",
+            F.round(F.col("viewed") / F.col("users_total"), 6).alias("view_rate"),
+            F.when(
+                F.col("viewed") > 0, F.round(F.col("clicked") / F.col("viewed"), 6)
+            ).alias("click_through"),
+            F.when(
+                F.col("clicked") > 0, F.round(F.col("purchased") / F.col("clicked"), 6)
+            ).alias("purchase_through"),
+        )
+    )
+
+
+CONVERSION_FUNNEL_ORACLE = f"""
+WITH v AS (
+    SELECT user_id, MIN(epoch_us(ts)) AS t_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click'
+      AND epoch_us(e.ts) > v.t_view
+      AND epoch_us(e.ts) <= v.t_view + {FUNNEL_WINDOW_US}
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase'
+      AND epoch_us(e.ts) > c.t_click
+      AND epoch_us(e.ts) <= c.t_click + {FUNNEL_WINDOW_US}
+    GROUP BY e.user_id
+), counts AS (
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS users_total,
+           (SELECT COUNT(*) FROM v) AS viewed,
+           (SELECT COUNT(*) FROM c) AS clicked,
+           (SELECT COUNT(*) FROM p) AS purchased
+)
+SELECT users_total, viewed, clicked, purchased,
+       ROUND(viewed / users_total, 6) AS view_rate,
+       CASE WHEN viewed > 0 THEN ROUND(clicked / viewed, 6) END AS click_through,
+       CASE WHEN clicked > 0 THEN ROUND(purchased / clicked, 6) END AS purchase_through
+FROM counts
+"""
+
+
+# -- weekly retention cohorts ------------------------------------------------
+
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by first-active
+    week, retention = share of the cohort active N weeks later.
+
+    One pass derives (user, activity_week); a min-agg pins each user's
+    cohort; the join back is user_id↔user_id; the final group-by has
+    |weeks|² keys — fixed by the calendar, not data volume. Cohort size
+    is recovered from the offset-0 row via a window (every user is active
+    in their own first week by construction, so offset 0 always exists)
+    instead of a second self-join. Week truncation is Monday-based in
+    both engines; offsets stay exact integers because both sides of the
+    datediff are week-aligned."""
+    wk = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk"))
+        .distinct()
+    )
+    first = wk.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    active = (
+        wk.join(first, "user_id")
+        .groupBy(
+            F.col("cohort").cast("string").alias("cohort_week"),
+            (F.datediff("wk", "cohort") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return active.select(
+        "cohort_week",
+        "week_offset",
+        "active_users",
+        F.first("active_users").over(w).alias("cohort_size"),
+        F.round(F.col("active_users") / F.first("active_users").over(w), 6).alias(
+            "retention"
+        ),
+    )
+
+
+WEEKLY_RETENTION_ORACLE = """
+WITH wk AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+), first AS (
+    SELECT user_id, MIN(wk) AS cohort FROM wk GROUP BY user_id
+), active AS (
+    SELECT CAST(cohort AS VARCHAR) AS cohort_week,
+           CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT wk.user_id) AS active_users
+    FROM wk JOIN first ON wk.user_id = first.user_id
+    GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, active_users,
+       FIRST_VALUE(active_users) OVER w AS cohort_size,
+       ROUND(active_users / FIRST_VALUE(active_users) OVER w, 6) AS retention
+FROM active
+WINDOW w AS (PARTITION BY cohort_week ORDER BY week_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# -- trailing-hour RANGE frame -----------------------------------------------
+
+TRAIL_US = 3600 * 1_000_000  # one hour, integer microseconds
+
+
+def events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour activity via a RANGE window frame — the
+    frame boundary is a VALUE offset (ts − 1h), not a row count, so burst
+    density is measured exactly regardless of event spacing; contrast
+    events_moving_avg's ROWS frame.
+
+    Ordering key is integer microseconds (float seconds would make the
+    frame edge engine-dependent). Partitioned by user_id: frames never
+    cross users, so the sort is per-partition and parallelism survives
+    scale-up; no global sort exists in the plan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-TRAIL_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        F.round(F.sum("value").over(w), 2).alias("value_trailing_hour"),
+    )
+
+
+EVENTS_TRAILING_HOUR_ORACLE = f"""
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_trailing_hour,
+       ROUND(SUM(value) OVER w, 2) AS value_trailing_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {TRAIL_US} PRECEDING AND CURRENT ROW)
+"""

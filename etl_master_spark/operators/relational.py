@@ -611,3 +611,220 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# -- TPC-H Q7 flavor: cross-nation trade volume -------------------------------
+
+def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way star join at fact cardinality: supplier nation × customer
+    nation × ship year revenue matrix, export pairs only (supp ≠ cust).
+
+    Shape mirrors TPC-H Q7 without its two-nation literal filter so every
+    off-diagonal pair is exercised. nation (25 rows) broadcasts twice under
+    distinct aliases; supplier broadcasts; the only real shuffles are
+    lineitem⋈orders on orderkey and the final 25×24×years group-by, whose
+    key space is fixed (independent of data volume) so the agg is pure
+    map-side combine + tiny exchange at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    # price has 2dp, discount 2dp → revenue is an exact 4-dp decimal; sum it
+    # as BIGINT 1e-4 units so the total is order-independent (a raw double
+    # sum rounds differently across engines when a group lands on a .005
+    # boundary — observed once in ~3k groups at sf0.001)
+    revenue_e4 = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(revenue_e4).alias("vol_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        # half-up to cents in INTEGER space — double ROUND() on an exact
+        # .485 boundary differs between engines (HALF_UP on decimalized
+        # double vs nearbyint); integer div is identical everywhere
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "ship_year",
+            (F.expr("(vol_e4 + 50) div 100") / 100.0).alias("volume"),
+            "n_lines",
+        )
+    )
+
+
+NATION_PAIR_TRADE_ORACLE = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate) AS ship_year,
+       ((SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) + 50) // 100) / 100.0 AS volume,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+# -- TPC-H Q10 flavor: returned-item revenue ----------------------------------
+
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers ranked by revenue lost to returns (l_returnflag = 'R').
+    The flag filter reaches the parquet scan (PushedFilters); nation
+    broadcasts; the group-by key is the customer PK so the agg shuffle is
+    as wide as the surviving customers, then a deterministic top-20."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    # BIGINT 1e-4-unit sum — order-independent across engines (see
+    # nation_pair_trade)
+    revenue_e4 = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(revenue_e4).alias("rev_e4"),
+            F.count(F.lit(1)).alias("n_returned_lines"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.expr("(rev_e4 + 50) div 100") / 100.0).alias("lost_revenue"),
+            "n_returned_lines",
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+RETURNED_ITEM_REVENUE_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       ((SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) + 50) // 100) / 100.0 AS lost_revenue,
+       COUNT(*) AS n_returned_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# -- TPC-H Q13 flavor: customer order-count distribution ----------------------
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation over a LEFT join: orders-per-customer
+    (urgent only, so the zero branch is real — every customer has *some*
+    order in this data), then the distribution of those counts.
+
+    ``COUNT(o_orderkey)`` counts non-null keys, so no-match customers
+    land in the c_count = 0 bucket — the semantics TPC-H Q13 pins. First
+    shuffle on c_custkey (high-cardinality, parallel); second group-by
+    has ~tens of distinct counts, collapsing map-side."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# -- TPC-H Q18 flavor: large-volume orders ------------------------------------
+
+LARGE_ORDER_QTY = 200
+
+
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over a fact-side aggregate, then join the survivors outward:
+    orders whose total quantity exceeds a threshold, with their customer.
+
+    Aggregate-before-join — the HAVING collapses lineitem to qualifying
+    orderkeys FIRST, so the orders/customer joins see only survivors
+    (AQE broadcasts that side when it shrinks enough). The reference's
+    best-over-history scan (E12) is the same reduce-then-gather shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > LARGE_ORDER_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+LARGE_VOLUME_ORDERS_ORACLE = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+       ROUND(o_totalprice, 2) AS totalprice,
+       total_qty
+FROM (
+    SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING ROUND(SUM(l_quantity), 2) > {LARGE_ORDER_QTY}
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""

@@ -136,6 +136,24 @@ register(
     relational.nation_trade_balance,
     relational.NATION_TRADE_BALANCE_ORACLE,
 )
+register(
+    "nation_pair_trade", relational.nation_pair_trade, relational.NATION_PAIR_TRADE_ORACLE
+)
+register(
+    "returned_item_revenue",
+    relational.returned_item_revenue,
+    relational.RETURNED_ITEM_REVENUE_ORACLE,
+)
+register(
+    "customer_order_distribution",
+    relational.customer_order_distribution,
+    relational.CUSTOMER_ORDER_DISTRIBUTION_ORACLE,
+)
+register(
+    "large_volume_orders",
+    relational.large_volume_orders,
+    relational.LARGE_VOLUME_ORDERS_ORACLE,
+)
 
 # -- text analysis / dedup (LLM-pipeline extensions) -------------------------
 register("text_stats", text.text_stats, text.TEXT_STATS_ORACLE)
@@ -235,6 +253,15 @@ register(
 # sketch outputs are engine-specific by design: rows-only, tolerance pinned
 # against the exact twins in tests/test_approx.py
 register("approx_profiles", analytics.approx_profiles, None)
+register(
+    "conversion_funnel", analytics.conversion_funnel, analytics.CONVERSION_FUNNEL_ORACLE
+)
+register("weekly_retention", analytics.weekly_retention, analytics.WEEKLY_RETENTION_ORACLE)
+register(
+    "events_trailing_hour",
+    analytics.events_trailing_hour,
+    analytics.EVENTS_TRAILING_HOUR_ORACLE,
+)
 
 # -- streaming twins (batch form oracle-checked) -----------------------------
 register("events_hourly", windows.events_hourly, windows.EVENTS_HOURLY_ORACLE)

@@ -35,11 +35,20 @@ BENCH_QUERIES = [
     "user_event_pivot",
     "small_quantity_part_revenue",
     "event_gaps",
+    "nation_pair_trade",
+    "returned_item_revenue",
+    "customer_order_distribution",
+    "large_volume_orders",
+    "conversion_funnel",
+    "weekly_retention",
+    "events_trailing_hour",
+    "table_profile",
     "revenue_rollup",
     "orders_cube",
     "priority_grouping_sets",
     "events_moving_avg",
     "events_hourly",
+    "events_sliding_6h",
     "user_sessions",
     "user_session_totals",
     "text_stats",
@@ -52,6 +61,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "simhash64",
     "ann_cosine_topk",
+    "kmeans_embeddings",
     "dedup_embedding_cosine_lsh_p99",
     "lsh_buckets",
     "ann_ivf_topk",

@@ -806,3 +806,164 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN {TRAIL_US} PRECEDING AND CURRENT ROW)
 """
+
+
+# -- table profiling / data-quality audit ------------------------------------
+
+PROFILE_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+]
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-profiling audit of lineitem's numeric columns — row count,
+    null count, exact distinct cardinality, min/max/mean per column. The
+    pre-flight check every ingest pipeline runs before trusting a table.
+
+    ONE aggregation pass: all per-column stats in a single agg row
+    (multiple COUNT(DISTINCT) → Catalyst's expand, a deliberate trade:
+    one scan, |cols|× expanded agg input), then explode to long form.
+    At 100 TB the expand dominates — swap COUNT DISTINCT for
+    approx_count_distinct (the approx_profiles query is that twin) and
+    the pass stays single-scan. Mean rounds at 4dp (values here are
+    ≤1e6, so the comparison grid stays far above double noise)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(F.col(c).cast("double")).alias("min_val"),
+            F.max(F.col(c).cast("double")).alias("max_val"),
+            F.round(F.avg(F.col(c).cast("double")), 4).alias("mean_val"),
+        ).alias(c)
+        for c in PROFILE_COLS
+    ]
+    return (
+        li.agg(F.array(*per_col).alias("stats"))
+        .select(F.explode("stats").alias("s"))
+        .select("s.*")
+        .orderBy("col_name")
+    )
+
+
+TABLE_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c}' AS col_name,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       MIN(CAST({c} AS DOUBLE)) AS min_val,
+       MAX(CAST({c} AS DOUBLE)) AS max_val,
+       ROUND(AVG(CAST({c} AS DOUBLE)), 4) AS mean_val
+FROM lineitem
+""".strip()
+    for c in PROFILE_COLS
+)
+
+
+# -- time-hierarchy rollup (hypertable-style continuous aggregate) ------------
+
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: event counts/value sums at
+    (day, hour-of-day) grain with ROLLUP subtotals — per-day rows, plus
+    the all-time grand total. The batch spelling of a continuous
+    aggregate hierarchy: the finest grain is what a streaming hourly
+    rollup materializes; coarser grains fold out of it.
+
+    One scan; the grouping lattice multiplies agg input ×3 but the key
+    space is calendar-sized. Sentinel −1 marks subtotal levels (both
+    engines agree on the grouping-set NULL, coalesced identically)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.hour("ts").alias("hour_of_day"),
+            "value",
+        )
+        .rollup("day", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+            F.coalesce("hour_of_day", F.lit(-1)).alias("hour_of_day"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("day", "hour_of_day")
+    )
+
+
+EVENTS_TIME_ROLLUP_ORACLE = """
+SELECT COALESCE(CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR), 'ALL') AS day,
+       COALESCE(EXTRACT(hour FROM ts), -1) AS hour_of_day,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS DATE), EXTRACT(hour FROM ts))
+ORDER BY day, hour_of_day
+"""
+
+
+# -- ratio-to-report window (market share) ------------------------------------
+
+def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-share query (TPC-H Q8's ratio shape): each supplier
+    nation's share of every part brand's revenue, via a windowed
+    ratio-to-report — SUM OVER (PARTITION BY brand) — on top of a
+    grouped aggregate.
+
+    The agg collapses lineitem to |brands|×|nations| rows FIRST, so the
+    window sees dimension-sized input; revenue sums ride BIGINT 1e-4
+    units end-to-end and the share divides the two exact integers, so
+    both engines divide identical values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue_e4 = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    w = Window.partitionBy("p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("p_brand", F.col("n_name").alias("supp_nation"))
+        .agg(F.sum(revenue_e4).alias("rev_e4"))
+        .select(
+            "p_brand",
+            "supp_nation",
+            (F.expr("(rev_e4 + 50) div 100") / 100.0).alias("revenue"),
+            F.round(F.col("rev_e4") / F.sum("rev_e4").over(w), 6).alias("brand_share"),
+        )
+        .orderBy("p_brand", "supp_nation")
+    )
+
+
+BRAND_REVENUE_SHARE_ORACLE = """
+WITH agg AS (
+    SELECT p_brand, n_name AS supp_nation,
+           SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS rev_e4
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+)
+SELECT p_brand, supp_nation,
+       ((rev_e4 + 50) // 100) / 100.0 AS revenue,
+       ROUND(rev_e4 / SUM(rev_e4) OVER (PARTITION BY p_brand), 6) AS brand_share
+FROM agg
+ORDER BY p_brand, supp_nation
+"""

@@ -802,3 +802,166 @@ def mmd_rbf_fast(
     return spark.createDataFrame(
         [(label_a, label_b, round(mmd2, 6))], "label_a int, label_b int, mmd2 double"
     )
+
+
+# -- distributed k-means (Lloyd refinement of the IVF coarse quantizer) ------
+
+KM_ITERS = 3
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus: refine the
+    same ``IVF_CELLS`` phash-plane centroids ``ann_ivf_topk`` quantizes
+    with, for ``KM_ITERS`` assignment/update rounds. The deterministic
+    init is what makes the whole trajectory oracle-replayable — no
+    kmeans|| randomness to reproduce.
+
+    Per round: assignment is ROW-LOCAL (argmin of k squared distances,
+    centroids embedded as plan literals — struct-min tie-breaks to the
+    lowest cluster id); the update is one posexplode + (cluster, dim)
+    avg — a shuffle of n·dim skinny rows that AQE coalesces, the same
+    map-side-combine shape Spark ML's own KMeans aggregator uses. The
+    k×dim result is collected to the driver (tiny, by construction) and
+    re-embedded as literals for the next round, so rounds never grow the
+    lineage over the corpus — each assignment reads the cached embeddings
+    exactly once.
+
+    Output: per-cluster size + inertia (sum of squared distance to the
+    final centroids) — the convergence surface a corpus-clustering job
+    monitors. Empty clusters keep their previous centroid (guarded
+    identically in the oracle via COALESCE).
+    """
+    dim = 64
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    emb = emb.cache()
+
+    def dist2(cent_col):
+        diff = F.zip_with(
+            F.col("embedding"),
+            cent_col,
+            lambda x, c: x.cast("double") - c.cast("double"),
+        )
+        return F.aggregate(
+            F.transform(diff, lambda d: d * d), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    def assign(cent_cols):
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        dist2(cv).alias("d2"), F.lit(c).cast("int").alias("cluster")
+                    )
+                    for c, cv in enumerate(cent_cols)
+                ]
+            )
+        )
+        return emb.select(
+            "vec_id",
+            "embedding",
+            best["cluster"].alias("cluster"),
+            best["d2"].alias("d2"),
+        )
+
+    cents: list = [_phash_plane(c, dim, IVF_SEED) for c in range(IVF_CELLS)]
+    prev_vals: dict[int, list[float]] | None = None
+    for _ in range(KM_ITERS - 1):
+        assigned = assign(cents)
+        rows = (
+            assigned.select("cluster", F.posexplode("embedding").alias("i", "v"))
+            .groupBy("cluster", "i")
+            .agg(F.avg(F.col("v").cast("double")).alias("w"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("i", "w"))), lambda s: s["w"]
+                ).alias("c")
+            )
+            .collect()
+        )
+        new_vals = {r["cluster"]: list(r["c"]) for r in rows}
+        if prev_vals is None:
+            prev_vals = {}
+        merged = {
+            c: new_vals.get(c, prev_vals.get(c)) for c in range(IVF_CELLS)
+        }
+        cents = [
+            F.array(*[F.lit(float(w)) for w in merged[c]])
+            if merged[c] is not None
+            else _phash_plane(c, dim, IVF_SEED)
+            for c in range(IVF_CELLS)
+        ]
+        prev_vals = merged
+    return (
+        assign(cents)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.round(F.sum("d2"), 3).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def kmeans_oracle() -> str:
+    """Unrolled-CTE replay of the full Lloyd trajectory: cent0 from the
+    phash planes, then KM_ITERS−1 (assign → per-dim avg → COALESCE empty)
+    rounds, final assignment aggregated to (cluster, size, inertia)."""
+    dim = 64
+    cent0 = f"""
+cent0 AS (
+    SELECT c.cell AS cluster, list(p.w ORDER BY p.i) AS c
+    FROM (SELECT unnest(range(0, {IVF_CELLS})) AS cell) c,
+         LATERAL (
+             SELECT i.i,
+                    CAST({phash_frag('c.cell', 'i.i', seed=IVF_SEED)} AS DOUBLE)
+                        / CAST({PHASH_P} AS DOUBLE) - 0.5 AS w
+             FROM (SELECT unnest(range(0, {dim})) AS i) i
+         ) p
+    GROUP BY c.cell
+)"""
+    parts = [cent0.strip()]
+    for t in range(KM_ITERS):
+        assign = f"""
+a{t} AS (
+    SELECT vec_id, e, cluster, d2 FROM (
+        SELECT x.vec_id, x.e, c.cluster,
+               list_dot_product(x.e, x.e)
+                 - 2 * list_dot_product(x.e, c.c)
+                 + list_dot_product(c.c, c.c) AS d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY x.vec_id
+                   ORDER BY list_dot_product(x.e, x.e)
+                              - 2 * list_dot_product(x.e, c.c)
+                              + list_dot_product(c.c, c.c) ASC,
+                            c.cluster ASC
+               ) AS rn
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) x
+        CROSS JOIN cent{t} c
+    ) WHERE rn = 1
+)"""
+        parts.append(assign.strip())
+        if t < KM_ITERS - 1:
+            update = f"""
+cent{t + 1} AS (
+    SELECT p.cluster, COALESCE(n.c, p.c) AS c
+    FROM cent{t} p LEFT JOIN (
+        SELECT cluster, list(w ORDER BY i) AS c FROM (
+            SELECT a.cluster, i.i, AVG(a.e[i.i + 1]) AS w
+            FROM a{t} a, (SELECT unnest(range(0, {dim})) AS i) i
+            GROUP BY a.cluster, i.i
+        ) GROUP BY cluster
+    ) n ON p.cluster = n.cluster
+)"""
+            parts.append(update.strip())
+    last = KM_ITERS - 1
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT cluster, COUNT(*) AS size, ROUND(SUM(d2), 3) AS inertia
+FROM a{last}
+GROUP BY cluster
+ORDER BY cluster
+"""
+    )

@@ -185,6 +185,7 @@ register("embedding_norms", vectors.embedding_norms, vectors.EMBEDDING_NORMS_ORA
 register("ann_cosine_topk", vectors.ann_cosine_topk, vectors.ANN_COSINE_TOPK_ORACLE)
 register("lsh_buckets", vectors.lsh_buckets, vectors.LSH_BUCKETS_ORACLE)
 register("ann_ivf_topk", vectors.ann_ivf_topk, vectors.ann_ivf_oracle())
+register("kmeans_embeddings", vectors.kmeans_embeddings, vectors.kmeans_oracle())
 register("mmd_rbf", vectors.mmd_rbf, vectors.mmd_rbf_oracle())
 register("mmd_rbf_multiscale", vectors.mmd_rbf_multiscale, vectors.mmd_rbf_multiscale_oracle())
 register("mmd_rbf_fast", vectors.mmd_rbf_fast, None)  # BLAS path: rows-only
@@ -262,9 +263,21 @@ register(
     analytics.events_trailing_hour,
     analytics.EVENTS_TRAILING_HOUR_ORACLE,
 )
+register("table_profile", analytics.table_profile, analytics.TABLE_PROFILE_ORACLE)
+register(
+    "events_time_rollup", analytics.events_time_rollup, analytics.EVENTS_TIME_ROLLUP_ORACLE
+)
+register(
+    "brand_revenue_share",
+    analytics.brand_revenue_share,
+    analytics.BRAND_REVENUE_SHARE_ORACLE,
+)
 
 # -- streaming twins (batch form oracle-checked) -----------------------------
 register("events_hourly", windows.events_hourly, windows.EVENTS_HOURLY_ORACLE)
+register(
+    "events_sliding_6h", windows.events_sliding_6h, windows.EVENTS_SLIDING_6H_ORACLE
+)
 register(
     "events_hourly_gapfill",
     windows.events_hourly_gapfill,

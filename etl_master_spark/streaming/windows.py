@@ -547,3 +547,76 @@ def stream_hourly_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# -- sliding (overlapping) window aggregation ---------------------------------
+
+def events_sliding_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 6-hour / 1-hour-slide windowed counts per event type — the
+    overlapping-window shape (`F.window(ts, "6 hours", "1 hour")`) every
+    rate-limiter / rolling-KPI streaming job uses; each event lands in 6
+    windows. Window starts are epoch-aligned (Spark's slide grid), so the
+    oracle replays membership with a generate_series over the 6 grid
+    starts covering each event.
+
+    Scale: the 6× row expansion happens INSIDE the aggregation (Spark
+    expands then map-side combines before the shuffle); the shuffled key
+    space is |windows|×|types| — calendar-sized, not data-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_SLIDING_6H_ORACLE = """
+SELECT w.window_start, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events,
+     LATERAL (
+         SELECT unnest(generate_series(
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 5 * 3600,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT),
+             3600
+         )) AS window_start
+     ) w
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def events_sliding_6h_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_sliding_6h``: same overlapping-window
+    aggregation incrementally maintained with a 2-hour watermark — each
+    event updates 6 window states; expired windows age out of the state
+    store once the watermark passes their end."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = spark.readStream.schema(batch_schema).parquet(f"{sf_dir}")
+    ev = ev.withColumn(
+        "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+    )
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "6 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

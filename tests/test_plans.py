@@ -12,8 +12,10 @@ from etl_master_spark.plans.registry import QUERIES
 # query/hyperplane/centroid sets (ann/lsh/ivf), all-pairs kernels (mmd,
 # cosine dedup), 1-row scalar aggregates joined onto every row (tfidf's
 # corpus doc-count), generated dimension grids (gapfill's hour × type),
-# 1-row min/max bounds (histogram bin edges)
+# 1-row min/max bounds (histogram bin edges), 1-row funnel-stage counts
+# cross-joined into the single summary row (conversion_funnel)
 BNLJ_OK = {
+    "conversion_funnel",
     "events_hourly_gapfill",
     "price_histogram",
     "ann_cosine_topk",

@@ -188,3 +188,32 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert want  # fixture sanity: the window actually matches pairs
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The overlapping-window streaming agg must converge to the batch
+    sliding rollup (every event lands in 6 window states)."""
+    from etl_master_spark.streaming.windows import (
+        events_sliding_6h,
+        events_sliding_6h_stream,
+    )
+
+    stream = events_sliding_6h_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("events_sliding_stream_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM events_sliding_stream_test").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in events_sliding_6h(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "events_moving_avg",
     "events_hourly",
     "events_sliding_6h",
+    "events_hourly_anomalies",
+    "shipping_delay_stats",
     "user_sessions",
     "user_session_totals",
     "text_stats",

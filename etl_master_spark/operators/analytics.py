@@ -967,3 +967,105 @@ SELECT p_brand, supp_nation,
 FROM agg
 ORDER BY p_brand, supp_nation
 """
+
+
+# -- anomaly detection: hourly z-scores ---------------------------------------
+
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: each (event_type, hour) bucket scored as
+    a z-score against that type's own hourly distribution, flagged at
+    |z| > 2 — the monitoring query a pipeline runs over its own event
+    stream.
+
+    Two-level reduce: hourly rollup (calendar-sized key space), then a
+    per-type mean/stddev over the rollup (|types| rows) broadcast back
+    onto it. Nothing touches raw-event cardinality twice, and the join is
+    dimension-sized at any corpus scale. stddev is the sample estimator in
+    both engines; z rounds at 4dp (counts are ≤1e4 here, grid far above
+    double noise)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    dist = hourly.groupBy(F.col("event_type").alias("et")).agg(
+        F.avg("n_events").alias("mean_n"), F.stddev_samp("n_events").alias("std_n")
+    )
+    z = (F.col("n_events") - F.col("mean_n")) / F.col("std_n")
+    return (
+        hourly.join(F.broadcast(dist), hourly.event_type == dist.et)
+        .select(
+            "hour_start",
+            "event_type",
+            "n_events",
+            F.round(z, 4).alias("zscore"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+EVENTS_HOURLY_ANOMALIES_ORACLE = """
+WITH hourly AS (
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+           event_type, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+), dist AS (
+    SELECT event_type AS et, AVG(n_events) AS mean_n, stddev_samp(n_events) AS std_n
+    FROM hourly GROUP BY 1
+)
+SELECT hour_start, hourly.event_type, n_events,
+       ROUND((n_events - mean_n) / std_n, 4) AS zscore,
+       ABS((n_events - mean_n) / std_n) > 2.0 AS is_anomaly
+FROM hourly JOIN dist ON hourly.event_type = dist.et
+ORDER BY hour_start, event_type
+"""
+
+
+# -- shipping delay distribution ----------------------------------------------
+
+def shipping_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: exact
+    interpolated delay percentiles (p50/p90/p99) + mean over the
+    lineitem⋈orders join, delays in whole days (datediff — integer, so
+    percentile interpolation is over exact values in both engines).
+
+    The join shuffles on orderkey; the percentile agg is the expensive
+    part (per-group sort) — at 100 TB swap ``approx_percentile`` exactly
+    as value_percentiles documents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_orderpriority", delay.alias("delay_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg("delay_days"), 4).alias("mean_delay"),
+            F.round(F.expr("percentile(delay_days, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(delay_days, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(delay_days, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SHIPPING_DELAY_STATS_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       ROUND(AVG(delay_days), 4) AS mean_delay,
+       ROUND(quantile_cont(delay_days, 0.5), 4) AS p50,
+       ROUND(quantile_cont(delay_days, 0.9), 4) AS p90,
+       ROUND(quantile_cont(delay_days, 0.99), 4) AS p99
+FROM (
+    SELECT o_orderpriority,
+           date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS delay_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

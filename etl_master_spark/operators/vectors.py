@@ -867,19 +867,20 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_vals: dict[int, list[float]] | None = None
     for _ in range(KM_ITERS - 1):
         assigned = assign(cents)
+        # update = dim per-component avgs per cluster in ONE agg — k keys
+        # × dim columns, pure map-side combine (the posexplode spelling
+        # shuffles n·dim skinny rows instead; never explode before reduce)
         rows = (
-            assigned.select("cluster", F.posexplode("embedding").alias("i", "v"))
-            .groupBy("cluster", "i")
-            .agg(F.avg(F.col("v").cast("double")).alias("w"))
-            .groupBy("cluster")
+            assigned.groupBy("cluster")
             .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("i", "w"))), lambda s: s["w"]
-                ).alias("c")
+                *[
+                    F.avg(F.col("embedding")[i].cast("double")).alias(f"w{i}")
+                    for i in range(dim)
+                ]
             )
             .collect()
         )
-        new_vals = {r["cluster"]: list(r["c"]) for r in rows}
+        new_vals = {r["cluster"]: [r[f"w{i}"] for i in range(dim)] for r in rows}
         if prev_vals is None:
             prev_vals = {}
         merged = {

@@ -272,6 +272,16 @@ register(
     analytics.brand_revenue_share,
     analytics.BRAND_REVENUE_SHARE_ORACLE,
 )
+register(
+    "events_hourly_anomalies",
+    analytics.events_hourly_anomalies,
+    analytics.EVENTS_HOURLY_ANOMALIES_ORACLE,
+)
+register(
+    "shipping_delay_stats",
+    analytics.shipping_delay_stats,
+    analytics.SHIPPING_DELAY_STATS_ORACLE,
+)
 
 # -- streaming twins (batch form oracle-checked) -----------------------------
 register("events_hourly", windows.events_hourly, windows.EVENTS_HOURLY_ORACLE)

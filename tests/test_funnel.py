@@ -1,0 +1,46 @@
+"""Hand-computed funnel semantics: the sequential constraint and the 12h
+per-stage window must actually bind (parity alone can't show WHY a user
+dropped out of a stage)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from etl_master_spark.operators.analytics import conversion_funnel
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        [
+            (i, ts, uid, et, 1.0, "{}")
+            for i, (ts, uid, et) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_funnel_sequential_and_window(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: full funnel inside the windows
+        (t0, 1, "view"), (t0 + h, 1, "click"), (t0 + 2 * h, 1, "purchase"),
+        # user 2: click BEFORE first view -> not a conversion; no later click
+        (t0, 2, "click"), (t0 + h, 2, "view"), (t0 + 2 * h, 2, "purchase"),
+        # user 3: click after view but outside the 12h window
+        (t0, 3, "view"), (t0 + dt.timedelta(hours=13), 3, "click"),
+        # user 4: view+click ok, purchase 13h after the click -> missed
+        (t0, 4, "view"), (t0 + h, 4, "click"),
+        (t0 + h + dt.timedelta(hours=13), 4, "purchase"),
+        # user 5: never views
+        (t0, 5, "signup"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    out = conversion_funnel(spark, str(tmp_path)).collect()[0]
+    assert out["users_total"] == 5
+    assert out["viewed"] == 4          # users 1-4
+    assert out["clicked"] == 2         # users 1, 4 (2: wrong order; 3: late)
+    assert out["purchased"] == 1       # user 1 only (4: late)
+    assert abs(out["click_through"] - 0.5) < 1e-9
+    assert abs(out["purchase_through"] - 0.5) < 1e-9

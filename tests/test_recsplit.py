@@ -128,3 +128,33 @@ def test_sample_reject_negatives_contract(spark, sf_dir):
     assert again == sorted(
         (x["user_id"], x["domain"], x["rank"], x["item_id"]) for x in got
     )
+
+
+# -- golden files (SURVEY.md §5.4) -------------------------------------------
+# The reference caches its split/negative pickles and silently trusts them
+# forever (Dataset_CDAE.py:92-143); the engine's twin discipline is a frozen
+# content hash — any change to the seeded-hash shuffle, the leave-two-out
+# rule, or the 99-negative draw breaks these constants loudly.
+
+GOLDEN = {
+    "splits_leave_two_out": (
+        860,
+        "266e39a699af6fe7454739f7d460a4c47bba74a3e980f33dacb969de2c5d0afd",
+    ),
+    "negatives_sample": (
+        2110,
+        "747be9af47d734b44b39ae4c2ba0b274e8b3971e1c94ef77fe86ddedac113e78",
+    ),
+}
+
+
+def test_recsplit_golden_hashes(spark, sf_dir):
+    import hashlib
+
+    from etl_master_spark.plans.registry import QUERIES
+
+    for name, (n_rows, digest) in GOLDEN.items():
+        rows = QUERIES[name](spark, sf_dir).collect()
+        canon = sorted(tuple(str(v) for v in r) for r in rows)
+        h = hashlib.sha256("\n".join(",".join(t) for t in canon).encode()).hexdigest()
+        assert (len(rows), h) == (n_rows, digest), name

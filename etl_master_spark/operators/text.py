@@ -830,20 +830,31 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational. tf = count/doc_len, idf = ln(N/df); the rank is over the
     ROUNDED score with a term tie-break so both engines rank identically.
 
-    Scale: one explode, one shuffle per aggregate (both map-side
-    combined), then a join keyed on the term — the df side is
-    |vocabulary| rows, which AQE broadcasts while it fits. The doc-count
-    N is a scalar literal-ish aggregate both engines fold cheaply."""
+    Scale: ONE explode pass. Everything else derives from the (doc, term)
+    aggregate — doc length is a windowed SUM over it (not a third scan),
+    doc frequency is a plain count over its rows (they are distinct
+    (doc, term) pairs by construction) — so the plan is 1 scan +
+    3 exchanges, and the doc-length window leaves the frame partitioned
+    by doc_id, exactly what the final rank window needs: Catalyst chains
+    the two window operators with NO exchange between them. The df side
+    is |vocabulary| rows, which AQE broadcasts while it fits; the
+    doc-count N is a scalar aggregate both engines fold cheaply."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
+    # tf feeds BOTH the per-doc window and the df aggregate — each branch
+    # re-derives it (exchange reuse does not fire across the diverging
+    # re-aggregations), but both derivations are map-side-combined scans;
+    # measured locally, a .cache() here costs more than the second scan
+    # saves. At 100 TB, persist tf to parquet first (materialize-the-
+    # index) rather than relying on executor cache.
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    wd = Window.partitionBy("doc_id")
     scored = (
-        tf.join(doclen, "doc_id")
+        tf.withColumn("dl", F.sum("c").over(wd))
         .join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(

@@ -92,3 +92,43 @@ def write_partitioned(
     """Hive-layout partitioned parquet: directory-level pruning turns a
     partition-key predicate into 'do not even list those files'."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 512,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the table-maintenance job every long-lived
+    100 TB dataset needs: streaming/batch appenders leave thousands of
+    KB-scale files whose per-file open/footer cost eventually dominates
+    scans. Rewrites ``src_path`` into ``ceil(bytes / target_mb)`` files at
+    ``dst_path`` and returns the output file count.
+
+    Sizing reads the source's actual on-disk bytes (file-status listing —
+    no data scan) rather than guessing from row counts. ``coalesce`` (not
+    ``repartition``) merges map-side — compaction itself shuffles nothing.
+    With ``sort_within_by``, rows are additionally sorted inside each
+    output file (one local sort, still no exchange) so min/max row-group
+    stats become selective — the poor man's Z-order for later pushdown.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(p).getLength()
+    n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path).coalesce(n_files)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    df.write.mode("overwrite").parquet(dst_path)
+    out = jvm.org.apache.hadoop.fs.Path(dst_path)
+    return sum(
+        1
+        for f in fs.listStatus(out)
+        if f.getPath().getName().endswith(".parquet")
+    )

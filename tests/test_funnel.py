@@ -44,3 +44,34 @@ def test_funnel_sequential_and_window(spark, tmp_path):
     assert out["purchased"] == 1       # user 1 only (4: late)
     assert abs(out["click_through"] - 0.5) < 1e-9
     assert abs(out["purchase_through"] - 0.5) < 1e-9
+
+
+def test_weekly_retention_triangle(spark, tmp_path):
+    """Hand-computed cohort triangle: 2024-01-01 is a Monday, so weeks are
+    exactly w0=01-01, w1=01-08, w2=01-15."""
+    from etl_master_spark.operators.analytics import weekly_retention
+
+    t = dt.datetime
+    rows = [
+        # u1: cohort w0, active w0 and w2 (skips w1)
+        (t(2024, 1, 2, 10), 1, "view"), (t(2024, 1, 16, 9), 1, "click"),
+        # u2: cohort w0 only
+        (t(2024, 1, 3, 8), 2, "view"),
+        # u3: cohort w1, active w1 + w2
+        (t(2024, 1, 8, 0), 3, "purchase"), (t(2024, 1, 19, 5), 3, "view"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    got = {
+        (r["cohort_week"], r["week_offset"]): (
+            r["active_users"],
+            r["cohort_size"],
+            r["retention"],
+        )
+        for r in weekly_retention(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 2, 1.0),
+        ("2024-01-01", 2): (1, 2, 0.5),
+        ("2024-01-08", 0): (1, 1, 1.0),
+        ("2024-01-08", 1): (1, 1, 1.0),
+    }

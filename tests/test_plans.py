@@ -35,3 +35,26 @@ def test_no_accidental_cross_joins(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, name
     if name not in BNLJ_OK:
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+# filters that MUST reach the parquet scan (SCALE.md: "push down and
+# prune" — a regression here silently turns a pruned scan into a full one)
+PUSHDOWN = {
+    "pricing_summary": "l_shipdate",
+    "shipping_priority": "c_mktsegment",
+    "returned_item_revenue": "l_returnflag",
+    "customer_order_distribution": "o_orderpriority",
+    "customers_without_urgent_orders": "o_orderpriority",
+    "user_set_ops": "event_type",
+    "conversion_funnel": "event_type",
+    "dedup_embedding_cosine": "vec_id",
+}
+
+
+@pytest.mark.parametrize("name", sorted(PUSHDOWN))
+def test_filter_pushdown(spark, sf_dir, name):
+    import re
+
+    col = PUSHDOWN[name]
+    plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert re.search(rf"PushedFilters: \[[^\]]*{col}", plan), (name, col)

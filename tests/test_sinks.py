@@ -41,3 +41,28 @@ def test_append_metrics(spark, tmp_path):
     append_metrics(m, path)
     append_metrics(m, path)
     assert spark.read.parquet(path).count() == 6
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    """Compaction must preserve content exactly, hit the file-count target,
+    and honor the within-file sort."""
+    from etl_master_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(64).write.parquet(src)  # simulate appender fragmentation
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_mb=512, sort_within_by=["ts"])
+    files = glob.glob(f"{dst}/*.parquet")
+    assert len(files) == n == 1  # sf0.001 events ≪ 512 MB
+
+    back = spark.read.parquet(dst)
+    assert back.count() == ev.count()
+    assert back.select("event_id").subtract(ev.select("event_id")).count() == 0
+    # per-file sort: ts non-decreasing inside the single output file
+    ts = [r["t"] for r in back.selectExpr("CAST(ts AS LONG) AS t").collect()]
+    assert ts == sorted(ts)

@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "events_sliding_6h",
     "events_hourly_anomalies",
     "shipping_delay_stats",
+    "nation_pagerank",
+    "event_transitions",
     "user_sessions",
     "user_session_totals",
     "text_stats",

@@ -1069,3 +1069,171 @@ FROM (
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+# -- iterative graph analytics: PageRank on the trade graph -------------------
+
+PR_ITERS = 5
+PR_DAMP = 0.85
+
+
+def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the weighted nation-to-nation trade graph (edges =
+    supplier-nation → customer-nation line revenue, the nation_pair_trade
+    matrix without the year split). The second iterative operator family
+    next to dedup_clusters' connected components: rank mass flows along
+    out-edge weight shares for ``PR_ITERS`` damped rounds.
+
+    Scale shape: the ONLY fact-scale stage is the edge aggregation (one
+    shuffle, map-side combined); the graph itself is dimension-sized
+    (≤25² edges), so every iteration is a broadcast-sized join-agg —
+    at 100 TB the iterations cost nothing and the edge build is one
+    pricing_summary-class pass. Revenue weights ride BIGINT 1e-4 units;
+    dangling nations (no out-edges) are impossible here by construction
+    (every nation ships somewhere at these scales), asserted by the
+    left-join null-fill being exercised in tests at sf0.001.
+
+    The unrolled-CTE oracle replays the identical trajectory, like
+    kmeans_embeddings.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue_e4 = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("src")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(revenue_e4).alias("w"))
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # edge share of its source's out-weight: the transition matrix row
+    trans = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
+    )
+    nodes = nation.select(F.col("n_name").alias("node"))
+    n_nodes = nodes.count()  # 25 — dimension-sized by schema
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(PR_ITERS):
+        inflow = (
+            trans.join(ranks, trans.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
+        )
+        ranks = nodes.join(inflow, nodes.node == inflow.dst, "left").select(
+            "node",
+            (
+                F.lit((1.0 - PR_DAMP) / n_nodes)
+                + F.lit(PR_DAMP) * F.coalesce("inflow", F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.round("rank", 8).alias("rank")).orderBy("node")
+
+
+def nation_pagerank_oracle() -> str:
+    base = """
+edges AS (
+    SELECT sn.n_name AS src, cn.n_name AS dst,
+           SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS w
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY 1, 2
+),
+trans AS (
+    SELECT src, dst, w * 1.0 / SUM(w) OVER (PARTITION BY src) AS p FROM edges
+),
+nodes AS (SELECT n_name AS node FROM nation),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)
+""".strip()
+    parts = [base]
+    for t in range(PR_ITERS):
+        parts.append(
+            f"""
+r{t + 1} AS (
+    SELECT nodes.node,
+           (1.0 - {PR_DAMP}) / nn.n
+             + {PR_DAMP} * COALESCE(i.inflow, 0.0) AS rank
+    FROM nodes CROSS JOIN nn
+    LEFT JOIN (
+        SELECT trans.dst, SUM(trans.p * r{t}.rank) AS inflow
+        FROM trans JOIN r{t} ON trans.src = r{t}.node
+        GROUP BY trans.dst
+    ) i ON nodes.node = i.dst
+)""".strip()
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node, ROUND(rank, 8) AS rank FROM r{PR_ITERS} ORDER BY node
+"""
+    )
+
+
+# -- sequence analytics: event-type transition matrix -------------------------
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next_type | type) with counts — the sequence-mining primitive under
+    next-action prediction and session modeling.
+
+    One window pass (lag over the per-user timeline — same
+    (user_id, ts, event_id) spec as event_gaps, so ordering is
+    deterministic under concurrent events), then a |types|²-key aggregate
+    and a ratio-to-report window over it. Only the lag stage sees event
+    cardinality; the probability normalization runs on ≤25 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    wp = Window.partitionBy("prev_type")
+    return (
+        pairs.groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+EVENT_TRANSITIONS_ORACLE = """
+WITH pairs AS (
+    SELECT LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ) AS prev_type,
+           event_type AS next_type
+    FROM events
+)
+SELECT prev_type, next_type, COUNT(*) AS n,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6) AS p
+FROM pairs
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+"""

@@ -282,6 +282,10 @@ register(
     analytics.shipping_delay_stats,
     analytics.SHIPPING_DELAY_STATS_ORACLE,
 )
+register("nation_pagerank", analytics.nation_pagerank, analytics.nation_pagerank_oracle())
+register(
+    "event_transitions", analytics.event_transitions, analytics.EVENT_TRANSITIONS_ORACLE
+)
 
 # -- streaming twins (batch form oracle-checked) -----------------------------
 register("events_hourly", windows.events_hourly, windows.EVENTS_HOURLY_ORACLE)

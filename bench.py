@@ -39,6 +39,13 @@ BENCH_QUERIES = [
     "returned_item_revenue",
     "customer_order_distribution",
     "large_volume_orders",
+    "min_cost_supplier",
+    "late_order_priority",
+    "nation_year_profit",
+    "important_part_values",
+    "quarterly_top_supplier",
+    "disjunctive_bracket_revenue",
+    "sole_late_suppliers",
     "conversion_funnel",
     "weekly_retention",
     "events_trailing_hour",
@@ -90,12 +97,19 @@ def main() -> None:
             QUERIES[name](spark, warm_dir).count()
         spark.catalog.clearCache()
 
+    # two interleaved timed passes, keep the per-query minimum: the host's
+    # vCPUs are shared and a noisy-neighbor window can inflate a single
+    # measurement 5-30x; interleaving means a slow window hits different
+    # queries in each pass, and min() recovers the engine's real cost
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            elapsed = round(time.time() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

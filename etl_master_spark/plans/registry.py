@@ -21,6 +21,7 @@ from ..operators import (
     relational,
     stats,
     text,
+    tpch,
     vectors,
 )
 from ..streaming import windows
@@ -153,6 +154,54 @@ register(
     "large_volume_orders",
     relational.large_volume_orders,
     relational.LARGE_VOLUME_ORDERS_ORACLE,
+)
+
+# -- TPC-H remainder sweep (Q2/Q4/Q6/Q9/Q11/Q12/Q14/Q15/Q16/Q19/Q20/Q21/Q22
+#    shapes adapted to the reduced schema; see operators/tpch.py) ------------
+register("min_cost_supplier", tpch.min_cost_supplier, tpch.MIN_COST_SUPPLIER_ORACLE)
+register(
+    "late_order_priority", tpch.late_order_priority, tpch.LATE_ORDER_PRIORITY_ORACLE
+)
+register(
+    "forecast_revenue_delta",
+    tpch.forecast_revenue_delta,
+    tpch.FORECAST_REVENUE_DELTA_ORACLE,
+)
+register("nation_year_profit", tpch.nation_year_profit, tpch.NATION_YEAR_PROFIT_ORACLE)
+register(
+    "important_part_values",
+    tpch.important_part_values,
+    tpch.IMPORTANT_PART_VALUES_ORACLE,
+)
+register(
+    "line_status_priority", tpch.line_status_priority, tpch.LINE_STATUS_PRIORITY_ORACLE
+)
+register(
+    "promo_revenue_share", tpch.promo_revenue_share, tpch.PROMO_REVENUE_SHARE_ORACLE
+)
+register(
+    "quarterly_top_supplier",
+    tpch.quarterly_top_supplier,
+    tpch.QUARTERLY_TOP_SUPPLIER_ORACLE,
+)
+register("supplier_variety", tpch.supplier_variety, tpch.SUPPLIER_VARIETY_ORACLE)
+register(
+    "disjunctive_bracket_revenue",
+    tpch.disjunctive_bracket_revenue,
+    tpch.DISJUNCTIVE_BRACKET_REVENUE_ORACLE,
+)
+register(
+    "dominant_part_suppliers",
+    tpch.dominant_part_suppliers,
+    tpch.DOMINANT_PART_SUPPLIERS_ORACLE,
+)
+register(
+    "sole_late_suppliers", tpch.sole_late_suppliers, tpch.SOLE_LATE_SUPPLIERS_ORACLE
+)
+register(
+    "dormant_customer_segments",
+    tpch.dormant_customer_segments,
+    tpch.DORMANT_CUSTOMER_SEGMENTS_ORACLE,
 )
 
 # -- text analysis / dedup (LLM-pipeline extensions) -------------------------

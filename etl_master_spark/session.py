@@ -73,7 +73,16 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode driver heap IS the executor heap: size it like an
+        # executor (the brief's box has 128 GiB; a 1000-executor cluster
+        # would get this per-executor via spark-submit instead)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # one BLAS thread per Python worker: the worker pool already fills
+        # every core, so nested BLAS threading only adds contention (the
+        # standard per-core-slot pinning on a real cluster)
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     if master is not None:
         builder = builder.master(master)

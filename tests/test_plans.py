@@ -13,11 +13,15 @@ from etl_master_spark.plans.registry import QUERIES
 # cosine dedup), 1-row scalar aggregates joined onto every row (tfidf's
 # corpus doc-count), generated dimension grids (gapfill's hour × type),
 # 1-row min/max bounds (histogram bin edges), 1-row funnel-stage counts
-# cross-joined into the single summary row (conversion_funnel)
+# cross-joined into the single summary row (conversion_funnel), 1-row
+# global totals/thresholds broadcast onto every group (Q11's total value,
+# Q22's average positive balance)
 BNLJ_OK = {
     "conversion_funnel",
     "events_hourly_gapfill",
     "price_histogram",
+    "important_part_values",
+    "dormant_customer_segments",
     "ann_cosine_topk",
     "dedup_embedding_cosine",
     "eval_metrics_test",
@@ -48,6 +52,12 @@ PUSHDOWN = {
     "user_set_ops": "event_type",
     "conversion_funnel": "event_type",
     "dedup_embedding_cosine": "vec_id",
+    "min_cost_supplier": "p_type",
+    "forecast_revenue_delta": "l_discount",
+    "supplier_variety": "p_brand",
+    "disjunctive_bracket_revenue": "p_brand",
+    "sole_late_suppliers": "o_orderstatus",
+    "dormant_customer_segments": "o_orderdate",
 }
 
 

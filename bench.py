@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "token_counts",
     "word_counts",
     "tfidf_top_terms",
+    "bigram_counts",
+    "pii_redact",
+    "co_purchase_pairs",
     "dedup_exact",
     "curated_corpus",
     "minhash_lsh_pairs",

@@ -1237,3 +1237,56 @@ WHERE prev_type IS NOT NULL
 GROUP BY prev_type, next_type
 ORDER BY prev_type, next_type
 """
+
+
+# -- market-basket co-occurrence ----------------------------------------------
+
+CO_PURCHASE_MIN_COUNT = 3
+
+
+def co_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs bought together in the same order (market-basket / item
+    co-occurrence — the edge-build for an item-similarity graph, the third
+    graph-family operator beside connected components and PageRank).
+
+    The self-join explodes each order into its line pairs: with the
+    (orderkey, partkey) DISTINCT collapse first, an order with k parts
+    yields k(k-1)/2 pairs — bounded by order size (~4 lines avg here), not
+    data volume, so the join output stays ~3× the fact. The `<` on partkey
+    halves the pairs and canonicalizes orientation. At 100 TB the one risk
+    is a pathological mega-basket (k in the thousands): cap baskets first
+    with a windowed row_number ≤ K over the order — the standard guard in
+    co-occurrence mining (dropping a 5000-line basket's tail loses less
+    signal than its 12M pairs cost). Final agg is map-side-combined on the
+    pair key; the min-count filter drops the long tail before the sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= CO_PURCHASE_MIN_COUNT)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+CO_PURCHASE_PAIRS_ORACLE = f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM baskets a
+JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= {CO_PURCHASE_MIN_COUNT}
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 100
+"""

@@ -976,3 +976,134 @@ WHERE doc_id = canonical_id AND quality >= {CURATION_MIN_QUALITY}
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# -- bigram vocabulary --------------------------------------------------------
+
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-word bigrams with document frequency — the n-gram
+    extension of ``word_counts`` (the statistic a BPE/tokenizer-merge pass
+    or a phrase-mining job computes first).
+
+    The pair list is built row-locally with array higher-order functions
+    (sequence → transform → element_at: all JVM, no Python, no shuffle);
+    like word_counts, the single shuffle carries map-side-combined
+    (token-pair, partial-count) rows, so Zipfian pair skew collapses to
+    |partitions| rows per hot pair. The size-≥2 guard matters: Spark's
+    ``sequence(1, 0)`` would DESCEND, fabricating a reversed range."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("occurrences").desc(), F.col("bigram").asc())
+        .limit(50)
+    )
+
+
+BIGRAM_COUNTS_ORACLE = """
+WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), t -> t <> '') AS words
+    FROM documents
+)
+SELECT bigram, COUNT(*) AS occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(words)),
+                                 i -> words[i] || ' ' || words[i + 1])) AS bigram
+    FROM w
+    WHERE len(words) >= 2
+)
+GROUP BY bigram
+ORDER BY occurrences DESC, bigram ASC
+LIMIT 50
+"""
+
+
+# -- PII pattern scan ---------------------------------------------------------
+
+# portable across Java regex (Spark) and RE2 (DuckDB): character classes,
+# bounded repetition, \b word boundaries — no lookarounds, no backrefs
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure audit: documents and total occurrences of
+    email-like and phone-like patterns — the release gate every training-
+    data pipeline runs before publishing a corpus (the synthetic corpus is
+    clean, so counts are zero here; the planted-fixture test proves the
+    patterns bind).
+
+    regexp_count is a JVM builtin evaluated in the scan projection — one
+    pass, no shuffle beyond the per-source (dimension-sized) aggregate.
+    At 100 TB this is the cheapest possible shape: narrow scan of one
+    string column, map-side-combined counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_email = F.regexp_count(F.col("text"), F.lit(EMAIL_RE))
+    n_phone = F.regexp_count(F.col("text"), F.lit(PHONE_RE))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(n_email > 0, 1).otherwise(0)).alias("docs_with_email"),
+            F.sum(n_email).alias("total_emails"),
+            F.sum(F.when(n_phone > 0, 1).otherwise(0)).alias("docs_with_phone"),
+            F.sum(n_phone).alias("total_phones"),
+        )
+        .orderBy("source")
+    )
+
+
+PII_SCAN_ORACLE = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN len(regexp_extract_all(text, '{EMAIL_RE}')) > 0 THEN 1 ELSE 0 END) AS docs_with_email,
+       SUM(len(regexp_extract_all(text, '{EMAIL_RE}'))) AS total_emails,
+       SUM(CASE WHEN len(regexp_extract_all(text, '{PHONE_RE}')) > 0 THEN 1 ELSE 0 END) AS docs_with_phone,
+       SUM(len(regexp_extract_all(text, '{PHONE_RE}'))) AS total_phones
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redacted-corpus projection: emails/phones replaced with typed
+    placeholder tokens, verified portably via md5 of the redacted text
+    (both engines hash the identical UTF-8 bytes). Same scan-projection
+    scale shape as pii_scan; the output keeps doc_id + digest so the
+    oracle compares content without shipping full texts."""
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_md5"),
+        (F.length("text") - F.length(redacted)).alias("chars_removed"),
+    )
+
+
+PII_REDACT_ORACLE = f"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5,
+       length(text) - length(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                            '{PHONE_RE}', '<PHONE>', 'g')) AS chars_removed
+FROM documents
+"""

@@ -228,6 +228,9 @@ register("word_counts", text.word_counts, text.WORD_COUNTS_ORACLE)
 register("tfidf_top_terms", text.tfidf_top_terms, text.TFIDF_TOP_TERMS_ORACLE)
 register("simhash16", text.simhash16, text.simhash16_oracle())
 register("simhash64", text.simhash64, None)  # Arrow-UDF fast path: rows-only
+register("bigram_counts", text.bigram_counts, text.BIGRAM_COUNTS_ORACLE)
+register("pii_scan", text.pii_scan, text.PII_SCAN_ORACLE)
+register("pii_redact", text.pii_redact, text.PII_REDACT_ORACLE)
 
 # -- vectors / similarity ----------------------------------------------------
 register("embedding_norms", vectors.embedding_norms, vectors.EMBEDDING_NORMS_ORACLE)
@@ -334,6 +337,9 @@ register(
 register("nation_pagerank", analytics.nation_pagerank, analytics.nation_pagerank_oracle())
 register(
     "event_transitions", analytics.event_transitions, analytics.EVENT_TRANSITIONS_ORACLE
+)
+register(
+    "co_purchase_pairs", analytics.co_purchase_pairs, analytics.CO_PURCHASE_PAIRS_ORACLE
 )
 
 # -- streaming twins (batch form oracle-checked) -----------------------------

@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "event_transitions",
     "user_sessions",
     "user_session_totals",
+    "scd2_user_history",
+    "snapshot_upsert",
+    "fk_integrity_audit",
+    "customer_rfm",
     "text_stats",
     "token_counts",
     "word_counts",

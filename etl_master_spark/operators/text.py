@@ -987,11 +987,15 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pair list is built row-locally with array higher-order functions
     (sequence → transform → element_at: all JVM, no Python, no shuffle);
-    like word_counts, the single shuffle carries map-side-combined
-    (token-pair, partial-count) rows, so Zipfian pair skew collapses to
-    |partitions| rows per hot pair. The size-≥2 guard matters: Spark's
+    doc_freq comes from a two-level aggregate — (doc, bigram) partial
+    counts, then per-bigram sum + row count — instead of COUNT(DISTINCT),
+    whose expand operator doubles the exploded row volume. Both shuffles
+    are map-side combined, so Zipfian pair skew collapses to |partitions|
+    rows per hot pair. ``spread`` splits the under-partitioned small-file
+    input before the CPU-heavy explode (a real cluster's scans arrive
+    pre-split; see sources.io). The size-≥2 guard matters: Spark's
     ``sequence(1, 0)`` would DESCEND, fabricating a reversed range."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     words = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
     bigrams = F.when(
         F.size(words) >= 2,
@@ -1002,10 +1006,12 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     return (
         docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("bigram")
         .agg(
-            F.count(F.lit(1)).alias("occurrences"),
-            F.countDistinct("doc_id").alias("doc_freq"),
+            F.sum("c").alias("occurrences"),
+            F.count(F.lit(1)).alias("doc_freq"),
         )
         .orderBy(F.col("occurrences").desc(), F.col("bigram").asc())
         .limit(50)

@@ -1,0 +1,259 @@
+"""Warehouse-maintenance operators — the table-lifecycle surface a
+production lake runs daily: SCD2 history build, MERGE-style snapshot
+upsert, referential-integrity audit, RFM segmentation.
+
+SURVEY.md §2.8: absent from the reference (its only lifecycle op is the
+pickle compute-if-missing cache, S2); these are the engine-level additions
+that make the relational surface operable as a *warehouse*, not just a
+query engine. All four are pure DataFrame compositions — no UDFs — and
+each documents its 100 TB shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+
+
+# -- SCD2 history build -------------------------------------------------------
+
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event stream:
+    collapse each user's consecutive same-event_type runs into validity
+    intervals [valid_from, valid_to), open-ended (NULL) for the current
+    state — the gaps-and-islands pattern every CDC→dimension pipeline runs.
+
+    One window partition key (user_id — high-cardinality, parallel) serves
+    all three passes: lag to flag changes, running sum to number islands,
+    lead to close intervals; Catalyst chains them with a single exchange
+    because the partitioning never changes. Ordering is (ts, event_id) —
+    the same total-order spec as event_gaps, so duplicate timestamps
+    cannot flap between engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("int")
+    islands = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(changed).over(w).alias("island"),
+    )
+    runs = islands.groupBy("user_id", "island", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "island")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    ).orderBy("user_id", "valid_from")
+
+
+SCD2_USER_HISTORY_ORACLE = """
+WITH islands AS (
+    SELECT user_id, event_type, ts, event_id,
+           SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+),
+runs AS (
+    SELECT user_id, island, event_type,
+           MIN(ts) AS valid_from, COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, island, event_type
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, island) AS valid_to,
+       n_events
+FROM runs
+ORDER BY user_id, valid_from
+"""
+
+
+# -- MERGE-style snapshot upsert ----------------------------------------------
+
+def snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet tables: apply a CDC delta to a
+    snapshot — matched keys take the delta row, unmatched delta keys
+    insert, untouched snapshot rows pass through. Derived deterministically
+    from events: snapshot = event_id % 4 ∈ {0,1}; delta = even event_ids
+    with a bumped value — so % 4 == 0 exercises UPDATE and % 4 == 2
+    exercises INSERT, and both branches are provably non-empty.
+
+    The plan is the scale-correct MERGE spelling: delta ∪ (snapshot
+    ⟕anti delta). The anti join is the only shuffle, keyed on the PK; in
+    production the delta is ≪ the snapshot, so AQE broadcasts it and the
+    snapshot pass-through never shuffles at all (at 100 TB you'd also
+    partition both sides by PK range to rewrite only touched files)."""
+    ev = load_table(spark, sf_dir, "events")
+    snapshot = ev.filter(F.col("event_id") % 4 < 2).select(
+        "event_id", "event_type", "value"
+    )
+    delta = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select(
+            "event_id",
+            F.lit("updated").alias("event_type"),
+            (F.col("value") + 1000.0).alias("value"),
+        )
+    )
+    merged = delta.withColumn("op", F.lit("upsert")).unionByName(
+        snapshot.join(delta, "event_id", "left_anti").withColumn(
+            "op", F.lit("carry")
+        )
+    )
+    return merged.orderBy("event_id")
+
+
+SNAPSHOT_UPSERT_ORACLE = """
+WITH snapshot AS (
+    SELECT event_id, event_type, value FROM events WHERE event_id % 4 < 2
+),
+delta AS (
+    SELECT event_id, 'updated' AS event_type, value + 1000.0 AS value
+    FROM events WHERE event_id % 2 = 0
+)
+SELECT event_id, event_type, value, 'upsert' AS op FROM delta
+UNION ALL
+SELECT s.event_id, s.event_type, s.value, 'carry' AS op
+FROM snapshot s
+WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.event_id = s.event_id)
+ORDER BY event_id
+"""
+
+
+# -- referential-integrity audit ----------------------------------------------
+
+FK_EDGES = [
+    # (child, fk_col, parent, pk_col)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass referential-integrity report over the whole star schema:
+    per FK edge, child row count and orphan count (child keys with no
+    parent). The constraint check a lake without enforced FKs schedules
+    after every load.
+
+    Each edge is child ⟕anti parent — the dimension parents broadcast, so
+    the two fact-side edges cost one scan each with no shuffle; the union
+    of seven 1-row aggregates is driver-trivial. Anti-join (not NOT IN) is
+    deliberate: NULL-safe and streamable at any parent size."""
+    rows = []
+    for child, fk, parent, pk in FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        orphans = c.join(p, c[fk] == p[pk], "left_anti")
+        rows.append(
+            c.agg(F.count(F.lit(1)).alias("n_child_rows")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            ).select(
+                F.lit(child).alias("child_table"),
+                F.lit(fk).alias("fk_column"),
+                F.lit(parent).alias("parent_table"),
+                "n_child_rows",
+                "n_orphans",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("child_table", "fk_column")
+
+
+FK_INTEGRITY_AUDIT_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{child}' AS child_table, '{fk}' AS fk_column,
+       '{parent}' AS parent_table,
+       (SELECT COUNT(*) FROM {child}) AS n_child_rows,
+       (SELECT COUNT(*) FROM {child} c
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})) AS n_orphans"""
+    for child, fk, parent, pk in FK_EDGES
+) + "\nORDER BY child_table, fk_column"
+
+
+# -- RFM segmentation ---------------------------------------------------------
+
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary quintile segmentation over the order
+    history — the marketing-warehouse classic (and a three-window NTILE
+    exercise with deterministic tie-breaks).
+
+    One shuffle for the per-customer aggregate (PK-keyed, parallel), then
+    three global NTILE windows. Monetary is summed in exact BIGINT cents so
+    the quintile boundaries cannot shift on float summation order; every
+    ORDER BY ends with c_custkey, making each NTILE assignment a total
+    order. The three single-partition windows are the documented local-mode
+    concession: at 100 TB you'd NTILE via approx quantile boundaries + a
+    broadcast bucket join instead of a global sort (same swap as
+    shipping_delay_stats documents)."""
+    orders = load_table(spark, sf_dir, "orders")
+    price_cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(price_cents).alias("monetary_cents"),
+    )
+    w_r = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    w_m = Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey"))
+    return (
+        per_cust.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "last_order",
+            "frequency",
+            (F.col("monetary_cents") / 100.0).alias("monetary"),
+            F.ntile(5).over(w_r).alias("r_score"),
+            F.ntile(5).over(w_f).alias("f_score"),
+            F.ntile(5).over(w_m).alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws("-", F.col("r_score"), F.col("f_score"), F.col("m_score")),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMER_RFM_ORACLE = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           MAX(o_orderdate) AS last_order,
+           COUNT(*) AS frequency,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS monetary_cents
+    FROM orders
+    GROUP BY o_custkey
+)
+SELECT o_custkey AS c_custkey,
+       last_order,
+       frequency,
+       monetary_cents / 100.0 AS monetary,
+       NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+       NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+       NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_score,
+       CONCAT(NTILE(5) OVER (ORDER BY last_order DESC, o_custkey), '-',
+              NTILE(5) OVER (ORDER BY frequency DESC, o_custkey), '-',
+              NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey)) AS segment
+FROM per_cust
+ORDER BY c_custkey
+"""

@@ -23,6 +23,7 @@ from ..operators import (
     text,
     tpch,
     vectors,
+    warehouse,
 )
 from ..streaming import windows
 
@@ -203,6 +204,18 @@ register(
     tpch.dormant_customer_segments,
     tpch.DORMANT_CUSTOMER_SEGMENTS_ORACLE,
 )
+
+# -- warehouse lifecycle (SCD2 / MERGE / FK audit / RFM) ---------------------
+register(
+    "scd2_user_history", warehouse.scd2_user_history, warehouse.SCD2_USER_HISTORY_ORACLE
+)
+register("snapshot_upsert", warehouse.snapshot_upsert, warehouse.SNAPSHOT_UPSERT_ORACLE)
+register(
+    "fk_integrity_audit",
+    warehouse.fk_integrity_audit,
+    warehouse.FK_INTEGRITY_AUDIT_ORACLE,
+)
+register("customer_rfm", warehouse.customer_rfm, warehouse.CUSTOMER_RFM_ORACLE)
 
 # -- text analysis / dedup (LLM-pipeline extensions) -------------------------
 register("text_stats", text.text_stats, text.TEXT_STATS_ORACLE)

@@ -22,6 +22,7 @@ BNLJ_OK = {
     "price_histogram",
     "important_part_values",
     "dormant_customer_segments",
+    "fk_integrity_audit",
     "ann_cosine_topk",
     "dedup_embedding_cosine",
     "eval_metrics_test",

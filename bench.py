@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "events_trailing_hour",
     "table_profile",
     "revenue_rollup",
+    "monthly_revenue_growth",
     "orders_cube",
     "priority_grouping_sets",
     "events_moving_avg",

@@ -1290,3 +1290,53 @@ HAVING COUNT(*) >= {CO_PURCHASE_MIN_COUNT}
 ORDER BY n_orders DESC, part_a, part_b
 LIMIT 100
 """
+
+
+# -- period-over-period growth ------------------------------------------------
+
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth — the
+    window-over-aggregate report every revenue dashboard leads with.
+
+    The fact collapses to |months| rows (exact e4 sums, map-side combined)
+    BEFORE any window runs, so the lag(1)/lag(12) windows sort dozens of
+    rows, not the fact. Growth ratios divide exact BIGINTs in binary64
+    (portable); the first month's MoM and first year's YoY are NULL by
+    construction, not zero."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    monthly = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).cast("date").cast("string").alias("month")
+    ).agg(F.sum(rev_e4).alias("rev_e4"), F.count(F.lit(1)).alias("n_lines"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev_e4", 1).over(w)
+    prev_year = F.lag("rev_e4", 12).over(w)
+    return monthly.select(
+        "month",
+        (F.expr("(rev_e4 + 50) div 100") / 100.0).alias("revenue"),
+        "n_lines",
+        F.round((F.col("rev_e4") - prev) * 100.0 / prev, 4).alias("mom_pct"),
+        F.round((F.col("rev_e4") - prev_year) * 100.0 / prev_year, 4).alias("yoy_pct"),
+    ).orderBy("month")
+
+
+MONTHLY_REVENUE_GROWTH_ORACLE = """
+WITH monthly AS (
+    SELECT CAST(CAST(date_trunc('month', l_shipdate) AS DATE) AS VARCHAR) AS month,
+           SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS rev_e4,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY 1
+)
+SELECT month,
+       ((rev_e4 + 50) // 100) / 100.0 AS revenue,
+       n_lines,
+       ROUND((rev_e4 - LAG(rev_e4, 1) OVER (ORDER BY month)) * 100.0
+             / LAG(rev_e4, 1) OVER (ORDER BY month), 4) AS mom_pct,
+       ROUND((rev_e4 - LAG(rev_e4, 12) OVER (ORDER BY month)) * 100.0
+             / LAG(rev_e4, 12) OVER (ORDER BY month), 4) AS yoy_pct
+FROM monthly
+ORDER BY month
+"""

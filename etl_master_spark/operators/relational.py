@@ -828,3 +828,35 @@ JOIN customer ON o_custkey = c_custkey
 ORDER BY totalprice DESC, o_orderkey ASC
 LIMIT 100
 """
+
+
+# -- UNPIVOT (melt): the inverse of user_event_pivot --------------------------
+
+def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — widen-then-melt round trip over the pivot above:
+    the wide per-user count matrix back to long (user_id, event_type,
+    n_events), dropping the zero cells the pivot fabricated.
+
+    ``DataFrame.unpivot`` is a row-local generator (like explode): no
+    shuffle of its own, output = users × |types| before the zero filter.
+    The round trip is the point — melt is how a 100 TB pipeline takes a
+    metrics-wide table back to a joinable long form without N self-unions."""
+    wide = user_event_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["user_id"],
+            values=EVENT_TYPES,
+            variableColumnName="event_type",
+            valueColumnName="n_events",
+        )
+        .filter(F.col("n_events") > 0)
+        .orderBy("user_id", "event_type")
+    )
+
+
+USER_EVENT_UNPIVOT_ORACLE = """
+SELECT user_id, event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""

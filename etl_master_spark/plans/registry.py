@@ -113,6 +113,11 @@ register(
     "user_event_pivot", relational.user_event_pivot, relational.USER_EVENT_PIVOT_ORACLE
 )
 register(
+    "user_event_unpivot",
+    relational.user_event_unpivot,
+    relational.USER_EVENT_UNPIVOT_ORACLE,
+)
+register(
     "order_rank_functions",
     relational.order_rank_functions,
     relational.ORDER_RANK_FUNCTIONS_ORACLE,
@@ -353,6 +358,11 @@ register(
 )
 register(
     "co_purchase_pairs", analytics.co_purchase_pairs, analytics.CO_PURCHASE_PAIRS_ORACLE
+)
+register(
+    "monthly_revenue_growth",
+    analytics.monthly_revenue_growth,
+    analytics.MONTHLY_REVENUE_GROWTH_ORACLE,
 )
 
 # -- streaming twins (batch form oracle-checked) -----------------------------

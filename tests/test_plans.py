@@ -69,3 +69,24 @@ def test_filter_pushdown(spark, sf_dir, name):
     col = PUSHDOWN[name]
     plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert re.search(rf"PushedFilters: \[[^\]]*{col}", plan), (name, col)
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """Partition-pruning twin of the PushedFilters gate: a table written
+    partitioned by a column must turn an equality predicate on it into a
+    PartitionFilter (listing-level pruning — at 100 TB the difference
+    between touching one partition directory and scanning the lake)."""
+    from etl_master_spark.sources.io import load_table
+
+    path = f"{tmp_path}/events_by_type"
+    load_table(spark, sf_dir, "events").write.partitionBy("event_type").parquet(path)
+    q = spark.read.parquet(path).filter("event_type = 'click'")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*event_type[^\]]*\]", plan)
+    assert m, plan[:2000]
+    # and the pruned read must not ship the partition column as data —
+    # ReadSchema carries only the payload columns
+    rs = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert rs and "event_type" not in rs.group(1), rs and rs.group(1)

@@ -99,10 +99,17 @@ def main() -> None:
     # query once at sf0.001 (whole-stage codegen compile, broadcast and
     # window operator init are per-plan-shape, not per-data-size)
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    errors: dict[str, str] = {}
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != SF_DIR:
         for name in BENCH_QUERIES:
-            QUERIES[name](spark, warm_dir).count()
+            # a single broken query must never zero the whole benchmark
+            # (round 1 lost its BENCH artifact to one AnalysisException)
+            try:
+                QUERIES[name](spark, warm_dir).count()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = str(e).splitlines()[0][:200]
+                print(f"WARM FAIL {name}: {errors[name]}", file=sys.stderr)
         spark.catalog.clearCache()
 
     # two interleaved timed passes, keep the per-query minimum: the host's
@@ -112,9 +119,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _ in range(2):
         for name in BENCH_QUERIES:
+            if name in errors:
+                continue
             fn = QUERIES[name]
             t0 = time.time()
-            fn(spark, SF_DIR).count()
+            try:
+                fn(spark, SF_DIR).count()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = str(e).splitlines()[0][:200]
+                print(f"BENCH FAIL {name}: {errors[name]}", file=sys.stderr)
+                continue
             elapsed = round(time.time() - t0, 3)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
@@ -124,17 +138,16 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import PHASH_P, phash_frag
-from ..sources.io import RATINGS_SQL, load_table
+from ..sources.io import RATINGS_SQL, load_table, ts_s, ts_us
 
 
 # -- ROLLUP subtotals --------------------------------------------------------
@@ -393,7 +393,7 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("hour")
     return (
         hourly.select(
-            F.unix_timestamp("hour").alias("hour_start"),
+            ts_s("hour").alias("hour_start"),
             "event_type",
             "n",
             F.round(F.avg("n").over(w.rowsBetween(-2, 0)), 6).alias("ma3"),
@@ -417,8 +417,8 @@ SELECT CAST(epoch(hour) AS BIGINT) AS hour_start,
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3,
        n - LAG(n, 1) OVER (PARTITION BY event_type ORDER BY hour) AS delta_prev,
        LEAD(n, 1) OVER (PARTITION BY event_type ORDER BY hour) AS next_n,
-       SUM(n) OVER (PARTITION BY event_type ORDER BY hour
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
 FROM hourly
 ORDER BY hour_start, event_type
 """
@@ -621,7 +621,7 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage frames only shrink, and nothing ever leaves the executors until
     the final 1-row assembly."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros("ts").alias("us"), "event_type"
+        "user_id", ts_us("ts").alias("us"), "event_type"
     )
     views = (
         ev.filter(F.col("event_type") == "view")
@@ -787,7 +787,7 @@ def events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(ts_us("ts"))
         .rangeBetween(-TRAIL_US, 0)
     )
     return ev.select(
@@ -859,7 +859,7 @@ TABLE_PROFILE_ORACLE = "\nUNION ALL\n".join(
     f"""
 SELECT '{c}' AS col_name,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT {c}) AS n_distinct,
        MIN(CAST({c} AS DOUBLE)) AS min_val,
        MAX(CAST({c} AS DOUBLE)) AS max_val,
@@ -986,7 +986,7 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = (
         ev.groupBy(
-            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_start"),
+            ts_s(F.date_trunc("hour", F.col("ts"))).alias("hour_start"),
             "event_type",
         )
         .agg(F.count(F.lit(1)).alias("n_events"))

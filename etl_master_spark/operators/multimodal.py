@@ -62,7 +62,7 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 MEDIA_STATS_ORACLE = """
 SELECT source AS origin,
        COUNT(*) AS n_media,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        ROUND(AVG(octet_length(encode(text))), 6) AS avg_bytes
 FROM documents
 GROUP BY source ORDER BY origin

@@ -102,7 +102,7 @@ SELECT CASE WHEN has_x = 1 AND has_y = 1 THEN 'both'
             WHEN has_x = 1 THEN 'x_only'
             ELSE 'y_only' END AS segment,
        COUNT(*) AS n_users,
-       SUM(n) AS n_interactions,
+       CAST(SUM(n) AS BIGINT) AS n_interactions,
        ROUND(AVG(n), 6) AS avg_per_user
 FROM per_user
 GROUP BY 1 ORDER BY segment
@@ -476,6 +476,13 @@ def negatives_sample_reject(
                 ).withColumn("t", F.col("t") + F.lit((rnd + 1) * 10**9))
             )
         )
+        # truncate lineage: without this, round k's plan embeds every prior
+        # round's full DAG and each `isEmpty`/final action recompiles and
+        # recomputes the whole stack (measured 169 s → ~8 s at sf0.01). The
+        # checkpointed frame is ≤ n rows per (user, domain) — tiny relative
+        # to the trials it replaces; on a cluster this is the standard
+        # iterative-algorithm pattern (same reason GraphX/ALS checkpoint).
+        out = out.localCheckpoint(eager=True)
         if rnd + 1 < max_rounds:
             have = out.groupBy("user_id", "domain").agg(
                 F.count(F.lit(1)).alias("n_have")

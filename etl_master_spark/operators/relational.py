@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.io import load_table
+from ..sources.io import load_table, ts_us
 
 
 # -- TPC-H Q1 flavor: pricing summary ---------------------------------------
@@ -488,7 +488,7 @@ def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a session-start flag at a 30-minute gap threshold.
 
     All four share ONE (user_id, ts) window spec ⇒ a single sort+window
-    operator. Gap math stays in INTEGER microseconds (``unix_micros`` /
+    operator. Gap math stays in INTEGER microseconds (``ts_us`` /
     ``epoch_us``) — timestamps here are microsecond-grained, and float
     epoch seconds would round differently across engines. (ts, event_id)
     tie-break keeps every offset deterministic under concurrent events.
@@ -496,7 +496,7 @@ def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap_us = ts_us("ts") - ts_us(F.lag("ts").over(w))
     return ev.select(
         "event_id",
         "user_id",

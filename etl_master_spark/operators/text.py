@@ -85,7 +85,7 @@ WITH per_doc AS (
 )
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        ROUND(AVG(n_tokens), 6) AS avg_tokens,
        ROUND(AVG(n_chars_live), 6) AS avg_chars,
        ROUND(AVG(stop_ratio), 6) AS avg_stop_ratio
@@ -969,7 +969,7 @@ WITH scored AS (
 )
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        ROUND(AVG(quality), 5) AS mean_quality
 FROM scored
 WHERE doc_id = canonical_id AND quality >= {CURATION_MIN_QUALITY}
@@ -1076,10 +1076,10 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 PII_SCAN_ORACLE = f"""
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN len(regexp_extract_all(text, '{EMAIL_RE}')) > 0 THEN 1 ELSE 0 END) AS docs_with_email,
-       SUM(len(regexp_extract_all(text, '{EMAIL_RE}'))) AS total_emails,
-       SUM(CASE WHEN len(regexp_extract_all(text, '{PHONE_RE}')) > 0 THEN 1 ELSE 0 END) AS docs_with_phone,
-       SUM(len(regexp_extract_all(text, '{PHONE_RE}'))) AS total_phones
+       CAST(SUM(CASE WHEN len(regexp_extract_all(text, '{EMAIL_RE}')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+       CAST(SUM(len(regexp_extract_all(text, '{EMAIL_RE}'))) AS BIGINT) AS total_emails,
+       CAST(SUM(CASE WHEN len(regexp_extract_all(text, '{PHONE_RE}')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+       CAST(SUM(len(regexp_extract_all(text, '{PHONE_RE}'))) AS BIGINT) AS total_phones
 FROM documents
 GROUP BY source
 ORDER BY source

@@ -213,8 +213,8 @@ dots AS (
 ),
 buckets AS (
     SELECT vec_id,
-           SUM(CASE WHEN d >= 0 THEN CAST(POW(2.0, j) AS BIGINT) ELSE 0 END)
-               AS bucket
+           CAST(SUM(CASE WHEN d >= 0 THEN CAST(POW(2.0, j) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS bucket
     FROM dots GROUP BY vec_id
 )
 SELECT bucket, COUNT(*) AS n_vecs FROM buckets GROUP BY bucket ORDER BY bucket

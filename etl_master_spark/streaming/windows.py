@@ -19,12 +19,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.io import load_table
+from ..sources.io import load_table, ts_s, ts_us
 
 SESSION_GAP_MIN = 30
 
 
 # -- tumbling-window counts (batch form) -------------------------------------
+
+def _normalize_stream_ts(ev):
+    """Bring a streamed events frame's ``ts`` to TIMESTAMP (with-tz) under
+    every reader behavior (INT64 nanos via nanosAsLong, native NTZ
+    inference, or already-TIMESTAMP) — the streaming twin of
+    ``io.load_table``, EXCEPT it targets TIMESTAMP because
+    ``withWatermark`` rejects TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_
+    TIMESTAMP_TYPE). The streaming twins always run under this engine's
+    UTC sessions (session.py), where the NTZ→TZ reinterpretation is the
+    epoch identity, keeping stream and batch bucket boundaries equal."""
+    dt = dict(ev.dtypes).get("ts")
+    if dt == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+        )
+    elif dt == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-hour, per-type event counts + value sums. Batch spelling of the
@@ -40,7 +58,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("hour_start"),
+            ts_s(F.col("w.start")).alias("hour_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -69,10 +87,7 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(batch_schema)
         .parquet(f"{sf_dir}")
     )
-    # ts arrives as INT64 nanos (same normalization as the batch reader)
-    ev = ev.withColumn(
-        "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
-    )
+    ev = _normalize_stream_ts(ev)
     return (
         ev.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -81,7 +96,7 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("hour_start"),
+            ts_s(F.col("w.start")).alias("hour_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -124,7 +139,7 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grid.join(hourly, ["hour", "event_type"], "left")
         .select(
-            F.unix_timestamp("hour").alias("hour_start"),
+            ts_s("hour").alias("hour_start"),
             "event_type",
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
             F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
@@ -171,7 +186,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
+    gap = ts_s("ts") - ts_s(F.lag("ts").over(w_user))
     with_new = ev.withColumn(
         "is_new",
         F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
@@ -184,7 +199,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_session = with_sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         (
-            F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))
+            F.max(ts_s("ts")) - F.min(ts_s("ts"))
         ).alias("dur_s"),
     )
     return (
@@ -266,7 +281,7 @@ def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            ts_us(F.col("sw.start")).alias("session_start_us"),
             "n_events",
             "sum_value",
         )
@@ -315,7 +330,7 @@ def user_session_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_user)
+    gap = ts_s("ts") - ts_s(F.lag("ts").over(w_user))
     return (
         ev.withColumn("gap", gap)
         .groupBy("user_id")
@@ -351,7 +366,7 @@ SELECT user_id,
        CAST(SUM(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_MIN * 60}
                 THEN 1 ELSE 0 END) AS INT) AS n_sessions,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN gap <= {SESSION_GAP_MIN * 60} THEN gap ELSE 0 END) AS total_dur
+       CAST(SUM(CASE WHEN gap <= {SESSION_GAP_MIN * 60} THEN gap ELSE 0 END) AS BIGINT) AS total_dur
 FROM with_gap GROUP BY user_id ORDER BY user_id
 """
 
@@ -378,10 +393,10 @@ def user_sessions_stateful(spark: SparkSession, sf_dir: str, stream_dir: str | N
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir or sf_dir)
     )
-    # ts arrives as INT64 nanos (same normalization as the batch reader)
+    ev = _normalize_stream_ts(ev)
     ev = ev.select(
         "user_id",
-        (F.col("ts").cast("bigint") / F.lit(1_000_000_000))
+        (ts_us("ts") / F.lit(1_000_000))
         .cast("bigint")
         .alias("ts_s"),
     )
@@ -467,9 +482,7 @@ def events_dedup_stream(
     Tests feed the same file twice and assert the batch counts come back."""
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ev = spark.readStream.schema(batch_schema).parquet(stream_dir or sf_dir)
-    ev = ev.withColumn(
-        "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
-    )
+    ev = _normalize_stream_ts(ev)
     return ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
@@ -496,9 +509,7 @@ def purchase_click_stream_join(
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = stream_dir or sf_dir
     ev = spark.readStream.schema(batch_schema).parquet(src)
-    ev = ev.withColumn(
-        "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
-    )
+    ev = _normalize_stream_ts(ev)
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .select(
@@ -570,7 +581,7 @@ def events_sliding_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            ts_s(F.col("w.start")).alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -603,9 +614,7 @@ def events_sliding_6h_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     store once the watermark passes their end."""
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ev = spark.readStream.schema(batch_schema).parquet(f"{sf_dir}")
-    ev = ev.withColumn(
-        "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
-    )
+    ev = _normalize_stream_ts(ev)
     return (
         ev.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "6 hours", "1 hour").alias("w"), "event_type")
@@ -614,7 +623,7 @@ def events_sliding_6h_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            ts_s(F.col("w.start")).alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",

@@ -1260,18 +1260,30 @@ def co_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal than its 12M pairs cost). Final agg is map-side-combined on the
     pair key; the min-count filter drops the long tail before the sort."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    a = baskets.alias("a")
-    b = baskets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    # one scan + two shuffles: per-order distinct part set (collect_set is
+    # its own dedup — no separate DISTINCT pass), then the k(k-1)/2 pairs
+    # build ROW-LOCALLY with array higher-order fns (all JVM), then the
+    # pair agg. The self-join spelling scanned and shuffled the basket
+    # table twice (Spark doesn't share the common subplan) — measured
+    # 6.4 s → ~1.5 s at sf0.1. array_sort gives the canonical a<b
+    # orientation; slice from i+2 (1-based) pairs each part with its
+    # strict successors only.
+    parts = F.col("parts")
+    pairs = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + 2, F.size(parts)),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
         )
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .select(F.explode(pairs).alias("p"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b")
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= CO_PURCHASE_MIN_COUNT)

@@ -996,12 +996,19 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-split; see sources.io). The size-≥2 guard matters: Spark's
     ``sequence(1, 0)`` would DESCEND, fabricating a reversed range."""
     docs = spread(load_table(spark, sf_dir, "documents"))
+    # adjacent pairs via slice+zip_with, NOT transform+element_at: an
+    # element_at inside a lambda re-evaluates its array argument per
+    # ELEMENT (CollapseProject re-inlines any projection, so `words`
+    # becomes a fresh split(text) per lookup — O(words²) per doc, measured
+    # ~8 s at sf0.1). slice evaluates the array once per ROW; zip_with
+    # walks the two offset copies in lockstep (~1 s).
     words = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
     bigrams = F.when(
         F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        F.zip_with(
+            F.slice(words, 1, F.size(words) - 1),
+            F.slice(words, 2, F.size(words) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (

@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "bigram_counts",
     "pii_redact",
+    "repetition_scores",
+    "pack_sequences",
+    "contamination_screen",
+    "dedup_incremental",
     "co_purchase_pairs",
     "dedup_exact",
     "curated_corpus",

@@ -255,15 +255,19 @@ def _shingles(docs: DataFrame) -> DataFrame:
     only AFTER array_distinct, so duplicate shingles never hit the exchange.
     Output: (doc_id, shingle)."""
     toks = F.split(F.col("text"), " ")
+    # nested zip_with over three offset slices, NOT transform+element_at:
+    # element_at inside a lambda re-evaluates the array argument per
+    # element (→ re-splits the text per shingle, O(words²) per doc); each
+    # slice evaluates the split once per row.
     shingle_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - SHINGLE_N),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
+        F.zip_with(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - (SHINGLE_N - 1)),
+                F.slice(toks, 2, F.size(toks) - (SHINGLE_N - 1)),
+                lambda a, b: F.concat_ws(" ", a, b),
             ),
+            F.slice(toks, 3, F.size(toks) - (SHINGLE_N - 1)),
+            lambda ab, c: F.concat_ws(" ", ab, c),
         )
     )
     return (
@@ -403,15 +407,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    # nested zip_with over three offset slices, NOT transform+element_at:
+    # element_at inside a lambda re-evaluates the array argument per
+    # element (→ re-splits the text per shingle, O(words²) per doc); each
+    # slice evaluates the split once per row.
     shingle_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - SHINGLE_N),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
+        F.zip_with(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - (SHINGLE_N - 1)),
+                F.slice(toks, 2, F.size(toks) - (SHINGLE_N - 1)),
+                lambda a, b: F.concat_ws(" ", a, b),
             ),
+            F.slice(toks, 3, F.size(toks) - (SHINGLE_N - 1)),
+            lambda ab, c: F.concat_ws(" ", ab, c),
         )
     )
     # the ENTIRE signature is row-local: hash the shingle array in place,
@@ -1119,4 +1127,333 @@ SELECT doc_id,
        length(text) - length(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
                                             '{PHONE_RE}', '<PHONE>', 'g')) AS chars_removed
 FROM documents
+"""
+
+
+# -- repetition / boilerplate scoring -----------------------------------------
+
+REP_TOP_BIGRAM_FLAG = 0.20  # Gopher-style: >20% of bigrams identical → flag
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals — the Gopher/C4-family quality rule
+    that catches boilerplate and degenerate generations: duplicate-word
+    fraction and the share of the document's bigrams taken by its single
+    most repeated bigram.
+
+    One scan; the bigram multiset is built row-locally (slice+zip_with —
+    the evaluate-once spelling, see ``bigram_counts``) and then counted
+    through a (doc, bigram) partial agg + per-doc reduce rather than a
+    row-local O(k²) mode search: linear work, two map-side-combined
+    shuffles on high-cardinality keys, no skew at 100 TB (a hot bigram is
+    spread across docs; the per-doc key is unique). Word stats ride along
+    as first() through the aggs — no second scan, no join."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    n_sh = F.size(words) - 1
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.zip_with(
+            F.slice(words, 1, n_sh),
+            F.slice(words, 2, n_sh),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(words)).cast("double")
+            / F.size(words).cast("double"),
+            6,
+        ).alias("dup_word_ratio"),
+        F.explode(bigrams).alias("bigram"),
+    )
+    return (
+        per_doc.groupBy("doc_id", "bigram")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("n_words").alias("n_words"),
+            F.first("dup_word_ratio").alias("dup_word_ratio"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_words").cast("bigint").alias("n_words"),
+            F.first("dup_word_ratio").alias("dup_word_ratio"),
+            F.round(
+                F.max("c").cast("double") / F.sum("c").cast("double"), 6
+            ).alias("top_bigram_ratio"),
+            (
+                F.max("c").cast("double") / F.sum("c").cast("double")
+                > F.lit(REP_TOP_BIGRAM_FLAG)
+            ).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_SCORES_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), t -> t <> '') AS words
+    FROM documents
+),
+bg AS (
+    SELECT doc_id,
+           len(words) AS n_words,
+           ROUND(1.0 - CAST(len(list_distinct(words)) AS DOUBLE)
+                     / CAST(len(words) AS DOUBLE), 6) AS dup_word_ratio,
+           unnest(list_transform(range(1, len(words)),
+                                 i -> words[i] || ' ' || words[i + 1])) AS bigram
+    FROM w WHERE len(words) >= 2
+),
+cnt AS (
+    SELECT doc_id, bigram, COUNT(*) AS c,
+           MIN(n_words) AS n_words, MIN(dup_word_ratio) AS dup_word_ratio
+    FROM bg GROUP BY doc_id, bigram
+)
+SELECT doc_id,
+       CAST(MIN(n_words) AS BIGINT) AS n_words,
+       MIN(dup_word_ratio) AS dup_word_ratio,
+       ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_bigram_ratio,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) > {REP_TOP_BIGRAM_FLAG}
+           AS repetitive
+FROM cnt GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# -- sequence packing ---------------------------------------------------------
+
+PACK_BUDGET = 512  # whitespace tokens per training row
+PACK_BUCKETS = 8  # parallel packing streams
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing of documents into fixed token-budget
+    training rows — the step between a curated corpus and a pretraining
+    dataloader. Each doc lands in a deterministic hash bucket; within a
+    bucket, docs pack in doc_id order and a doc starts a new bin whenever
+    the running total would cross the budget boundary (bin index =
+    pre-doc cumulative sum DIV budget — docs may straddle, which models
+    cross-document attention-masked packing).
+
+    Scale: the ONLY window runs per bucket — parallelism is
+    ``PACK_BUCKETS`` (raise it with the cluster; each bucket's window is
+    an independent sort) — never a global single-partition running sum.
+    Output is the per-bin fill report a packing job emits for padding
+    accounting."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    with_bucket = docs.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        (F.expr(phash_frag("doc_id", seed=97)) % PACK_BUCKETS).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # integer division, NOT float-divide-then-cast: DuckDB's CAST(double →
+    # BIGINT) rounds half-even while Spark's truncates, so the two engines
+    # disagree on bin boundaries; DIV / `//` is the same floor on both
+    binned = with_bucket.withColumn(
+        "pre", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("bin", F.expr(f"CAST(pre DIV {PACK_BUDGET} AS BIGINT)"))
+    return (
+        binned.groupBy("bucket", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_packed"),
+        )
+        .orderBy("bucket", "bin")
+    )
+
+
+PACK_SEQUENCES_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           ({phash_frag('doc_id', seed=97)}) % {PACK_BUCKETS} AS bucket
+    FROM documents
+),
+binned AS (
+    SELECT bucket, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) // {PACK_BUDGET} AS BIGINT) AS bin
+    FROM t
+)
+SELECT bucket, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_packed
+FROM binned GROUP BY bucket, bin ORDER BY bucket, bin
+"""
+
+
+# -- benchmark-contamination screen -------------------------------------------
+
+EVAL_HOLDOUT_MOD = 20  # ~5% of docs stand in for the benchmark set
+
+
+def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark contamination audit: which training documents share
+    any word-3-gram with the held-out 'benchmark' slice (a deterministic
+    ~5% hash slice here; in production, the actual eval suites). The
+    standard pre-release screen for a pretraining corpus.
+
+    The shingle build is the shared ``_shingles`` row-local pass; the
+    benchmark side collapses to DISTINCT shingles BEFORE the join, so the
+    probe is keyed by shingle with benchmark-side cardinality — small by
+    construction (5% of docs) and broadcastable at any scale where the
+    benchmark is a fixed suite. One semi-join + one per-lang rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.expr(phash_frag("doc_id", seed=41)) % EVAL_HOLDOUT_MOD == 0
+    flagged = docs.withColumn("is_eval", is_eval)
+    sh = _shingles(flagged.select("doc_id", "text"))
+    eval_ids = flagged.filter("is_eval").select("doc_id")
+    eval_sh = (
+        sh.join(F.broadcast(eval_ids), "doc_id").select("shingle").distinct()
+    )
+    train = flagged.filter(~F.col("is_eval"))
+    contaminated = (
+        sh.join(train.select("doc_id"), "doc_id")
+        .join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        train.join(
+            contaminated.withColumn("hit", F.lit(1)), "doc_id", "left"
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias(
+                "n_contaminated"
+            ),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("contamination_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+CONTAMINATION_SCREEN_ORACLE = f"""
+WITH flagged AS (
+    SELECT doc_id, text, lang,
+           ({phash_frag('doc_id', seed=41)}) % {EVAL_HOLDOUT_MOD} = 0 AS is_eval
+    FROM documents
+),
+w AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM flagged
+),
+sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(words) - 1),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                   AS shingle
+        FROM w WHERE len(words) >= 3
+    )
+),
+eval_sh AS (
+    SELECT DISTINCT shingle FROM sh JOIN flagged USING (doc_id) WHERE is_eval
+),
+contaminated AS (
+    SELECT DISTINCT sh.doc_id
+    FROM sh
+    JOIN flagged USING (doc_id)
+    WHERE NOT is_eval AND shingle IN (SELECT shingle FROM eval_sh)
+)
+SELECT lang,
+       COUNT(*) AS n_train,
+       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+       ROUND(CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS contamination_rate
+FROM flagged f
+LEFT JOIN contaminated c ON f.doc_id = c.doc_id
+WHERE NOT f.is_eval
+GROUP BY lang ORDER BY lang
+"""
+
+
+# -- incremental dedup (new batch vs existing corpus) -------------------------
+
+INCR_BATCH_MOD = 5  # ~20% of docs play the 'incoming batch'
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: an incoming batch (deterministic ~20% hash
+    slice) checked against the existing corpus by content fingerprint —
+    the production shape where yesterday's corpus is a materialized
+    fingerprint table and only the delta is hashed and anti-joined.
+
+    Two passes over the scan (corpus side reduced to DISTINCT md5 before
+    the join — the fingerprint table a real pipeline would keep on disk,
+    bucketable by digest for a shuffle-free probe); the anti-join is keyed
+    by digest, uniform by construction. Also collapses WITHIN-batch dups
+    (min-doc_id wins) — both dup classes reported per lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.expr(phash_frag("doc_id", seed=59)) % INCR_BATCH_MOD == 0
+    fp = docs.select(
+        "doc_id", "lang", F.md5("text").alias("fp"), is_new.alias("is_new")
+    )
+    corpus_fps = fp.filter(~F.col("is_new")).select("fp").distinct()
+    incoming = fp.filter("is_new")
+    survivors = (
+        incoming.join(corpus_fps, "fp", "left_anti")
+        .groupBy("lang", "fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return (
+        incoming.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_incoming"))
+        .join(
+            survivors.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_kept")
+            ),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            "n_incoming",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (
+                F.col("n_incoming")
+                - F.coalesce("n_kept", F.lit(0)).cast("bigint")
+            ).alias("n_dropped"),
+        )
+        .orderBy("lang")
+    )
+
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH fp AS (
+    SELECT doc_id, lang, md5(text) AS fp,
+           ({phash_frag('doc_id', seed=59)}) % {INCR_BATCH_MOD} = 0 AS is_new
+    FROM documents
+),
+corpus AS (SELECT DISTINCT fp FROM fp WHERE NOT is_new),
+incoming AS (SELECT * FROM fp WHERE is_new),
+survivors AS (
+    SELECT lang, fp, MIN(doc_id) AS doc_id
+    FROM incoming
+    WHERE fp NOT IN (SELECT fp FROM corpus)
+    GROUP BY lang, fp
+)
+SELECT i.lang,
+       COUNT(*) AS n_incoming,
+       CAST(COALESCE(MIN(s.n_kept), 0) AS BIGINT) AS n_kept,
+       COUNT(*) - CAST(COALESCE(MIN(s.n_kept), 0) AS BIGINT) AS n_dropped
+FROM incoming i
+LEFT JOIN (SELECT lang, COUNT(*) AS n_kept FROM survivors GROUP BY lang) s
+    ON i.lang = s.lang
+GROUP BY i.lang ORDER BY i.lang
 """

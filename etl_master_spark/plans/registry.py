@@ -249,6 +249,14 @@ register("simhash64", text.simhash64, None)  # Arrow-UDF fast path: rows-only
 register("bigram_counts", text.bigram_counts, text.BIGRAM_COUNTS_ORACLE)
 register("pii_scan", text.pii_scan, text.PII_SCAN_ORACLE)
 register("pii_redact", text.pii_redact, text.PII_REDACT_ORACLE)
+register("repetition_scores", text.repetition_scores, text.REPETITION_SCORES_ORACLE)
+register("pack_sequences", text.pack_sequences, text.PACK_SEQUENCES_ORACLE)
+register(
+    "contamination_screen",
+    text.contamination_screen,
+    text.CONTAMINATION_SCREEN_ORACLE,
+)
+register("dedup_incremental", text.dedup_incremental, text.DEDUP_INCREMENTAL_ORACLE)
 
 # -- vectors / similarity ----------------------------------------------------
 register("embedding_norms", vectors.embedding_norms, vectors.EMBEDDING_NORMS_ORACLE)
@@ -453,10 +461,13 @@ _PRIORITY = [
     # warehouse lifecycle
     "scd2_user_history", "snapshot_upsert", "fk_integrity_audit",
     "customer_rfm",
-    # relational / windows / streaming representatives
-    "pricing_summary", "shipping_priority", "asof_latest_event",
-    "purchase_click_attribution", "event_gaps", "events_hourly",
-    "user_sessions", "conversion_funnel",
+    # training-data pipeline additions
+    "repetition_scores", "pack_sequences", "contamination_screen",
+    "dedup_incremental",
+    # relational / windows / streaming representatives (the wider relational
+    # block has full r01 correctness artifacts already; event_gaps stays —
+    # it is the one that errored in r01 and must show fixed)
+    "pricing_summary", "asof_latest_event", "event_gaps", "user_sessions",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {

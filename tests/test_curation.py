@@ -1,0 +1,159 @@
+"""Training-data curation operators: repetition scoring, sequence packing,
+contamination screening, incremental dedup. Planted fixtures prove the
+detection paths fire (the synthetic corpus is mostly benign); sf0.001
+invariants prove the accounting identities hold on real tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_master_spark.functions.hashing import phash_py
+from etl_master_spark.operators.text import (
+    EVAL_HOLDOUT_MOD,
+    INCR_BATCH_MOD,
+    PACK_BUDGET,
+    contamination_screen,
+    dedup_incremental,
+    pack_sequences,
+    repetition_scores,
+)
+
+
+def _write_docs(spark, path, docs):
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+# -- repetition ---------------------------------------------------------------
+
+def test_repetition_flags_planted_loop(spark, tmp_path):
+    docs = [
+        (0, "spam ham " * 30, "en", "s"),           # one bigram dominates
+        (1, " ".join(f"w{i}" for i in range(40)), "en", "s"),  # all distinct
+    ]
+    _write_docs(spark, str(tmp_path), docs)
+    rows = {r["doc_id"]: r for r in repetition_scores(spark, str(tmp_path)).collect()}
+    assert rows[0]["repetitive"] and rows[0]["top_bigram_ratio"] > 0.4
+    assert rows[0]["dup_word_ratio"] > 0.9
+    assert not rows[1]["repetitive"]
+    assert rows[1]["dup_word_ratio"] == 0.0
+    assert rows[1]["top_bigram_ratio"] < 0.1
+
+
+def test_repetition_ratios_bounded(spark, sf_dir):
+    bad = repetition_scores(spark, sf_dir).filter(
+        (F.col("dup_word_ratio") < 0) | (F.col("dup_word_ratio") > 1)
+        | (F.col("top_bigram_ratio") <= 0) | (F.col("top_bigram_ratio") > 1)
+    )
+    assert bad.isEmpty()
+
+
+# -- packing ------------------------------------------------------------------
+
+def test_pack_sequences_conserves_tokens(spark, sf_dir):
+    out = pack_sequences(spark, sf_dir)
+    packed = out.agg(F.sum("tokens_packed")).first()[0]
+    total = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.size(F.split("text", " ")).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert packed == total  # every token lands in exactly one bin
+    # bins are contiguous from 0 within each bucket (greedy never skips,
+    # because no document exceeds the budget in this corpus)
+    rows = out.collect()
+    by_bucket: dict[int, list[int]] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["bin"])
+    for bins in by_bucket.values():
+        assert sorted(bins) == list(range(len(bins)))
+    # all bins except possibly each bucket's last are filled past budget
+    # boundary accounting: n_docs >= 1 always
+    assert all(r["n_docs"] >= 1 for r in rows)
+
+
+def test_pack_sequences_straddle_boundary(spark, tmp_path):
+    # two docs of 300 tokens in ONE bucket: pre-sums 0 and 300 → both bin 0
+    # (second doc straddles into bin 1's territory but starts in bin 0);
+    # a third doc at pre-sum 600 starts bin 1
+    base = next(i for i in range(100) if phash_py(i, seed=97) % 8 == 3)
+    ids = [i for i in range(5000) if phash_py(i, seed=97) % 8 == 3][:3]
+    docs = [(i, " ".join(["tok"] * 300), "en", "s") for i in ids]
+    _write_docs(spark, str(tmp_path), docs)
+    assert base is not None
+    rows = pack_sequences(spark, str(tmp_path)).collect()
+    assert len(rows) == 2
+    assert {(r["bin"], r["n_docs"]) for r in rows} == {(0, 2), (1, 1)}
+    assert all(r["bucket"] == 3 for r in rows)
+    assert PACK_BUDGET == 512
+
+
+# -- contamination ------------------------------------------------------------
+
+def test_contamination_detects_planted_overlap(spark, tmp_path):
+    # find one doc_id in the eval slice and several outside it
+    eval_id = next(
+        i for i in range(10000) if phash_py(i, seed=41) % EVAL_HOLDOUT_MOD == 0
+    )
+    train_ids = [
+        i for i in range(10000) if phash_py(i, seed=41) % EVAL_HOLDOUT_MOD != 0
+    ][:3]
+    bench_text = "the quick brown fox jumps over the lazy dog"
+    docs = [
+        (eval_id, bench_text, "en", "s"),
+        # contaminated: shares the 3-gram "quick brown fox"
+        (train_ids[0], "we saw a quick brown fox yesterday evening", "en", "s"),
+        # clean
+        (train_ids[1], "completely unrelated training content here", "en", "s"),
+        (train_ids[2], "another clean document with fresh words", "fr", "s"),
+    ]
+    _write_docs(spark, str(tmp_path), docs)
+    out = {r["lang"]: r for r in contamination_screen(spark, str(tmp_path)).collect()}
+    assert out["en"]["n_train"] == 2
+    assert out["en"]["n_contaminated"] == 1
+    assert out["fr"]["n_contaminated"] == 0
+    assert abs(out["en"]["contamination_rate"] - 0.5) < 1e-9
+
+
+def test_contamination_rate_bounded(spark, sf_dir):
+    bad = contamination_screen(spark, sf_dir).filter(
+        (F.col("n_contaminated") > F.col("n_train"))
+        | (F.col("contamination_rate") < 0)
+        | (F.col("contamination_rate") > 1)
+    )
+    assert bad.isEmpty()
+
+
+# -- incremental dedup --------------------------------------------------------
+
+def test_incremental_dedup_accounting(spark, sf_dir):
+    rows = dedup_incremental(spark, sf_dir).collect()
+    assert rows  # the hash slice is non-empty at sf0.001
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_incoming"]
+        assert r["n_kept"] >= 0 and r["n_dropped"] >= 0
+
+
+def test_incremental_dedup_drops_planted_duplicate(spark, tmp_path):
+    new_ids = [
+        i for i in range(10000) if phash_py(i, seed=59) % INCR_BATCH_MOD == 0
+    ][:3]
+    old_id = next(
+        i for i in range(10000) if phash_py(i, seed=59) % INCR_BATCH_MOD != 0
+    )
+    dup_text = "identical content appearing in corpus and batch"
+    docs = [
+        (old_id, dup_text, "en", "s"),
+        (new_ids[0], dup_text, "en", "s"),          # exact dup vs corpus → dropped
+        (new_ids[1], "genuinely new document one", "en", "s"),
+        (new_ids[2], "genuinely new document one", "en", "s"),  # within-batch dup
+    ]
+    _write_docs(spark, str(tmp_path), docs)
+    out = {r["lang"]: r for r in dedup_incremental(spark, str(tmp_path)).collect()}
+    assert out["en"]["n_incoming"] == 3
+    # corpus dup dropped; within-batch pair collapses to one survivor
+    assert out["en"]["n_kept"] == 1
+    assert out["en"]["n_dropped"] == 2

@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "pack_sequences",
     "contamination_screen",
     "dedup_incremental",
+    "chunk_documents",
+    "corpus_mixture_weights",
     "co_purchase_pairs",
     "dedup_exact",
     "curated_corpus",

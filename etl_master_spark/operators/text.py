@@ -1457,3 +1457,141 @@ LEFT JOIN (SELECT lang, COUNT(*) AS n_kept FROM survivors GROUP BY lang) s
     ON i.lang = s.lang
 GROUP BY i.lang ORDER BY i.lang
 """
+
+
+# -- document chunking --------------------------------------------------------
+
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (16-token overlap)
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    context-window chunking stage of an embedding/RAG or long-document
+    training pipeline. Chunk starts step by ``CHUNK_STRIDE``; the last
+    chunk always covers the document tail (standard 1 + ceil((n-size)/
+    stride) start count), so every token appears in ≥1 chunk.
+
+    Entirely row-local: start offsets come from one `sequence`, each chunk
+    is a `slice` of the once-evaluated word array (the evaluate-once rule:
+    slice per row, never element_at per element), the digest is md5 of the
+    rejoined window. One generator projection, no shuffle of its own —
+    scales with scan bandwidth like explode-family operators, with output
+    ~(1 + n/stride)× input rows. Digest + bounds (not full text) leave the
+    executor."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    n = F.size(words)
+    n_starts = F.when(n <= CHUNK_SIZE, F.lit(1)).otherwise(
+        F.expr(
+            f"CAST(((size(filter(split(text, ' '), w -> w != '')) - {CHUNK_SIZE}"
+            f" + {CHUNK_STRIDE} - 1) DIV {CHUNK_STRIDE}) + 1 AS INT)"
+        )
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_starts - 1),
+        lambda k: F.struct(
+            k.cast("bigint").alias("chunk_idx"),
+            (k * CHUNK_STRIDE + 1).cast("bigint").alias("start_tok"),
+        ),
+    )
+    docs = docs.select("doc_id", words.alias("w"), F.explode(chunks).alias("c"))
+    piece = F.slice(
+        F.col("w"), F.col("c.start_tok").cast("int"), F.lit(CHUNK_SIZE)
+    )
+    return docs.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+CHUNK_DOCUMENTS_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), t -> t <> '') AS words
+    FROM documents
+),
+n AS (
+    SELECT doc_id, words, len(words) AS n,
+           CASE WHEN len(words) <= {CHUNK_SIZE} THEN 1
+                ELSE ((len(words) - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1)
+                      // {CHUNK_STRIDE}) + 1
+           END AS n_starts
+    FROM w
+)
+SELECT doc_id,
+       k AS chunk_idx,
+       k * {CHUNK_STRIDE} + 1 AS start_tok,
+       CAST(len(list_slice(words, k * {CHUNK_STRIDE} + 1,
+                           k * {CHUNK_STRIDE} + {CHUNK_SIZE})) AS BIGINT)
+           AS n_tokens,
+       md5(array_to_string(list_slice(words, k * {CHUNK_STRIDE} + 1,
+                                      k * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' '))
+           AS chunk_md5
+FROM n, LATERAL (SELECT unnest(range(0, n_starts)) AS k)
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# -- corpus mixture weights ---------------------------------------------------
+
+MIXTURE_ALPHA = 0.7  # sampling temperature (multilingual-LM convention)
+
+
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing weights per language: sampling
+    probability ∝ (token share)^α, the standard rebalance that keeps
+    low-resource slices from vanishing at α<1. Emits natural share,
+    α-weighted share, and the implied up/down-sampling factor — the table
+    a data-mixture config is generated from.
+
+    Scale: the fact collapses to |langs| rows in one map-side-combined
+    agg; the normalizing window runs over that handful of rows (the group
+    count is bounded by the label vocabulary, not the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    nat = F.col("n_tokens").cast("double") / F.sum(
+        F.col("n_tokens").cast("double")
+    ).over(w_all)
+    powd = F.pow(F.col("n_tokens").cast("double"), F.lit(MIXTURE_ALPHA))
+    wt = powd / F.sum(powd).over(w_all)
+    return (
+        per_lang.select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(nat, 6).alias("natural_share"),
+            F.round(wt, 6).alias("mixture_weight"),
+            F.round(wt / nat, 6).alias("sampling_factor"),
+        )
+        .orderBy("lang")
+    )
+
+
+CORPUS_MIXTURE_WEIGHTS_ORACLE = f"""
+WITH per_lang AS (
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / SUM(CAST(n_tokens AS DOUBLE)) OVER (), 6)
+           AS natural_share,
+       ROUND(POW(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA})
+             / SUM(POW(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA})) OVER (), 6)
+           AS mixture_weight,
+       ROUND((POW(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA})
+              / SUM(POW(CAST(n_tokens AS DOUBLE), {MIXTURE_ALPHA})) OVER ())
+             / (CAST(n_tokens AS DOUBLE) / SUM(CAST(n_tokens AS DOUBLE)) OVER ()), 6)
+           AS sampling_factor
+FROM per_lang ORDER BY lang
+"""

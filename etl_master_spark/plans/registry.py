@@ -257,6 +257,12 @@ register(
     text.CONTAMINATION_SCREEN_ORACLE,
 )
 register("dedup_incremental", text.dedup_incremental, text.DEDUP_INCREMENTAL_ORACLE)
+register("chunk_documents", text.chunk_documents, text.CHUNK_DOCUMENTS_ORACLE)
+register(
+    "corpus_mixture_weights",
+    text.corpus_mixture_weights,
+    text.CORPUS_MIXTURE_WEIGHTS_ORACLE,
+)
 
 # -- vectors / similarity ----------------------------------------------------
 register("embedding_norms", vectors.embedding_norms, vectors.EMBEDDING_NORMS_ORACLE)

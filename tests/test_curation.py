@@ -157,3 +157,52 @@ def test_incremental_dedup_drops_planted_duplicate(spark, tmp_path):
     # corpus dup dropped; within-batch pair collapses to one survivor
     assert out["en"]["n_kept"] == 1
     assert out["en"]["n_dropped"] == 2
+
+
+# -- chunking -----------------------------------------------------------------
+
+def test_chunk_documents_covers_every_token(spark, tmp_path):
+    from etl_master_spark.operators.text import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        chunk_documents,
+    )
+
+    docs = [
+        (0, " ".join(f"t{i}" for i in range(10)), "en", "s"),    # 1 chunk
+        (1, " ".join(f"t{i}" for i in range(64)), "en", "s"),    # exactly size
+        (2, " ".join(f"t{i}" for i in range(65)), "en", "s"),    # tail chunk
+        (3, " ".join(f"t{i}" for i in range(200)), "en", "s"),   # several
+    ]
+    _write_docs(spark, str(tmp_path), docs)
+    rows = chunk_documents(spark, str(tmp_path)).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[0]) == 1 and by_doc[0][0]["n_tokens"] == 10
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_tokens"] == CHUNK_SIZE
+    assert len(by_doc[2]) == 2  # 65 tokens: start 1 + start 49 (covers tail)
+    # chunk k starts at k*stride+1; consecutive chunks overlap by size-stride
+    for chunks in by_doc.values():
+        for k, r in enumerate(sorted(chunks, key=lambda r: r["chunk_idx"])):
+            assert r["chunk_idx"] == k
+            assert r["start_tok"] == k * CHUNK_STRIDE + 1
+    # coverage: last chunk reaches the final token of every doc
+    for doc_id, n_words in [(0, 10), (1, 64), (2, 65), (3, 200)]:
+        last = max(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        assert last["start_tok"] + last["n_tokens"] - 1 == n_words
+
+
+def test_mixture_weights_identities(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_master_spark.operators.text import corpus_mixture_weights
+
+    rows = corpus_mixture_weights(spark, sf_dir).collect()
+    assert abs(sum(r["natural_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["mixture_weight"] for r in rows) - 1.0) < 1e-4
+    # temperature α<1 compresses: the largest slice is downsampled, the
+    # smallest upsampled
+    rows = sorted(rows, key=lambda r: r["n_tokens"])
+    assert rows[0]["sampling_factor"] > 1.0
+    assert rows[-1]["sampling_factor"] < 1.0

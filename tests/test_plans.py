@@ -90,3 +90,25 @@ def test_partition_pruning(spark, sf_dir, tmp_path):
     # ReadSchema carries only the payload columns
     rs = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert rs and "event_type" not in rs.group(1), rs and rs.group(1)
+
+
+# star queries whose dimension joins MUST broadcast (a shuffle join on a
+# 25-row nation / 5-row region side is a planning regression even when it
+# is merely slow, because at 100 TB the fact-side exchange it drags in is
+# the whole query cost)
+BROADCAST_REQUIRED = {
+    "local_supplier_volume",
+    "nation_pair_trade",
+    "nation_year_profit",
+    "returned_item_revenue",
+    # nation_trade_balance is excluded: FULL OUTER cannot BroadcastHashJoin
+    # (and both its sides are nation-sized aggregates anyway)
+    "shipping_priority",
+    "contamination_screen",
+}
+
+
+@pytest.mark.parametrize("name", sorted(BROADCAST_REQUIRED))
+def test_dimension_joins_broadcast(spark, sf_dir, name):
+    plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, name

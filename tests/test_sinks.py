@@ -64,5 +64,9 @@ def test_compact_parquet(spark, sf_dir, tmp_path):
     assert back.count() == ev.count()
     assert back.select("event_id").subtract(ev.select("event_id")).count() == 0
     # per-file sort: ts non-decreasing inside the single output file
-    ts = [r["t"] for r in back.selectExpr("CAST(ts AS LONG) AS t").collect()]
+    # (ts_us, not CAST AS LONG: the raw read yields TIMESTAMP_NTZ, which
+    # rejects numeric casts)
+    from etl_master_spark.sources.io import ts_us
+
+    ts = [r["t"] for r in back.select(ts_us("ts").alias("t")).collect()]
     assert ts == sorted(ts)

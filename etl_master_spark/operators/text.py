@@ -248,12 +248,13 @@ FROM documents
 
 # -- shingles (shared by Jaccard + MinHash) ----------------------------------
 
-def _shingles(docs: DataFrame) -> DataFrame:
+def _shingles(docs: DataFrame, extra_cols: list | None = None) -> DataFrame:
     """Distinct word-3-gram shingles per doc, built entirely inside the row
-    with higher-order array functions (transform over a position sequence) —
-    no shuffle, no Python, stays in whole-stage codegen. The explode happens
-    only AFTER array_distinct, so duplicate shingles never hit the exchange.
-    Output: (doc_id, shingle)."""
+    with higher-order array functions — no shuffle, no Python, stays in
+    whole-stage codegen. The explode happens only AFTER array_distinct, so
+    duplicate shingles never hit the exchange. Output: (doc_id, shingle
+    [, *extra_cols]) — extra columns ride the explode so callers don't need
+    a second corpus scan to re-attach per-doc attributes."""
     toks = F.split(F.col("text"), " ")
     # nested zip_with over three offset slices, NOT transform+element_at:
     # element_at inside a lambda re-evaluates the array argument per
@@ -272,7 +273,11 @@ def _shingles(docs: DataFrame) -> DataFrame:
     )
     return (
         spread(docs.filter(F.size(toks) >= SHINGLE_N))
-        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
+        .select(
+            "doc_id",
+            F.explode(shingle_arr).alias("shingle"),
+            *(extra_cols or []),
+        )
     )
 
 
@@ -1303,26 +1308,33 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~5% hash slice here; in production, the actual eval suites). The
     standard pre-release screen for a pretraining corpus.
 
-    The shingle build is the shared ``_shingles`` row-local pass; the
-    benchmark side collapses to DISTINCT shingles BEFORE the join, so the
-    probe is keyed by shingle with benchmark-side cardinality — small by
-    construction (5% of docs) and broadcastable at any scale where the
-    benchmark is a fixed suite. One semi-join + one per-lang rollup."""
+    The shingle build is the shared ``_shingles`` row-local pass carrying
+    (is_eval, lang) through, so the CORPUS IS SCANNED TWICE TOTAL (once for
+    the shingle index, once for the slim per-lang rollup) — the first
+    spelling re-derived `flagged` per branch and cost 5 parquet scans. The
+    shingle index is localCheckpoint-ed before fanning into both join
+    sides: at production scale that materialization is a real table (the
+    index every contamination/dedup job keeps on disk), and here it stops
+    Spark re-computing the explode per consumer. The benchmark side
+    collapses to DISTINCT shingles BEFORE the join, so the probe is keyed
+    by shingle with benchmark-side cardinality — small by construction
+    (5% of docs) and broadcastable at any scale where the benchmark is a
+    fixed suite. One semi-join + one per-lang rollup."""
     docs = load_table(spark, sf_dir, "documents")
-    is_eval = F.expr(phash_frag("doc_id", seed=41)) % EVAL_HOLDOUT_MOD == 0
-    flagged = docs.withColumn("is_eval", is_eval)
-    sh = _shingles(flagged.select("doc_id", "text"))
-    eval_ids = flagged.filter("is_eval").select("doc_id")
-    eval_sh = (
-        sh.join(F.broadcast(eval_ids), "doc_id").select("shingle").distinct()
+    is_eval = (F.expr(phash_frag("doc_id", seed=41)) % EVAL_HOLDOUT_MOD == 0).alias(
+        "is_eval"
     )
-    train = flagged.filter(~F.col("is_eval"))
+    sh = _shingles(
+        docs.select("doc_id", "text"), extra_cols=[is_eval]
+    ).localCheckpoint(eager=False)
+    eval_sh = sh.filter("is_eval").select("shingle").distinct()
     contaminated = (
-        sh.join(train.select("doc_id"), "doc_id")
+        sh.filter(~F.col("is_eval"))
         .join(F.broadcast(eval_sh), "shingle", "left_semi")
         .select("doc_id")
         .distinct()
     )
+    train = docs.select("doc_id", "lang", is_eval).filter(~F.col("is_eval"))
     return (
         train.join(
             contaminated.withColumn("hit", F.lit(1)), "doc_id", "left"

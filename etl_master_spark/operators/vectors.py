@@ -379,15 +379,32 @@ COSINE_DUP_THRESHOLD = 0.99  # production default; synthetic testdata has no
 # binds 0.4 to exercise real output through the gate.
 
 
+COSINE_EXACT_MAX_ROWS = 100_000  # ~5·10⁹ candidate pairs — the ceiling of sane
+
+
 def dedup_embedding_cosine(
-    spark: SparkSession, sf_dir: str, threshold: float = COSINE_DUP_THRESHOLD
+    spark: SparkSession, sf_dir: str, threshold: float = COSINE_DUP_THRESHOLD,
+    max_rows: int = COSINE_EXACT_MAX_ROWS,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold — the embedding-space
     member of the dedup family (exact / Jaccard / MinHash / SimHash /
     cosine). All-pairs here (exact, oracle-checkable); the scale path is
     ``dedup_embedding_cosine_lsh`` — banded sign-LSH candidate join, then
-    the same exact cosine verification."""
+    the same exact cosine verification.
+
+    Deliberately guarded: the O(n²) product is a demo/verification tool,
+    and pointing it at a real corpus by accident must fail loudly rather
+    than melt the cluster — inputs over ``max_rows`` raise with a pointer
+    to the LSH twin."""
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"dedup_embedding_cosine is the exact all-pairs demo (O(n²)): "
+            f"input has {n} rows > max_rows={max_rows}. Use "
+            f"dedup_embedding_cosine_lsh (banded sign-LSH candidates + "
+            f"exact verify) for corpus-scale dedup."
+        )
     # norms once per VECTOR, not per pair — the pairwise work drops from 3
     # 64-dim dot products to 1 (identical doubles: same ops, same order)
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
@@ -751,56 +768,83 @@ def mmd_rbf_fast(
     spark: SparkSession, sf_dir: str, label_a: int = 0, label_b: int = 1,
     sigma: float = 4.0, block: int = 2048,
 ) -> DataFrame:
-    """Throughput path for MMD²: numpy BLAS Gram blocks inside mapInPandas.
+    """Throughput path for MMD²: block-tiled numpy BLAS Gram, fully
+    distributed — NO side is ever materialized on the driver.
 
-    Each task receives a block of X rows and computes its kernel-sum against
-    the (broadcast) other side — O(|X|·|Y|) flops at BLAS speed, O(block·dim)
-    memory per task. Returns the same (label_a, label_b, mmd2) shape;
-    not oracle-checked (numpy summation order differs), used for BENCH."""
+    Each side is hash-bucketed into ≤``block``-row tiles, the tiles are
+    aggregated with ``collect_list`` (bounded: block × dim doubles ≈ 1 MB
+    per tile row), and every (i-tile × j-tile) pair of the three Gram
+    grids (XX / YY / XY) is one row of a tile cross-join whose kernel sum
+    is computed by an Arrow-batched pandas UDF at BLAS speed. Per-task
+    memory is O(block·dim); shuffle volume is the block-nested-loop
+    replication |X|·(|Y|/block) — the canonical distributed spelling of
+    an O(n²) kernel, and the same grid a 1000-executor cluster would
+    spread evenly. The only driver-side values are the two side COUNTS
+    (1-row bounds, needed to size the tile grid and normalize the means).
+
+    Returns the same (label_a, label_b, mmd2) shape as ``mmd_rbf``;
+    not oracle-checked (numpy summation order differs) — parity with the
+    relational spelling is pinned to 1e-6 in tests/test_text_vectors.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    xa = np.array(
-        [r["embedding"] for r in emb.filter(F.col("label") == label_a)
-         .select("embedding").collect()],
-        dtype=np.float64,
-    )
-    xb = np.array(
-        [r["embedding"] for r in emb.filter(F.col("label") == label_b)
-         .select("embedding").collect()],
-        dtype=np.float64,
-    )
     gamma = 1.0 / (2.0 * sigma * sigma)
-    sc = spark.sparkContext
-    bxa, bxb = sc.broadcast(xa), sc.broadcast(xb)
 
-    def ksum(x: np.ndarray, y: np.ndarray) -> float:
-        sq_x = (x * x).sum(axis=1)[:, None]
-        sq_y = (y * y).sum(axis=1)[None, :]
-        d2 = sq_x - 2.0 * (x @ y.T) + sq_y
-        return float(np.exp(-gamma * d2).sum())
-
-    def part(pdfs):
-        for pdf in pdfs:
-            idx = pdf["i"].to_numpy()
-            xblk = bxa.value[idx]
-            yield pd.DataFrame(
-                {
-                    "sxx": [ksum(xblk, bxa.value)],
-                    "sxy": [ksum(xblk, bxb.value)],
-                    "n": [len(idx)],
-                }
+    @F.pandas_udf("double")
+    def _tile_ksum(vx: pd.Series, vy: pd.Series) -> pd.Series:
+        out = []
+        for xs, ys in zip(vx, vy):
+            x = np.array([np.asarray(v, dtype=np.float64) for v in xs])
+            y = np.array([np.asarray(v, dtype=np.float64) for v in ys])
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ y.T)
+                + (y * y).sum(axis=1)[None, :]
             )
+            out.append(float(np.exp(-gamma * d2).sum()))
+        return pd.Series(out, dtype="float64")
 
-    n_a, n_b = len(xa), len(xb)
-    blocks = spark.range(n_a).select(F.col("id").cast("int").alias("i")).repartition(
-        max(1, n_a // block)
+    def tiles(lbl: int, n: int) -> DataFrame:
+        n_tiles = max(1, -(-n // block))
+        return (
+            emb.filter(F.col("label") == lbl)
+            .groupBy(
+                F.pmod(F.xxhash64("vec_id"), F.lit(n_tiles)).alias("tile")
+            )
+            .agg(F.collect_list("embedding").alias("vs"))
+        )
+
+    # the two counts are the only driver-side values — 1-row bounds
+    counts = {
+        r["label"]: r["n"]
+        for r in emb.filter(F.col("label").isin(label_a, label_b))
+        .groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_a, n_b = counts.get(label_a, 0), counts.get(label_b, 0)
+
+    ta = tiles(label_a, n_a)
+    tb = tiles(label_b, n_b)
+
+    def grid_sum(tx: DataFrame, ty: DataFrame, name: str) -> DataFrame:
+        g = tx.select(F.col("vs").alias("vx")).crossJoin(
+            ty.select(F.col("vs").alias("vy"))
+        )
+        return g.select(_tile_ksum("vx", "vy").alias("s")).agg(
+            F.sum("s").alias(name)
+        )
+
+    sums = (
+        grid_sum(ta, ta, "sxx")
+        .crossJoin(grid_sum(tb, tb, "syy"))
+        .crossJoin(grid_sum(ta, tb, "sxy"))
     )
-    sums = blocks.mapInPandas(part, "sxx double, sxy double, n long").agg(
-        F.sum("sxx").alias("sxx"), F.sum("sxy").alias("sxy")
-    ).collect()[0]
-    kyy = ksum(xb, xb) / (n_b * n_b)
-    mmd2 = sums["sxx"] / (n_a * n_a) + kyy - 2.0 * sums["sxy"] / (n_a * n_b)
-    return spark.createDataFrame(
-        [(label_a, label_b, round(mmd2, 6))], "label_a int, label_b int, mmd2 double"
+    return sums.select(
+        F.lit(label_a).alias("label_a"),
+        F.lit(label_b).alias("label_b"),
+        F.round(
+            F.col("sxx") / F.lit(float(n_a * n_a))
+            + F.col("syy") / F.lit(float(n_b * n_b))
+            - 2.0 * F.col("sxy") / F.lit(float(n_a * n_b)),
+            6,
+        ).alias("mmd2"),
     )
 
 

@@ -246,6 +246,7 @@ register("word_counts", text.word_counts, text.WORD_COUNTS_ORACLE)
 register("tfidf_top_terms", text.tfidf_top_terms, text.TFIDF_TOP_TERMS_ORACLE)
 register("simhash16", text.simhash16, text.simhash16_oracle())
 register("simhash64", text.simhash64, None)  # Arrow-UDF fast path: rows-only
+register("simhash64_jvm", text.simhash64_jvm, text.simhash64_jvm_oracle())
 register("bigram_counts", text.bigram_counts, text.BIGRAM_COUNTS_ORACLE)
 register("pii_scan", text.pii_scan, text.PII_SCAN_ORACLE)
 register("pii_redact", text.pii_redact, text.PII_REDACT_ORACLE)

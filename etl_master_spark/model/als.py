@@ -111,3 +111,84 @@ def export_user_embeddings(
         F.col("id").cast("bigint").alias("user_id"),
         F.col("features").cast("array<float>").alias("embedding"),
     )
+
+
+# -- R7 second half: checkpoint save → reload → re-evaluate ------------------
+
+def save_checkpoint(
+    spark: SparkSession, sf_dir: str, domain: str, ckpt_dir: str
+) -> None:
+    """S4 checkpoint save (reference ``torch.save`` per best metric,
+    ``main_my.py:322-346``): both factor matrices as parquet — splittable,
+    schema'd, reloadable by ANY engine, no driver materialization."""
+    model = train_als(spark, sf_dir, domain)
+    model.userFactors.write.mode("overwrite").parquet(
+        f"{ckpt_dir}/{domain}/user_factors"
+    )
+    model.itemFactors.write.mode("overwrite").parquet(
+        f"{ckpt_dir}/{domain}/item_factors"
+    )
+
+
+def scores_from_checkpoint(
+    spark: SparkSession, sf_dir: str, domain: str, ckpt_dir: str
+) -> DataFrame:
+    """Score candidate pairs from RELOADED factors — a join-first
+    ``zip_with`` dot product over the candidate pairs, no model object and
+    no user×item materialization. The reloaded path must reproduce the
+    live model's ranking (pinned in tests/test_model.py)."""
+    uf = spark.read.parquet(f"{ckpt_dir}/{domain}/user_factors").select(
+        F.col("id").cast("bigint").alias("user_id"),
+        F.col("features").cast("array<float>").alias("uf"),
+    )
+    itf = spark.read.parquet(f"{ckpt_dir}/{domain}/item_factors").select(
+        F.col("id").cast("bigint").alias("item_id"),
+        F.col("features").cast("array<float>").alias("if_"),
+    )
+    neg = negatives(spark, sf_dir).filter(F.col("domain") == domain)
+    hold = splits(spark, sf_dir).filter(
+        F.col("split").isin("vali", "test") & (F.col("domain") == domain)
+    )
+    cand = (
+        neg.select("user_id", "item_id")
+        .unionByName(hold.select("user_id", "item_id"))
+        .distinct()
+    )
+    # float32 accumulate, like ALS transform's BLAS sdot — then one widen
+    dot = F.aggregate(
+        F.zip_with("uf", "if_", lambda a, b: a * b),
+        F.lit(0.0).cast("float"),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    return (
+        cand.join(uf, "user_id")
+        .join(F.broadcast(itf), "item_id")
+        .select(
+            "user_id",
+            "item_id",
+            F.lit(domain).alias("domain"),
+            dot.alias("score"),
+        )
+    )
+
+
+def reeval_from_checkpoint(
+    spark: SparkSession,
+    sf_dir: str,
+    ckpt_dir: str,
+    mode: str = "test",
+    ks: list[int] | None = None,
+) -> DataFrame:
+    """The full R7 lifecycle (reference ``main_my.py:350-375``): reload the
+    saved best checkpoints for both domains and re-run the evaluation
+    protocol at K∈{5,10}. Assumes ``save_checkpoint`` ran for 'x' and 'y'
+    under ``ckpt_dir``."""
+    scores = scores_from_checkpoint(spark, sf_dir, "x", ckpt_dir).unionByName(
+        scores_from_checkpoint(spark, sf_dir, "y", ckpt_dir)
+    )
+    sp = splits(spark, sf_dir)
+    holdout = sp.filter(F.col("split") == mode).select(
+        "user_id", "item_id", "domain"
+    )
+    negs = negatives(spark, sf_dir)
+    return eval_from_scores(scores, holdout, negs, ks=ks or [5, 10])

@@ -93,6 +93,119 @@ ORDER BY metric
 """
 
 
+# -- R7: best-checkpoint re-evaluation lifecycle -----------------------------
+
+REEVAL_KS = [5, 10]  # reference re-tests its best checkpoints at K∈{5,10}
+
+
+def best_epoch_reeval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7's second half (reference ``main_my.py:350-375``): the reference
+    reloads each per-metric BEST checkpoint (selected on validation) and
+    re-evaluates it on TEST at K∈{5,10}. Relational spelling over the
+    telemetry stream: fold events into a vali/test pair of histories
+    (event_id parity), argmax each metric's epoch on the VALI side (strict
+    ``>`` — earlier epoch wins ties, like ``best_epoch``), then re-score
+    that epoch's TEST-side rows at each K — mean of the top-K values per
+    metric (value desc, event_id tiebreak).
+
+    Plan shape: two grouped aggregations + one tiny (|metrics| rows)
+    broadcast join + a per-metric window over only the selected epochs'
+    rows — the selection join prunes the window input before it shuffles.
+    The checkpoint-reload composition with REAL model weights is
+    ``model.als.reeval_from_checkpoint`` (parquet factors round-trip),
+    pinned by tests/test_model.py."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("event_id") % N_EPOCHS_FOLD).cast("bigint").alias("epoch"),
+        F.col("event_type").alias("loss_kind"),
+        "event_id",
+        "value",
+        # 0=vali 1=test — epoch-BLOCK parity, not event parity: event_id%2
+        # correlates with epoch=event_id%20 (both even moduli) and would
+        # leave vali epochs with zero test rows
+        F.pmod(F.expr("event_id div 20"), F.lit(2)).alias("side"),
+    )
+    vali = (
+        base.filter(F.col("side") == 0)
+        .groupBy("epoch", "loss_kind")
+        .agg(F.round(F.avg("value"), 6).alias("mean_loss"))
+    )
+    w = Window.partitionBy("loss_kind").orderBy(
+        F.col("mean_loss").desc(), F.col("epoch").asc()
+    )
+    best = (
+        vali.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        # renamed: `best` shares lineage with `base`, so the join below
+        # must use disjoint column names to stay unambiguous
+        .select(
+            F.col("loss_kind").alias("best_kind"),
+            F.col("epoch").alias("best_epoch"),
+        )
+    )
+    test_rows = (
+        base.filter(F.col("side") == 1)
+        .join(
+            F.broadcast(best),
+            (F.col("loss_kind") == F.col("best_kind"))
+            & (F.col("epoch") == F.col("best_epoch")),
+        )
+        .select("loss_kind", "best_epoch", "event_id", "value")
+    )
+    wk = Window.partitionBy("loss_kind").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    ranked = test_rows.withColumn("rn", F.row_number().over(wk))
+    ks = spark.createDataFrame([(k,) for k in REEVAL_KS], "k int")
+    return (
+        ranked.join(F.broadcast(ks), F.col("rn") <= F.col("k"))
+        .groupBy(F.col("loss_kind").alias("metric"), "best_epoch", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.round(F.avg("value"), 6).alias("reeval_value"),
+        )
+        .orderBy("metric", "k")
+    )
+
+
+BEST_EPOCH_REEVAL_ORACLE = f"""
+WITH base AS (
+    SELECT CAST(event_id % {N_EPOCHS_FOLD} AS BIGINT) AS epoch,
+           event_type AS loss_kind, event_id, value,
+           (event_id // 20) % 2 AS side
+    FROM events
+),
+vali AS (
+    SELECT epoch, loss_kind, ROUND(AVG(value), 6) AS mean_loss
+    FROM base WHERE side = 0 GROUP BY epoch, loss_kind
+),
+best AS (
+    SELECT loss_kind, epoch AS best_epoch FROM (
+        SELECT loss_kind, epoch,
+               ROW_NUMBER() OVER (
+                   PARTITION BY loss_kind ORDER BY mean_loss DESC, epoch ASC
+               ) AS rn
+        FROM vali
+    ) WHERE rn = 1
+),
+ranked AS (
+    SELECT b.loss_kind, s.best_epoch, b.event_id, b.value,
+           ROW_NUMBER() OVER (
+               PARTITION BY b.loss_kind ORDER BY b.value DESC, b.event_id ASC
+           ) AS rn
+    FROM base b JOIN best s
+      ON b.loss_kind = s.loss_kind AND b.epoch = s.best_epoch
+    WHERE b.side = 1
+)
+SELECT r.loss_kind AS metric, r.best_epoch, k.k,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       ROUND(AVG(r.value), 6) AS reeval_value
+FROM ranked r JOIN (SELECT unnest({REEVAL_KS}) AS k) k ON r.rn <= k.k
+GROUP BY r.loss_kind, r.best_epoch, k.k
+ORDER BY metric, k
+"""
+
+
 # -- E11: labeled union (the discriminator's real/fake batch) ----------------
 
 def union_labels(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -81,6 +81,10 @@ register(
 # -- stats / bookkeeping (E11-E13, F1-F4) ------------------------------------
 register("loss_means", stats.loss_means, stats.LOSS_MEANS_ORACLE)
 register("best_epoch", stats.best_epoch, stats.BEST_EPOCH_ORACLE)
+# R7 second half: select-on-vali -> re-evaluate-on-test at K in {5,10}
+register(
+    "best_epoch_reeval", stats.best_epoch_reeval, stats.BEST_EPOCH_REEVAL_ORACLE
+)
 register("union_labels", stats.union_labels, stats.UNION_LABELS_ORACLE)
 register("scalar_functions", stats.scalar_functions, stats.SCALAR_FUNCTIONS_ORACLE)
 
@@ -436,6 +440,17 @@ def _cdae_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the reference's own model family (denoising AE), distributed training loop
 register("cdae_eval_test", _cdae_eval, None)
+
+
+def _gan_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..model.gan import gan_eval
+
+    return gan_eval(spark, sf_dir, "test")
+
+
+# the reference's CORE: adversarially-coupled cross-domain training
+# (T8/T10/T12 — discriminators, GAN-weighted objective, G/D schedule)
+register("gan_eval_test", _gan_eval, None)
 
 
 # -- registry ordering --------------------------------------------------------

@@ -155,3 +155,123 @@ def test_media_resize_and_frames_contracts(spark, sf_dir):
         joined = b"".join(f for _, f in sorted(fs))
         assert joined == orig[mid]
         assert len(fs) == -(-len(orig[mid]) // FRAME_STRIDE)
+
+
+def test_gan_generator_gradcheck():
+    """Finite-difference check of the GAN generator gradients (T10's
+    weighted total objective: adv + self + cross + L1-consistency) —
+    directional derivative vs analytic inner product, every G param."""
+    from etl_master_spark.model import gan
+
+    rng = np.random.default_rng(0)
+    n, ix, iy, emb = 7, 11, 9, 6
+    g, d = gan.init_params(ix, iy, emb=emb, seed=1)
+    x = (rng.random((n, ix)) < 0.3).astype(float)
+    y = (rng.random((n, iy)) < 0.3).astype(float)
+    x[:, 0] = 1.0  # no all-zero rows (keeps relu off its kink)
+    y[:, 0] = 1.0
+    grads, _ = gan._g_grads(x, x, y, y, g, d)
+    eps = 1e-6
+    for k, gk in grads.items():
+        dirn = rng.normal(size=g[k].shape)
+        gp = {kk: vv.copy() for kk, vv in g.items()}
+        gm = {kk: vv.copy() for kk, vv in g.items()}
+        gp[k] = g[k] + eps * dirn
+        gm[k] = g[k] - eps * dirn
+        num = (
+            gan._g_forward(x, x, y, y, gp, d)["total"]
+            - gan._g_forward(x, x, y, y, gm, d)["total"]
+        ) / (2 * eps)
+        ana = float((gk * dirn).sum())
+        assert num == pytest.approx(ana, rel=2e-4, abs=1e-6), k
+
+
+def test_gan_discriminator_gradcheck_and_learns():
+    """FD check of the discriminator gradients (T8), then 40 D-only steps
+    with G frozen must reduce D loss (the 'discriminator loss moves'
+    requirement, isolated from the adversarial see-saw)."""
+    from etl_master_spark.model import gan
+
+    rng = np.random.default_rng(3)
+    n, ix, iy, emb = 8, 10, 12, 6
+    g, d = gan.init_params(ix, iy, emb=emb, seed=2)
+    users = np.arange(n, dtype="int64")
+    x = (rng.random((n, ix)) < 0.4).astype(float)
+    y = (rng.random((n, iy)) < 0.4).astype(float)
+    grads, _ = gan._d_grads(users, x, y, g, d, tick=0)
+    eps = 1e-6
+    for k, gk in grads.items():
+        dirn = rng.normal(size=d[k].shape)
+        dp = {kk: vv.copy() for kk, vv in d.items()}
+        dm = {kk: vv.copy() for kk, vv in d.items()}
+        dp[k] = d[k] + eps * dirn
+        dm[k] = d[k] - eps * dirn
+        num = (
+            gan._d_grads(users, x, y, g, dp, tick=0)[1]
+            - gan._d_grads(users, x, y, g, dm, tick=0)[1]
+        ) / (2 * eps)
+        ana = float((gk * dirn).sum())
+        assert num == pytest.approx(ana, rel=2e-4, abs=1e-6), k
+
+    losses = []
+    for _ in range(100):
+        grads, loss = gan._d_grads(users, x, y, g, d, tick=0)
+        for k in d:
+            d[k] -= 0.3 * grads[k] / n
+        losses.append(loss)
+    assert losses[-1] < losses[0] * 0.5  # 22.1 -> ~6.5: D separates
+
+
+def test_gan_prior_is_standard_normal():
+    from etl_master_spark.model import gan
+
+    z = gan._prior(np.arange(4000, dtype="int64"), 16, tick=1, salt=101)
+    assert abs(z.mean()) < 0.02
+    assert abs(z.std() - 1.0) < 0.02
+    # deterministic and partition-independent: same users -> same rows
+    z2 = gan._prior(np.arange(4000, dtype="int64"), 16, tick=1, salt=101)
+    assert np.array_equal(z, z2)
+
+
+def test_gan_trains_and_evaluates(spark, sf_dir):
+    """End-to-end adversarial training on the real split tables: G loss
+    decreases, D passes run, and the eval protocol emits the 4 metric rows
+    (2 domains x K in {5,10}) like every other scorer."""
+    from etl_master_spark.model import gan
+
+    model = gan.train_gan(spark, sf_dir, passes=6)
+    assert len(model["g_losses"]) == 4 and len(model["d_losses"]) == 2
+    assert all(np.isfinite(v) for v in model["g_losses"] + model["d_losses"])
+    assert model["g_losses"][-1] < model["g_losses"][0]
+    out = gan.gan_eval(spark, sf_dir).collect()
+    assert len(out) == 4
+    for r in out:
+        assert 0.0 <= r["hr"] <= 1.0
+
+
+def test_checkpoint_reload_reeval_matches_live(spark, sf_dir, tmp_path):
+    """R7 second half: save both domains' factor checkpoints, reload them,
+    re-evaluate at K in {5,10} — the reloaded scorer must reproduce the
+    live model's metrics exactly (same factors, same protocol)."""
+    from etl_master_spark.model.als import (
+        als_eval,
+        reeval_from_checkpoint,
+        save_checkpoint,
+    )
+
+    ck = str(tmp_path / "ckpt")
+    save_checkpoint(spark, sf_dir, "x", ck)
+    save_checkpoint(spark, sf_dir, "y", ck)
+    live = {
+        (r["domain"], r["k"]): (r["hr"], r["ndcg"], r["mrr"], r["n_users"])
+        for r in als_eval(spark, sf_dir, "test").collect()
+    }
+    rel = {
+        (r["domain"], r["k"]): (r["hr"], r["ndcg"], r["mrr"], r["n_users"])
+        for r in reeval_from_checkpoint(spark, sf_dir, ck, "test").collect()
+    }
+    assert set(live) == set(rel) == {("x", 5), ("x", 10), ("y", 5), ("y", 10)}
+    for key in live:
+        assert rel[key][3] == live[key][3]
+        for a, b in zip(rel[key][:3], live[key][:3]):
+            assert a == pytest.approx(b, abs=1e-6), key

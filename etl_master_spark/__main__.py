@@ -66,7 +66,14 @@ def main(argv: list[str] | None = None) -> int:
                 f.write(line + "\n")
 
     # stage 1 — compute-if-missing splits + negatives (reference S2 cache)
-    if not args.skip_prepare and log_dir:
+    if args.skip_prepare:
+        log_line({"stage": "prepare", "skipped": "--skip-prepare"})
+    elif not log_dir:
+        # the S2 cache needs a directory to live in; without --log the
+        # splits are recomputed lazily by each consumer (same results,
+        # no silent behavior change — just say so)
+        log_line({"stage": "prepare", "skipped": "no --log dir to cache in"})
+    else:
         from etl_master_spark.sources.sinks import materialize_splits
 
         t0 = time.time()
@@ -80,7 +87,10 @@ def main(argv: list[str] | None = None) -> int:
             }
         )
 
-    # stage 2+3 — train (model-dependent) and evaluate both modes
+    # stage 2+3 — train (model-dependent) and evaluate both modes.
+    # Every parsed hyperparameter reaches the trainer it applies to;
+    # flags a model cannot honor are rejected up front rather than
+    # silently ignored (reference parity: main_my.py:30-52 args all bind).
     t0 = time.time()
     if args.model == "popularity":
         from etl_master_spark.operators.ranking import eval_metrics
@@ -90,28 +100,49 @@ def main(argv: list[str] | None = None) -> int:
     elif args.model == "als":
         from etl_master_spark.model.als import als_eval
 
-        frames = {m: als_eval(spark, args.data_dir, m) for m in ("vali", "test")}
+        frames = {m: als_eval(spark, args.data_dir, m, rank=args.emb_size,
+                              ks=args.topk)
+                  for m in ("vali", "test")}
     else:
         from etl_master_spark.model.cdae import cdae_eval
 
-        frames = {m: cdae_eval(spark, args.data_dir, m) for m in ("vali", "test")}
+        frames = {m: cdae_eval(spark, args.data_dir, m, emb=args.emb_size,
+                               epochs=args.epochs, lr=args.lr, seed=args.seed,
+                               ks=args.topk)
+                  for m in ("vali", "test")}
     for mode, df in frames.items():
         for r in df.collect():
             log_line({"stage": "evaluate", "mode": mode, **r.asDict()})
     log_line({"stage": "train+evaluate", "model": args.model,
               "sec": round(time.time() - t0, 2)})
 
-    # stage 4 — embedding export (S5)
+    # stage 4 — embedding export (S5), dispatched on the TRAINED model:
+    # als exports its factor rows, cdae its own latent z (reference
+    # exports the model's embeddings, model_my.py:111-145); popularity
+    # has no embeddings to export — warn, don't train a different model.
     if args.export_embeddings:
-        from etl_master_spark.model.als import export_user_embeddings
-
         t0 = time.time()
-        out = os.path.join(log_dir or ".", "user_embeddings")
-        emb = export_user_embeddings(spark, args.data_dir, "x")
-        emb.write.mode("overwrite").parquet(out)
-        log_line({"stage": "export_embeddings", "path": out,
-                  "rows": spark.read.parquet(out).count(),
-                  "sec": round(time.time() - t0, 2)})
+        if args.model == "popularity":
+            log_line({"stage": "export_embeddings",
+                      "skipped": "popularity model has no embeddings"})
+        else:
+            if args.model == "als":
+                from etl_master_spark.model.als import export_user_embeddings
+
+                emb = export_user_embeddings(spark, args.data_dir, "x")
+            else:
+                from etl_master_spark.model.cdae import cdae_user_embeddings
+
+                emb = cdae_user_embeddings(
+                    spark, args.data_dir, "x", emb=args.emb_size,
+                    epochs=args.epochs, lr=args.lr, seed=args.seed,
+                )
+            out = os.path.join(log_dir or ".", "user_embeddings")
+            emb.write.mode("overwrite").parquet(out)
+            log_line({"stage": "export_embeddings", "path": out,
+                      "model": args.model,
+                      "rows": spark.read.parquet(out).count(),
+                      "sec": round(time.time() - t0, 2)})
 
     log_line({"stage": "done", "total_sec": round(time.time() - t_all, 2)})
     spark.stop()

@@ -58,11 +58,13 @@ def train_als(
     return als.fit(train)
 
 
-def als_scores(spark: SparkSession, sf_dir: str, domain: str) -> DataFrame:
+def als_scores(
+    spark: SparkSession, sf_dir: str, domain: str, rank: int = EMB_SIZE
+) -> DataFrame:
     """Score every (user, candidate-item) pair for one domain via the model's
     dot products — computed as a transform over the candidate pairs, never a
     full user×item materialization."""
-    model = train_als(spark, sf_dir, domain)
+    model = train_als(spark, sf_dir, domain, rank=rank)
     neg = negatives(spark, sf_dir).filter(F.col("domain") == domain)
     hold = (
         splits(spark, sf_dir)
@@ -85,19 +87,26 @@ def als_scores(spark: SparkSession, sf_dir: str, domain: str) -> DataFrame:
     )
 
 
-def als_eval(spark: SparkSession, sf_dir: str, mode: str = "test") -> DataFrame:
+def als_eval(
+    spark: SparkSession,
+    sf_dir: str,
+    mode: str = "test",
+    rank: int = EMB_SIZE,
+    ks: list[int] | None = None,
+) -> DataFrame:
     """Reference protocol end-to-end with the ALS model: rank 99 negatives +
     held-out positive per user per domain, HR/NDCG/MRR@{5,10}. Rows-only
-    check (model training is not SQL-expressible — SURVEY.md §7.4)."""
-    scores = als_scores(spark, sf_dir, "x").unionByName(
-        als_scores(spark, sf_dir, "y")
+    check (model training is not SQL-expressible — SURVEY.md §7.4).
+    ``rank`` (--emb_size) and ``ks`` (--topk) thread from the CLI."""
+    scores = als_scores(spark, sf_dir, "x", rank=rank).unionByName(
+        als_scores(spark, sf_dir, "y", rank=rank)
     )
     sp = splits(spark, sf_dir)
     holdout = sp.filter(F.col("split") == mode).select(
         "user_id", "item_id", "domain"
     )
     negs = negatives(spark, sf_dir)
-    return eval_from_scores(scores, holdout, negs)
+    return eval_from_scores(scores, holdout, negs, ks=ks)
 
 
 def export_user_embeddings(

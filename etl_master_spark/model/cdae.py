@@ -161,9 +161,50 @@ def train_cdae(
     }
 
 
-def cdae_scores(spark: SparkSession, sf_dir: str, domain: str) -> DataFrame:
+def cdae_user_embeddings(
+    spark: SparkSession,
+    sf_dir: str,
+    domain: str,
+    emb: int = EMB_SIZE,
+    epochs: int = EPOCHS,
+    lr: float = LR,
+    seed: int = SEED,
+) -> DataFrame:
+    """S5 export with the CDAE's OWN latent z (reference exports the
+    trained model's embeddings, ``model_my.py:111-145``): one training
+    run, then (user_id, embedding ARRAY<DOUBLE>) via the Arrow latent
+    pass — never a driver-side matrix."""
+    model = train_cdae(spark, sf_dir, domain, emb=emb, epochs=epochs, lr=lr,
+                       seed=seed)
+    n_items = model["n_items"]
+    bw = spark.sparkContext.broadcast(model["W1"])
+
+    def latent(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p1 = bw.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            users, x = _multi_hot(pdf, n_items)
+            z = np.maximum(x @ p1, 0.0)
+            yield pd.DataFrame({"user_id": users, "embedding": z.tolist()})
+
+    return model["per_user"].mapInPandas(
+        latent, "user_id long, embedding array<double>"
+    )
+
+
+def cdae_scores(
+    spark: SparkSession,
+    sf_dir: str,
+    domain: str,
+    emb: int = EMB_SIZE,
+    epochs: int = EPOCHS,
+    lr: float = LR,
+    seed: int = SEED,
+) -> DataFrame:
     """(user_id, item_id, domain, score) for candidate pairs only."""
-    model = train_cdae(spark, sf_dir, domain)
+    model = train_cdae(spark, sf_dir, domain, emb=emb, epochs=epochs, lr=lr,
+                       seed=seed)
     n_items = model["n_items"]
     bw = spark.sparkContext.broadcast(model["W1"])
 
@@ -211,13 +252,25 @@ def cdae_scores(spark: SparkSession, sf_dir: str, domain: str) -> DataFrame:
     )
 
 
-def cdae_eval(spark: SparkSession, sf_dir: str, mode: str = "test") -> DataFrame:
+def cdae_eval(
+    spark: SparkSession,
+    sf_dir: str,
+    mode: str = "test",
+    emb: int = EMB_SIZE,
+    epochs: int = EPOCHS,
+    lr: float = LR,
+    seed: int = SEED,
+    ks: list[int] | None = None,
+) -> DataFrame:
     """Reference protocol end-to-end with the CDAE scorer (rows-only —
-    training is not SQL-expressible)."""
-    scores = cdae_scores(spark, sf_dir, "x").unionByName(
-        cdae_scores(spark, sf_dir, "y")
+    training is not SQL-expressible). Hyperparameters thread through to
+    the trainer — the CLI's --epochs/--lr/--emb_size/--seed land here."""
+    scores = cdae_scores(
+        spark, sf_dir, "x", emb=emb, epochs=epochs, lr=lr, seed=seed
+    ).unionByName(
+        cdae_scores(spark, sf_dir, "y", emb=emb, epochs=epochs, lr=lr, seed=seed)
     )
     sp = splits(spark, sf_dir)
     holdout = sp.filter(F.col("split") == mode).select("user_id", "item_id", "domain")
     negs = negatives(spark, sf_dir)
-    return eval_from_scores(scores, holdout, negs)
+    return eval_from_scores(scores, holdout, negs, ks=ks)

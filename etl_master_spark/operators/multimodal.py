@@ -69,13 +69,33 @@ GROUP BY source ORDER BY origin
 """
 
 
+def _try_pil():
+    """Call-time import probe: the container has no codec libraries, but
+    the SAME operator must upgrade to real decode wherever PIL exists —
+    no code change, no fork of the pipeline."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     """Decode a media payload into pixel features.
 
-    STUB: real decoding needs PIL/ffmpeg, absent in this container. With
-    ``fake=True`` returns a deterministic FEATURE_DIM-vector derived from
-    the payload digest — stable across runs/executors, so downstream plumbing
-    is fully testable."""
+    Escape hatch first: if PIL is importable at CALL time, decode for
+    real (open → grayscale → FEATURE_DIM×1 thumbnail → normalized pixel
+    vector). Otherwise this is an environment-blocked STUB: with
+    ``fake=True`` it returns a deterministic FEATURE_DIM-vector derived
+    from the payload digest — stable across runs/executors, so downstream
+    plumbing is fully testable — and without it, it raises."""
+    pil = _try_pil()
+    if pil is not None and not fake:
+        import io
+
+        img = pil.open(io.BytesIO(payload)).convert("L").resize((FEATURE_DIM, 1))
+        return [b / 255.0 for b in img.tobytes()[:FEATURE_DIM]]
     if not fake:
         raise NotImplementedError(
             "media decode requires image/audio libraries not present here; "

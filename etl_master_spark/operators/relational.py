@@ -492,9 +492,16 @@ def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``epoch_us``) — timestamps here are microsecond-grained, and float
     epoch seconds would round differently across engines. (ts, event_id)
     tie-break keeps every offset deterministic under concurrent events.
-    Scale: partitioned by user_id (high-cardinality), no global sort.
+    Scale: partitioned by user_id (high-cardinality), no global sort; a
+    hot user costs one task's sort of its own rows (see
+    tests/test_skew.py).
     """
-    ev = load_table(spark, sf_dir, "events")
+    return event_gaps_of(load_table(spark, sf_dir, "events"))
+
+
+def event_gaps_of(ev: DataFrame) -> DataFrame:
+    """Core of ``event_gaps`` over any (user_id, event_id, ts, event_type)
+    frame — split out so tests can plant skewed inputs."""
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     gap_us = ts_us("ts") - ts_us(F.lag("ts").over(w))
     return ev.select(

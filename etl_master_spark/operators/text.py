@@ -1426,9 +1426,16 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text"), extra_cols=[is_eval]
     ).localCheckpoint(eager=False)
     eval_sh = sh.filter("is_eval").select("shingle").distinct()
+    # NO broadcast hint on the benchmark side: a PRODUCTION benchmark suite
+    # is fixed-size and AQE will broadcast it on its own measured size; but
+    # this demo's eval side is a ~5% hash SLICE of the corpus, whose
+    # distinct-shingle count grows with the corpus — a forced broadcast
+    # would OOM the driver exactly at the 100 TB scale the screen targets.
+    # Letting AQE decide gives broadcast when it fits, shuffle-join when it
+    # doesn't, from runtime statistics rather than a hint we can't verify.
     contaminated = (
         sh.filter(~F.col("is_eval"))
-        .join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .join(eval_sh, "shingle", "left_semi")
         .select("doc_id")
         .distinct()
     )

@@ -92,8 +92,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 ),
             )
         elif dt == "timestamp":
-            # session tz is UTC in our sessions (session.py), so this cast
-            # is the identity wall-clock reinterpretation
+            # this cast is the identity wall-clock reinterpretation ONLY
+            # under a UTC session (session.py sets one; the round driver's
+            # plain session reads the data as NTZ and never reaches this
+            # branch under Spark 4 defaults). If a future reader config
+            # lands here with a non-UTC session, the cast would silently
+            # SHIFT epoch values — fail loudly instead.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+                raise ValueError(
+                    f"load_table: column {name}.{c} was read as tz-aware "
+                    f"TIMESTAMP under non-UTC session timezone {tz!r}; the "
+                    "timestamp->timestamp_ntz normalization would shift "
+                    "values. Set spark.sql.session.timeZone=UTC (or enable "
+                    "parquet NTZ inference) before loading."
+                )
             df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
     return df
 

@@ -181,8 +181,17 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checkable one.
 
     Scale: both windows partition by user_id (high cardinality); one shuffle
-    total since the second window reuses the first's partitioning."""
-    ev = load_table(spark, sf_dir, "events")
+    total since the second window reuses the first's partitioning. Skew
+    posture: a per-user session chain is irreducibly sequential, so a hot
+    user's rows MUST meet one task — the design keeps that cost to exactly
+    one sort of that user's own rows (single exchange, second window reuses
+    it), pinned by tests/test_skew.py's planted-hot-user test."""
+    return user_sessions_of(load_table(spark, sf_dir, "events"))
+
+
+def user_sessions_of(ev: DataFrame) -> DataFrame:
+    """Core of ``user_sessions`` over any (user_id, event_id, ts) frame —
+    split out so tests can plant skewed inputs."""
     from pyspark.sql import Window
 
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")

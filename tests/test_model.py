@@ -275,3 +275,36 @@ def test_checkpoint_reload_reeval_matches_live(spark, sf_dir, tmp_path):
         assert rel[key][3] == live[key][3]
         for a, b in zip(rel[key][:3], live[key][:3]):
             assert a == pytest.approx(b, abs=1e-6), key
+
+
+def test_media_decode_escape_hatch(monkeypatch):
+    """decode_image upgrades to a real decode when PIL is importable at
+    call time, and still fails loudly (stub contract) when it is not."""
+    from etl_master_spark.operators import multimodal
+
+    class FakeImg:
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, size):
+            assert size == (multimodal.FEATURE_DIM, 1)
+            return self
+
+        def tobytes(self):
+            return bytes(range(multimodal.FEATURE_DIM))
+
+    class FakePIL:
+        @staticmethod
+        def open(bio):
+            return FakeImg()
+
+    monkeypatch.setattr(multimodal, "_try_pil", lambda: FakePIL)
+    out = multimodal.decode_image(b"payload")
+    assert out == [b / 255.0 for b in range(multimodal.FEATURE_DIM)]
+    # fake=True stays the deterministic digest double even with PIL present
+    assert multimodal.decode_image(b"payload", fake=True) != out
+
+    monkeypatch.setattr(multimodal, "_try_pil", lambda: None)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"payload")

@@ -29,9 +29,11 @@ BNLJ_OK = {
     "eval_metrics_vali",
     "mmd_rbf",
     "mmd_rbf_multiscale",
+    "mmd_rbf_fast",  # tile-grid block-nested-loop: the intended Gram shape
     "tfidf_top_terms",
 }
-SKIP = {"als_eval_test", "cdae_eval_test"}  # training loops, not one plan
+# training loops, not one plan
+SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))

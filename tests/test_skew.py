@@ -34,3 +34,79 @@ def test_salted_count_distinct_exact(spark):
         for r in salted_count_distinct(df, "g", "v").collect()
     }
     assert got == want
+
+
+def test_planted_hot_user_sessions_exact_and_one_hash_exchange(spark):
+    """Skew posture of the per-user windows (round-2 verdict item 8): a
+    session chain is irreducibly sequential per user, so a hot user's rows
+    must meet one task — the guarantee to pin is that (a) results stay
+    exact under a planted hot user owning 10% of all rows, and (b) the
+    whole operator pays exactly ONE hash exchange on user_id (both windows
+    and both aggregations reuse it), so the hot key costs one sort of its
+    own rows and nothing else re-shuffles."""
+    from etl_master_spark.streaming.windows import user_sessions_of
+
+    n, hot = 20_000, 2_000
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") < hot, F.lit(7))
+        .otherwise(F.col("id") % 997 + 100)
+        .alias("user_id"),
+        F.expr(
+            "timestampadd(MINUTE, CAST(id AS INT) * 3,"
+            " TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+        ).alias("ts"),
+    )
+    out = user_sessions_of(ev)
+    rows = {r["user_id"]: r for r in out.collect()}
+    # hot user: consecutive events 3 min apart -> ONE 2000-event session
+    assert rows[7]["n_sessions"] == 1
+    assert rows[7]["avg_events_per_session"] == 2000.0
+    assert rows[7]["avg_session_seconds"] == (hot - 1) * 180.0
+    # cold users: same-user events are 997*3 min apart -> all singletons
+    cold = rows[100]
+    assert cold["avg_events_per_session"] == 1.0
+    assert cold["avg_session_seconds"] == 0.0
+    assert len(rows) == 1 + 997
+    final = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]  # AQE prints both; count the final
+    )
+    assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_planted_hot_user_event_gaps_exact(spark):
+    """Same planted hot user through the offset-function window
+    (event_gaps core): lag/lead/first stay exact and the plan still pays a
+    single user_id hash exchange for all four window functions."""
+    from etl_master_spark.operators.relational import event_gaps_of
+
+    n, hot = 10_000, 1_000
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") < hot, F.lit(7))
+        .otherwise(F.col("id") % 499 + 100)
+        .alias("user_id"),
+        F.expr(
+            "timestampadd(SECOND, CAST(id AS INT) * 60,"
+            " TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+        ).alias("ts"),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias(
+            "event_type"
+        ),
+    )
+    out = event_gaps_of(ev)
+    hot_rows = sorted(
+        (r for r in out.collect() if r["user_id"] == 7),
+        key=lambda r: r["event_id"],
+    )
+    assert len(hot_rows) == hot
+    assert hot_rows[0]["gap_us"] is None and hot_rows[0]["session_start"]
+    assert all(r["gap_us"] == 60_000_000 for r in hot_rows[1:])
+    assert all(not r["session_start"] for r in hot_rows[1:])
+    assert all(r["first_type"] == "t0" for r in hot_rows)
+    final = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("Exchange hashpartitioning") == 1, final

@@ -85,6 +85,11 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "dedup_clusters",
     "simhash64",
+    "simhash64_jvm",
+    "stratified_sample",
+    "doc_length_percentiles",
+    "events_hourly_topk_types",
+    "best_epoch_reeval",
     "ann_cosine_topk",
     "kmeans_embeddings",
     "dedup_embedding_cosine_lsh_p99",

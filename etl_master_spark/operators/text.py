@@ -582,6 +582,84 @@ ORDER BY doc_id
 """
 
 
+STRAT_QUOTA = 30  # docs per language stratum
+STRAT_SEED = 53
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard per-stratum quota sampling: exactly min(quota, |stratum|) docs
+    per language, chosen by portable-hash order (doc_id tiebreak) — the
+    deterministic complement of ``balanced_mixture_sample``'s Bernoulli
+    rates, for when the mixture spec demands exact counts.
+
+    Scale: the rank-within-stratum window shuffles by lang — a LOW
+    cardinality key, so at 100 TB the right spelling replaces the full
+    sort with a per-stratum hash THRESHOLD from approx_percentile
+    (rank ≤ quota ⇔ hash below the quota/|stratum| quantile) and keeps
+    only the boundary exact; the window form here is the oracle-checkable
+    exact twin that also verifies that threshold path."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(phash_frag("doc_id", seed=STRAT_SEED))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= STRAT_QUOTA)
+        .select("doc_id", "lang", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+def stratified_sample_oracle() -> str:
+    return f"""
+SELECT doc_id, lang, rn FROM (
+    SELECT doc_id, lang,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY ({phash_frag('doc_id', seed=STRAT_SEED)}) ASC,
+                        doc_id ASC
+           ) AS INT) AS rn
+    FROM documents
+) WHERE rn <= {STRAT_QUOTA}
+ORDER BY lang, rn
+"""
+
+
+DOC_LEN_PCTS = [0.25, 0.5, 0.75, 0.95]
+
+
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution: exact interpolated
+    percentiles of character count — the length-filter calibration read
+    every curation pass starts from. Exact twin of the sketch profile in
+    ``approx_profiles``; both engines use the same linear-interpolation
+    definition (index p·(n−1)), so values match bit-for-bit after
+    rounding. One grouped aggregation, map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct_arr = ", ".join(str(p) for p in DOC_LEN_PCTS)
+    pcts = F.expr(f"percentile(length(text), array({pct_arr}))")
+    sel = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.length("text")), 6).alias("mean_chars"),
+    ] + [
+        F.round(pcts[i], 6).alias(f"p{int(p * 100)}")
+        for i, p in enumerate(DOC_LEN_PCTS)
+    ]
+    return docs.groupBy("lang").agg(*sel).orderBy("lang")
+
+
+def doc_length_percentiles_oracle() -> str:
+    cols = ", ".join(
+        f"ROUND(quantile_cont(length(text), {p}), 6) AS p{int(p * 100)}"
+        for p in DOC_LEN_PCTS
+    )
+    return f"""
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(length(text)), 6) AS mean_chars, {cols}
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 # -- near-dup clustering (connected components) ------------------------------
 
 CC_MAX_ITERS = 20  # safety cap ≥ any realistic dedup-graph diameter

@@ -262,6 +262,12 @@ register(
     text.CONTAMINATION_SCREEN_ORACLE,
 )
 register("dedup_incremental", text.dedup_incremental, text.DEDUP_INCREMENTAL_ORACLE)
+register("stratified_sample", text.stratified_sample, text.stratified_sample_oracle())
+register(
+    "doc_length_percentiles",
+    text.doc_length_percentiles,
+    text.doc_length_percentiles_oracle(),
+)
 register("chunk_documents", text.chunk_documents, text.CHUNK_DOCUMENTS_ORACLE)
 register(
     "corpus_mixture_weights",
@@ -403,6 +409,11 @@ register(
 )
 register("user_sessions", windows.user_sessions, windows.USER_SESSIONS_ORACLE)
 register(
+    "events_hourly_topk_types",
+    windows.events_hourly_topk_types,
+    windows.EVENTS_HOURLY_TOPK_ORACLE,
+)
+register(
     "user_sessions_native",
     windows.user_sessions_native,
     windows.USER_SESSIONS_NATIVE_ORACLE,
@@ -454,42 +465,38 @@ register("gan_eval_test", _gan_eval, None)
 
 
 # -- registry ordering --------------------------------------------------------
-# The round driver checks queries in registry order and caps the sweep (round
-# 1 recorded exactly the first 50 entries). Front-load a representative spread
-# of EVERY operator family so the per-round CORRECTNESS artifact always
-# covers reference parity (recsplit/ranking), the LLM-pipeline extensions
-# (dedup / text / vectors / multimodal), warehouse lifecycle, streaming twins
-# and the relational core — not just whichever family happened to register
-# first. Everything not named keeps its registration order after the spread.
+# The round driver checks queries in registry order and caps the sweep at the
+# first ~50 entries (CORRECTNESS_r01 stopped at exactly 50). Rounds 1+2
+# together produced driver-green rows for 79 distinct queries; this round
+# ROTATES the window to the queries that have never had a driver row —
+# every name below is outside CORRECTNESS_r01 ∪ CORRECTNESS_r02 (the
+# previously-checked 79 all passed twice and remain covered by
+# tools/strict_check.py's full 129-query sweep). Everything not named keeps
+# its registration order after the spread.
 _PRIORITY = [
-    # reference parity: recsplit + ranking + bookkeeping
-    "cardinalities", "domain_overlap", "splits_leave_two_out",
-    "negatives_sample", "train_percent_sample", "topk_per_user",
-    "eval_metrics_test", "eval_metrics_vali", "loss_means", "best_epoch",
-    "union_labels", "scalar_functions",
-    # dedup family
-    "dedup_exact", "dedup_ngram_jaccard", "minhash_lsh_pairs",
-    "dedup_clusters", "simhash16", "doc_fingerprints",
-    # text analysis family
-    "text_stats", "quality_scores", "lang_id_confusion", "token_counts",
-    "word_counts", "tfidf_top_terms", "bigram_counts", "pii_scan",
-    "pii_redact", "curated_corpus", "balanced_mixture_sample",
-    # vectors / similarity family
-    "embedding_norms", "ann_cosine_topk", "lsh_buckets", "ann_ivf_topk",
-    "kmeans_embeddings", "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh", "mmd_rbf",
-    # multimodal
-    "media_stats",
-    # warehouse lifecycle
-    "scd2_user_history", "snapshot_upsert", "fk_integrity_audit",
-    "customer_rfm",
-    # training-data pipeline additions
-    "repetition_scores", "pack_sequences", "contamination_screen",
-    "dedup_incremental",
-    # relational / windows / streaming representatives (the wider relational
-    # block has full r01 correctness artifacts already; event_gaps stays —
-    # it is the one that errored in r01 and must show fixed)
-    "pricing_summary", "asof_latest_event", "event_gaps", "user_sessions",
+    # round-3 additions (never checked by construction)
+    "best_epoch_reeval", "simhash64_jvm", "stratified_sample",
+    "doc_length_percentiles", "events_hourly_topk_types", "gan_eval_test",
+    # analytics family (registered after the round-1/2 window)
+    "revenue_rollup", "user_set_ops", "orders_by_month", "props_json_stats",
+    "user_type_value_map", "value_percentiles", "price_histogram",
+    "user_item_vectors", "prior_sample_stats", "events_moving_avg",
+    "orders_cube", "priority_grouping_sets", "string_functions",
+    "price_correlations", "approx_profiles", "conversion_funnel",
+    "weekly_retention", "events_trailing_hour", "table_profile",
+    "events_time_rollup", "brand_revenue_share", "events_hourly_anomalies",
+    "shipping_delay_stats", "nation_pagerank", "event_transitions",
+    "co_purchase_pairs", "monthly_revenue_growth",
+    # text / vectors stragglers
+    "chunk_documents", "corpus_mixture_weights", "simhash64",
+    "mmd_rbf_multiscale", "mmd_rbf_fast", "dedup_embedding_cosine_lsh_p99",
+    # streaming twins
+    "events_hourly", "events_sliding_6h", "events_hourly_gapfill",
+    "events_dedup", "user_sessions_native", "user_session_totals",
+    # multimodal plumbing (rows-only)
+    "media_features", "media_resize", "media_frames",
+    # model path (rows-only)
+    "als_eval_test", "cdae_eval_test",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {

@@ -16,7 +16,7 @@ operator under streaming and to a hash aggregate under batch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.io import load_table, ts_s, ts_us
@@ -75,6 +75,67 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
 FROM events
 GROUP BY 1, 2
 ORDER BY hour_start, event_type
+"""
+
+
+HOURLY_TOPK = 3
+
+
+def events_hourly_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-items shape: the top-``HOURLY_TOPK`` event types per hour
+    by count (count desc, type asc tiebreak) with their share of the
+    hour's traffic — the per-window leaderboard every monitoring rollup
+    ships.
+
+    Plan: one hourly grouped aggregation (map-side combined), then a
+    rank window partitioned by hour over the ALREADY-AGGREGATED
+    |hours|×|types| rows — the window never sees raw events, so the
+    shuffle after the rollup is negligible at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w_rank = Window.partitionBy("hour").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    w_tot = Window.partitionBy("hour")
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+        .withColumn("hour_total", F.sum("n_events").over(w_tot))
+        .filter(F.col("rnk") <= HOURLY_TOPK)
+        .select(
+            ts_s(F.col("hour")).alias("hour_start"),
+            "event_type",
+            "n_events",
+            "rnk",
+            F.round(
+                F.col("n_events").cast("double") / F.col("hour_total"), 6
+            ).alias("share"),
+        )
+        .orderBy("hour_start", "rnk")
+    )
+
+
+EVENTS_HOURLY_TOPK_ORACLE = f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT hour, event_type, n_events,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY hour ORDER BY n_events DESC, event_type ASC
+           ) AS INT) AS rnk,
+           SUM(n_events) OVER (PARTITION BY hour) AS hour_total
+    FROM hourly
+)
+SELECT CAST(epoch(hour) AS BIGINT) AS hour_start, event_type, n_events, rnk,
+       ROUND(CAST(n_events AS DOUBLE) / hour_total, 6) AS share
+FROM ranked WHERE rnk <= {HOURLY_TOPK}
+ORDER BY hour_start, rnk
 """
 
 

@@ -27,6 +27,7 @@ BNLJ_OK = {
     "dedup_embedding_cosine",
     "eval_metrics_test",
     "eval_metrics_vali",
+    "best_epoch_reeval",  # K-cutoff fanout (rn <= k vs a 2-row K table)
     "mmd_rbf",
     "mmd_rbf_multiscale",
     "mmd_rbf_fast",  # tile-grid block-nested-loop: the intended Gram shape

@@ -33,10 +33,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     # reference argument names where a counterpart exists (main_my.py:30-52)
     p.add_argument("--data-dir", required=True, help="testdata sf dir (parquet tables)")
-    p.add_argument("--model", choices=["popularity", "als", "cdae"], default="popularity")
-    p.add_argument("--epochs", type=int, default=15, help="cdae training epochs")
+    p.add_argument("--model", choices=["popularity", "als", "cdae", "gan"],
+                   default="popularity")
+    p.add_argument("--epochs", type=int, default=15,
+                   help="cdae training epochs / gan passes")
     p.add_argument("--emb_size", type=int, default=16, help="embedding size")
-    p.add_argument("--lr", type=float, default=0.3, help="cdae learning rate")
+    p.add_argument("--lr", type=float, default=0.3, help="cdae/gan learning rate")
     p.add_argument("--seed", type=int, default=72)
     p.add_argument("--topk", type=int, nargs="+", default=[5, 10], help="ranking cutoffs")
     p.add_argument("--log", default=None, help="run dir: metrics log + artifacts")
@@ -103,6 +105,13 @@ def main(argv: list[str] | None = None) -> int:
         frames = {m: als_eval(spark, args.data_dir, m, rank=args.emb_size,
                               ks=args.topk)
                   for m in ("vali", "test")}
+    elif args.model == "gan":
+        from etl_master_spark.model.gan import gan_eval_with
+
+        frames = gan_eval_with(
+            spark, args.data_dir, modes=("vali", "test"), emb=args.emb_size,
+            passes=args.epochs, lr=args.lr, seed=args.seed, ks=args.topk,
+        )
     else:
         from etl_master_spark.model.cdae import cdae_eval
 
@@ -130,6 +139,13 @@ def main(argv: list[str] | None = None) -> int:
                 from etl_master_spark.model.als import export_user_embeddings
 
                 emb = export_user_embeddings(spark, args.data_dir, "x")
+            elif args.model == "gan":
+                from etl_master_spark.model.gan import gan_user_embeddings
+
+                emb = gan_user_embeddings(
+                    spark, args.data_dir, "x", emb=args.emb_size,
+                    passes=args.epochs, lr=args.lr, seed=args.seed,
+                )
             else:
                 from etl_master_spark.model.cdae import cdae_user_embeddings
 

@@ -450,8 +450,62 @@ def gan_scores(spark: SparkSession, sf_dir: str, model: dict | None = None) -> D
 def gan_eval(spark: SparkSession, sf_dir: str, mode: str = "test") -> DataFrame:
     """Reference protocol end-to-end with the adversarially-trained scorer
     (rows-only — training is not SQL-expressible)."""
-    scores = gan_scores(spark, sf_dir)
+    return gan_eval_with(spark, sf_dir, modes=(mode,))[mode]
+
+
+def gan_eval_with(
+    spark: SparkSession,
+    sf_dir: str,
+    modes: tuple[str, ...] = ("vali", "test"),
+    emb: int = EMB,
+    passes: int = PASSES,
+    lr: float = LR,
+    seed: int = SEED,
+    ks: list[int] | None = None,
+) -> dict[str, DataFrame]:
+    """Train the coupled model ONCE, evaluate every requested mode — the
+    CLI's --model gan entry point (one training run for vali+test, like
+    the reference's single loop evaluating both)."""
+    model = train_gan(spark, sf_dir, emb=emb, passes=passes, lr=lr, seed=seed)
+    scores = gan_scores(spark, sf_dir, model)
     sp = splits(spark, sf_dir)
-    holdout = sp.filter(F.col("split") == mode).select("user_id", "item_id", "domain")
     negs = negatives(spark, sf_dir)
-    return eval_from_scores(scores, holdout, negs)
+    return {
+        mode: eval_from_scores(
+            scores,
+            sp.filter(F.col("split") == mode).select(
+                "user_id", "item_id", "domain"
+            ),
+            negs,
+            ks=ks,
+        )
+        for mode in modes
+    }
+
+
+def gan_user_embeddings(
+    spark: SparkSession,
+    sf_dir: str,
+    domain: str = "x",
+    emb: int = EMB,
+    passes: int = PASSES,
+    lr: float = LR,
+    seed: int = SEED,
+) -> DataFrame:
+    """S5/S6 export with the GAN-trained latent z for one domain —
+    (user_id, embedding ARRAY<DOUBLE>), Arrow-batched, never a driver
+    matrix (reference ``save_embedding_process``, model_my.py:111-145)."""
+    model = train_gan(spark, sf_dir, emb=emb, passes=passes, lr=lr, seed=seed)
+    joined, _, _, n_x, n_y = _joined_frame(spark, sf_dir)
+    w1 = model["g"]["w1x" if domain == "x" else "w1y"]
+    bw = spark.sparkContext.broadcast(w1)
+
+    def latent(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            users, x, y = _two_hot(pdf, n_x, n_y)
+            z = np.maximum((x if domain == "x" else y) @ bw.value, 0.0)
+            yield pd.DataFrame({"user_id": users, "embedding": z.tolist()})
+
+    return joined.mapInPandas(latent, "user_id long, embedding array<double>")

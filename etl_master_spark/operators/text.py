@@ -884,18 +884,32 @@ def simhash64_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a different but equally valid bit labeling than the Arrow path's
     byte-endian order; the two are separate registered queries."""
     docs = spread(load_table(spark, sf_dir, "documents"))
+    # string work happens ONCE per token (md5 + four 8-hex-char conv()
+    # words); the 64 vote expressions are then integer div/mod on those
+    # word attributes. The first spelling did 64 substring+instr string
+    # ops per token inside the aggregate — 64 string scans vs 4.
+    h = F.md5("tok")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select(
+        "doc_id",
+        *[
+            F.conv(F.substring(h, 8 * k + 1, 8), 16, 10)
+            .cast("bigint")
+            .alias(f"w{k}")
+            for k in range(4)
+        ],
     )
-    h = F.md5("tok")
     bit_cols = []
     for i in range(64):
-        nib = i // 4
+        nib = i // 4  # hex-char index in the full digest, 0-based
         bit = i % 4
-        digit = F.instr(
-            F.lit("0123456789abcdef"), F.substring(h, nib + 1, 1)
-        ) - F.lit(1)
-        bit_val = (digit.cast("bigint") / F.lit(2 ** bit)).cast("bigint") % F.lit(2)
+        word = nib // 8
+        # within its 8-char word (big-endian hex), char nib%8 carries
+        # weight 16^(7 - nib%8); bit `bit` of that digit sits at
+        # integer bit 4*(7 - nib%8) + bit
+        shift = 4 * (7 - (nib % 8)) + bit
+        bit_val = F.expr(f"(w{word} div {1 << shift}) % 2")
         bit_cols.append(
             F.sum(F.when(bit_val == 1, 1).otherwise(-1)).alias(f"v{i}")
         )

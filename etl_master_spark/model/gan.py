@@ -107,7 +107,18 @@ def _dropout_mask(users: np.ndarray, n_items: int, tick: int) -> np.ndarray:
 
 # -- parameters ---------------------------------------------------------------
 
-def init_params(n_items_x: int, n_items_y: int, emb: int = EMB, seed: int = SEED):
+def init_params(
+    n_items_x: int, n_items_y: int, emb: int = EMB, seed: int = SEED,
+    strategy: str = "shared",
+):
+    """Parameter set for a map strategy (SURVEY §2.7 — the reference's
+    three near-copied variant codebases as one enum, like
+    ``crossdomain.fit_linear_map``):
+
+    - 'shared': ONE map M, x→y = z·M, y→x = z·Mᵀ (model_my.py:41-50)
+    - 'two_maps': independent M1 (x→y), M2 (y→x) with the cross-inverse
+      L1 reg ‖z_x − (z_x·M1)·M2‖₁ (model_my_variant2.py:41-54,70-74)
+    """
     rng = np.random.default_rng(seed)
     half = max(1, emb // 2)
     g = {
@@ -115,8 +126,15 @@ def init_params(n_items_x: int, n_items_y: int, emb: int = EMB, seed: int = SEED
         "w2x": rng.normal(0.0, 0.01, (emb, n_items_x)),
         "w1y": rng.normal(0.0, 0.01, (n_items_y, emb)),
         "w2y": rng.normal(0.0, 0.01, (emb, n_items_y)),
-        "m": rng.normal(0.0, float(np.sqrt(2.0 / emb)), (emb, emb)),
     }
+    scale = float(np.sqrt(2.0 / emb))
+    if strategy == "shared":
+        g["m"] = rng.normal(0.0, scale, (emb, emb))
+    elif strategy == "two_maps":
+        g["m1"] = rng.normal(0.0, scale, (emb, emb))
+        g["m2"] = rng.normal(0.0, scale, (emb, emb))
+    else:
+        raise ValueError(f"unknown map strategy {strategy!r}")
     d = {}
     for s in ("x", "y"):
         d[f"v1{s}"] = rng.normal(0.0, 0.1, (emb, half))
@@ -144,21 +162,29 @@ def _disc_forward(a: np.ndarray, d: dict, side: str):
 
 # -- generator pass (pure numpy; gradcheck-pinned) ----------------------------
 
+def _maps(g: dict) -> tuple[np.ndarray, np.ndarray]:
+    """(A, B) = (x→y map, y→x map): shared strategy folds B = Aᵀ."""
+    if "m" in g:
+        return g["m"], g["m"].T
+    return g["m1"], g["m2"]
+
+
 def _g_forward(
     xn: np.ndarray, x: np.ndarray, yn: np.ndarray, y: np.ndarray,
     g: dict, d: dict,
 ) -> dict:
     """Forward pass → loss components (sum reduction over the batch)."""
+    a, b = _maps(g)
     fx = xn @ g["w1x"]
     zx = np.maximum(fx, 0.0)
     fy = yn @ g["w1y"]
     zy = np.maximum(fy, 0.0)
-    ux = zx @ g["m"]
-    uy = zy @ g["m"].T
+    ux = zx @ a
+    uy = zy @ b
     l_self = _bce_logits_sum(zx @ g["w2x"], x) + _bce_logits_sum(zy @ g["w2y"], y)
     l_cross = _bce_logits_sum(ux @ g["w2y"], y) + _bce_logits_sum(uy @ g["w2x"], x)
-    ex = zx - ux @ g["m"].T
-    ey = zy - uy @ g["m"]
+    ex = zx - ux @ b
+    ey = zy - uy @ a
     l_reg = float(np.abs(ex).sum() + np.abs(ey).sum())
     sx, _, _ = _disc_forward(fx, d, "x")
     sy, _, _ = _disc_forward(fy, d, "y")
@@ -177,23 +203,25 @@ def _g_grads(
     g: dict, d: dict,
 ) -> tuple[dict, dict]:
     """Exact gradients of the GAN-weighted total objective w.r.t. the
-    generator parameters (D frozen — main_my.py:219-246)."""
+    generator parameters (D frozen — main_my.py:219-246). Derived for
+    independent maps (A, B); the shared strategy folds gM = gA + gBᵀ.
+    Both strategies are FD-gradcheck-pinned in tests/test_model.py."""
+    a, b = _maps(g)
     fx = xn @ g["w1x"]
     zx = np.maximum(fx, 0.0)
     fy = yn @ g["w1y"]
     zy = np.maximum(fy, 0.0)
-    m = g["m"]
-    ux = zx @ m
-    uy = zy @ m.T
+    ux = zx @ a
+    uy = zy @ b
 
     rxx = _sigmoid(zx @ g["w2x"]) - x
     ryy = _sigmoid(zy @ g["w2y"]) - y
     r_x2y = _sigmoid(ux @ g["w2y"]) - y
     r_y2x = _sigmoid(uy @ g["w2x"]) - x
 
-    ex = zx - ux @ m.T
+    ex = zx - ux @ b  # = zx - zx·A·B
     sgx = np.sign(ex)
-    ey = zy - uy @ m
+    ey = zy - uy @ a  # = zy - zy·B·A
     sgy = np.sign(ey)
 
     gw2x = zx.T @ (A_SELF * rxx) + uy.T @ (A_CROSS * r_y2x)
@@ -201,8 +229,16 @@ def _g_grads(
     gux = (A_CROSS * r_x2y) @ g["w2y"].T
     guy = (A_CROSS * r_y2x) @ g["w2x"].T
 
-    gzx = A_SELF * rxx @ g["w2x"].T + gux @ m.T + A_REG * (sgx - sgx @ (m @ m.T))
-    gzy = A_SELF * ryy @ g["w2y"].T + guy @ m + A_REG * (sgy - sgy @ (m.T @ m))
+    gzx = (
+        A_SELF * rxx @ g["w2x"].T
+        + gux @ a.T
+        + A_REG * (sgx - sgx @ b.T @ a.T)
+    )
+    gzy = (
+        A_SELF * ryy @ g["w2y"].T
+        + guy @ b.T
+        + A_REG * (sgy - sgy @ a.T @ b.T)
+    )
     gfx = np.where(fx > 0, gzx, 0.0)
     gfy = np.where(fy > 0, gzy, 0.0)
 
@@ -216,13 +252,17 @@ def _g_grads(
     gw1x = xn.T @ gfx
     gw1y = yn.T @ gfy
 
-    cx = -(zx.T @ sgx)
-    cy = -(zy.T @ sgy)
-    gm = (
-        A_CROSS * (zx.T @ gux + guy.T @ zy)
-        + A_REG * (cx @ m + cx.T @ m + m @ cy.T + m @ cy)
-    )
-    grads = {"w1x": gw1x, "w2x": gw2x, "w1y": gw1y, "w2y": gw2y, "m": gm}
+    # map gradients, independent (A, B) form:
+    #   gA = α_c·zxᵀgux + α_r·(zxᵀ(−Sx)·Bᵀ + uyᵀ(−Sy))
+    #   gB = α_c·zyᵀguy + α_r·(zyᵀ(−Sy)·Aᵀ + uxᵀ(−Sx))
+    ga = zx.T @ gux + A_REG * ((zx.T @ -sgx) @ b.T + uy.T @ -sgy)
+    gb = zy.T @ guy + A_REG * ((zy.T @ -sgy) @ a.T + ux.T @ -sgx)
+    grads = {"w1x": gw1x, "w2x": gw2x, "w1y": gw1y, "w2y": gw2y}
+    if "m" in g:
+        grads["m"] = ga + gb.T
+    else:
+        grads["m1"] = ga
+        grads["m2"] = gb
     return grads, _g_forward(xn, x, yn, y, g, d)
 
 
@@ -286,10 +326,12 @@ def _two_hot(
     return users, x, y
 
 
-_G_SCHEMA = (
-    "w1x array<double>, w2x array<double>, w1y array<double>, "
-    "w2y array<double>, m array<double>, loss double, gan double"
-)
+def _g_schema(g: dict) -> str:
+    """Partial-gradient transport schema — one array column per G param
+    (the param set depends on the map strategy) + the loss scalars."""
+    return ", ".join(f"{k} array<double>" for k in g) + ", loss double, gan double"
+
+
 _D_SCHEMA = (
     "v1x array<double>, b1x array<double>, v2x array<double>, b2x array<double>, "
     "v1y array<double>, b1y array<double>, v2y array<double>, b2y array<double>, "
@@ -305,11 +347,12 @@ def train_gan(
     lr: float = LR,
     lr_d: float = LR_D,
     seed: int = SEED,
+    strategy: str = "shared",
 ) -> dict:
     joined, items_x, items_y, n_x, n_y = _joined_frame(spark, sf_dir)
     joined = joined.persist()
     n_users = joined.count()
-    g, d = init_params(n_x, n_y, emb, seed)
+    g, d = init_params(n_x, n_y, emb, seed, strategy=strategy)
     g_losses: list[float] = []
     gan_losses: list[float] = []
     d_losses: list[float] = []
@@ -365,7 +408,7 @@ def train_gan(
                          "loss": [loss], "gan": [gan]}
                     )
 
-                parts = joined.mapInPandas(gpart, _G_SCHEMA).collect()
+                parts = joined.mapInPandas(gpart, _g_schema(g)).collect()
                 for k in g:
                     tot = sum(np.array(r[k]) for r in parts).reshape(g[k].shape)
                     g[k] -= lr * tot / n_users

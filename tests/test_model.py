@@ -157,15 +157,18 @@ def test_media_resize_and_frames_contracts(spark, sf_dir):
         assert len(fs) == -(-len(orig[mid]) // FRAME_STRIDE)
 
 
-def test_gan_generator_gradcheck():
+@pytest.mark.parametrize("strategy", ["shared", "two_maps"])
+def test_gan_generator_gradcheck(strategy):
     """Finite-difference check of the GAN generator gradients (T10's
     weighted total objective: adv + self + cross + L1-consistency) —
-    directional derivative vs analytic inner product, every G param."""
+    directional derivative vs analytic inner product, every G param,
+    for BOTH map strategies (shared M/Mᵀ and variant2's independent
+    M1/M2 with cross-inverse reg)."""
     from etl_master_spark.model import gan
 
     rng = np.random.default_rng(0)
     n, ix, iy, emb = 7, 11, 9, 6
-    g, d = gan.init_params(ix, iy, emb=emb, seed=1)
+    g, d = gan.init_params(ix, iy, emb=emb, seed=1, strategy=strategy)
     x = (rng.random((n, ix)) < 0.3).astype(float)
     y = (rng.random((n, iy)) < 0.3).astype(float)
     x[:, 0] = 1.0  # no all-zero rows (keeps relu off its kink)
@@ -308,3 +311,15 @@ def test_media_decode_escape_hatch(monkeypatch):
     monkeypatch.setattr(multimodal, "_try_pil", lambda: None)
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"payload")
+
+
+def test_gan_two_maps_strategy_trains(spark, sf_dir):
+    """Variant2 ablation (independent M1/M2) runs through the same
+    distributed loop and produces finite, decreasing G loss."""
+    from etl_master_spark.model import gan
+
+    model = gan.train_gan(spark, sf_dir, passes=6, lr=0.05, strategy="two_maps")
+    assert "m1" in model["g"] and "m2" in model["g"] and "m" not in model["g"]
+    assert len(model["g_losses"]) == 4 and len(model["d_losses"]) == 2
+    assert all(np.isfinite(v) for v in model["g_losses"] + model["d_losses"])
+    assert model["g_losses"][-1] < model["g_losses"][0]

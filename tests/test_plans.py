@@ -62,6 +62,7 @@ PUSHDOWN = {
     "disjunctive_bracket_revenue": "p_brand",
     "sole_late_suppliers": "o_orderstatus",
     "dormant_customer_segments": "o_orderdate",
+    "mmd_rbf_fast": "label",  # side filters must prune at the scan
 }
 
 

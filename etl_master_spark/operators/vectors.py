@@ -820,8 +820,11 @@ def mmd_rbf_fast(
     }
     n_a, n_b = counts.get(label_a, 0), counts.get(label_b, 0)
 
-    ta = tiles(label_a, n_a)
-    tb = tiles(label_b, n_b)
+    # each tile frame feeds TWO grids (XX+XY / YY+XY); without
+    # materialization Spark re-runs the scan + bucketing per grid. Same
+    # "materialize the index" step contamination_screen uses.
+    ta = tiles(label_a, n_a).localCheckpoint(eager=False)
+    tb = tiles(label_b, n_b).localCheckpoint(eager=False)
 
     def grid_sum(tx: DataFrame, ty: DataFrame, name: str) -> DataFrame:
         g = tx.select(F.col("vs").alias("vx")).crossJoin(

@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "curated_corpus",
     "minhash_lsh_pairs",
     "dedup_clusters",
+    "dedup_representatives",
+    "lm_perplexity_scores",
     "simhash64",
     "simhash64_jvm",
     "stratified_sample",

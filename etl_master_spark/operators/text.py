@@ -752,6 +752,126 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame as a registered query: connected components over
+    the near-dup pairs, then ONE representative per cluster by keep-policy
+    (longest text, doc_id tiebreak) with member accounting — the rows a
+    production dedup pass actually writes out. Composition:
+    ``minhash_lsh_pairs`` → ``dedup_clusters`` → per-cluster argmax.
+
+    Scale: the argmax window partitions by cluster id over |corpus| rows
+    carrying only (cluster, doc_id, length) — the text itself never enters
+    the shuffle; the kept docs are recovered by a final semi-join."""
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    sized = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        sized.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def dedup_representatives_oracle() -> str:
+    return f"""
+WITH clusters AS ({dedup_clusters_oracle().replace("ORDER BY doc_id", "")}),
+sized AS (
+    SELECT c.cluster, c.doc_id, length(d.text) AS n_chars
+    FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+),
+ranked AS (
+    SELECT cluster, doc_id, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC
+           ) AS rn
+    FROM sized
+)
+SELECT cluster,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+       COUNT(*) AS n_members,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM ranked GROUP BY cluster ORDER BY cluster
+"""
+
+
+# -- char-trigram language-model quality scoring ------------------------------
+
+def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring (the KenLM-shaped member of the
+    quality family): fit a char-trigram unigram model on the corpus
+    (P(t) = count(t)/total), score every document by mean log-probability
+    of its trigrams and the perplexity-style exp(−mean). Low-probability
+    (garbled / off-distribution) documents surface with high pplx — the
+    classic pretraining-corpus quality filter.
+
+    Scale: the model is the trigram vocabulary — bounded (≤ |charset|³,
+    ~50k real entries) and broadcastable at ANY corpus size; scoring is
+    one explode + one broadcast join + one per-doc aggregation. The
+    trigram stream never re-shuffles: count aggregation is map-side
+    combined, and the per-doc mean keys on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    # length guard: Spark's sequence(1, n) DESCENDS for n < 1 (the same
+    # trap bigram_counts documents) — short docs must not reach it
+    tri = docs.filter(F.length("text") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("tri"),
+    )
+    counts = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    model = counts.crossJoin(F.broadcast(total)).select(
+        "tri",
+        F.log(F.col("n").cast("double") / F.col("total").cast("double")).alias(
+            "logp"
+        ),
+    )
+    return (
+        tri.join(F.broadcast(model), "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.round(F.avg("logp"), 6).alias("avg_logp"),
+            F.round(F.exp(-F.avg("logp")), 6).alias("pplx"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LM_PERPLEXITY_ORACLE = """
+WITH tri AS (
+    SELECT doc_id, substr(text, i, 3) AS tri
+    FROM documents, LATERAL (
+        SELECT unnest(range(1, length(text) - 1)) AS i
+    )
+    WHERE length(text) >= 3
+),
+counts AS (SELECT tri, COUNT(*) AS n FROM tri GROUP BY tri),
+total AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+model AS (
+    SELECT tri, LN(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
+    FROM counts CROSS JOIN total
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       ROUND(AVG(m.logp), 6) AS avg_logp,
+       ROUND(EXP(-AVG(m.logp)), 6) AS pplx
+FROM tri t JOIN model m ON t.tri = m.tri
+GROUP BY t.doc_id
+ORDER BY doc_id
+"""
+
+
 # -- SimHash -----------------------------------------------------------------
 
 def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -240,6 +240,12 @@ register(
 register("minhash_lsh_pairs", text.minhash_lsh_pairs, text.minhash_lsh_oracle())
 register("dedup_clusters", text.dedup_clusters, text.dedup_clusters_oracle())
 register(
+    "dedup_representatives",
+    text.dedup_representatives,
+    text.dedup_representatives_oracle(),
+)
+register("lm_perplexity_scores", text.lm_perplexity_scores, text.LM_PERPLEXITY_ORACLE)
+register(
     "balanced_mixture_sample",
     text.balanced_mixture_sample,
     text.balanced_mixture_sample_oracle(),

@@ -32,6 +32,7 @@ BNLJ_OK = {
     "mmd_rbf_multiscale",
     "mmd_rbf_fast",  # tile-grid block-nested-loop: the intended Gram shape
     "tfidf_top_terms",
+    "lm_perplexity_scores",  # 1-row trigram total joined onto the vocab
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

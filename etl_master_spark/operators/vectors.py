@@ -851,6 +851,289 @@ def mmd_rbf_fast(
     )
 
 
+# -- product-quantized ANN (ADC over a deterministic codebook) ----------------
+
+PQ_M = 4  # subvector count
+PQ_SUBDIM = 16  # dims per subvector (PQ_M × PQ_SUBDIM = 64)
+PQ_K = 16  # centroids per subspace
+PQ_SEED = 31
+
+
+def _pq_centroid_py(m: int, k: int) -> list[float]:
+    """Deterministic codebook entry: centroid (m,k)[j] = phash(m·K+k, j)/P − ½
+    — the same portable-hash construction as the LSH planes / IVF
+    centroids, so the oracle replays the codebook exactly."""
+    return [
+        phash_py(m * PQ_K + k, j, seed=PQ_SEED) / float(PHASH_P) - 0.5
+        for j in range(PQ_SUBDIM)
+    ]
+
+
+PQ_ROUNDS = 2  # per-subspace Lloyd refinement rounds on the phash init
+
+
+def _pq_sub(v, m: int):
+    return F.slice(v, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+
+def _pq_d2_lit(v_sub, cent: list[float]):
+    c = F.array(*[F.lit(float(w)) for w in cent])
+    return (
+        _dot(v_sub, v_sub)
+        - 2 * _dot(v_sub, c)
+        + F.lit(float(sum(w * w for w in cent)))
+    )
+
+
+def _pq_codes_col(cents_m: list[list[float]], v):
+    """Row-local argmin over the m-th codebook (struct-min, lowest code
+    wins ties)."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _pq_d2_lit(v, cents_m[k]).alias("d2"),
+                    F.lit(k).cast("int").alias("k"),
+                )
+                for k in range(PQ_K)
+            ]
+        )
+    )["k"]
+
+
+def _pq_train(emb: DataFrame) -> list[list[list[float]]]:
+    """Per-subspace Lloyd: phash-deterministic init, PQ_ROUNDS update
+    rounds. Assignment is row-local (centroids are plan literals); each
+    update is ONE map-side-combined aggregation per subspace producing
+    K×SUBDIM values — the only driver traffic, dimension-sized by
+    construction. Empty codes keep their previous centroid (oracle
+    COALESCEs identically)."""
+    cents = [
+        [_pq_centroid_py(m, k) for k in range(PQ_K)] for m in range(PQ_M)
+    ]
+    for _ in range(PQ_ROUNDS):
+        for m in range(PQ_M):
+            sub_v = _pq_sub(F.col("embedding"), m)
+            assigned = emb.select(
+                _pq_codes_col(cents[m], sub_v).alias("code"),
+                sub_v.alias("v"),
+            )
+            rows = (
+                assigned.groupBy("code")
+                .agg(
+                    *[
+                        F.avg(F.col("v")[j].cast("double")).alias(f"w{j}")
+                        for j in range(PQ_SUBDIM)
+                    ]
+                )
+                .collect()
+            )
+            # rounded to 9 dp so both engines embed EXACTLY equal
+            # centroid literals (avg summation order differs at ~1e-16)
+            new = {
+                r["code"]: [round(r[f"w{j}"], 9) for j in range(PQ_SUBDIM)]
+                for r in rows
+            }
+            cents[m] = [new.get(k, cents[m][k]) for k in range(PQ_K)]
+    return cents
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation — the
+    memory-compression member of the ANN family (exact / sign-LSH / IVF /
+    PQ): 64 floats per vector compress to PQ_M=4 codes (one byte each,
+    16× memory); queries score codes through a per-query lookup table.
+    The codebook is per-subspace Lloyd-trained from the deterministic
+    phash init, so the whole trajectory is oracle-replayable (unrolled
+    CTEs, like ``kmeans_embeddings``).
+
+    True ADC plan shape (what makes PQ work at 100 TB):
+    1. TRAIN: per subspace, row-local assign + one K×SUBDIM aggregation
+       per round — driver traffic is codebook-sized only.
+    2. ENCODE, row-local: argmin over 16 literal centroids per subspace —
+       no shuffle, like the IVF assignment.
+    3. LUT: |queries|×PQ_M×PQ_K partial distances in ONE row-local
+       explode of the query set — tiny (5×4×16) and broadcast.
+    4. SCORE: corpus codes exploded to (vec_id, m, code) join the
+       broadcast LUT, sum the PQ_M parts per (query, vector). The 64-dim
+       math happens ONLY in 1-3; scoring touches 4 small ints per corpus
+       vector — never the embedding.
+
+    On near-equidistant uniform-random corpora (this testdata) PQ recall
+    is inherently poor — the operator's EFFECTIVENESS is pinned by the
+    planted-cluster recall test (tests/test_text_vectors.py), the same
+    honesty split the banded-LSH dedup family uses."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    return _ann_pq_core(spark, emb)
+
+
+def _ann_pq_core(spark: SparkSession, emb: DataFrame, topk: int = 5) -> DataFrame:
+    """PQ train/encode/LUT/score over any (vec_id, embedding) frame —
+    split out so tests can plant clustered corpora."""
+    emb = emb.cache()
+    cents = _pq_train(emb)
+
+    # encode: 4 codes per vector, row-local
+    code_long = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("int").alias("m"),
+                        _pq_codes_col(
+                            cents[m], _pq_sub(F.col("embedding"), m)
+                        ).alias("code"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("mc"),
+    ).select("vec_id", F.col("mc.m").alias("m"), F.col("mc.code").alias("code"))
+
+    # per-query LUT: one row-local explode over the query set
+    lut = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).cast("int").alias("m"),
+                            F.lit(k).cast("int").alias("code"),
+                            _pq_d2_lit(
+                                _pq_sub(F.col("embedding"), m), cents[m][k]
+                            ).alias("dpart"),
+                        )
+                        for m in range(PQ_M)
+                        for k in range(PQ_K)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("query_id", F.col("e.m").alias("m"), F.col("e.code").alias("code"),
+                F.col("e.dpart").alias("dpart"))
+    )
+
+    scored = (
+        code_long.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("dpart"), 6).alias("approx_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "approx_d2",
+            "rnk",
+        )
+    )
+
+
+def ann_pq_oracle() -> str:
+    """Unrolled-CTE replay of the full PQ trajectory: phash cent0, then
+    PQ_ROUNDS (assign → per-component ROUND(avg,9) → COALESCE empty)
+    rounds per subspace, then encode/LUT/ADC with the final codebook —
+    the ``kmeans_oracle`` pattern with a subspace axis. Centroid
+    components are rounded to 9 dp in BOTH engines so the embedded
+    literals are exactly equal; cc is a list_dot_product over the
+    j-ordered list (deterministic order) in both."""
+    # d2(s, c) with cc folded in, shared fragment
+    d2 = (
+        "list_dot_product(s.v, s.v) - 2 * list_dot_product(s.v, c.c)"
+        " + list_dot_product(c.c, c.c)"
+    )
+    parts = [f"""
+cent0 AS (
+    SELECT m.m, k.k, list(p.w ORDER BY p.j) AS c
+    FROM (SELECT unnest(range(0, {PQ_M})) AS m) m
+    CROSS JOIN (SELECT unnest(range(0, {PQ_K})) AS k) k,
+    LATERAL (
+        SELECT j.j,
+               CAST({phash_frag('(m.m * ' + str(PQ_K) + ' + k.k)', 'j.j', seed=PQ_SEED)} AS DOUBLE)
+                   / CAST({PHASH_P} AS DOUBLE) - 0.5 AS w
+        FROM (SELECT unnest(range(0, {PQ_SUBDIM})) AS j) j
+    ) p
+    GROUP BY m.m, k.k
+)""".strip(), f"""
+vsub AS (
+    SELECT vec_id, m.m,
+           list_slice(CAST(embedding AS DOUBLE[]),
+                      m.m * {PQ_SUBDIM} + 1, (m.m + 1) * {PQ_SUBDIM}) AS v
+    FROM embeddings CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) m
+)""".strip()]
+    for t in range(PQ_ROUNDS):
+        parts.append(f"""
+a{t} AS (
+    SELECT vec_id, m, v, k AS code FROM (
+        SELECT s.vec_id, s.m, s.v, c.k,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY {d2} ASC, c.k ASC
+               ) AS rn
+        FROM vsub s JOIN cent{t} c ON s.m = c.m
+    ) WHERE rn = 1
+)""".strip())
+        parts.append(f"""
+cent{t + 1} AS (
+    SELECT p.m, p.k, COALESCE(n.c, p.c) AS c
+    FROM cent{t} p LEFT JOIN (
+        SELECT m, code AS k, list(w ORDER BY j) AS c FROM (
+            SELECT a.m, a.code, j.j, ROUND(AVG(a.v[j.j + 1]), 9) AS w
+            FROM a{t} a, (SELECT unnest(range(0, {PQ_SUBDIM})) AS j) j
+            GROUP BY a.m, a.code, j.j
+        ) GROUP BY m, code
+    ) n ON p.m = n.m AND p.k = n.k
+)""".strip())
+    last = f"cent{PQ_ROUNDS}"
+    parts.append(f"""
+codes AS (
+    SELECT vec_id, m, k AS code FROM (
+        SELECT s.vec_id, s.m, c.k,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY {d2} ASC, c.k ASC
+               ) AS rn
+        FROM vsub s JOIN {last} c ON s.m = c.m
+    ) WHERE rn = 1
+)""".strip())
+    parts.append(f"""
+lut AS (
+    SELECT s.vec_id AS query_id, s.m, c.k AS code, {d2} AS dpart
+    FROM vsub s JOIN {last} c ON s.m = c.m
+    WHERE s.vec_id < {N_QUERY_VECS}
+)""".strip())
+    parts.append("""
+scored AS (
+    SELECT l.query_id, cd.vec_id, ROUND(SUM(l.dpart), 6) AS approx_d2
+    FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.code
+    WHERE cd.vec_id <> l.query_id
+    GROUP BY l.query_id, cd.vec_id
+)""".strip())
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT query_id, neighbor_id, approx_d2, rnk FROM (
+    SELECT query_id, vec_id AS neighbor_id, approx_d2,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY approx_d2 ASC, vec_id ASC
+           ) AS INT) AS rnk
+    FROM scored
+) WHERE rnk <= 5
+"""
+    )
+
+
 # -- distributed k-means (Lloyd refinement of the IVF coarse quantizer) ------
 
 KM_ITERS = 3

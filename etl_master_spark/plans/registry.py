@@ -286,6 +286,7 @@ register("embedding_norms", vectors.embedding_norms, vectors.EMBEDDING_NORMS_ORA
 register("ann_cosine_topk", vectors.ann_cosine_topk, vectors.ANN_COSINE_TOPK_ORACLE)
 register("lsh_buckets", vectors.lsh_buckets, vectors.LSH_BUCKETS_ORACLE)
 register("ann_ivf_topk", vectors.ann_ivf_topk, vectors.ann_ivf_oracle())
+register("ann_pq_topk", vectors.ann_pq_topk, vectors.ann_pq_oracle())
 register("kmeans_embeddings", vectors.kmeans_embeddings, vectors.kmeans_oracle())
 register("mmd_rbf", vectors.mmd_rbf, vectors.mmd_rbf_oracle())
 register("mmd_rbf_multiscale", vectors.mmd_rbf_multiscale, vectors.mmd_rbf_multiscale_oracle())

@@ -274,3 +274,32 @@ def test_balanced_mixture_sample_is_balanced_and_deterministic(spark, sf_dir):
         assert abs(kept[lang] - target) <= 5 * math.sqrt(target) + 1, (lang, kept)
     again = {r["doc_id"] for r in balanced_mixture_sample(spark, sf_dir).collect()}
     assert again == {r["doc_id"] for r in rows}
+
+
+def test_ann_pq_planted_clusters_recall(spark):
+    """PQ effectiveness on its intended regime: a clustered corpus (the
+    uniform-random testdata is PQ's worst case — near-equidistant, so the
+    registry entry only proves the machinery + oracle). Plant 40 tight
+    clusters; after per-subspace Lloyd training, every query's PQ top-5
+    must come from the query's own cluster."""
+    import numpy as np
+
+    from etl_master_spark.operators.vectors import _ann_pq_core
+
+    rng = np.random.default_rng(17)
+    n_clusters, per = 40, 12
+    centers = rng.normal(0.0, 1.0, (n_clusters, 64))
+    rows = []
+    for c in range(n_clusters):
+        for i in range(per):
+            v = centers[c] + rng.normal(0.0, 0.05, 64)
+            rows.append((c * per + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = _ann_pq_core(spark, emb).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(by_q) == {0, 1, 2, 3, 4}  # queries all sit in cluster 0
+    hits = sum(1 for q, ns in by_q.items() for n in ns if n < per)
+    total = sum(len(ns) for ns in by_q.values())
+    assert hits / total >= 0.9, (hits, total, by_q)

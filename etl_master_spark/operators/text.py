@@ -385,6 +385,59 @@ ORDER BY p.doc_a, p.doc_b
 """
 
 
+# -- duplicate passage detection ---------------------------------------------
+
+DUP_PASSAGE_TOP = 50
+
+
+def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-passage detection at shingle granularity: every
+    word-3-gram that occurs in >= 2 distinct documents, with its corpus
+    spread. This is the substring-level complement to the document-level
+    dedup family — repeated boilerplate (headers, license blocks, templated
+    sentences) shows up here even when whole documents are unique, and the
+    flagged shingles drive passage-removal passes (the ExactSubstr idea of
+    Lee et al. '22, "Deduplicating Training Data Makes Language Models
+    Better", recast as one relational aggregation instead of a suffix array).
+
+    Plan shape: ``_shingles`` builds per-doc DISTINCT shingles row-locally
+    (no shuffle before the explode, duplicates collapsed before the
+    exchange), then ONE map-side-combined aggregate keyed by the shingle.
+    Because shingles are already distinct within a doc, ``count(*)`` IS the
+    document frequency — no countDistinct shuffle. The >= 2 filter drops the
+    long unique tail at the aggregate, so the final top-50 sort sees only
+    the (tiny) repeated vocabulary.
+
+    100 TB switchover: group on ``xxhash64(shingle)`` and carry
+    ``min(shingle)`` as the exemplar so the exchange moves 8-byte keys, not
+    strings; widen to 13-gram shingles (the Lee et al. operating point) —
+    both leave this plan shape unchanged."""
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("shingle").asc())
+        .limit(DUP_PASSAGE_TOP)
+    )
+
+
+DUPLICATE_PASSAGES_ORACLE = f"""
+WITH {_SHINGLES_SQL}
+SELECT shingle, COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM shingles
+GROUP BY shingle
+HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, shingle ASC
+LIMIT {DUP_PASSAGE_TOP}
+"""
+
+
 # -- MinHash + LSH near-dup candidates ---------------------------------------
 
 def _minhash_consts() -> list[tuple[int, int]]:

@@ -221,6 +221,111 @@ SELECT bucket, COUNT(*) AS n_vecs FROM buckets GROUP BY bucket ORDER BY bucket
 """
 
 
+# -- LSH-bucketed ANN: candidate generation + exact rerank -------------------
+
+ANN_LSH_PLANES = 4  # 2^4 buckets -> ~|corpus|/16 candidates per query
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: sign-LSH candidate generation followed
+    by exact cosine rerank — the production middle between ``lsh_buckets``
+    (index profile only) and ``ann_cosine_topk`` (exact full scan). A query
+    compares against only the corpus rows sharing its bucket, cutting scored
+    pairs by ~2^planes while the rerank math stays identical to the exact
+    baseline — so recall loss is directly measurable by diffing the two
+    registered queries' outputs.
+
+    Plan shape: the signature is a row-local codegen expression on BOTH
+    sides (planes are plan literals — see ``lsh_signature``); the query side
+    (|queries| rows) broadcasts, so candidate generation is a broadcast hash
+    join keyed on the bucket — the corpus is scanned ONCE and never
+    shuffled. The only exchange is the final per-query top-k window over
+    |queries| x |corpus|/2^planes scored rows.
+
+    100 TB posture: more planes shrink candidates geometrically; recall is
+    recovered by multi-probe (flip one signature bit per probe — a 1+planes
+    array explode on the broadcast side only) or by OR-ing bands as in
+    ``dedup_embedding_cosine_lsh``. Both keep this exact plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = lsh_signature(F.col("embedding"), n_planes=ANN_LSH_PLANES)
+    corpus = spread(emb).select("vec_id", "embedding", sig.alias("bucket"))
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        sig.alias("bucket"),
+    )
+    cand = corpus.join(F.broadcast(q), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("qv"), F.col("embedding")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOPK)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+ANN_LSH_TOPK_ORACLE = f"""
+WITH comp AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS i,
+           unnest(CAST(embedding AS DOUBLE[])) AS x
+    FROM embeddings
+),
+planes AS (
+    SELECT j.j, i.i,
+           CAST({phash_frag('j.j', 'i.i', seed=LSH_SEED)} AS DOUBLE)
+               / CAST({PHASH_P} AS DOUBLE) - 0.5 AS w
+    FROM (SELECT unnest(range(0, {ANN_LSH_PLANES})) AS j) j
+    CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+),
+dots AS (
+    SELECT c.vec_id, p.j, SUM(c.x * p.w) AS d
+    FROM comp c JOIN planes p ON c.i = p.i
+    GROUP BY c.vec_id, p.j
+),
+buckets AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN d >= 0 THEN CAST(POW(2.0, j) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id
+),
+vecs AS (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, b.bucket
+    FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(
+             list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+    FROM vecs q
+    JOIN vecs c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERY_VECS}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+           ) AS INT) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {TOPK}
+"""
+
+
 # -- RBF MMD² ----------------------------------------------------------------
 
 def mmd_rbf(

@@ -268,6 +268,9 @@ register(
     text.CONTAMINATION_SCREEN_ORACLE,
 )
 register("dedup_incremental", text.dedup_incremental, text.DEDUP_INCREMENTAL_ORACLE)
+register(
+    "duplicate_passages", text.duplicate_passages, text.DUPLICATE_PASSAGES_ORACLE
+)
 register("stratified_sample", text.stratified_sample, text.stratified_sample_oracle())
 register(
     "doc_length_percentiles",
@@ -285,6 +288,7 @@ register(
 register("embedding_norms", vectors.embedding_norms, vectors.EMBEDDING_NORMS_ORACLE)
 register("ann_cosine_topk", vectors.ann_cosine_topk, vectors.ANN_COSINE_TOPK_ORACLE)
 register("lsh_buckets", vectors.lsh_buckets, vectors.LSH_BUCKETS_ORACLE)
+register("ann_lsh_topk", vectors.ann_lsh_topk, vectors.ANN_LSH_TOPK_ORACLE)
 register("ann_ivf_topk", vectors.ann_ivf_topk, vectors.ann_ivf_oracle())
 register("ann_pq_topk", vectors.ann_pq_topk, vectors.ann_pq_oracle())
 register("kmeans_embeddings", vectors.kmeans_embeddings, vectors.kmeans_oracle())
@@ -483,6 +487,7 @@ register("gan_eval_test", _gan_eval, None)
 _PRIORITY = [
     # round-3 additions (never checked by construction)
     "best_epoch_reeval", "simhash64_jvm", "stratified_sample",
+    "duplicate_passages", "ann_lsh_topk",
     "doc_length_percentiles", "events_hourly_topk_types", "gan_eval_test",
     # analytics family (registered after the round-1/2 window)
     "revenue_rollup", "user_set_ops", "orders_by_month", "props_json_stats",

@@ -303,3 +303,50 @@ def test_ann_pq_planted_clusters_recall(spark):
     hits = sum(1 for q, ns in by_q.items() for n in ns if n < per)
     total = sum(len(ns) for ns in by_q.values())
     assert hits / total >= 0.9, (hits, total, by_q)
+
+
+def test_ann_lsh_topk_subset_and_scores_match_exact(spark, sf_dir):
+    """LSH-bucketed ANN must (a) never report a cosine the exact scan
+    disagrees with — the rerank math is shared, so any pair present in
+    both outputs carries the identical rounded score — and (b) retain a
+    usable fraction of the exact top-10 even with only 16 buckets."""
+    from etl_master_spark.operators.vectors import ann_cosine_topk, ann_lsh_topk
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in ann_lsh_topk(spark, sf_dir).collect()
+    }
+    overlap = set(exact) & set(lsh)
+    assert overlap  # the buckets catch some of the true top-10
+    for pair in overlap:
+        assert exact[pair] == lsh[pair], pair
+
+
+def test_duplicate_passages_flags_real_repeats(spark, sf_dir):
+    """Every flagged shingle must literally occur (space-tokenized) in at
+    least n_docs distinct documents of the corpus — recompute containment
+    in Python for the top rows."""
+    from etl_master_spark.operators.text import SHINGLE_N, duplicate_passages
+    from etl_master_spark.sources.io import load_table
+
+    top = duplicate_passages(spark, sf_dir).limit(5).collect()
+    assert top and all(r["n_docs"] >= 2 for r in top)
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for row in top:
+        sh = tuple(row["shingle"].split(" "))
+        assert len(sh) == SHINGLE_N
+        holders = {
+            d
+            for d, toks in docs.items()
+            if any(tuple(toks[i : i + SHINGLE_N]) == sh
+                   for i in range(len(toks) - SHINGLE_N + 1))
+        }
+        assert len(holders) == row["n_docs"]
+        assert min(holders) == row["first_doc"] and max(holders) == row["last_doc"]

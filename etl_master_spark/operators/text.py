@@ -1279,6 +1279,109 @@ WHERE rnk <= {TFIDF_TOP_TERMS}
 """
 
 
+# -- BM25 full-text retrieval -------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ["hash", "scan", "window"]  # demo query terms (corpus vocab)
+BM25_TOP = 10
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Spärck Jones Okapi weighting) for a
+    fixed term query — the query-serving complement to ``tfidf_top_terms``
+    (which profiles the corpus; this one answers a search). Score per doc:
+    Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), with the
+    +1-smoothed idf = ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Plan shape: the term filter lands directly on the explode, so only
+    query-term occurrences ever reach an exchange — at 100 TB the scored
+    row count is |docs containing a query term| × |query terms|, not the
+    token stream. Corpus stats (N, avgdl) are a 1-row aggregate cross-joined
+    in (broadcast by construction); df comes from the already-filtered tf
+    frame — no second corpus scan. The final top-10 sorts the rounded score
+    with doc_id tie-breaks so ranking is engine-exact.
+
+    At serving scale the tf/df frames are the materialized inverted index:
+    precompute them once, and this query becomes two broadcast joins over
+    posting lists."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = spread(docs).select(
+        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    )
+    stats = base.groupBy().agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.count(F.lit(1)).cast("double") / F.countDistinct("doc_id")).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        base.filter(F.col("term").isin(BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf").cast("double") * (BM25_K1 + 1.0) / (
+        F.col("tf")
+        + BM25_K1
+        * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum(idf * norm), 6).alias("bm25"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(
+        BM25_TOP
+    )
+
+
+def bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH base AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+           unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+stats AS (
+    SELECT COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id) AS avgdl
+    FROM base
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+    FROM base WHERE term IN ({terms})
+    GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT tf.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(SUM(
+               ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1}
+                  * (1.0 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, n_terms, bm25 FROM scored
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOP}
+"""
+
+
 # -- end-to-end curation pipeline ---------------------------------------------
 
 CURATION_MIN_QUALITY = 0.6

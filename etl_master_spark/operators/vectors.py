@@ -757,6 +757,54 @@ ORDER BY id_a, id_b
 """
 
 
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup endgame: connected components over the banded-LSH
+    near-duplicate pairs (demo 0.4 gate — the registered pair query), every
+    vector labeled with its component's min vec_id. The embedding-space twin
+    of the text family's ``dedup_clusters``: candidate pairs come from sign
+    LSH instead of MinHash bands, the component kernel is SHARED
+    (``text._connected_components`` — iterative hash-min propagation, one
+    edge shuffle per round, localCheckpoint lineage truncation), and "keep
+    one per semantic cluster" is then ``filter(vec_id == cluster)``.
+
+    Scale: pair volume is bucket-bounded by the LSH stage (never all-pairs);
+    the propagation loop moves only (id, label) rows — embeddings never
+    enter the iteration."""
+    from .text import _connected_components
+
+    pairs = dedup_embedding_cosine_lsh(spark, sf_dir, 0.4).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    nodes = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    return (
+        _connected_components(nodes, pairs)
+        .select(F.col("doc_id").alias("vec_id"), "cluster")
+        .orderBy("vec_id")
+    )
+
+
+def embedding_dedup_clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT id_a, id_b FROM ({dedup_embedding_cosine_lsh_oracle(0.4)})
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, root) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS vec_id, MIN(root) AS cluster
+FROM reach GROUP BY node ORDER BY vec_id
+"""
+
+
 # -- IVF (coarse-quantized) ANN ----------------------------------------------
 
 IVF_CELLS = 8
@@ -926,10 +974,11 @@ def mmd_rbf_fast(
     n_a, n_b = counts.get(label_a, 0), counts.get(label_b, 0)
 
     # each tile frame feeds TWO grids (XX+XY / YY+XY); without
-    # materialization Spark re-runs the scan + bucketing per grid. Same
-    # "materialize the index" step contamination_screen uses.
-    ta = tiles(label_a, n_a).localCheckpoint(eager=False)
-    tb = tiles(label_b, n_b).localCheckpoint(eager=False)
+    # materialization Spark re-runs the scan + bucketing per grid. cache(),
+    # not localCheckpoint: there is no iterative lineage to truncate, and
+    # cache keeps the parquet scan (with its label pushdown) in the plan.
+    ta = tiles(label_a, n_a).cache()
+    tb = tiles(label_b, n_b).cache()
 
     def grid_sum(tx: DataFrame, ty: DataFrame, name: str) -> DataFrame:
         g = tx.select(F.col("vs").alias("vx")).crossJoin(

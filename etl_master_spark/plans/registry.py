@@ -271,6 +271,7 @@ register("dedup_incremental", text.dedup_incremental, text.DEDUP_INCREMENTAL_ORA
 register(
     "duplicate_passages", text.duplicate_passages, text.DUPLICATE_PASSAGES_ORACLE
 )
+register("bm25_search", text.bm25_search, text.bm25_oracle())
 register("stratified_sample", text.stratified_sample, text.stratified_sample_oracle())
 register(
     "doc_length_percentiles",
@@ -289,6 +290,11 @@ register("embedding_norms", vectors.embedding_norms, vectors.EMBEDDING_NORMS_ORA
 register("ann_cosine_topk", vectors.ann_cosine_topk, vectors.ANN_COSINE_TOPK_ORACLE)
 register("lsh_buckets", vectors.lsh_buckets, vectors.LSH_BUCKETS_ORACLE)
 register("ann_lsh_topk", vectors.ann_lsh_topk, vectors.ANN_LSH_TOPK_ORACLE)
+register(
+    "embedding_dedup_clusters",
+    vectors.embedding_dedup_clusters,
+    vectors.embedding_dedup_clusters_oracle(),
+)
 register("ann_ivf_topk", vectors.ann_ivf_topk, vectors.ann_ivf_oracle())
 register("ann_pq_topk", vectors.ann_pq_topk, vectors.ann_pq_oracle())
 register("kmeans_embeddings", vectors.kmeans_embeddings, vectors.kmeans_oracle())
@@ -487,7 +493,8 @@ register("gan_eval_test", _gan_eval, None)
 _PRIORITY = [
     # round-3 additions (never checked by construction)
     "best_epoch_reeval", "simhash64_jvm", "stratified_sample",
-    "duplicate_passages", "ann_lsh_topk",
+    "duplicate_passages", "ann_lsh_topk", "bm25_search",
+    "embedding_dedup_clusters",
     "doc_length_percentiles", "events_hourly_topk_types", "gan_eval_test",
     # analytics family (registered after the round-1/2 window)
     "revenue_rollup", "user_set_ops", "orders_by_month", "props_json_stats",

@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "dedup_clusters",
     "dedup_representatives",
+    "duplicate_passages",
+    "bm25_search",
     "lm_perplexity_scores",
     "simhash64",
     "simhash64_jvm",
@@ -96,7 +98,9 @@ BENCH_QUERIES = [
     "kmeans_embeddings",
     "dedup_embedding_cosine_lsh_p99",
     "lsh_buckets",
+    "ann_lsh_topk",
     "ann_ivf_topk",
+    "embedding_dedup_clusters",
     "mmd_rbf_fast",
     "media_stats",
 ]

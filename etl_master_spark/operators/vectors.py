@@ -1005,6 +1005,80 @@ def mmd_rbf_fast(
     )
 
 
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of each approximate ANN path against the exact scan, as ONE
+    registered query: the quality contract of the similarity-search family,
+    continuously checkable instead of a one-off notebook claim. For each
+    method the truth set is the exact top-k at the SAME cutoff the method
+    returns (LSH k=10, IVF k=5); recall = |method ∩ exact| / |exact|.
+
+    Plan shape: three broadcast-query scans (each method is itself a
+    single-corpus-scan plan) collapsing to per-method 1-row aggregates —
+    the joins are on (query_id, neighbor_id) over ≤ |queries|·k rows, so
+    the audit's own cost is the methods' cost, not a new quadratic term.
+    (PQ recall is pinned separately by its planted-cluster test — its
+    unrolled-codebook oracle is too heavy to replay inside a fourth CTE.)"""
+
+    def recall_of(method_df: DataFrame, method: str, k: int) -> DataFrame:
+        truth = (
+            ann_cosine_topk(spark, sf_dir)
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id")
+        )
+        hits = method_df.select("query_id", "neighbor_id").join(
+            truth, ["query_id", "neighbor_id"]
+        )
+        return (
+            hits.agg(F.count(F.lit(1)).alias("n_hits"))
+            .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(k).cast("int").alias("k"),
+                "n_hits",
+                "n_truth",
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_truth"), 6
+                ).alias("recall"),
+            )
+        )
+
+    return (
+        recall_of(ann_lsh_topk(spark, sf_dir), "lsh", TOPK)
+        .unionByName(recall_of(ann_ivf_topk(spark, sf_dir), "ivf", 5))
+        .orderBy("method")
+    )
+
+
+def ann_recall_audit_oracle() -> str:
+    return f"""
+WITH exact AS (
+    SELECT query_id, neighbor_id, rnk FROM ({ANN_COSINE_TOPK_ORACLE})
+),
+lsh AS (SELECT query_id, neighbor_id FROM ({ANN_LSH_TOPK_ORACLE})),
+ivf AS (SELECT query_id, neighbor_id FROM ({ann_ivf_oracle()})),
+audit AS (
+    SELECT 'lsh' AS method, CAST({TOPK} AS INT) AS k,
+           CAST((SELECT COUNT(*) FROM lsh l
+                 JOIN exact e ON e.query_id = l.query_id
+                  AND e.neighbor_id = l.neighbor_id AND e.rnk <= {TOPK})
+               AS BIGINT) AS n_hits,
+           CAST((SELECT COUNT(*) FROM exact WHERE rnk <= {TOPK})
+               AS BIGINT) AS n_truth
+    UNION ALL
+    SELECT 'ivf' AS method, CAST(5 AS INT) AS k,
+           CAST((SELECT COUNT(*) FROM ivf v
+                 JOIN exact e ON e.query_id = v.query_id
+                  AND e.neighbor_id = v.neighbor_id AND e.rnk <= 5)
+               AS BIGINT) AS n_hits,
+           CAST((SELECT COUNT(*) FROM exact WHERE rnk <= 5)
+               AS BIGINT) AS n_truth
+)
+SELECT method, k, n_hits, n_truth,
+       ROUND(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall
+FROM audit ORDER BY method
+"""
+
+
 # -- product-quantized ANN (ADC over a deterministic codebook) ----------------
 
 PQ_M = 4  # subvector count

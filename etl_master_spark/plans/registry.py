@@ -291,6 +291,9 @@ register("ann_cosine_topk", vectors.ann_cosine_topk, vectors.ANN_COSINE_TOPK_ORA
 register("lsh_buckets", vectors.lsh_buckets, vectors.LSH_BUCKETS_ORACLE)
 register("ann_lsh_topk", vectors.ann_lsh_topk, vectors.ANN_LSH_TOPK_ORACLE)
 register(
+    "ann_recall_audit", vectors.ann_recall_audit, vectors.ann_recall_audit_oracle()
+)
+register(
     "embedding_dedup_clusters",
     vectors.embedding_dedup_clusters,
     vectors.embedding_dedup_clusters_oracle(),
@@ -494,7 +497,7 @@ _PRIORITY = [
     # round-3 additions (never checked by construction)
     "best_epoch_reeval", "simhash64_jvm", "stratified_sample",
     "duplicate_passages", "ann_lsh_topk", "bm25_search",
-    "embedding_dedup_clusters",
+    "embedding_dedup_clusters", "ann_recall_audit",
     "doc_length_percentiles", "events_hourly_topk_types", "gan_eval_test",
     # analytics family (registered after the round-1/2 window)
     "revenue_rollup", "user_set_ops", "orders_by_month", "props_json_stats",

@@ -29,6 +29,8 @@ BNLJ_OK = {
     "eval_metrics_vali",
     "best_epoch_reeval",  # K-cutoff fanout (rn <= k vs a 2-row K table)
     "mmd_rbf",
+    "ann_recall_audit",  # 1-row hit/truth aggregates cross-joined
+    "bm25_search",  # 1-row corpus-stats (N, avgdl) cross-joined in
     "mmd_rbf_multiscale",
     "mmd_rbf_fast",  # tile-grid block-nested-loop: the intended Gram shape
     "tfidf_top_terms",

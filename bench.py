@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "corpus_mixture_weights",
     "co_purchase_pairs",
+    "triangle_count",
     "dedup_exact",
     "curated_corpus",
     "minhash_lsh_pairs",

@@ -1304,6 +1304,89 @@ LIMIT 100
 """
 
 
+TRIANGLE_MIN_COUNT = 2  # co-purchase support threshold for graph edges
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the item co-purchase graph — the third classic
+    graph kernel beside PageRank (`nation_pagerank`) and connected
+    components (`dedup_clusters`): nodes are parts, edges are part pairs
+    co-bought in >= TRIANGLE_MIN_COUNT orders, and the count of closed
+    triangles is the clustering signal (basket-affinity density here; the
+    same query is community structure / spam detection elsewhere).
+
+    Plan shape: edges are built once by the row-local basket-pair spelling
+    (see `co_purchase_pairs` — k(k-1)/2 per order, all JVM) and cached;
+    with the canonical a<b orientation each triangle a<b<c is found exactly
+    once as e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c) — two hash joins keyed on node
+    ids, no windows, and the wedge stream (e1⋈e2) never materializes
+    outside the join. At 100 TB the hub-node skew fix is degree-based
+    orientation (point each edge at its higher-degree endpoint before the
+    wedge join — bounds per-key wedges by sqrt(|E|), Suri & Vassilvitskii
+    '11); the demo keeps id order, which the oracle replays exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = F.col("parts")
+    pair_arr = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + 2, F.size(parts)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    edges = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= TRIANGLE_MIN_COUNT)
+        .select("a", "b")
+        .cache()  # feeds three join legs + two audit aggregates
+    )
+    tri = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            edges.alias("e3"),
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = (
+        edges.select(F.col("a").alias("x"))
+        .unionByName(edges.select(F.col("b").alias("x")))
+        .agg(F.countDistinct("x").alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nodes.crossJoin(n_edges).crossJoin(tri).select(
+        "n_nodes", "n_edges", "n_triangles"
+    )
+
+
+TRIANGLE_COUNT_ORACLE = f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS a, b.l_partkey AS b
+    FROM baskets a
+    JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {TRIANGLE_MIN_COUNT}
+)
+SELECT
+    CAST((SELECT COUNT(DISTINCT x) FROM
+          (SELECT a AS x FROM edges UNION ALL SELECT b AS x FROM edges))
+        AS BIGINT) AS n_nodes,
+    CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+    CAST((SELECT COUNT(*) FROM edges e1
+          JOIN edges e2 ON e2.a = e1.b
+          JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+        AS BIGINT) AS n_triangles
+"""
+
+
 # -- period-over-period growth ------------------------------------------------
 
 def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:

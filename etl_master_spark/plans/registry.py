@@ -404,6 +404,7 @@ register(
 register(
     "co_purchase_pairs", analytics.co_purchase_pairs, analytics.CO_PURCHASE_PAIRS_ORACLE
 )
+register("triangle_count", analytics.triangle_count, analytics.TRIANGLE_COUNT_ORACLE)
 register(
     "monthly_revenue_growth",
     analytics.monthly_revenue_growth,
@@ -497,7 +498,7 @@ _PRIORITY = [
     # round-3 additions (never checked by construction)
     "best_epoch_reeval", "simhash64_jvm", "stratified_sample",
     "duplicate_passages", "ann_lsh_topk", "bm25_search",
-    "embedding_dedup_clusters", "ann_recall_audit",
+    "embedding_dedup_clusters", "ann_recall_audit", "triangle_count",
     "doc_length_percentiles", "events_hourly_topk_types", "gan_eval_test",
     # analytics family (registered after the round-1/2 window)
     "revenue_rollup", "user_set_ops", "orders_by_month", "props_json_stats",

@@ -31,6 +31,7 @@ BNLJ_OK = {
     "mmd_rbf",
     "ann_recall_audit",  # 1-row hit/truth aggregates cross-joined
     "bm25_search",  # 1-row corpus-stats (N, avgdl) cross-joined in
+    "triangle_count",  # three 1-row census aggregates cross-joined
     "mmd_rbf_multiscale",
     "mmd_rbf_fast",  # tile-grid block-nested-loop: the intended Gram shape
     "tfidf_top_terms",

@@ -744,8 +744,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     """Hash-min label propagation over undirected ``pairs`` edges; every
     ``nodes.doc_id`` labeled with its component's min doc_id. Split out so
-    tests can plant a path graph and prove multi-hop convergence."""
-    edges = (
+    tests can plant a path graph and prove multi-hop convergence.
+
+    The iteration runs over the EDGE-TOUCHED subgraph only: an isolated
+    node (no near-dup pair — the overwhelming majority of a real corpus)
+    can never change label, so it joins the result at the end as its own
+    singleton cluster instead of riding |corpus|-sized label frames through
+    every round. Per-round work is then O(|edges|), independent of corpus
+    size — at 100 TB the difference between iterating over a few million
+    near-dup candidates and re-shuffling the whole lake per round."""
+    edges_cached = (
         pairs.unionByName(
             pairs.select(
                 F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -754,7 +762,27 @@ def _connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         .distinct()
         .cache()
     )
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster")).localCheckpoint()
+    # size the iteration's layout to the SUBGRAPH, not the session default:
+    # the near-dup edge set is typically orders of magnitude smaller than
+    # the corpus, and 32-task rounds over a few hundred edges spend more
+    # scheduler time than compute (measured ~25% of the loop locally).
+    # One partition per ~100k edges scales the same decision to a cluster
+    # (10M edges → 100 partitions). The count also materializes the cache
+    # so the pair pipeline runs exactly once.
+    npart = max(1, -(-edges_cached.count() // 100_000))
+    edges = edges_cached.repartition(npart, "doc_b").localCheckpoint()
+    touched = edges.select("doc_a").distinct().select(F.col("doc_a").alias("doc_id"))
+    labels = (
+        touched.select("doc_id", F.col("doc_id").alias("cluster"))
+        .repartition(npart, "doc_id")
+        .localCheckpoint()
+    )
+    # convergence = unchanged exact label sum: labels are monotone
+    # non-increasing, so an equal sum between rounds IS the fixpoint — one
+    # tiny aggregate per round instead of a labels⋈labels changed-count
+    # join (halves the per-round action count; decimal(38,0) keeps the sum
+    # exact and overflow-free at any id range)
+    prev_sum = None
     for _ in range(CC_MAX_ITERS):
         nbr_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -769,20 +797,25 @@ def _connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
                     F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))
                 ).alias("cluster"),
             )
+            .repartition(npart, "doc_id")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("cluster", "old"), "doc_id"
-            )
-            .filter(F.col("cluster") != F.col("old"))
-            .count()
-        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("cluster").cast("decimal(38,0)"))
+        ).first()[0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
-    edges.unpersist()
-    return labels.orderBy("doc_id")
+        prev_sum = cur_sum
+    edges_cached.unpersist()
+    # singletons re-attach as their own cluster — no shuffle grows with them
+    return (
+        nodes.join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster", F.col("doc_id")).alias("cluster")
+        )
+        .orderBy("doc_id")
+    )
 
 
 def dedup_clusters_oracle() -> str:

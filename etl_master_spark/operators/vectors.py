@@ -769,12 +769,16 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pair volume is bucket-bounded by the LSH stage (never all-pairs);
     the propagation loop moves only (id, label) rows — embeddings never
-    enter the iteration."""
+    enter the iteration. The pair stage runs the production 4×8 deep-band
+    shape (same 32 planes as the permissive 8×4 demo, 16× finer buckets):
+    at the demo shape candidate volume grows ~|corpus|²/buckets and already
+    dominates at sf0.1 — banding depth IS the candidate-volume knob, and a
+    clustering pass wants the deep end of it."""
     from .text import _connected_components
 
-    pairs = dedup_embedding_cosine_lsh(spark, sf_dir, 0.4).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    )
+    pairs = dedup_embedding_cosine_lsh(
+        spark, sf_dir, 0.4, P99_LSH_BANDS, P99_LSH_ROWS
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     nodes = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id")
     )
@@ -788,7 +792,8 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_dedup_clusters_oracle() -> str:
     return f"""
 WITH RECURSIVE pairs AS (
-    SELECT id_a, id_b FROM ({dedup_embedding_cosine_lsh_oracle(0.4)})
+    SELECT id_a, id_b
+    FROM ({dedup_embedding_cosine_lsh_oracle(0.4, P99_LSH_BANDS, P99_LSH_ROWS)})
 ),
 edges AS (
     SELECT id_a AS a, id_b AS b FROM pairs

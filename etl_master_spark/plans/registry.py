@@ -505,7 +505,7 @@ _PRIORITY = [
     "user_type_value_map", "value_percentiles", "price_histogram",
     "user_item_vectors", "prior_sample_stats", "events_moving_avg",
     "orders_cube", "priority_grouping_sets", "string_functions",
-    "price_correlations", "approx_profiles", "conversion_funnel",
+    "price_correlations", "conversion_funnel",
     "weekly_retention", "events_trailing_hour", "table_profile",
     "events_time_rollup", "brand_revenue_share", "events_hourly_anomalies",
     "shipping_delay_stats", "nation_pagerank", "event_transitions",

@@ -914,6 +914,12 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
         ).alias("tri"),
     )
+    # the trigram stream feeds BOTH the model build and the scoring join;
+    # without materialization the explode (per-char substring allocation —
+    # the expensive part of this plan) runs twice. Same "materialize the
+    # index" step the LSH dedup uses; at scale this is the persisted
+    # intermediate any two-pass corpus job would write anyway.
+    tri = tri.cache()
     counts = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").cast("bigint").alias("total"))
     model = counts.crossJoin(F.broadcast(total)).select(
@@ -1343,11 +1349,13 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = spread(docs).select(
         "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
     )
-    stats = base.groupBy().agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        (F.count(F.lit(1)).cast("double") / F.countDistinct("doc_id")).alias(
-            "avgdl"
-        ),
+    # corpus stats never need the token EXPLODE — per-doc lengths are
+    # row-local, so N/avgdl is one narrow aggregate over |docs| rows
+    # (sum/count in exact integers, identical to the oracle's
+    # count-over-unnest arithmetic)
+    stats = docs.select(F.size(toks).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     tf = (
         base.filter(F.col("term").isin(BM25_QUERY))

@@ -808,9 +808,14 @@ def _connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
             break
         prev_sum = cur_sum
     edges_cached.unpersist()
-    # singletons re-attach as their own cluster — no shuffle grows with them
+    # singletons re-attach as their own cluster — no shuffle grows with
+    # them. The label side is |touched| rows; when the subgraph fit in a
+    # handful of partitions it is broadcast-sized by construction (a
+    # checkpointed RDD carries no catalog stats, so without the hint the
+    # corpus-sized node scan pays a sort-merge exchange for nothing).
+    lbl = F.broadcast(labels) if npart <= 32 else labels
     return (
-        nodes.join(labels, "doc_id", "left")
+        nodes.join(lbl, "doc_id", "left")
         .select(
             "doc_id", F.coalesce("cluster", F.col("doc_id")).alias("cluster")
         )

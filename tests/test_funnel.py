@@ -75,3 +75,43 @@ def test_weekly_retention_triangle(spark, tmp_path):
         ("2024-01-08", 0): (1, 1, 1.0),
         ("2024-01-08", 1): (1, 1, 1.0),
     }
+
+
+def test_triangle_count_matches_pure_python_census(spark):
+    """Recount the co-purchase triangle census independently: rebuild the
+    thresholded edge set in Python from the raw lineitem rows and count
+    triangles by neighbor-set intersection — the Spark three-way self-join
+    must agree on all three census numbers."""
+    from itertools import combinations
+
+    from etl_master_spark.operators.analytics import (
+        TRIANGLE_MIN_COUNT,
+        triangle_count,
+    )
+    from etl_master_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets: dict[int, set[int]] = {}
+    for r in rows:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    support: dict[tuple[int, int], int] = {}
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            support[(a, b)] = support.get((a, b), 0) + 1
+    edges = {p for p, n in support.items() if n >= TRIANGLE_MIN_COUNT}
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    n_tri = sum(
+        1 for a, b in edges for c in (nbrs[a] & nbrs[b]) if b < c
+    )
+    got = triangle_count(spark, sf).collect()[0]
+    assert got["n_edges"] == len(edges)
+    assert got["n_nodes"] == len(nbrs)
+    assert got["n_triangles"] == n_tri

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "dedup_representatives",
     "duplicate_passages",
     "bm25_search",
+    "hashed_tf_vectors",
     "lm_perplexity_scores",
     "simhash64",
     "simhash64_jvm",

@@ -1323,6 +1323,69 @@ WHERE rnk <= {TFIDF_TOP_TERMS}
 """
 
 
+# -- feature-hashed TF vectors ------------------------------------------------
+
+HASH_VEC_DIM = 64
+
+
+def hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed term-frequency vectors (the hashing trick, Weinberger
+    et al. '09): every document becomes a ``HASH_VEC_DIM``-dim sparse vector
+    with dim = hash(term) and a ±1 hash sign (signed sums keep collisions
+    unbiased). This closes the text→vector loop inside the engine: the
+    output is exactly the shape the ANN / LSH-dedup / k-means family
+    consumes, with no external embedding model in the path.
+
+    Output is LONG FORM (doc_id, dim, weight) — the sparse representation a
+    100 TB corpus job would persist (dense arrays at write time are mostly
+    zeros), and what makes the query engine-exact: both engines compute the
+    same md5-derived dims and integer signed sums, no float in sight.
+
+    Plan shape: one narrow explode, one map-side-combined aggregate keyed
+    (doc_id, dim) — tokens collapse to ≤ dim rows per doc before the
+    exchange. The hash is md5-char arithmetic (ascii of hex chars), chosen
+    over xxhash64 because BOTH engines evaluate it identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        spread(docs)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    h = F.md5("term")
+    dim = (
+        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))
+    ) % HASH_VEC_DIM
+    sign = F.when(F.ascii(F.substring(h, 3, 1)) % 2 == 0, F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return (
+        terms.select("doc_id", dim.alias("dim"), sign.alias("s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").cast("bigint").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .orderBy("doc_id", "dim")
+    )
+
+
+HASHED_TF_VECTORS_ORACLE = f"""
+WITH terms AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+h AS (
+    SELECT doc_id,
+           (ascii(substr(md5(term), 1, 1)) * 31
+            + ascii(substr(md5(term), 2, 1))) % {HASH_VEC_DIM} AS dim,
+           CASE WHEN ascii(substr(md5(term), 3, 1)) % 2 = 0
+                THEN 1 ELSE -1 END AS s
+    FROM terms WHERE term <> ''
+)
+SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS weight
+FROM h GROUP BY doc_id, dim
+HAVING SUM(s) <> 0
+ORDER BY doc_id, dim
+"""
+
+
 # -- BM25 full-text retrieval -------------------------------------------------
 
 BM25_K1 = 1.2

@@ -272,6 +272,9 @@ register(
     "duplicate_passages", text.duplicate_passages, text.DUPLICATE_PASSAGES_ORACLE
 )
 register("bm25_search", text.bm25_search, text.bm25_oracle())
+register(
+    "hashed_tf_vectors", text.hashed_tf_vectors, text.HASHED_TF_VECTORS_ORACLE
+)
 register("stratified_sample", text.stratified_sample, text.stratified_sample_oracle())
 register(
     "doc_length_percentiles",
@@ -499,6 +502,7 @@ _PRIORITY = [
     "best_epoch_reeval", "simhash64_jvm", "stratified_sample",
     "duplicate_passages", "ann_lsh_topk", "bm25_search",
     "embedding_dedup_clusters", "ann_recall_audit", "triangle_count",
+    "hashed_tf_vectors",
     "doc_length_percentiles", "events_hourly_topk_types", "gan_eval_test",
     # analytics family (registered after the round-1/2 window)
     "revenue_rollup", "user_set_ops", "orders_by_month", "props_json_stats",
@@ -511,7 +515,7 @@ _PRIORITY = [
     "shipping_delay_stats", "nation_pagerank", "event_transitions",
     "co_purchase_pairs", "monthly_revenue_growth",
     # text / vectors stragglers
-    "chunk_documents", "corpus_mixture_weights", "simhash64",
+    "chunk_documents", "corpus_mixture_weights",
     "mmd_rbf_multiscale", "mmd_rbf_fast", "dedup_embedding_cosine_lsh_p99",
     # streaming twins
     "events_hourly", "events_sliding_6h", "events_hourly_gapfill",

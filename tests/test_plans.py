@@ -67,6 +67,7 @@ PUSHDOWN = {
     "sole_late_suppliers": "o_orderstatus",
     "dormant_customer_segments": "o_orderdate",
     "mmd_rbf_fast": "label",  # side filters must prune at the scan
+    "ann_lsh_topk": "vec_id",  # query-side filter prunes at the scan
 }
 
 

@@ -1141,31 +1141,68 @@ def _pq_train(emb: DataFrame) -> list[list[list[float]]]:
     K×SUBDIM values — the only driver traffic, dimension-sized by
     construction. Empty codes keep their previous centroid (oracle
     COALESCEs identically)."""
+    spark = emb.sparkSession
     cents = [
         [_pq_centroid_py(m, k) for k in range(PQ_K)] for m in range(PQ_M)
     ]
+    # training assignment goes through a broadcast CENTROID FRAME + window
+    # argmin (the oracle's own shape), NOT the literal-codebook argmin the
+    # encode stage uses: a fresh ~1000-literal expression tree per round
+    # costs seconds of Catalyst analysis regardless of data size (measured
+    # ~13.8 s of an 18.7 s query at sf0.1), while the 64-row join plan
+    # analyzes in milliseconds. Arithmetic is identical term-for-term
+    # (fold-left dots, same d2 formula), so codes — and therefore the
+    # trained codebook — are bit-equal either way.
+    vsub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("int").alias("m"),
+                        _pq_sub(F.col("embedding"), m).alias("v"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.v").alias("v"))
     for _ in range(PQ_ROUNDS):
+        cdf = spark.createDataFrame(
+            [(m, k, cents[m][k]) for m in range(PQ_M) for k in range(PQ_K)],
+            "m int, k int, c array<double>",
+        )
+        d2 = (
+            _dot(F.col("v"), F.col("v"))
+            - 2 * _dot(F.col("v"), F.col("c"))
+            + _dot(F.col("c"), F.col("c"))
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy(
+            d2.asc(), F.col("k").asc()
+        )
+        assigned = (
+            vsub.join(F.broadcast(cdf), "m")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("m", F.col("k").alias("code"), "v")
+        )
+        rows = (
+            assigned.groupBy("m", "code")
+            .agg(
+                *[
+                    F.avg(F.col("v")[j].cast("double")).alias(f"w{j}")
+                    for j in range(PQ_SUBDIM)
+                ]
+            )
+            .collect()
+        )
+        # rounded to 9 dp so both engines embed EXACTLY equal
+        # centroid literals (avg summation order differs at ~1e-16)
         for m in range(PQ_M):
-            sub_v = _pq_sub(F.col("embedding"), m)
-            assigned = emb.select(
-                _pq_codes_col(cents[m], sub_v).alias("code"),
-                sub_v.alias("v"),
-            )
-            rows = (
-                assigned.groupBy("code")
-                .agg(
-                    *[
-                        F.avg(F.col("v")[j].cast("double")).alias(f"w{j}")
-                        for j in range(PQ_SUBDIM)
-                    ]
-                )
-                .collect()
-            )
-            # rounded to 9 dp so both engines embed EXACTLY equal
-            # centroid literals (avg summation order differs at ~1e-16)
             new = {
                 r["code"]: [round(r[f"w{j}"], 9) for j in range(PQ_SUBDIM)]
                 for r in rows
+                if r["m"] == m
             }
             cents[m] = [new.get(k, cents[m][k]) for k in range(PQ_K)]
     return cents

@@ -1463,10 +1463,47 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             best["d2"].alias("d2"),
         )
 
-    cents: list = [_phash_plane(c, dim, IVF_SEED) for c in range(IVF_CELLS)]
-    prev_vals: dict[int, list[float]] | None = None
+    # training rounds assign through a broadcast k-row centroid frame +
+    # window argmin (the oracle's own CROSS JOIN shape) instead of the
+    # literal-centroid struct argmin: a fresh k×dim-literal expression per
+    # round costs Catalyst-analysis seconds regardless of data size (the
+    # PQ lesson, see _pq_train). dist2 keeps the identical zip-with
+    # Σ(x−c)² fold, so assignments — and the trajectory — are unchanged.
+    # The FINAL assignment (once per query) keeps the row-local literal
+    # form that is right at scale.
+    cent_vals: list[list[float]] = [
+        [
+            phash_py(c, i, seed=IVF_SEED) / float(PHASH_P) - 0.5
+            for i in range(dim)
+        ]
+        for c in range(IVF_CELLS)
+    ]
+    d2_col = F.aggregate(
+        F.transform(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("c"),
+                lambda x, cc: x.cast("double") - cc.cast("double"),
+            ),
+            lambda d: d * d,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     for _ in range(KM_ITERS - 1):
-        assigned = assign(cents)
+        cdf = spark.createDataFrame(
+            [(c, cent_vals[c]) for c in range(IVF_CELLS)],
+            "cluster int, c array<double>",
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d2").asc(), F.col("cluster").asc()
+        )
+        assigned = (
+            emb.crossJoin(F.broadcast(cdf))
+            .withColumn("d2", d2_col)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
         # update = dim per-component avgs per cluster in ONE agg — k keys
         # × dim columns, pure map-side combine (the posexplode spelling
         # shuffles n·dim skinny rows instead; never explode before reduce)
@@ -1481,18 +1518,14 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         new_vals = {r["cluster"]: [r[f"w{i}"] for i in range(dim)] for r in rows}
-        if prev_vals is None:
-            prev_vals = {}
-        merged = {
-            c: new_vals.get(c, prev_vals.get(c)) for c in range(IVF_CELLS)
-        }
-        cents = [
-            F.array(*[F.lit(float(w)) for w in merged[c]])
-            if merged[c] is not None
-            else _phash_plane(c, dim, IVF_SEED)
+        cent_vals = [
+            [float(x) for x in new_vals[c]] if c in new_vals else cent_vals[c]
             for c in range(IVF_CELLS)
         ]
-        prev_vals = merged
+    cents = [
+        F.array(*[F.lit(float(x)) for x in cent_vals[c]])
+        for c in range(IVF_CELLS)
+    ]
     return (
         assign(cents)
         .groupBy("cluster")

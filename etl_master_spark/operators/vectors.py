@@ -1109,82 +1109,112 @@ def _pq_sub(v, m: int):
     return F.slice(v, m * PQ_SUBDIM + 1, PQ_SUBDIM)
 
 
-def _pq_d2_lit(v_sub, cent: list[float]):
-    c = F.array(*[F.lit(float(w)) for w in cent])
+def _dot_unrolled(a, b, n: int = PQ_SUBDIM):
+    """Fold-left dot over a FIXED dimension, unrolled into a plain
+    left-associated expression chain. Bit-equal to ``_dot`` (same IEEE
+    add order; the aggregate's leading ``0.0 +`` cannot change any
+    double) but whole-stage-codegen'd — the lambda-based higher-order
+    functions evaluate interpreted, which costs ~1 s per million rows
+    in the PQ hot path."""
+    e = a[0].cast("double") * b[0].cast("double")
+    for j in range(1, n):
+        e = e + a[j].cast("double") * b[j].cast("double")
+    return e
+
+
+def _pq_vsub(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, m, v, vv): one row-local explode
+    into PQ_M subvectors, with the fold-left self-dot ``vv`` computed
+    ONCE per subvector here so every downstream distance costs a single
+    cross-dot."""
     return (
-        _dot(v_sub, v_sub)
-        - 2 * _dot(v_sub, c)
-        + F.lit(float(sum(w * w for w in cent)))
+        emb.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).cast("int").alias("m"),
+                            _pq_sub(F.col("embedding"), m).alias("v"),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("vec_id", F.col("s.m").alias("m"), F.col("s.v").alias("v"))
+        .withColumn("vv", _dot_unrolled(F.col("v"), F.col("v")))
     )
 
 
-def _pq_codes_col(cents_m: list[list[float]], v):
-    """Row-local argmin over the m-th codebook (struct-min, lowest code
-    wins ties)."""
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _pq_d2_lit(v, cents_m[k]).alias("d2"),
-                    F.lit(k).cast("int").alias("k"),
-                )
-                for k in range(PQ_K)
-            ]
+def _pq_cdf(spark: SparkSession, cents: list[list[list[float]]]) -> DataFrame:
+    """Codebook as a 64-row broadcastable frame (m, k, c, cc). ``cc`` is
+    the Python fold-left ``sum(w*w)`` — the exact spelling the retired
+    literal codebook embedded as ``F.lit``, bit-equal to the engine's
+    fold-left ``_dot(c, c)`` and the oracle's ``list_dot_product``."""
+    return spark.createDataFrame(
+        [
+            (m, k, cents[m][k], float(sum(w * w for w in cents[m][k])))
+            for m in range(PQ_M)
+            for k in range(PQ_K)
+        ],
+        "m int, k int, c array<double>, cc double",
+    )
+
+
+def _pq_d2():
+    """Squared distance ``vv − 2·v·c + cc`` over a vsub⋈cdf join row,
+    with both self-dots precomputed (``_pq_vsub`` / ``_pq_cdf``). The
+    remaining cross-dot is fold-left in index order, so the value is
+    bit-equal to the retired literal-codebook spelling and to the
+    oracle's ``list_dot_product`` terms."""
+    return F.col("vv") - 2 * _dot_unrolled(F.col("v"), F.col("c")) + F.col("cc")
+
+
+def _pq_assign(vsub: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the 64-row codebook frame
+    (1:PQ_K join on m), then argmin via ``min(struct(d2, k))`` with
+    map-side partial aggregation (lowest k wins ties). Returns
+    (vec_id, m, k, v).  Used by BOTH training rounds and final encode.
+
+    Why this spelling: a literal-codebook argmin costs seconds of
+    Catalyst analysis per instantiation regardless of data size
+    (measured ~13.8 s of an 18.7 s query at sf0.1). A window argmin
+    over the same join shuffles corpus×K rows through a sort. Here each
+    (vec_id, m) group's K candidate rows are all generated from ONE
+    input row of the broadcast join, so the hash aggregate's map-side
+    combine collapses them to a single row before the exchange — the
+    shuffle carries corpus×PQ_M rows, K-free, and codes stay bit-equal
+    (see ``_pq_d2``)."""
+    d2 = _pq_d2()
+    return (
+        vsub.join(F.broadcast(cdf), "m")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(d2.alias("d2"), F.col("k").alias("k"))
+            )["k"].alias("k"),
+            F.first("v").alias("v"),
         )
-    )["k"]
+        .select("vec_id", "m", "k", "v")
+    )
 
 
 def _pq_train(emb: DataFrame) -> list[list[list[float]]]:
     """Per-subspace Lloyd: phash-deterministic init, PQ_ROUNDS update
-    rounds. Assignment is row-local (centroids are plan literals); each
-    update is ONE map-side-combined aggregation per subspace producing
-    K×SUBDIM values — the only driver traffic, dimension-sized by
-    construction. Empty codes keep their previous centroid (oracle
-    COALESCEs identically)."""
+    rounds. Assignment is a broadcast-codebook join (``_pq_assign``);
+    each update is ONE map-side-combined aggregation per subspace
+    producing K×SUBDIM values — the only driver traffic,
+    dimension-sized by construction. Empty codes keep their previous
+    centroid (oracle COALESCEs identically)."""
     spark = emb.sparkSession
     cents = [
         [_pq_centroid_py(m, k) for k in range(PQ_K)] for m in range(PQ_M)
     ]
-    # training assignment goes through a broadcast CENTROID FRAME + window
-    # argmin (the oracle's own shape), NOT the literal-codebook argmin the
-    # encode stage uses: a fresh ~1000-literal expression tree per round
-    # costs seconds of Catalyst analysis regardless of data size (measured
-    # ~13.8 s of an 18.7 s query at sf0.1), while the 64-row join plan
-    # analyzes in milliseconds. Arithmetic is identical term-for-term
-    # (fold-left dots, same d2 formula), so codes — and therefore the
-    # trained codebook — are bit-equal either way.
-    vsub = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).cast("int").alias("m"),
-                        _pq_sub(F.col("embedding"), m).alias("v"),
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.v").alias("v"))
+    vsub = _pq_vsub(emb)
     for _ in range(PQ_ROUNDS):
-        cdf = spark.createDataFrame(
-            [(m, k, cents[m][k]) for m in range(PQ_M) for k in range(PQ_K)],
-            "m int, k int, c array<double>",
-        )
-        d2 = (
-            _dot(F.col("v"), F.col("v"))
-            - 2 * _dot(F.col("v"), F.col("c"))
-            + _dot(F.col("c"), F.col("c"))
-        )
-        w = Window.partitionBy("vec_id", "m").orderBy(
-            d2.asc(), F.col("k").asc()
-        )
-        assigned = (
-            vsub.join(F.broadcast(cdf), "m")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("m", F.col("k").alias("code"), "v")
+        assigned = _pq_assign(vsub, _pq_cdf(spark, cents)).select(
+            "m", F.col("k").alias("code"), "v"
         )
         rows = (
             assigned.groupBy("m", "code")
@@ -1218,12 +1248,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs, like ``kmeans_embeddings``).
 
     True ADC plan shape (what makes PQ work at 100 TB):
-    1. TRAIN: per subspace, row-local assign + one K×SUBDIM aggregation
-       per round — driver traffic is codebook-sized only.
-    2. ENCODE, row-local: argmin over 16 literal centroids per subspace —
-       no shuffle, like the IVF assignment.
-    3. LUT: |queries|×PQ_M×PQ_K partial distances in ONE row-local
-       explode of the query set — tiny (5×4×16) and broadcast.
+    1. TRAIN: per subspace, broadcast-codebook assign + one K×SUBDIM
+       aggregation per round — driver traffic is codebook-sized only.
+    2. ENCODE: argmin over the 64-row broadcast codebook frame — one
+       broadcast hash join + map-side-combined min(struct); the shuffle
+       carries corpus×PQ_M combined rows, never the ×K candidates.
+    3. LUT: |queries|×PQ_M×PQ_K partial distances via the same broadcast
+       join over the query subvectors — tiny (5×4×16).
     4. SCORE: corpus codes exploded to (vec_id, m, code) join the
        broadcast LUT, sum the PQ_M parts per (query, vector). The 64-dim
        math happens ONLY in 1-3; scoring touches 4 small ints per corpus
@@ -1244,48 +1275,26 @@ def _ann_pq_core(spark: SparkSession, emb: DataFrame, topk: int = 5) -> DataFram
     split out so tests can plant clustered corpora."""
     emb = emb.cache()
     cents = _pq_train(emb)
+    vsub = _pq_vsub(emb)
 
-    # encode: 4 codes per vector, row-local
-    code_long = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).cast("int").alias("m"),
-                        _pq_codes_col(
-                            cents[m], _pq_sub(F.col("embedding"), m)
-                        ).alias("code"),
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("mc"),
-    ).select("vec_id", F.col("mc.m").alias("m"), F.col("mc.code").alias("code"))
+    # encode: 4 codes per vector — broadcast-codebook join + map-side
+    # combined argmin; bit-equal to the literal argmin but milliseconds
+    # (not seconds) of plan analysis
+    code_long = _pq_assign(vsub, _pq_cdf(spark, cents)).select(
+        "vec_id", "m", F.col("k").alias("code")
+    )
 
-    # per-query LUT: one row-local explode over the query set
+    # per-query LUT: query subvectors × full codebook (|Q|·PQ_M·PQ_K rows,
+    # tiny) through the 64-row broadcast join — no literal centroids
     lut = (
-        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        vsub.filter(F.col("vec_id") < N_QUERY_VECS)
+        .join(F.broadcast(_pq_cdf(spark, cents)), "m")
         .select(
             F.col("vec_id").alias("query_id"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(m).cast("int").alias("m"),
-                            F.lit(k).cast("int").alias("code"),
-                            _pq_d2_lit(
-                                _pq_sub(F.col("embedding"), m), cents[m][k]
-                            ).alias("dpart"),
-                        )
-                        for m in range(PQ_M)
-                        for k in range(PQ_K)
-                    ]
-                )
-            ).alias("e"),
+            "m",
+            F.col("k").alias("code"),
+            _pq_d2().alias("dpart"),
         )
-        .select("query_id", F.col("e.m").alias("m"), F.col("e.code").alias("code"),
-                F.col("e.dpart").alias("dpart"))
     )
 
     scored = (

@@ -274,3 +274,22 @@ def cdae_eval(
     holdout = sp.filter(F.col("split") == mode).select("user_id", "item_id", "domain")
     negs = negatives(spark, sf_dir)
     return eval_from_scores(scores, holdout, negs, ks=ks)
+
+
+def cdae_eval_frozen(
+    spark: SparkSession, sf_dir: str, mode: str = "test"
+) -> DataFrame:
+    """Hash-checkable split of ``cdae_eval``: freeze the trained scorer's
+    (scores, holdout, negatives) to parquet and evaluate FROM the frozen
+    copies, which ``frozen_eval_oracle('cdae_test')`` replays in DuckDB.
+    Training (seeded, full-batch) stays outside SQL but everything
+    downstream of it is hash-checked."""
+    from ..operators.ranking import freeze_and_eval
+
+    scores = cdae_scores(spark, sf_dir, "x").unionByName(
+        cdae_scores(spark, sf_dir, "y")
+    )
+    sp = splits(spark, sf_dir)
+    hold = sp.filter(F.col("split") == mode).select("user_id", "item_id", "domain")
+    negs = negatives(spark, sf_dir)
+    return freeze_and_eval(scores, hold, negs, f"cdae_{mode}", sf_dir)

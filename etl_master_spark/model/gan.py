@@ -496,6 +496,25 @@ def gan_eval(spark: SparkSession, sf_dir: str, mode: str = "test") -> DataFrame:
     return gan_eval_with(spark, sf_dir, modes=(mode,))[mode]
 
 
+def gan_eval_frozen(
+    spark: SparkSession, sf_dir: str, mode: str = "test"
+) -> DataFrame:
+    """Hash-checkable split of ``gan_eval``: training stays outside SQL,
+    but the trained scorer's (scores, holdout, negatives) freeze to
+    parquet and the eval half — the same rank→HR/NDCG/MRR pipeline as
+    ``eval_metrics`` — runs FROM the frozen copies, which the DuckDB
+    oracle replays byte-identically (``frozen_eval_oracle('gan_test')``).
+    Training is seeded full-batch GD, so the artifacts are stable."""
+    from ..operators.ranking import freeze_and_eval
+
+    model = train_gan(spark, sf_dir)
+    scores = gan_scores(spark, sf_dir, model)
+    sp = splits(spark, sf_dir)
+    hold = sp.filter(F.col("split") == mode).select("user_id", "item_id", "domain")
+    negs = negatives(spark, sf_dir)
+    return freeze_and_eval(scores, hold, negs, f"gan_{mode}", sf_dir)
+
+
 def gan_eval_with(
     spark: SparkSession,
     sf_dir: str,

@@ -327,3 +327,109 @@ def eval_from_scores(
         )
         .orderBy("domain", "k")
     )
+
+
+# -- frozen-scores eval: makes model evals oracle-checkable ------------------
+# The training half of the model path (ALS/CDAE/GAN) is not SQL-expressible,
+# but the EVAL half is the same rank->HR/NDCG/MRR pipeline as eval_metrics.
+# freeze_and_eval snapshots the trained scorer's (scores, holdout,
+# negatives) to repo-local parquet and evaluates FROM the frozen copies, so
+# a DuckDB oracle can replay the eval half on byte-identical inputs — the
+# driver's hash check then covers everything downstream of training.
+
+FROZEN_EVAL_DIR = "/root/repo/.artifacts/frozen_eval"
+GATE_SF_NAME = "sf0.01"  # the round driver's correctness gate scale
+
+
+def freeze_and_eval(
+    scores: DataFrame,
+    holdout: DataFrame,
+    negs: DataFrame,
+    tag: str,
+    sf_dir: str,
+    ks: list[int] | None = None,
+) -> DataFrame:
+    """Write (scores, holdout, negatives) to
+    ``.artifacts/frozen_eval/<tag>/<sfname>/`` and evaluate from the
+    frozen parquet. Training is seeded-deterministic, so the artifacts
+    are stable run-to-run; the gate-scale copies are committed so the
+    oracle never races the query."""
+    import os
+
+    spark = scores.sparkSession
+    base = os.path.join(FROZEN_EVAL_DIR, tag, os.path.basename(sf_dir.rstrip("/")))
+    frames = {
+        "scores": scores.select(
+            "user_id", "item_id", "domain", F.col("score").cast("double")
+        ),
+        "holdout": holdout.select("user_id", "item_id", "domain"),
+        "negatives": negs.select("user_id", "item_id", "domain"),
+    }
+    out = {}
+    for name, df in frames.items():
+        path = os.path.join(base, name)
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        out[name] = spark.read.parquet(path)
+    return eval_from_scores(
+        out["scores"], out["holdout"], out["negatives"], ks=ks
+    )
+
+
+def frozen_eval_oracle(tag: str, ks: list[int] | None = None) -> str:
+    """DuckDB replay of ``eval_from_scores`` over the frozen parquet for
+    the driver's gate scale. Same candidate assembly (negatives + one
+    positive), rank (score DESC, item_id ASC), and metric formulas as
+    ``eval_metrics_oracle`` — rounded to 6 dp in both engines."""
+    ks = ks or DEFAULT_KS
+    base = f"{FROZEN_EVAL_DIR}/{tag}/{GATE_SF_NAME}"
+    ks_sql = " UNION ALL ".join(f"SELECT {k} AS k" for k in ks)
+    return f"""
+WITH sc AS (SELECT * FROM read_parquet('{base}/scores/*.parquet')),
+hold AS (SELECT * FROM read_parquet('{base}/holdout/*.parquet')),
+negs AS (SELECT * FROM read_parquet('{base}/negatives/*.parquet')),
+cand AS (
+    SELECT user_id, item_id, domain, 0 AS is_pos FROM negs
+    UNION ALL
+    SELECT user_id, item_id, domain, 1 AS is_pos FROM hold
+),
+scored AS (
+    SELECT c.user_id, c.item_id, c.domain, c.is_pos,
+           COALESCE(s.score, 0.0) AS score
+    FROM cand c LEFT JOIN sc s
+      ON c.user_id = s.user_id AND c.item_id = s.item_id
+     AND c.domain = s.domain
+),
+rr AS (
+    SELECT user_id, domain, is_pos,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, domain
+               ORDER BY score DESC, item_id ASC
+           ) AS rank
+    FROM scored
+),
+per_user AS (
+    SELECT user_id, domain,
+           MIN(CASE WHEN is_pos = 1 THEN rank END) AS hit_rank
+    FROM rr GROUP BY user_id, domain
+),
+ks AS ({ks_sql}),
+per_user_k AS (
+    SELECT u.user_id, u.domain, ks.k,
+           CASE WHEN u.hit_rank <= ks.k THEN 1.0 ELSE 0.0 END AS hr,
+           CASE WHEN u.hit_rank <= ks.k
+                THEN LN(2.0) / LN(CAST(u.hit_rank AS DOUBLE) + 1.0)
+                ELSE 0.0 END AS ndcg,
+           CASE WHEN u.hit_rank <= ks.k
+                THEN 1.0 / CAST(u.hit_rank AS DOUBLE)
+                ELSE 0.0 END AS mrr
+    FROM per_user u CROSS JOIN ks
+)
+SELECT domain, k,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(hr), 6) AS hr,
+       ROUND(AVG(ndcg), 6) AS ndcg,
+       ROUND(AVG(mrr), 6) AS mrr
+FROM per_user_k
+GROUP BY domain, k
+ORDER BY domain, k
+"""

@@ -468,24 +468,33 @@ register("als_eval_test", _als_eval, None)
 
 
 def _cdae_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..model.cdae import cdae_eval
+    from ..model.cdae import cdae_eval_frozen
 
-    return cdae_eval(spark, sf_dir, "test")
+    return cdae_eval_frozen(spark, sf_dir, "test")
 
 
-# the reference's own model family (denoising AE), distributed training loop
-register("cdae_eval_test", _cdae_eval, None)
+def _frozen_oracle(tag: str) -> str:
+    from ..operators.ranking import frozen_eval_oracle
+
+    return frozen_eval_oracle(tag)
+
+
+# the reference's own model family (denoising AE), distributed training
+# loop. Training is not SQL-expressible, but the eval half runs from
+# frozen score parquet that the oracle replays — hash-checked.
+register("cdae_eval_test", _cdae_eval, _frozen_oracle("cdae_test"))
 
 
 def _gan_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..model.gan import gan_eval
+    from ..model.gan import gan_eval_frozen
 
-    return gan_eval(spark, sf_dir, "test")
+    return gan_eval_frozen(spark, sf_dir, "test")
 
 
 # the reference's CORE: adversarially-coupled cross-domain training
-# (T8/T10/T12 — discriminators, GAN-weighted objective, G/D schedule)
-register("gan_eval_test", _gan_eval, None)
+# (T8/T10/T12 — discriminators, GAN-weighted objective, G/D schedule);
+# eval half hash-checked via the frozen-scores oracle.
+register("gan_eval_test", _gan_eval, _frozen_oracle("gan_test"))
 
 
 # -- registry ordering --------------------------------------------------------

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..operators.ranking import eval_from_scores
 from ..operators.recsplit import negatives, splits
+from .reduce import tree_collect
 
 EMB_SIZE = 16
 EPOCHS = 15
@@ -140,9 +141,11 @@ def train_cdae(
                     }
                 )
 
-            partials = per_user.mapInPandas(
-                part, "g1 array<double>, g2 array<double>, loss double"
-            ).collect()
+            partials = tree_collect(
+                per_user.mapInPandas(
+                    part, "g1 array<double>, g2 array<double>, loss double"
+                )
+            )
             bw.unpersist()
             g1 = sum(np.array(p["g1"]) for p in partials).reshape(w1.shape)
             g2 = sum(np.array(p["g2"]) for p in partials).reshape(w2.shape)
@@ -205,6 +208,14 @@ def cdae_scores(
     """(user_id, item_id, domain, score) for candidate pairs only."""
     model = train_cdae(spark, sf_dir, domain, emb=emb, epochs=epochs, lr=lr,
                        seed=seed)
+    return cdae_scores_with(spark, sf_dir, domain, model)
+
+
+def cdae_scores_with(
+    spark: SparkSession, sf_dir: str, domain: str, model: dict
+) -> DataFrame:
+    """Score candidate pairs from an in-hand model dict (live-trained or
+    checkpoint-reloaded) — the shared scoring half of ``cdae_scores``."""
     n_items = model["n_items"]
     bw = spark.sparkContext.broadcast(model["W1"])
 
@@ -274,6 +285,63 @@ def cdae_eval(
     holdout = sp.filter(F.col("split") == mode).select("user_id", "item_id", "domain")
     negs = negatives(spark, sf_dir)
     return eval_from_scores(scores, holdout, negs, ks=ks)
+
+
+# -- checkpoint lifecycle (S4/R7 — reference torch.save/load of the best
+# model, main_my.py:322-346,350-375) ----------------------------------------
+
+_CKPT_SCHEMA = "name string, shape array<int>, data array<double>"
+
+
+def save_cdae_checkpoint(
+    spark: SparkSession, model: dict, domain: str, ckpt_dir: str
+) -> None:
+    """Persist the trained weight matrices as (name, shape, flat data)
+    parquet rows — engine-agnostic, schema'd, no pickles."""
+    rows = [
+        (k, list(model[k].shape), model[k].ravel().tolist())
+        for k in ("W1", "W2")
+    ]
+    spark.createDataFrame(rows, _CKPT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{ckpt_dir}/cdae_{domain}")
+
+
+def load_cdae_checkpoint(
+    spark: SparkSession, sf_dir: str, domain: str, ckpt_dir: str
+) -> dict:
+    """Rebuild a scoring-ready model dict: weights from parquet, item
+    index and per-user frames re-derived from the tables."""
+    model: dict = {}
+    for r in spark.read.parquet(f"{ckpt_dir}/cdae_{domain}").collect():
+        model[r["name"]] = np.array(r["data"], dtype=np.float64).reshape(
+            tuple(r["shape"])
+        )
+    per_user, items, n_items = _train_frame(spark, sf_dir, domain)
+    model.update({"per_user": per_user, "items": items, "n_items": n_items})
+    return model
+
+
+def cdae_reeval_from_checkpoint(
+    spark: SparkSession,
+    sf_dir: str,
+    ckpt_dir: str,
+    mode: str = "test",
+    ks: list[int] | None = None,
+) -> DataFrame:
+    """R7 for the CDAE family: reload both domains' saved weights and
+    re-run the eval protocol — must reproduce the live metrics exactly
+    (pinned in tests/test_model.py)."""
+    scores = cdae_scores_with(
+        spark, sf_dir, "x", load_cdae_checkpoint(spark, sf_dir, "x", ckpt_dir)
+    ).unionByName(
+        cdae_scores_with(
+            spark, sf_dir, "y", load_cdae_checkpoint(spark, sf_dir, "y", ckpt_dir)
+        )
+    )
+    sp = splits(spark, sf_dir)
+    hold = sp.filter(F.col("split") == mode).select("user_id", "item_id", "domain")
+    return eval_from_scores(scores, hold, negatives(spark, sf_dir), ks=ks)
 
 
 def cdae_eval_frozen(

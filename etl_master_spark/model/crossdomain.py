@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .reduce import tree_collect
+
 Strategy = Literal["shared", "two_maps", "mlp"]
 
 
@@ -49,9 +51,9 @@ def _gram_sums(pairs: DataFrame, dim: int) -> tuple[np.ndarray, np.ndarray]:
             {"xtx": [xtx.ravel().tolist()], "xty": [xty.ravel().tolist()]}
         )
 
-    parts = pairs.mapInPandas(
-        part, "xtx array<double>, xty array<double>"
-    ).collect()
+    parts = tree_collect(
+        pairs.mapInPandas(part, "xtx array<double>, xty array<double>")
+    )
     xtx = sum(np.array(r["xtx"]).reshape(dim, dim) for r in parts)
     xty = sum(np.array(r["xty"]).reshape(dim, dim) for r in parts)
     return xtx, xty
@@ -148,9 +150,11 @@ def fit_mlp_map(
                     }
                 )
 
-            partials = pairs.mapInPandas(
-                part, "g1 array<double>, g2 array<double>, loss double"
-            ).collect()
+            partials = tree_collect(
+                pairs.mapInPandas(
+                    part, "g1 array<double>, g2 array<double>, loss double"
+                )
+            )
             bw.unpersist()
             g1 = sum(np.array(p["g1"]) for p in partials).reshape(w1.shape)
             g2 = sum(np.array(p["g2"]) for p in partials).reshape(w2.shape)

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from ..operators.ranking import eval_from_scores
 from ..operators.recsplit import negatives, splits
 from .cdae import DROPOUT_DEN, DROPOUT_NUM, _train_frame
+from .reduce import tree_collect
 
 EMB = 16
 PASSES = 9  # pass schedule G,G,D ×3 — d_epoch=2 (main_my.py:47,164)
@@ -58,6 +59,15 @@ SEED = 72
 A_SELF = 1.0  # args.self (main_my.py:44)
 A_CROSS = 1.0  # args.cross (main_my.py:45)
 A_REG = 1.0  # args.reg (main_my.py:42)
+
+# T11 — the reference's optimizer pair (main_my.py:113-114):
+# optim.Adam(model.parameters(), lr, weight_decay) for the generator,
+# optim.SGD(disc.parameters(), lr, weight_decay) for the discriminators.
+# torch defaults for the Adam moments:
+ADAM_B1 = 0.9
+ADAM_B2 = 0.999
+ADAM_EPS = 1e-8
+WEIGHT_DECAY = 1e-3  # args.weight_decay default (main_my.py:40)
 A_GAN = 1.0  # args.gan (main_my.py:46)
 
 
@@ -348,11 +358,24 @@ def train_gan(
     lr_d: float = LR_D,
     seed: int = SEED,
     strategy: str = "shared",
+    optimizer: str = "gd",
+    wd: float = WEIGHT_DECAY,
 ) -> dict:
+    """``optimizer``: "gd" (default) is plain full-batch gradient descent
+    with split G/D rates — chosen for the engine's short pass budget,
+    same fixed point as the reference. "adam" reproduces the reference's
+    T11 pair exactly (main_my.py:113-114): Adam moments + weight decay
+    for the generator, SGD + weight decay for the discriminators, all
+    state driver-side over the collected partial gradients — equally
+    deterministic (full-batch, seeded)."""
     joined, items_x, items_y, n_x, n_y = _joined_frame(spark, sf_dir)
     joined = joined.persist()
     n_users = joined.count()
     g, d = init_params(n_x, n_y, emb, seed, strategy=strategy)
+    if optimizer == "adam":
+        adam_m = {k: np.zeros_like(v) for k, v in g.items()}
+        adam_v = {k: np.zeros_like(v) for k, v in g.items()}
+        adam_t = 0
     g_losses: list[float] = []
     gan_losses: list[float] = []
     d_losses: list[float] = []
@@ -381,10 +404,13 @@ def train_gan(
                          "loss": [loss]}
                     )
 
-                parts = joined.mapInPandas(dpart, _D_SCHEMA).collect()
+                parts = tree_collect(joined.mapInPandas(dpart, _D_SCHEMA))
                 for k in d:
                     tot = sum(np.array(r[k]) for r in parts).reshape(d[k].shape)
-                    d[k] -= lr_d * tot / n_users
+                    grad = tot / n_users
+                    if optimizer == "adam":  # reference D: SGD + weight decay
+                        grad = grad + wd * d[k]
+                    d[k] -= lr_d * grad
                 d_losses.append(sum(r["loss"] for r in parts) / n_users)
             else:
                 def gpart(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -408,10 +434,25 @@ def train_gan(
                          "loss": [loss], "gan": [gan]}
                     )
 
-                parts = joined.mapInPandas(gpart, _g_schema(g)).collect()
+                parts = tree_collect(joined.mapInPandas(gpart, _g_schema(g)))
+                if optimizer == "adam":
+                    adam_t += 1
                 for k in g:
                     tot = sum(np.array(r[k]) for r in parts).reshape(g[k].shape)
-                    g[k] -= lr * tot / n_users
+                    grad = tot / n_users
+                    if optimizer == "adam":  # torch Adam, decoupled nothing:
+                        # L2 folds into the gradient like torch's
+                        # weight_decay (not AdamW)
+                        grad = grad + wd * g[k]
+                        adam_m[k] = ADAM_B1 * adam_m[k] + (1 - ADAM_B1) * grad
+                        adam_v[k] = (
+                            ADAM_B2 * adam_v[k] + (1 - ADAM_B2) * grad * grad
+                        )
+                        mh = adam_m[k] / (1 - ADAM_B1**adam_t)
+                        vh = adam_v[k] / (1 - ADAM_B2**adam_t)
+                        g[k] -= lr * mh / (np.sqrt(vh) + ADAM_EPS)
+                    else:
+                        g[k] -= lr * grad
                 g_losses.append(sum(r["loss"] for r in parts) / n_users)
                 gan_losses.append(sum(r["gan"] for r in parts) / n_users)
             bp.unpersist()
@@ -488,6 +529,63 @@ def gan_scores(spark: SparkSession, sf_dir: str, model: dict | None = None) -> D
             )
         )
     return out[0].unionByName(out[1])
+
+
+# -- checkpoint lifecycle (S4/R7 — reference torch.save/load of the best
+# model, main_my.py:322-346,350-375) ----------------------------------------
+
+_CKPT_SCHEMA = "name string, shape array<int>, data array<double>"
+
+
+def save_gan_checkpoint(spark: SparkSession, model: dict, ckpt_dir: str) -> None:
+    """Persist every trained numpy parameter (generator + discriminators)
+    as one parquet of (name, shape, flat data) rows — engine-agnostic,
+    schema'd, no pickles."""
+    rows = [
+        (f"{side}.{k}", list(v.shape), v.ravel().tolist())
+        for side, params in (("g", model["g"]), ("d", model["d"]))
+        for k, v in params.items()
+    ]
+    spark.createDataFrame(rows, _CKPT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{ckpt_dir}/gan_params")
+
+
+def load_gan_checkpoint(
+    spark: SparkSession, sf_dir: str, ckpt_dir: str
+) -> dict:
+    """Rebuild a scoring-ready model dict from a saved checkpoint: numpy
+    params from parquet, item-index frames re-derived from the tables
+    (they are data, not model state)."""
+    g: dict = {}
+    d: dict = {}
+    for r in spark.read.parquet(f"{ckpt_dir}/gan_params").collect():
+        side, key = r["name"].split(".", 1)
+        arr = np.array(r["data"], dtype=np.float64).reshape(tuple(r["shape"]))
+        (g if side == "g" else d)[key] = arr
+    _, items_x, items_y, n_x, n_y = _joined_frame(spark, sf_dir)
+    return {
+        "g": g, "d": d,
+        "items_x": items_x, "items_y": items_y,
+        "n_items_x": n_x, "n_items_y": n_y,
+    }
+
+
+def gan_reeval_from_checkpoint(
+    spark: SparkSession,
+    sf_dir: str,
+    ckpt_dir: str,
+    mode: str = "test",
+    ks: list[int] | None = None,
+) -> DataFrame:
+    """R7 for the adversarial model: reload the saved params and re-run
+    the eval protocol — must reproduce the live model's metrics exactly
+    (pinned in tests/test_model.py)."""
+    model = load_gan_checkpoint(spark, sf_dir, ckpt_dir)
+    scores = gan_scores(spark, sf_dir, model)
+    sp = splits(spark, sf_dir)
+    hold = sp.filter(F.col("split") == mode).select("user_id", "item_id", "domain")
+    return eval_from_scores(scores, hold, negatives(spark, sf_dir), ks=ks)
 
 
 def gan_eval(spark: SparkSession, sf_dir: str, mode: str = "test") -> DataFrame:

@@ -1343,7 +1343,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= TRIANGLE_MIN_COUNT)
         .select("a", "b")
-        .cache()  # feeds three join legs + two audit aggregates
+        # feeds three join legs + two audit aggregates; localCheckpoint
+        # (not cache) so the blocks are reference-GC'd after the query's
+        # frames drop instead of pinning in the session cache
+        .localCheckpoint()
     )
     tri = (
         edges.alias("e1")

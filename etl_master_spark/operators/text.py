@@ -528,9 +528,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
         )
         # both sides of the self-join read this 4×|docs|-row frame; without
-        # the cache the shingle→md5→signature subtree (the expensive part)
-        # executes once per side
-        .cache()
+        # materialization the shingle→md5→signature subtree (the expensive
+        # part) executes once per side. localCheckpoint, not cache: its
+        # blocks are reference-GC'd when the query's frames go out of
+        # scope, so a long session (82-query bench, notebook) never
+        # accumulates pinned cache entries
+        .localCheckpoint()
     )
     return (
         bands.alias("a")
@@ -716,6 +719,11 @@ FROM documents GROUP BY lang ORDER BY lang
 # -- near-dup clustering (connected components) ------------------------------
 
 CC_MAX_ITERS = 20  # safety cap ≥ any realistic dedup-graph diameter
+# broadcast the final label frame only when it is provably small:
+# 2M (long, long) rows ≈ 32 MB serialized — comfortably under executor
+# memory at any fan-out, and measured against the real row count, never
+# an edge-derived proxy
+CC_BROADCAST_LABELS_MAX = 2_000_000
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -809,11 +817,18 @@ def _connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         prev_sum = cur_sum
     edges_cached.unpersist()
     # singletons re-attach as their own cluster — no shuffle grows with
-    # them. The label side is |touched| rows; when the subgraph fit in a
-    # handful of partitions it is broadcast-sized by construction (a
-    # checkpointed RDD carries no catalog stats, so without the hint the
-    # corpus-sized node scan pays a sort-merge exchange for nothing).
-    lbl = F.broadcast(labels) if npart <= 32 else labels
+    # them. The label side is |touched| rows; gate the broadcast hint on
+    # that ACTUAL row count (the hint bypasses Spark's size threshold, so
+    # an edge-derived proxy like npart could ship a multi-hundred-MB
+    # label table to every executor on a dup-heavy corpus). labels is
+    # localCheckpointed, so the count reads materialized blocks. Without
+    # the hint the corpus-sized node scan pays a sort-merge exchange for
+    # nothing (a checkpointed RDD carries no catalog stats).
+    lbl = (
+        F.broadcast(labels)
+        if labels.count() <= CC_BROADCAST_LABELS_MAX
+        else labels
+    )
     return (
         nodes.join(lbl, "doc_id", "left")
         .select(
@@ -924,7 +939,9 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the expensive part of this plan) runs twice. Same "materialize the
     # index" step the LSH dedup uses; at scale this is the persisted
     # intermediate any two-pass corpus job would write anyway.
-    tri = tri.cache()
+    # localCheckpoint, not cache: blocks are reference-GC'd after the
+    # query's frames drop, instead of pinning in the session cache forever
+    tri = tri.localCheckpoint()
     counts = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").cast("bigint").alias("total"))
     model = counts.crossJoin(F.broadcast(total)).select(
@@ -1412,7 +1429,12 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     At serving scale the tf/df frames are the materialized inverted index:
     precompute them once, and this query becomes two broadcast joins over
     posting lists."""
-    docs = load_table(spark, sf_dir, "documents")
+    # drop NULL text up front so BOTH engines see the same corpus by
+    # construction: a NULL row would make Spark's size() yield -1
+    # (poisoning avgdl) while DuckDB's unnest silently drops it
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     toks = F.split(F.col("text"), " ")
     base = spread(docs).select(
         "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")

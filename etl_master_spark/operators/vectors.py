@@ -642,7 +642,9 @@ def _dedup_lsh_pairs(
     # materialization Spark plans the scan + 32 plane dots twice. Tiny
     # relative to the corpus (3 narrow columns × b rows/vector) — at scale
     # this is the standard "materialize the index" step.
-    tagged = tagged.cache()
+    # localCheckpoint, not cache: blocks are reference-GC'd after the
+    # query's frames drop, instead of pinning in the session cache forever
+    tagged = tagged.localCheckpoint()
     # candidate generation carries BARE ids: a pair can collide in several
     # bands, and deduping (a shuffle over the candidate volume) is much
     # cheaper before re-attaching the 64-float vectors than after.
@@ -979,11 +981,11 @@ def mmd_rbf_fast(
     n_a, n_b = counts.get(label_a, 0), counts.get(label_b, 0)
 
     # each tile frame feeds TWO grids (XX+XY / YY+XY); without
-    # materialization Spark re-runs the scan + bucketing per grid. cache(),
-    # not localCheckpoint: there is no iterative lineage to truncate, and
-    # cache keeps the parquet scan (with its label pushdown) in the plan.
-    ta = tiles(label_a, n_a).cache()
-    tb = tiles(label_b, n_b).cache()
+    # materialization Spark re-runs the scan + bucketing per grid.
+    # localCheckpoint so the blocks are reference-GC'd after the query's
+    # frames drop — a session-long cache entry per bench query was a leak
+    ta = tiles(label_a, n_a).localCheckpoint()
+    tb = tiles(label_b, n_b).localCheckpoint()
 
     def grid_sum(tx: DataFrame, ty: DataFrame, name: str) -> DataFrame:
         g = tx.select(F.col("vs").alias("vx")).crossJoin(
@@ -1273,7 +1275,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_pq_core(spark: SparkSession, emb: DataFrame, topk: int = 5) -> DataFrame:
     """PQ train/encode/LUT/score over any (vec_id, embedding) frame —
     split out so tests can plant clustered corpora."""
-    emb = emb.cache()
+    # localCheckpoint, not cache: the training loop re-reads this frame
+    # every round, and reference-GC'd blocks don't pin the session cache
+    emb = emb.localCheckpoint()
     cents = _pq_train(emb)
     vsub = _pq_vsub(emb)
 
@@ -1425,15 +1429,18 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     init is what makes the whole trajectory oracle-replayable — no
     kmeans|| randomness to reproduce.
 
-    Per round: assignment is ROW-LOCAL (argmin of k squared distances,
-    centroids embedded as plan literals — struct-min tie-breaks to the
-    lowest cluster id); the update is one posexplode + (cluster, dim)
-    avg — a shuffle of n·dim skinny rows that AQE coalesces, the same
-    map-side-combine shape Spark ML's own KMeans aggregator uses. The
-    k×dim result is collected to the driver (tiny, by construction) and
-    re-embedded as literals for the next round, so rounds never grow the
-    lineage over the corpus — each assignment reads the cached embeddings
-    exactly once.
+    Per TRAINING round: assignment joins a broadcast k-row centroid
+    frame and takes the window argmin over dist² (ties → lowest cluster
+    id) — the oracle's own CROSS JOIN shape, chosen over per-round
+    literal centroids because a fresh k×dim-literal expression tree
+    costs Catalyst-analysis seconds regardless of data size (the PQ
+    lesson); the update is a single k-key aggregation of per-component
+    means — never an explode before the reduce. The k×dim result is
+    collected to the driver (tiny, by construction) and fed to the next
+    round's centroid frame, so rounds never grow the lineage over the
+    corpus — each assignment reads the checkpointed embeddings exactly
+    once. The FINAL assignment (once per query) keeps the row-local
+    literal-argmin form, which is right at scale.
 
     Output: per-cluster size + inertia (sum of squared distance to the
     final centroids) — the convergence surface a corpus-clustering job
@@ -1442,7 +1449,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     dim = 64
     emb = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    emb = emb.cache()
+    # localCheckpoint, not cache: the training loop re-reads this frame
+    # every round, and reference-GC'd blocks don't pin the session cache
+    emb = emb.localCheckpoint()
 
     def dist2(cent_col):
         diff = F.zip_with(

@@ -323,3 +323,95 @@ def test_gan_two_maps_strategy_trains(spark, sf_dir):
     assert len(model["g_losses"]) == 4 and len(model["d_losses"]) == 2
     assert all(np.isfinite(v) for v in model["g_losses"] + model["d_losses"])
     assert model["g_losses"][-1] < model["g_losses"][0]
+
+
+def test_gan_adam_optimizer_converges_faster(spark, sf_dir):
+    """T11 fidelity: optimizer='adam' reproduces the reference pair
+    (Adam+wd for G, SGD+wd for D — main_my.py:113-114) driver-side over
+    the collected partial gradients. Same seeded init, same gradients
+    (gradcheck-pinned elsewhere); Adam's normalized steps must reach a
+    LOWER generator loss than plain GD at the GD-tuned rate within the
+    same pass budget, and the trajectory must stay deterministic."""
+    from etl_master_spark.model import gan
+
+    gd = gan.train_gan(spark, sf_dir, passes=6)
+    adam = gan.train_gan(spark, sf_dir, passes=6, optimizer="adam", lr=0.05)
+    assert all(np.isfinite(v) for v in adam["g_losses"] + adam["d_losses"])
+    assert adam["g_losses"][-1] < adam["g_losses"][0]
+    assert adam["g_losses"][-1] < gd["g_losses"][-1]
+    # deterministic: a second run replays the identical trajectory
+    adam2 = gan.train_gan(spark, sf_dir, passes=6, optimizer="adam", lr=0.05)
+    assert adam2["g_losses"] == adam["g_losses"]
+    for k in adam["g"]:
+        assert np.array_equal(adam2["g"][k], adam["g"][k])
+
+
+def test_gan_checkpoint_reload_reeval_matches_live(spark, sf_dir, tmp_path):
+    """S4/R7 for the adversarial model (reference torch.save/load,
+    main_my.py:322-346,350-375): save trained params to parquet, reload,
+    re-evaluate — metrics must match the live model exactly."""
+    from etl_master_spark.model import gan
+    from etl_master_spark.operators.ranking import eval_from_scores
+    from etl_master_spark.operators.recsplit import negatives, splits
+    import pyspark.sql.functions as F
+
+    model = gan.train_gan(spark, sf_dir, passes=6)
+    ck = str(tmp_path / "gan_ckpt")
+    gan.save_gan_checkpoint(spark, model, ck)
+    sp = splits(spark, sf_dir)
+    hold = sp.filter(F.col("split") == "test").select(
+        "user_id", "item_id", "domain"
+    )
+    live = {
+        (r["domain"], r["k"]): (r["hr"], r["ndcg"], r["mrr"], r["n_users"])
+        for r in eval_from_scores(
+            gan.gan_scores(spark, sf_dir, model), hold, negatives(spark, sf_dir)
+        ).collect()
+    }
+    rel = {
+        (r["domain"], r["k"]): (r["hr"], r["ndcg"], r["mrr"], r["n_users"])
+        for r in gan.gan_reeval_from_checkpoint(spark, sf_dir, ck).collect()
+    }
+    assert set(live) == set(rel) == {("x", 5), ("x", 10), ("y", 5), ("y", 10)}
+    assert rel == live
+
+
+def test_cdae_checkpoint_reload_reeval_matches_live(spark, sf_dir, tmp_path):
+    """S4/R7 for the CDAE family: parquet round-trip of both domains'
+    weights reproduces the live eval metrics exactly."""
+    from etl_master_spark.model import cdae
+
+    ck = str(tmp_path / "cdae_ckpt")
+    for domain in ("x", "y"):
+        model = cdae.train_cdae(spark, sf_dir, domain)
+        cdae.save_cdae_checkpoint(spark, model, domain, ck)
+    live = {
+        (r["domain"], r["k"]): (r["hr"], r["ndcg"], r["mrr"], r["n_users"])
+        for r in cdae.cdae_eval(spark, sf_dir, "test").collect()
+    }
+    rel = {
+        (r["domain"], r["k"]): (r["hr"], r["ndcg"], r["mrr"], r["n_users"])
+        for r in cdae.cdae_reeval_from_checkpoint(spark, sf_dir, ck).collect()
+    }
+    assert set(live) == set(rel) == {("x", 5), ("x", 10), ("y", 5), ("y", 10)}
+    assert rel == live
+
+
+def test_media_decode_real_pil_smoke(spark, sf_dir):
+    """Activates automatically in any environment where PIL is importable:
+    the SAME media_features operator must upgrade from the deterministic
+    stub to a real decode with no code change (multimodal.py's call-time
+    probe). Skipped (not failed) where codecs are absent."""
+    from etl_master_spark.operators import multimodal
+
+    if multimodal._try_pil() is None:
+        pytest.skip("PIL not importable in this environment")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (multimodal.FEATURE_DIM, 2), color=128).save(buf, "PNG")
+    out = multimodal.decode_image(buf.getvalue())
+    assert len(out) == multimodal.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in out)

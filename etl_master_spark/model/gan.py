@@ -96,13 +96,28 @@ def _hash_uniform(users: np.ndarray, dim: int, tick: int, salt: int) -> np.ndarr
     return ((a >> np.uint64(11)).astype(np.float64) + 0.5) / float(1 << 53)
 
 
-def _prior(users: np.ndarray, dim: int, tick: int, salt: int) -> np.ndarray:
-    """Deterministic N(0,1) prior rows via Box–Muller over hash uniforms —
-    the reference's ``np.random.normal`` prior (main_my.py:168) made
-    partition-independent."""
+def _prior(
+    users: np.ndarray, dim: int, tick: int, salt: int,
+    kind: str = "gaussian",
+) -> np.ndarray:
+    """Deterministic prior rows over hash uniforms — the reference's
+    prior menu (main_my.py:167-175: live ``np.random.normal`` plus the
+    commented-out laplace / uniform / two-Gaussian-mixture options) made
+    partition-independent. All four share the same uniform streams, so
+    every kind is replayable on any partitioning."""
     u1 = _hash_uniform(users, dim, tick, salt)
     u2 = _hash_uniform(users, dim, tick, salt + 1)
-    return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    if kind == "uniform":  # np.random.uniform(0, 1) (main_my.py:172)
+        return u1
+    if kind == "laplace":  # np.random.laplace(0, 1) via inverse CDF
+        return -np.sign(u1 - 0.5) * np.log(1.0 - 2.0 * np.abs(u1 - 0.5))
+    z1 = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    if kind == "mixture":  # 0.5·(N(0,1) + N(3,1)) (main_my.py:174-175)
+        z2 = np.sqrt(-2.0 * np.log(u1)) * np.sin(2.0 * np.pi * u2)
+        return 0.5 * (z1 + (z2 + 3.0))
+    if kind != "gaussian":
+        raise ValueError(f"unknown prior kind {kind!r}")
+    return z1
 
 
 def _dropout_mask(users: np.ndarray, n_items: int, tick: int) -> np.ndarray:
@@ -280,7 +295,7 @@ def _g_grads(
 
 def _d_grads(
     users: np.ndarray, xn: np.ndarray, yn: np.ndarray,
-    g: dict, d: dict, tick: int,
+    g: dict, d: dict, tick: int, prior_kind: str = "gaussian",
 ) -> tuple[dict, float]:
     """Gradients of D_loss = Σ_side BCE(D(prior),1) + BCE(D(f),0) w.r.t.
     discriminator parameters (G frozen — main_my.py:165-206)."""
@@ -288,7 +303,7 @@ def _d_grads(
     d_loss = 0.0
     feats = {"x": xn @ g["w1x"], "y": yn @ g["w1y"]}
     for salt, side in ((101, "x"), (211, "y")):
-        prior = _prior(users, feats[side].shape[1], tick, salt)
+        prior = _prior(users, feats[side].shape[1], tick, salt, kind=prior_kind)
         for a, t in ((prior, 1.0), (feats[side], 0.0)):
             s, h, hpre = _disc_forward(a, d, side)
             d_loss += _bce_logits_sum(s, t)
@@ -360,6 +375,7 @@ def train_gan(
     strategy: str = "shared",
     optimizer: str = "gd",
     wd: float = WEIGHT_DECAY,
+    prior: str = "gaussian",
 ) -> dict:
     """``optimizer``: "gd" (default) is plain full-batch gradient descent
     with split G/D rates — chosen for the engine's short pass budget,
@@ -395,7 +411,7 @@ def train_gan(
                         users, x, y = _two_hot(pdf, n_x, n_y)
                         xn = np.where(_dropout_mask(users, n_x, p), 0.0, x)
                         yn = np.where(_dropout_mask(users, n_y, p), 0.0, y)
-                        gr, ls = _d_grads(users, xn, yn, bg, bd, p)
+                        gr, ls = _d_grads(users, xn, yn, bg, bd, p, prior_kind=prior)
                         for k in acc:
                             acc[k] += gr[k]
                         loss += ls

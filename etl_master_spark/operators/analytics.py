@@ -374,6 +374,89 @@ FROM z GROUP BY bucket ORDER BY bucket
 """
 
 
+def prior_family_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 extended to the reference's FULL prior menu (main_my.py:167-175):
+    the live Gaussian plus the three commented-out alternatives — laplace
+    (inverse-CDF), uniform(0,1), and the two-Gaussian mixture
+    0.5·(N(0,1)+N(3,1)). All four derive from the SAME two portable-hash
+    uniform streams (``prior_sample_stats``'s u1/u2), so the whole menu
+    is engine-replayable; the mixture's second normal is the Box–Muller
+    sine component (independent of the cosine by construction). Output:
+    moment check per kind — expected (mean, std): gaussian (0,1),
+    laplace (0,√2), uniform (.5,√(1/12)), mixture (1.5,√.5). Mirrors
+    ``model.gan._prior``'s executor-side kinds."""
+    ids = spark.range(PRIOR_N).select(F.col("id").cast("bigint").alias("i"))
+    u1 = (
+        F.expr(phash_frag("i", seed=PRIOR_SEED)).cast("double") + F.lit(1.0)
+    ) / F.lit(float(PHASH_P + 1))
+    u2 = (
+        F.expr(phash_frag("i", "0", seed=PRIOR_SEED)).cast("double") + F.lit(1.0)
+    ) / F.lit(float(PHASH_P + 1))
+    two_pi = F.lit(2.0) * F.lit(3.141592653589793)
+    z1 = F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(two_pi * u2)
+    z2 = F.sqrt(F.lit(-2.0) * F.log(u1)) * F.sin(two_pi * u2)
+    lap = -F.signum(u1 - 0.5) * F.log(F.lit(1.0) - 2.0 * F.abs(u1 - 0.5))
+    mix = F.lit(0.5) * (z1 + (z2 + F.lit(3.0)))
+    kinds = F.array(
+        F.struct(F.lit("gaussian").alias("kind"), z1.alias("z")),
+        F.struct(F.lit("laplace").alias("kind"), lap.alias("z")),
+        F.struct(F.lit("mixture").alias("kind"), mix.alias("z")),
+        F.struct(F.lit("uniform").alias("kind"), u1.alias("z")),
+    )
+    return (
+        ids.select(F.explode(kinds).alias("s"))
+        .select(F.col("s.kind").alias("kind"), F.col("s.z").alias("z"))
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("z"), 6).alias("mean_z"),
+            F.round(F.stddev_pop("z"), 6).alias("std_z"),
+        )
+        .orderBy("kind")
+    )
+
+
+def _prior_u(extra: str | None = None) -> str:
+    """The portable-hash uniform stream as a SQL fragment (u1 without
+    ``extra``, u2 with the trailing '0' fold — see prior_sample_stats)."""
+    frag = (
+        phash_frag("i", extra, seed=PRIOR_SEED)
+        if extra is not None
+        else phash_frag("i", seed=PRIOR_SEED)
+    )
+    return f"((CAST({frag} AS DOUBLE) + 1.0) / {float(PHASH_P + 1)!r})"
+
+
+PRIOR_FAMILY_STATS_ORACLE = f"""
+WITH ids AS (SELECT unnest(range(0, {PRIOR_N})) AS i),
+u AS (
+    SELECT i,
+           {_prior_u()} AS u1,
+           {_prior_u('0')} AS u2
+    FROM ids
+),
+z AS (
+    SELECT i, u1, u2,
+           sqrt(-2.0 * ln(u1)) * cos(2.0 * 3.141592653589793 * u2) AS z1,
+           sqrt(-2.0 * ln(u1)) * sin(2.0 * 3.141592653589793 * u2) AS z2
+    FROM u
+),
+fam AS (
+    SELECT 'gaussian' AS kind, z1 AS z FROM z
+    UNION ALL
+    SELECT 'laplace', -sign(u1 - 0.5) * ln(1.0 - 2.0 * abs(u1 - 0.5)) FROM z
+    UNION ALL
+    SELECT 'mixture', 0.5 * (z1 + (z2 + 3.0)) FROM z
+    UNION ALL
+    SELECT 'uniform', u1 FROM z
+)
+SELECT kind, COUNT(*) AS n,
+       ROUND(AVG(z), 6) AS mean_z,
+       ROUND(stddev_pop(z), 6) AS std_z
+FROM fam GROUP BY kind ORDER BY kind
+"""
+
+
 # -- moving-average window frames --------------------------------------------
 
 def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:

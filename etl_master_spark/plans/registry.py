@@ -354,6 +354,13 @@ register(
 register(
     "prior_sample_stats", analytics.prior_sample_stats, analytics.PRIOR_SAMPLE_STATS_ORACLE
 )
+# F3 extended: the reference's full prior menu (live Gaussian + the three
+# commented-out alternatives, main_my.py:167-175) as one moment-checked query
+register(
+    "prior_family_stats",
+    analytics.prior_family_stats,
+    analytics.PRIOR_FAMILY_STATS_ORACLE,
+)
 register(
     "events_moving_avg", analytics.events_moving_avg, analytics.EVENTS_MOVING_AVG_ORACLE
 )
@@ -528,6 +535,7 @@ _PRIORITY = [
     "dedup_embedding_cosine", "triangle_count", "kmeans_embeddings",
     "mmd_rbf_fast", "mmd_rbf_multiscale", "mmd_rbf", "duplicate_passages",
     "dedup_exact", "dedup_ngram_jaccard",
+    "prior_family_stats",
     # (c) family representatives
     "eval_metrics_test", "eval_metrics_vali", "splits_leave_two_out",
     "negatives_sample", "topk_per_user", "best_epoch", "best_epoch_reeval",

@@ -415,3 +415,38 @@ def test_media_decode_real_pil_smoke(spark, sf_dir):
     out = multimodal.decode_image(buf.getvalue())
     assert len(out) == multimodal.FEATURE_DIM
     assert all(0.0 <= v <= 1.0 for v in out)
+
+
+def test_gan_prior_family_moments():
+    """The full prior menu (reference main_my.py:167-175) has the right
+    moments and stays deterministic on any 'partitioning' (call order)."""
+    from etl_master_spark.model.gan import _prior
+
+    users = np.arange(4000, dtype=np.int64)
+    expect = {
+        "gaussian": (0.0, 1.0),
+        "laplace": (0.0, np.sqrt(2.0)),
+        "uniform": (0.5, np.sqrt(1.0 / 12.0)),
+        "mixture": (1.5, np.sqrt(0.5)),
+    }
+    for kind, (mu, sd) in expect.items():
+        z = _prior(users, 16, 3, 101, kind=kind)
+        assert abs(z.mean() - mu) < 0.02, kind
+        assert abs(z.std() - sd) < 0.02, kind
+        # split invariance: computing half the users reproduces their rows
+        half = _prior(users[:2000], 16, 3, 101, kind=kind)
+        assert np.array_equal(half, z[:2000], equal_nan=True), kind
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _prior(users, 4, 0, 1, kind="cauchy")
+
+
+def test_gan_trains_with_alternative_prior(spark, sf_dir):
+    """prior='laplace' threads through the distributed D passes and still
+    trains (finite, decreasing G loss)."""
+    from etl_master_spark.model import gan
+
+    model = gan.train_gan(spark, sf_dir, passes=6, prior="laplace")
+    assert all(np.isfinite(v) for v in model["g_losses"] + model["d_losses"])
+    assert model["g_losses"][-1] < model["g_losses"][0]

@@ -1,0 +1,132 @@
+"""Measured-scaling harness: time registry queries at ×1 vs an on-disk ×N
+replica of their input tables.
+
+Round 3 measured a 10× table with an ad-hoc replica; this tool makes the
+experiment repeatable and extends it to ×100 for the quadratic-risk
+family (the scales where a bucket-occupancy blowup that ×10 hides would
+surface). Replicas are key-shifted unions:
+
+- documents: new doc_ids per copy, text suffixed with the copy index so
+  copies are near- (shingle-overlapping) not exact duplicates;
+- embeddings: new vec_ids per copy, every component perturbed by a
+  deterministic hash noise (±10% of the component scale) so copies land
+  in nearby-but-not-identical LSH buckets — corpus GROWTH, not
+  dup-density growth;
+- lineitem: new orderkeys per copy, same part catalog — baskets ×N ⇒
+  co-occurrence edges ×N, triangles ×N, linear by construction.
+
+Other tables are copied through unchanged so `load_table` works.
+
+Usage: python tools/scale_table.py [mult] [query ...]
+  default: mult=100, queries = the quadratic-risk family.
+Prints one JSON line: {"mult": N, "queries": {name: {"x1": s, "xN": s}}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = Path("/tmp/etl_master_scale_table")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+DEFAULT_QUERIES = [
+    "embedding_dedup_clusters",
+    "duplicate_passages",
+    "triangle_count",
+    "dedup_embedding_cosine_lsh_p99",
+]
+
+
+def build_replica(mult: int) -> str:
+    out = WORK / f"x{mult}"
+    if (out / "embeddings.parquet").exists():
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    rep = {
+        "documents": f"""
+            SELECT doc_id + 1000000 * r.k AS doc_id,
+                   CASE WHEN r.k = 0 THEN text
+                        ELSE text || ' copy' || r.k END AS text,
+                   lang, source, n_chars
+            FROM read_parquet('{BASE_SF}/documents.parquet')
+            CROSS JOIN (SELECT unnest(range(0, {mult})) AS k) r
+        """,
+        "embeddings": f"""
+            SELECT vec_id + 1000000 * r.k AS vec_id,
+                   CASE WHEN r.k = 0 THEN embedding ELSE
+                     list_transform(
+                       list_zip(embedding,
+                                range(1, len(embedding) + 1)),
+                       z -> CAST(z[1] * (1.0 + 0.1 * (
+                              CAST(hash(vec_id * 131071 + r.k * 8191
+                                        + z[2]) % 2001 AS DOUBLE)
+                              / 1000.0 - 1.0)) AS FLOAT))
+                   END AS embedding,
+                   label
+            FROM read_parquet('{BASE_SF}/embeddings.parquet')
+            CROSS JOIN (SELECT unnest(range(0, {mult})) AS k) r
+        """,
+        "lineitem": f"""
+            SELECT l_orderkey + 1000000000 * r.k AS l_orderkey,
+                   l_partkey, l_suppkey, l_linenumber, l_quantity,
+                   l_extendedprice, l_discount, l_tax, l_returnflag,
+                   l_linestatus, l_shipdate
+            FROM read_parquet('{BASE_SF}/lineitem.parquet')
+            CROSS JOIN (SELECT unnest(range(0, {mult})) AS k) r
+        """,
+    }
+    for t in TABLES:
+        dst = out / f"{t}.parquet"
+        if t in rep:
+            con.execute(f"COPY ({rep[t]}) TO '{dst}' (FORMAT PARQUET)")
+        else:
+            shutil.copyfile(f"{BASE_SF}/{t}.parquet", dst)
+    return str(out)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    mult = int(args[0]) if args and args[0].isdigit() else 100
+    names = [a for a in args if not a.isdigit()] or DEFAULT_QUERIES
+
+    from etl_master_spark.plans.registry import QUERIES
+    from etl_master_spark.session import get_spark
+
+    sf_n = build_replica(mult)
+    spark = get_spark(app_name="scale_table")
+    # warm plan shapes at the small scale
+    for name in names:
+        QUERIES[name](spark, "/root/testdata/sf0.001").count()
+    spark.catalog.clearCache()
+
+    out: dict[str, dict[str, float]] = {n: {} for n in names}
+    for tag, sf in (("x1", BASE_SF), (f"x{mult}", sf_n)):
+        for _ in range(2):  # min of 2 warm passes (bench.py protocol)
+            for name in names:
+                t0 = time.time()
+                QUERIES[name](spark, sf).count()
+                e = round(time.time() - t0, 2)
+                if tag not in out[name] or e < out[name][tag]:
+                    out[name][tag] = e
+                spark.catalog.clearCache()
+    print(json.dumps({"mult": mult, "sf": BASE_SF, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()

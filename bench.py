@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "embedding_dedup_clusters",
     "mmd_rbf_fast",
     "media_stats",
+    "ann_pq_topk",
+    "prior_family_stats",
 ]
 
 

@@ -109,6 +109,29 @@ def als_eval(
     return eval_from_scores(scores, holdout, negs, ks=ks)
 
 
+def als_eval_frozen(
+    spark: SparkSession, sf_dir: str, mode: str = "test"
+) -> DataFrame:
+    """Hash-checkable split of ``als_eval``: the trained scorer's
+    (scores, holdout, negatives) freeze to parquet and the eval half runs
+    FROM the frozen copies, replayed by ``frozen_eval_oracle('als_test')``
+    in DuckDB. Spark ML ALS with a fixed seed is bit-deterministic on a
+    fixed input layout (verified run-to-run), so the committed gate-scale
+    artifacts stay valid."""
+    from ..operators.ranking import freeze_and_eval
+
+    scores = als_scores(spark, sf_dir, "x").unionByName(
+        als_scores(spark, sf_dir, "y")
+    )
+    sp = splits(spark, sf_dir)
+    hold = sp.filter(F.col("split") == mode).select(
+        "user_id", "item_id", "domain"
+    )
+    return freeze_and_eval(
+        scores, hold, negatives(spark, sf_dir), f"als_{mode}", sf_dir
+    )
+
+
 def export_user_embeddings(
     spark: SparkSession, sf_dir: str, domain: str = "x"
 ) -> DataFrame:

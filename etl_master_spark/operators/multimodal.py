@@ -128,6 +128,39 @@ def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_features_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``extract_features`` posexploded to long form (media_id, dim_idx,
+    value, n_bytes) — the registered, ORACLE-CHECKED face of the decode
+    stage. The mapInPandas Arrow decode still runs inside this plan (the
+    100 TB stage shape is exercised by the driver); the digest double is
+    md5-hex arithmetic, which DuckDB replays bit-exactly, so the check
+    upgrades from rows-only to a full value hash. Long form because the
+    engines' pandas reprs of array columns differ (ndarray vs list) —
+    same trade ``hashed_tf_vectors`` makes."""
+    return (
+        extract_features(spark, sf_dir)
+        .select("media_id", "n_bytes", F.posexplode("feature"))
+        .select(
+            "media_id",
+            F.col("pos").alias("dim_idx"),
+            F.col("col").alias("value"),
+            "n_bytes",
+        )
+    )
+
+
+MEDIA_FEATURES_LONG_ORACLE = f"""
+SELECT doc_id AS media_id,
+       CAST(i AS INT) AS dim_idx,
+       (strpos('123456789abcdef', substr(md5(text), CAST(2*i+1 AS INT), 1)) * 16
+        + strpos('123456789abcdef', substr(md5(text), CAST(2*i+2 AS INT), 1)))
+       / 255.0 AS value,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+CROSS JOIN (SELECT unnest(range(0, {FEATURE_DIM})) AS i) r
+"""
+
+
 def resize_media(
     spark: SparkSession, sf_dir: str, target_bytes: int = 64
 ) -> DataFrame:

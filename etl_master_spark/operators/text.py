@@ -1157,6 +1157,39 @@ def simhash64_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
 
 
+def simhash64_oracle() -> str:
+    """DuckDB replay of the ARROW path's bit labeling: the kernel parses
+    ``int.from_bytes(md5[:8], 'big')``, so bit i of the value lives in
+    hex nibble ``15 - i//4`` (big-endian first 16 hex chars) at weight
+    ``2^(i%4)``; reassembly keeps bits 0..62 (the kernel masks the sign
+    bit). Same vote machinery as ``simhash64_jvm_oracle`` with the
+    nibble index remapped — which is exactly the difference between the
+    two registered queries."""
+    vote_exprs = []
+    for i in range(64):
+        nib = 15 - (i // 4)  # big-endian byte order of md5[:8]
+        bit = i % 4
+        digit = f"(instr('0123456789abcdef', substr(md5(tok), {nib + 1}, 1)) - 1)"
+        bit_val = f"((CAST({digit} AS BIGINT) // {2 ** bit}) % 2)"
+        vote_exprs.append(
+            f"SUM(CASE WHEN {bit_val} = 1 THEN 1 ELSE -1 END) AS v{i}"
+        )
+    sim = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END"
+        for i in range(63)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+votes AS (
+    SELECT doc_id, {', '.join(vote_exprs)} FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({sim} AS BIGINT) AS simhash
+FROM votes ORDER BY doc_id
+"""
+
+
 def simhash64_jvm_oracle() -> str:
     vote_exprs = []
     for i in range(64):

@@ -255,7 +255,9 @@ register("token_counts", text.token_counts, text.TOKEN_COUNTS_ORACLE)
 register("word_counts", text.word_counts, text.WORD_COUNTS_ORACLE)
 register("tfidf_top_terms", text.tfidf_top_terms, text.TFIDF_TOP_TERMS_ORACLE)
 register("simhash16", text.simhash16, text.simhash16_oracle())
-register("simhash64", text.simhash64, None)  # Arrow-UDF fast path: rows-only
+# Arrow-UDF fast path — hash-checked: the kernel's byte-endian bit
+# labeling is replayed nibble-exactly in SQL (simhash64_oracle)
+register("simhash64", text.simhash64, text.simhash64_oracle())
 register("simhash64_jvm", text.simhash64_jvm, text.simhash64_jvm_oracle())
 register("bigram_counts", text.bigram_counts, text.BIGRAM_COUNTS_ORACLE)
 register("pii_scan", text.pii_scan, text.PII_SCAN_ORACLE)
@@ -459,31 +461,38 @@ register(
 
 # -- multimodal plumbing -----------------------------------------------------
 register("media_stats", multimodal.media_stats, multimodal.MEDIA_STATS_ORACLE)
-register("media_features", multimodal.extract_features, None)  # decode stub: rows-only
+# the Arrow decode stage, hash-checked: the mapInPandas digest double is
+# md5-hex arithmetic DuckDB replays exactly (long form — see docstring)
+register(
+    "media_features",
+    multimodal.media_features_long,
+    multimodal.MEDIA_FEATURES_LONG_ORACLE,
+)
 register("media_resize", multimodal.resize_media, None)  # binary-out: rows-only
 register("media_frames", multimodal.sample_frames, None)  # row-expanding: rows-only
 
 
 # -- model path (not SQL-expressible: rows-only by design) -------------------
+def _frozen_oracle(tag: str) -> str:
+    from ..operators.ranking import frozen_eval_oracle
+
+    return frozen_eval_oracle(tag)
+
+
 def _als_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..model.als import als_eval
+    from ..model.als import als_eval_frozen
 
-    return als_eval(spark, sf_dir, "test")
+    return als_eval_frozen(spark, sf_dir, "test")
 
 
-register("als_eval_test", _als_eval, None)
+# training outside SQL, eval half hash-checked via the frozen-scores oracle
+register("als_eval_test", _als_eval, _frozen_oracle("als_test"))
 
 
 def _cdae_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..model.cdae import cdae_eval_frozen
 
     return cdae_eval_frozen(spark, sf_dir, "test")
-
-
-def _frozen_oracle(tag: str) -> str:
-    from ..operators.ranking import frozen_eval_oracle
-
-    return frozen_eval_oracle(tag)
 
 
 # the reference's own model family (denoising AE), distributed training

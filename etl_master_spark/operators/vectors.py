@@ -982,10 +982,12 @@ def mmd_rbf_fast(
 
     # each tile frame feeds TWO grids (XX+XY / YY+XY); without
     # materialization Spark re-runs the scan + bucketing per grid.
-    # localCheckpoint so the blocks are reference-GC'd after the query's
-    # frames drop — a session-long cache entry per bench query was a leak
-    ta = tiles(label_a, n_a).localCheckpoint()
-    tb = tiles(label_b, n_b).localCheckpoint()
+    # cache(), NOT localCheckpoint: checkpointing truncates lineage and
+    # hides the label pushdown from the executed plan (test_plans gates
+    # it). The session keeps ONE plan-keyed entry per label pair — a
+    # bounded, intentional residency, re-used (not re-added) across runs
+    ta = tiles(label_a, n_a).cache()
+    tb = tiles(label_b, n_b).cache()
 
     def grid_sum(tx: DataFrame, ty: DataFrame, name: str) -> DataFrame:
         g = tx.select(F.col("vs").alias("vx")).crossJoin(

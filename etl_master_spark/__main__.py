@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--emb_size", type=int, default=16, help="embedding size")
     p.add_argument("--lr", type=float, default=0.3, help="cdae/gan learning rate")
     p.add_argument("--seed", type=int, default=72)
+    p.add_argument("--optimizer", choices=["gd", "adam"], default="gd",
+                   help="gan: full-batch GD or the reference's Adam+SGD pair"
+                        " (main_my.py:113-114)")
+    p.add_argument("--prior", choices=["gaussian", "laplace", "uniform",
+                                       "mixture"], default="gaussian",
+                   help="gan prior distribution (reference menu,"
+                        " main_my.py:167-175)")
     p.add_argument("--topk", type=int, nargs="+", default=[5, 10], help="ranking cutoffs")
     p.add_argument("--log", default=None, help="run dir: metrics log + artifacts")
     p.add_argument("--export-embeddings", action="store_true",
@@ -111,6 +118,7 @@ def main(argv: list[str] | None = None) -> int:
         frames = gan_eval_with(
             spark, args.data_dir, modes=("vali", "test"), emb=args.emb_size,
             passes=args.epochs, lr=args.lr, seed=args.seed, ks=args.topk,
+            optimizer=args.optimizer, prior=args.prior,
         )
     else:
         from etl_master_spark.model.cdae import cdae_eval

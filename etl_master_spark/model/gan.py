@@ -638,11 +638,15 @@ def gan_eval_with(
     lr: float = LR,
     seed: int = SEED,
     ks: list[int] | None = None,
+    optimizer: str = "gd",
+    prior: str = "gaussian",
 ) -> dict[str, DataFrame]:
     """Train the coupled model ONCE, evaluate every requested mode — the
     CLI's --model gan entry point (one training run for vali+test, like
-    the reference's single loop evaluating both)."""
-    model = train_gan(spark, sf_dir, emb=emb, passes=passes, lr=lr, seed=seed)
+    the reference's single loop evaluating both). ``optimizer``/``prior``
+    thread the T11 pair and the prior menu through from the CLI."""
+    model = train_gan(spark, sf_dir, emb=emb, passes=passes, lr=lr, seed=seed,
+                      optimizer=optimizer, prior=prior)
     scores = gan_scores(spark, sf_dir, model)
     sp = splits(spark, sf_dir)
     negs = negatives(spark, sf_dir)

@@ -568,6 +568,46 @@ DEDUP_LSH_ROWS = 4  # planes per band
 P99_LSH_BANDS = 4
 P99_LSH_ROWS = 8
 
+# Occupancy-adaptive banding: with a FIXED (b, r), expected bucket
+# occupancy is n/2^r, so candidate pairs grow b·n²/2^(r+1) — quadratic in
+# corpus size. (Measured, not theoretical: a ×100 corpus replica sent the
+# fixed-shape pair stage from seconds into minutes — the bucket-occupancy
+# blowup a ×10 test hides.) The fix: one extra row per corpus DOUBLING
+# past LSH_OCC_BASE keeps occupancy at its anchored value, making the
+# candidate volume ~linear in n; one extra band per TWO extra rows holds
+# recall at the tuned threshold (p≈0.955 at cos 0.99: r 8→14 drops
+# per-band hit to 0.52, b 4→7 restores ≥0.99 overall). Below the base —
+# every gate/test scale — the tuned shapes are byte-identical to before,
+# and the oracle computes the SAME shape from COUNT(*) in pure integer
+# SQL, so both engines adapt in lockstep at any scale.
+LSH_OCC_BASE = 4096
+
+
+def _lsh_adaptive_shape(n: int, bands: int, rows: int) -> tuple[int, int]:
+    """(bands, rows) scaled to corpus size n: +1 row per doubling past
+    LSH_OCC_BASE, +1 band per two extra rows. Identity below the base."""
+    extra = (n // LSH_OCC_BASE).bit_length()
+    if extra == 0:
+        return bands, rows
+    return bands + (extra + 1) // 2, rows + extra
+
+
+def _lsh_shape_sql(bands: int, rows: int) -> str:
+    """The SAME adaptation as a pure-integer SQL fragment: a CTE ``sh``
+    with columns nb (bands) and nr (rows), derived from
+    ``(SELECT COUNT(*) FROM embeddings)``. bit_length is an unrolled
+    exact CASE chain — no float log anywhere."""
+    q = f"((SELECT COUNT(*) FROM embeddings) // {LSH_OCC_BASE})"
+    bitlen = "CASE " + " ".join(
+        f"WHEN {q} >= {1 << e} THEN {e + 1}" for e in range(19, -1, -1)
+    ) + " ELSE 0 END"
+    return f"""sh AS (
+    SELECT {bands} + (CASE WHEN x.extra = 0 THEN 0
+                           ELSE (x.extra + 1) // 2 END) AS nb,
+           {rows} + x.extra AS nr
+    FROM (SELECT {bitlen} AS extra) x
+)"""
+
 
 def dedup_embedding_cosine_lsh(
     spark: SparkSession,
@@ -610,7 +650,11 @@ def _dedup_lsh_pairs(
     rows: int,
 ) -> DataFrame:
     """Core of the banded-LSH dedup over any (vec_id, embedding) frame —
-    split out so tests can plant known near-duplicates and assert recall."""
+    split out so tests can plant known near-duplicates and assert recall.
+    ``bands``/``rows`` are the TUNED base shape; the effective shape is
+    occupancy-adapted to the corpus size (see ``_lsh_adaptive_shape``) so
+    candidate volume stays ~linear in n instead of quadratic."""
+    bands, rows = _lsh_adaptive_shape(emb.count(), bands, rows)
     # per-band signature: sig_j = bit_{r·j} + 2·bit_{r·j+1} + ... (row-local)
     bits = [
         F.when(
@@ -712,9 +756,14 @@ def dedup_embedding_cosine_lsh_oracle(
     bands: int = DEDUP_LSH_BANDS,
     rows: int = DEDUP_LSH_ROWS,
 ) -> str:
-    n_planes = bands * rows
+    # self-adapting structure: plane count / band grouping derive from the
+    # SAME occupancy formula as the engine (sh CTE), in pure integer SQL —
+    # the oracle stays valid at ANY corpus size. MAXP bounds the static
+    # plane table at the 20-doubling cap of the bit_length chain.
+    maxp = (bands + 10) * (rows + 20)
     return f"""
-WITH comp AS (
+WITH {_lsh_shape_sql(bands, rows)},
+comp AS (
     SELECT vec_id,
            generate_subscripts(embedding, 1) - 1 AS i,
            unnest(CAST(embedding AS DOUBLE[])) AS x
@@ -724,8 +773,10 @@ planes AS (
     SELECT j.j, i.i,
            CAST({phash_frag('j.j', 'i.i', seed=LSH_SEED)} AS DOUBLE)
                / CAST({PHASH_P} AS DOUBLE) - 0.5 AS w
-    FROM (SELECT unnest(range(0, {n_planes})) AS j) j
+    FROM (SELECT unnest(range(0, {maxp})) AS j) j
     CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+    CROSS JOIN sh
+    WHERE j.j < sh.nb * sh.nr
 ),
 bits AS (
     SELECT c.vec_id, p.j,
@@ -734,9 +785,10 @@ bits AS (
     GROUP BY c.vec_id, p.j
 ),
 bands AS (
-    SELECT vec_id, j // {rows} AS band,
-           SUM(b * CAST(POW(2, j % {rows}) AS BIGINT)) AS sig
-    FROM bits GROUP BY vec_id, j // {rows}
+    SELECT t.vec_id, t.j // sh.nr AS band,
+           SUM(t.b * CAST(POW(2, t.j % sh.nr) AS BIGINT)) AS sig
+    FROM bits t CROSS JOIN sh
+    GROUP BY t.vec_id, t.j // sh.nr
 ),
 cand AS (
     SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b

@@ -350,3 +350,52 @@ def test_duplicate_passages_flags_real_repeats(spark, sf_dir):
         }
         assert len(holders) == row["n_docs"]
         assert min(holders) == row["first_doc"] and max(holders) == row["last_doc"]
+
+
+def test_lsh_adaptive_shape_formula():
+    """Occupancy adaptation: identity below the base, +1 row per corpus
+    doubling past it, +1 band per two extra rows — and monotone."""
+    from etl_master_spark.operators.vectors import (
+        LSH_OCC_BASE,
+        _lsh_adaptive_shape,
+    )
+
+    assert _lsh_adaptive_shape(0, 4, 8) == (4, 8)
+    assert _lsh_adaptive_shape(2000, 4, 8) == (4, 8)
+    assert _lsh_adaptive_shape(LSH_OCC_BASE - 1, 4, 8) == (4, 8)
+    assert _lsh_adaptive_shape(LSH_OCC_BASE, 4, 8) == (5, 9)
+    assert _lsh_adaptive_shape(8 * LSH_OCC_BASE, 4, 8) == (6, 12)
+    assert _lsh_adaptive_shape(48 * LSH_OCC_BASE, 4, 8) == (7, 14)
+    prev = (0, 0)
+    for n in (0, 10, 4096, 10_000, 10**5, 10**6, 10**7):
+        cur = _lsh_adaptive_shape(n, 4, 8)
+        assert cur >= prev
+        prev = cur
+
+
+def test_lsh_dedup_adaptive_depth_keeps_planted_recall(spark):
+    """Above LSH_OCC_BASE the effective shape deepens (occupancy-bounded
+    candidates); the extra bands must keep planted near-duplicates at
+    full recall. 5000 random vectors → extra=1 → effective 5×9."""
+    import numpy as np
+
+    from etl_master_spark.operators.vectors import (
+        P99_LSH_BANDS,
+        P99_LSH_ROWS,
+        _dedup_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    base = rng.normal(size=(n, 64)).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    for i in range(5):
+        dup = base[i] + 0.005 * rng.normal(size=64).astype("float32")
+        rows.append((1_000_000 + i, dup.astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in _dedup_lsh_pairs(spark, emb, 0.99, P99_LSH_BANDS, P99_LSH_ROWS)
+        .collect()
+    }
+    assert got == {(i, 1_000_000 + i) for i in range(5)}

@@ -8,10 +8,13 @@ surface). Replicas are key-shifted unions:
 
 - documents: new doc_ids per copy, text suffixed with the copy index so
   copies are near- (shingle-overlapping) not exact duplicates;
-- embeddings: new vec_ids per copy, every component perturbed by a
-  deterministic hash noise (±10% of the component scale) so copies land
-  in nearby-but-not-identical LSH buckets — corpus GROWTH, not
-  dup-density growth;
+- embeddings: new vec_ids per copy; copy k's vector is the original
+  CIRCULARLY ROTATED by k (mod 64) components with a sign flip for
+  k >= 64 — a rotation of a random vector is directionally uncorrelated
+  with it, so dup DENSITY stays constant while the corpus grows ×N
+  (small multiplicative noise turned out to preserve direction, which
+  silently turned the replica into a ×N dup-density corpus and measured
+  the quadratic dup-group regime instead of growth);
 - lineitem: new orderkeys per copy, same part catalog — baskets ×N ⇒
   co-occurrence edges ×N, triangles ×N, linear by construction.
 
@@ -71,12 +74,13 @@ def build_replica(mult: int) -> str:
             SELECT vec_id + 1000000 * r.k AS vec_id,
                    CASE WHEN r.k = 0 THEN embedding ELSE
                      list_transform(
-                       list_zip(embedding,
-                                range(1, len(embedding) + 1)),
-                       z -> CAST(z[1] * (1.0 + 0.1 * (
-                              CAST(hash(vec_id * 131071 + r.k * 8191
-                                        + z[2]) % 2001 AS DOUBLE)
-                              / 1000.0 - 1.0)) AS FLOAT))
+                       range(1, len(embedding) + 1),
+                       i -> CAST(
+                         (CASE WHEN r.k >= 64 THEN -1.0 ELSE 1.0 END)
+                         * embedding[
+                             CAST(((i - 1 + r.k) % len(embedding)) + 1
+                                  AS INT)]
+                         AS FLOAT))
                    END AS embedding,
                    label
             FROM read_parquet('{BASE_SF}/embeddings.parquet')

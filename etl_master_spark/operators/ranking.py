@@ -351,9 +351,14 @@ def freeze_and_eval(
 ) -> DataFrame:
     """Write (scores, holdout, negatives) to
     ``.artifacts/frozen_eval/<tag>/<sfname>/`` and evaluate from the
-    frozen parquet. Training is seeded-deterministic, so the artifacts
-    are stable run-to-run; the gate-scale copies are committed so the
-    oracle never races the query."""
+    frozen parquet. COMPUTE-IF-MISSING (the reference's S2 split-cache
+    semantics, ``my_utils.py``): an existing freeze is reused — training
+    is seeded-deterministic so a re-freeze writes the same values, and
+    skipping it keeps the committed gate-scale artifacts byte-stable
+    across verification runs instead of churning part-file UUIDs. Delete
+    ``.artifacts/frozen_eval/<tag>`` to force a re-freeze after a model
+    change (tests/test_model pins live-vs-reload parity separately)."""
+    import glob
     import os
 
     spark = scores.sparkSession
@@ -368,20 +373,27 @@ def freeze_and_eval(
     out = {}
     for name, df in frames.items():
         path = os.path.join(base, name)
-        df.coalesce(1).write.mode("overwrite").parquet(path)
+        if not glob.glob(os.path.join(path, "*.parquet")):
+            df.coalesce(1).write.mode("overwrite").parquet(path)
         out[name] = spark.read.parquet(path)
     return eval_from_scores(
         out["scores"], out["holdout"], out["negatives"], ks=ks
     )
 
 
-def frozen_eval_oracle(tag: str, ks: list[int] | None = None) -> str:
-    """DuckDB replay of ``eval_from_scores`` over the frozen parquet for
-    the driver's gate scale. Same candidate assembly (negatives + one
-    positive), rank (score DESC, item_id ASC), and metric formulas as
-    ``eval_metrics_oracle`` — rounded to 6 dp in both engines."""
+def frozen_eval_oracle(
+    tag: str, ks: list[int] | None = None, sf_name: str = GATE_SF_NAME
+) -> str:
+    """DuckDB replay of ``eval_from_scores`` over the frozen parquet —
+    by default the driver's gate scale (the registry's static
+    ``oracle_sql()`` string must name ONE path, and the driver gates at
+    sf0.01); tests replaying another scale pass its ``sf_name`` so the
+    oracle reads the artifacts the query just froze. Same candidate
+    assembly (negatives + one positive), rank (score DESC, item_id ASC),
+    and metric formulas as ``eval_metrics_oracle`` — rounded to 6 dp in
+    both engines."""
     ks = ks or DEFAULT_KS
-    base = f"{FROZEN_EVAL_DIR}/{tag}/{GATE_SF_NAME}"
+    base = f"{FROZEN_EVAL_DIR}/{tag}/{sf_name}"
     ks_sql = " UNION ALL ".join(f"SELECT {k} AS k" for k in ks)
     return f"""
 WITH sc AS (SELECT * FROM read_parquet('{base}/scores/*.parquet')),

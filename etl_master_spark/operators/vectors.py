@@ -582,6 +582,50 @@ P99_LSH_ROWS = 8
 # SQL, so both engines adapt in lockstep at any scale.
 LSH_OCC_BASE = 4096
 
+# Graduated bucket splitting: occupancy adaptation above keeps the AVERAGE
+# bucket at its anchored size, but real embedding corpora are directionally
+# clustered — measured at a ×100 replica (200k vectors, adapted 7×14
+# shape), the largest sign-buckets held ~1,800 vectors (~1% of the corpus)
+# against a uniform expectation of 12, and collisions totalled 251M. The
+# fix mirrors production LSH dedup systems: any bucket above LSH_OCC_CAP is
+# split by k extra sign planes, k = bit_length((cnt-1)//CAP) (graduated —
+# a 2·CAP bucket splits in 2, a 1,800 bucket into 32), which bounds
+# candidate volume by bands·n·CAP/2 — LINEAR in n regardless of skew.
+# Split keys come from LSH_XBITS dedicated planes per band (plane index
+# bands·rows + band·XBITS + t, disjoint from the signature planes), so a
+# near-dup pair in an oversized bucket still agrees on each extra plane
+# with the same per-plane probability (0.955 at cos 0.99 — a 5-bit split
+# retains 0.79 of that band's hits; other bands are split independently).
+# Buckets at or under the cap are byte-identical to the unsplit spelling —
+# every gate/test scale except the permissive demo shape at sf≥0.01 stays
+# unchanged — and the oracle computes the SAME split from a window count
+# in pure integer SQL, so both engines split in lockstep at any scale.
+LSH_OCC_CAP = 64
+LSH_XBITS = 12
+
+
+def _occ_split_bits(cnt_col, cap: int = LSH_OCC_CAP, xbits: int = LSH_XBITS):
+    """k = min(xbits, bit_length((cnt-1) // cap)) as an integer-exact
+    column expression (descending WHEN chain — no float log)."""
+    q = F.expr(f"(cnt - 1) div {cap}")
+    k = F.lit(0)
+    for e in range(xbits):
+        k = F.when(q >= (1 << e), F.lit(e + 1)).otherwise(k)
+    return k
+
+
+def _occ_split_sql(cap: int = LSH_OCC_CAP, xbits: int = LSH_XBITS) -> str:
+    """The SAME graduated split width in DuckDB SQL, over a column ``cnt``."""
+    q = f"((cnt - 1) // {cap})"
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {q} >= {1 << e} THEN {e + 1}"
+            for e in range(xbits - 1, -1, -1)
+        )
+        + " ELSE 0 END"
+    )
+
 
 def _lsh_adaptive_shape(n: int, bands: int, rows: int) -> tuple[int, int]:
     """(bands, rows) scaled to corpus size n: +1 row per doubling past
@@ -621,11 +665,14 @@ def dedup_embedding_cosine_lsh(
     exact cosine filter verifies them. Band shape (b×r) is tuned to the
     threshold — see the S-curve note above.
 
-    Plan shape at 100 TB: the band signature is row-local (literal plane
-    arrays), the only wide operation is b hash-join shuffles keyed on
-    (band, sig) — candidate volume scales with bucket occupancy, not
-    |corpus|². Versus the exact spelling's |corpus|² nested loop, this is
-    the difference between feasible and not; the trade is bounded,
+    Plan shape at 100 TB: the band signature is row-local (an Arrow
+    mapInPandas kernel, bit-identical to the literal-plane fold it
+    replaced — see the note in ``_dedup_lsh_pairs``), the only wide
+    operations are the occupancy window and the bucket hash-join, both
+    keyed on (band, sig[, sub]) — candidate volume is bounded
+    bands·n·CAP/2 by the graduated bucket split, LINEAR in the corpus.
+    Versus the exact spelling's |corpus|² nested loop, this is the
+    difference between feasible and not; the trade is bounded,
     S-curve-quantified recall."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _dedup_lsh_pairs(spark, emb, threshold, bands, rows)
@@ -655,43 +702,102 @@ def _dedup_lsh_pairs(
     occupancy-adapted to the corpus size (see ``_lsh_adaptive_shape``) so
     candidate volume stays ~linear in n instead of quadratic."""
     bands, rows = _lsh_adaptive_shape(emb.count(), bands, rows)
-    # per-band signature: sig_j = bit_{r·j} + 2·bit_{r·j+1} + ... (row-local)
-    bits = [
-        F.when(
-            _dot(F.col("embedding"), _phash_plane(p, 64, LSH_SEED)) >= 0, F.lit(1)
-        ).otherwise(F.lit(0))
-        for p in range(bands * rows)
-    ]
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                sum((bits[j * rows + r] * F.lit(1 << r)) for r in range(rows)).alias(
-                    "sig"
-                ),
-            )
-            for j in range(bands)
+    # Signature + split planes as ONE Arrow-batched mapInPandas kernel.
+    # The earlier spelling embedded every plane as a 64-double literal
+    # array and folded it with F.aggregate — row-local and JVM-side, but
+    # at b×(r+XBITS) ≈ 180 plane arrays the measured cost was ~5 s of
+    # Catalyst analysis + codegen PER QUERY BUILD, fixed and
+    # data-independent (the same literal-plan lesson as the PQ encode
+    # rework at _pq_assign). The kernel keeps the arithmetic BIT-IDENTICAL
+    # to that fold and to the DuckDB oracle: planes are the same phash_py
+    # doubles, and the dot/norm accumulate with one vectorized add per
+    # component index i = 0..63 — the exact sequential fold order of
+    # F.aggregate and of DuckDB's grouped SUM — so sign bits never differ.
+    # Row-local, zero shuffle, BLAS-free inner loop: the 100 TB posture is
+    # unchanged, minus the fixed planning cost.
+    n_sig, n_all = bands * rows, bands * (rows + LSH_XBITS)
+    planes = np.array(
+        [
+            [phash_py(p, i, seed=LSH_SEED) / float(PHASH_P) - 0.5 for i in range(64)]
+            for p in range(n_all)
         ]
     )
+    sig_w = 1 << np.arange(rows, dtype=np.int64)
+    xsig_w = 1 << np.arange(LSH_XBITS, dtype=np.int64)
+    out_schema = (
+        "vec_id bigint, embedding array<float>, n double, "
+        "band int, sig bigint, xsig bigint"
+    )
+    n_bands = bands
+
+    def _tag_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            acc = np.zeros((len(X), n_all))
+            nacc = np.zeros(len(X))
+            for i in range(64):  # sequential in i — the fold's add order
+                acc += X[:, i : i + 1] * planes[None, :, i]
+                nacc += X[:, i] * X[:, i]
+            bits = (acc >= 0).astype(np.int64)
+            norm = np.sqrt(nacc)
+            for j in range(n_bands):
+                sig = bits[:, j * rows : (j + 1) * rows] @ sig_w
+                xsig = (
+                    bits[:, n_sig + j * LSH_XBITS : n_sig + (j + 1) * LSH_XBITS]
+                    @ xsig_w
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].values,
+                        "embedding": pdf["embedding"].values,
+                        "n": norm,
+                        "band": np.full(len(X), j, dtype=np.int32),
+                        "sig": sig,
+                        "xsig": xsig,
+                    }
+                )
+
+    tagged = spread(emb).select("vec_id", "embedding").mapInPandas(
+        _tag_kernel, out_schema
+    )
+    # graduated bucket split (see LSH_OCC_CAP note): the window count costs
+    # one exchange of the index frame on (band, sig) — the same key the
+    # join used to shuffle on — and turns every oversized bucket into
+    # ~CAP-sized sub-buckets keyed by the low k bits of the split planes.
+    occ_w = Window.partitionBy("band", "sig")
     tagged = (
-        spread(emb)
-        .select("vec_id", F.explode(band_arr).alias("bs"))
-        .select(
-            "vec_id",
-            F.col("bs.band").alias("band"),
-            F.col("bs.sig").alias("sig"),
+        tagged.withColumn("cnt", F.count(F.lit(1)).over(occ_w))
+        .withColumn("k", _occ_split_bits(F.col("cnt")))
+        .withColumn(
+            "sub",
+            F.expr("xsig & (shiftleft(CAST(1 AS BIGINT), k) - 1)"),
         )
+        .drop("xsig", "cnt", "k")
     )
     # the signature frame feeds BOTH sides of the self-join; without
-    # materialization Spark plans the scan + 32 plane dots twice. Tiny
-    # relative to the corpus (3 narrow columns × b rows/vector) — at scale
-    # this is the standard "materialize the index" step.
+    # materialization Spark plans the scan + the plane dots twice. It
+    # carries the vector + precomputed norm (b× replication of the
+    # embedding column — linear in the corpus, the standard "materialize
+    # the index" trade) so the join can VERIFY IN PLACE below.
     # localCheckpoint, not cache: blocks are reference-GC'd after the
     # query's frames drop, instead of pinning in the session cache forever
     tagged = tagged.localCheckpoint()
-    # candidate generation carries BARE ids: a pair can collide in several
-    # bands, and deduping (a shuffle over the candidate volume) is much
-    # cheaper before re-attaching the 64-float vectors than after.
+    # Verify-in-place: cosine is computed AT THE COLLISION SITE, inside the
+    # bucket join's output stream, and only SURVIVORS (candidates ≥
+    # threshold) reach the pair-dedup shuffle. The earlier spelling carried
+    # bare ids, deduped the full candidate volume, then re-attached the
+    # 64-float vectors with two shuffle joins — measured at a ×100 corpus
+    # replica (200k vectors, skewed real-data signatures → 251M collisions)
+    # that vector re-attach spilled ~70 GB and filled the disk. Collisions
+    # are quadratic in bucket occupancy; survivors are the true output.
+    # Re-computing the dot per duplicate collision is row-local arithmetic
+    # (no exchange), the canonical trade of redundant local compute for
+    # eliminated shuffle volume. Output set is IDENTICAL (round-then-filter
+    # order preserved), so the oracle is unchanged.
     #
     # Parallelism is decided by |keys| = bands×2^rows vs the cluster:
     # when keys are FEWER than ~8× the core count, a plain equi-join
@@ -707,8 +813,22 @@ def _dedup_lsh_pairs(
     # 1000-executor cluster defaultParallelism grows and deep-band key
     # spaces drop back into the salted regime, which is again correct.
     n_keys = bands * (1 << rows)
-    a = tagged.select(F.col("vec_id").alias("id_a"), "band", "sig")
-    b = tagged.select(F.col("vec_id").alias("id_b"), "band", "sig")
+    a = tagged.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("v_a"),
+        F.col("n").alias("n_a"),
+        "band",
+        "sig",
+        "sub",
+    )
+    b = tagged.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("v_b"),
+        F.col("n").alias("n_b"),
+        "band",
+        "sig",
+        "sub",
+    )
     if n_keys < 8 * spark.sparkContext.defaultParallelism:
         n_salt = 16
         n_part = 2 * spark.sparkContext.defaultParallelism
@@ -719,34 +839,18 @@ def _dedup_lsh_pairs(
                 F.sequence(F.lit(0).cast("long"), F.lit(n_salt - 1).cast("long"))
             ),
         )
-        joined = a.repartition(n_part, "band", "sig", "_salt").join(
-            b.repartition(n_part, "band", "sig", "_salt"), ["band", "sig", "_salt"]
+        joined = a.repartition(n_part, "band", "sig", "sub", "_salt").join(
+            b.repartition(n_part, "band", "sig", "sub", "_salt"),
+            ["band", "sig", "sub", "_salt"],
         )
     else:
-        joined = a.join(b, ["band", "sig"])
-    cand = (
-        joined.filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    withnorm = emb.select("vec_id", "embedding", norm.alias("n"))
-    a = withnorm.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("v_a"),
-        F.col("n").alias("n_a"),
-    )
-    b = withnorm.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("v_b"),
-        F.col("n").alias("n_b"),
-    )
+        joined = a.join(b, ["band", "sig", "sub"])
     cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        joined.filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= F.lit(threshold))
+        .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
 
@@ -756,11 +860,13 @@ def dedup_embedding_cosine_lsh_oracle(
     bands: int = DEDUP_LSH_BANDS,
     rows: int = DEDUP_LSH_ROWS,
 ) -> str:
-    # self-adapting structure: plane count / band grouping derive from the
-    # SAME occupancy formula as the engine (sh CTE), in pure integer SQL —
-    # the oracle stays valid at ANY corpus size. MAXP bounds the static
-    # plane table at the 20-doubling cap of the bit_length chain.
-    maxp = (bands + 10) * (rows + 20)
+    # self-adapting structure: plane count / band grouping / graduated
+    # bucket split all derive from the SAME occupancy formulas as the
+    # engine (sh CTE + _occ_split_sql), in pure integer SQL — the oracle
+    # stays valid at ANY corpus size. MAXP bounds the static plane table
+    # at the 20-doubling cap of the bit_length chain, signature + split
+    # planes included.
+    maxp = (bands + 10) * (rows + 20 + LSH_XBITS)
     return f"""
 WITH {_lsh_shape_sql(bands, rows)},
 comp AS (
@@ -776,7 +882,7 @@ planes AS (
     FROM (SELECT unnest(range(0, {maxp})) AS j) j
     CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
     CROSS JOIN sh
-    WHERE j.j < sh.nb * sh.nr
+    WHERE j.j < sh.nb * (sh.nr + {LSH_XBITS})
 ),
 bits AS (
     SELECT c.vec_id, p.j,
@@ -788,12 +894,32 @@ bands AS (
     SELECT t.vec_id, t.j // sh.nr AS band,
            SUM(t.b * CAST(POW(2, t.j % sh.nr) AS BIGINT)) AS sig
     FROM bits t CROSS JOIN sh
+    WHERE t.j < sh.nb * sh.nr
     GROUP BY t.vec_id, t.j // sh.nr
+),
+xbands AS (
+    SELECT t.vec_id, (t.j - sh.nb * sh.nr) // {LSH_XBITS} AS band,
+           SUM(t.b * CAST(POW(2, (t.j - sh.nb * sh.nr) % {LSH_XBITS}) AS BIGINT)) AS xsig
+    FROM bits t CROSS JOIN sh
+    WHERE t.j >= sh.nb * sh.nr
+    GROUP BY t.vec_id, (t.j - sh.nb * sh.nr) // {LSH_XBITS}
+),
+tag AS (
+    SELECT s.vec_id, s.band, s.sig, x.xsig,
+           COUNT(*) OVER (PARTITION BY s.band, s.sig) AS cnt
+    FROM bands s JOIN xbands x
+      ON s.vec_id = x.vec_id AND s.band = x.band
+),
+tag2 AS (
+    SELECT vec_id, band, sig,
+           xsig & ((CAST(1 AS BIGINT) << ({_occ_split_sql()})) - 1) AS sub
+    FROM tag
 ),
 cand AS (
     SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    FROM tag2 a JOIN tag2 b
+      ON a.band = b.band AND a.sig = b.sig AND a.sub = b.sub
+     AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine FROM (
     SELECT c.id_a, c.id_b,
@@ -824,10 +950,11 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pair volume is bucket-bounded by the LSH stage (never all-pairs);
     the propagation loop moves only (id, label) rows — embeddings never
     enter the iteration. The pair stage runs the production 4×8 deep-band
-    shape (same 32 planes as the permissive 8×4 demo, 16× finer buckets):
-    at the demo shape candidate volume grows ~|corpus|²/buckets and already
-    dominates at sf0.1 — banding depth IS the candidate-volume knob, and a
-    clustering pass wants the deep end of it."""
+    shape (same 32 signature planes as the permissive 8×4 demo, 16× finer
+    buckets) plus the graduated occupancy split: at the demo shape
+    candidate volume grows ~|corpus|²/buckets and already dominates at
+    sf0.1 — banding depth IS the candidate-volume knob, and a clustering
+    pass wants the deep end of it."""
     from .text import _connected_components
 
     pairs = dedup_embedding_cosine_lsh(
@@ -994,9 +1121,11 @@ def mmd_rbf_fast(
     spread evenly. The only driver-side values are the two side COUNTS
     (1-row bounds, needed to size the tile grid and normalize the means).
 
-    Returns the same (label_a, label_b, mmd2) shape as ``mmd_rbf``;
-    not oracle-checked (numpy summation order differs) — parity with the
-    relational spelling is pinned to 1e-6 in tests/test_text_vectors.py."""
+    Returns the same (label_a, label_b, mmd2) shape as ``mmd_rbf`` and is
+    hash-checked against the SAME oracle: both engines round to 6 dp and
+    the true numpy-vs-relational |Δ| is pinned <1e-6 in
+    tests/test_text_vectors.py, so the rounded digit agrees on any fixed
+    dataset (verified at sf0.01 and sf0.1)."""
     emb = load_table(spark, sf_dir, "embeddings")
     gamma = 1.0 / (2.0 * sigma * sigma)
 

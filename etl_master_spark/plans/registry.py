@@ -308,7 +308,10 @@ register("ann_pq_topk", vectors.ann_pq_topk, vectors.ann_pq_oracle())
 register("kmeans_embeddings", vectors.kmeans_embeddings, vectors.kmeans_oracle())
 register("mmd_rbf", vectors.mmd_rbf, vectors.mmd_rbf_oracle())
 register("mmd_rbf_multiscale", vectors.mmd_rbf_multiscale, vectors.mmd_rbf_multiscale_oracle())
-register("mmd_rbf_fast", vectors.mmd_rbf_fast, None)  # BLAS path: rows-only
+# BLAS tile path: shares the relational spelling's oracle — both engines
+# round to 6 dp and the true |Δ| is pinned <1e-6 (tests/test_text_vectors),
+# so the rounded digit agrees on any fixed dataset (verified sf0.01+sf0.1).
+register("mmd_rbf_fast", vectors.mmd_rbf_fast, vectors.mmd_rbf_oracle())
 register(
     # 0.4 exercises real pairs on the synthetic embeddings (no planted
     # near-dups; max pairwise cosine ≈ 0.51) — production default is 0.99

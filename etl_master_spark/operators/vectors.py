@@ -1294,17 +1294,23 @@ def _pq_sub(v, m: int):
     return F.slice(v, m * PQ_SUBDIM + 1, PQ_SUBDIM)
 
 
-def _dot_unrolled(a, b, n: int = PQ_SUBDIM):
+def _dot_unrolled(a: str, b: str, n: int = PQ_SUBDIM):
     """Fold-left dot over a FIXED dimension, unrolled into a plain
     left-associated expression chain. Bit-equal to ``_dot`` (same IEEE
     add order; the aggregate's leading ``0.0 +`` cannot change any
     double) but whole-stage-codegen'd — the lambda-based higher-order
     functions evaluate interpreted, which costs ~1 s per million rows
-    in the PQ hot path."""
-    e = a[0].cast("double") * b[0].cast("double")
-    for j in range(1, n):
-        e = e + a[j].cast("double") * b[j].cast("double")
-    return e
+    in the PQ hot path. Takes COLUMN NAMES and parses ONE SQL string:
+    building the same chain as Column operators costs ~2n py4j
+    round-trips per instantiation, which (multiplied by the PQ plan's
+    ~10 instantiations) was ~2 s of pure driver-side plan construction
+    per query build. SQL's ``*``/``+`` are left-associative, so the
+    parsed tree is the identical fold."""
+    terms = " + ".join(
+        f"CAST({a}[{j}] AS DOUBLE) * CAST({b}[{j}] AS DOUBLE)"
+        for j in range(n)
+    )
+    return F.expr(terms)
 
 
 def _pq_vsub(emb: DataFrame) -> DataFrame:
@@ -1312,23 +1318,17 @@ def _pq_vsub(emb: DataFrame) -> DataFrame:
     into PQ_M subvectors, with the fold-left self-dot ``vv`` computed
     ONCE per subvector here so every downstream distance costs a single
     cross-dot."""
+    # one parsed SQL string for the whole subvector array — the Column-
+    # operator spelling cost ~0.9 s of py4j round-trips per query build
+    subs = ", ".join(
+        f"named_struct('m', CAST({m} AS INT), "
+        f"'v', slice(embedding, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM}))"
+        for m in range(PQ_M)
+    )
     return (
-        emb.select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(m).cast("int").alias("m"),
-                            _pq_sub(F.col("embedding"), m).alias("v"),
-                        )
-                        for m in range(PQ_M)
-                    ]
-                )
-            ).alias("s"),
-        )
+        emb.select("vec_id", F.expr(f"explode(array({subs}))").alias("s"))
         .select("vec_id", F.col("s.m").alias("m"), F.col("s.v").alias("v"))
-        .withColumn("vv", _dot_unrolled(F.col("v"), F.col("v")))
+        .withColumn("vv", _dot_unrolled("v", "v"))
     )
 
 
@@ -1353,7 +1353,7 @@ def _pq_d2():
     remaining cross-dot is fold-left in index order, so the value is
     bit-equal to the retired literal-codebook spelling and to the
     oracle's ``list_dot_product`` terms."""
-    return F.col("vv") - 2 * _dot_unrolled(F.col("v"), F.col("c")) + F.col("cc")
+    return F.col("vv") - 2 * _dot_unrolled("v", "c") + F.col("cc")
 
 
 def _pq_assign(vsub: DataFrame, cdf: DataFrame) -> DataFrame:
@@ -1385,42 +1385,47 @@ def _pq_assign(vsub: DataFrame, cdf: DataFrame) -> DataFrame:
     )
 
 
-def _pq_train(emb: DataFrame) -> list[list[list[float]]]:
-    """Per-subspace Lloyd: phash-deterministic init, PQ_ROUNDS update
-    rounds. Assignment is a broadcast-codebook join (``_pq_assign``);
-    each update is ONE map-side-combined aggregation per subspace
-    producing K×SUBDIM values — the only driver traffic,
-    dimension-sized by construction. Empty codes keep their previous
-    centroid (oracle COALESCEs identically)."""
-    spark = emb.sparkSession
-    cents = [
+def _pq_train_cdf(spark: SparkSession, vsub: DataFrame) -> DataFrame:
+    """Per-subspace Lloyd as ONE lazy plan: phash-deterministic init
+    codebook (literal 64-row frame), then PQ_ROUNDS rounds of
+    broadcast-codebook assignment (``_pq_assign``) → per-(m, code)
+    ROUND(avg, 9) centroid update → COALESCE empty codes to the previous
+    round's centroid. Returns the FINAL codebook frame (m, k, c, cc) —
+    centroids never touch the driver. The earlier spelling collected the
+    K×SUBDIM centroids per round and re-embedded them as the next round's
+    literal frame; the per-round job launch + plan analysis was a fixed
+    ~1.2 s regardless of data size, and at bench scale those round-trips
+    were ~70% of the whole query. With PQ_ROUNDS bounded the unrolled
+    plan stays shallow (the iterative-lineage trap starts at ~10 rounds —
+    kmeans keeps the per-round checkpoint loop for exactly that reason).
+    Rounding moves in-plan (F.round, 9 dp) — the oracle applies the same
+    ROUND at each round, so embedded values agree exactly as before."""
+    cents0 = [
         [_pq_centroid_py(m, k) for k in range(PQ_K)] for m in range(PQ_M)
     ]
-    vsub = _pq_vsub(emb)
+    cdf = _pq_cdf(spark, cents0)
     for _ in range(PQ_ROUNDS):
-        assigned = _pq_assign(vsub, _pq_cdf(spark, cents)).select(
+        assigned = _pq_assign(vsub, cdf).select(
             "m", F.col("k").alias("code"), "v"
         )
-        rows = (
-            assigned.groupBy("m", "code")
-            .agg(
-                *[
-                    F.avg(F.col("v")[j].cast("double")).alias(f"w{j}")
-                    for j in range(PQ_SUBDIM)
-                ]
-            )
-            .collect()
+        upd = ", ".join(
+            f"round(avg(CAST(v[{j}] AS DOUBLE)), 9)"
+            for j in range(PQ_SUBDIM)
         )
-        # rounded to 9 dp so both engines embed EXACTLY equal
-        # centroid literals (avg summation order differs at ~1e-16)
-        for m in range(PQ_M):
-            new = {
-                r["code"]: [round(r[f"w{j}"], 9) for j in range(PQ_SUBDIM)]
-                for r in rows
-                if r["m"] == m
-            }
-            cents[m] = [new.get(k, cents[m][k]) for k in range(PQ_K)]
-    return cents
+        newc = assigned.groupBy("m", "code").agg(
+            F.expr(f"array({upd})").alias("c_new")
+        )
+        cdf = (
+            cdf.select("m", "k", F.col("c").alias("c_prev"))
+            .join(
+                F.broadcast(newc.withColumnRenamed("code", "k")),
+                ["m", "k"],
+                "left",
+            )
+            .select("m", "k", F.coalesce("c_new", "c_prev").alias("c"))
+            .withColumn("cc", _dot_unrolled("c", "c"))
+        )
+    return cdf
 
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1458,16 +1463,18 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_pq_core(spark: SparkSession, emb: DataFrame, topk: int = 5) -> DataFrame:
     """PQ train/encode/LUT/score over any (vec_id, embedding) frame —
     split out so tests can plant clustered corpora."""
-    # localCheckpoint, not cache: the training loop re-reads this frame
-    # every round, and reference-GC'd blocks don't pin the session cache
+    # localCheckpoint, not cache: the training rounds re-read this frame,
+    # and reference-GC'd blocks don't pin the session cache
     emb = emb.localCheckpoint()
-    cents = _pq_train(emb)
     vsub = _pq_vsub(emb)
+    # the trained codebook feeds BOTH encode and LUT; checkpoint the
+    # 64-row frame so the two training rounds execute exactly once
+    cdf = _pq_train_cdf(spark, vsub).localCheckpoint()
 
     # encode: 4 codes per vector — broadcast-codebook join + map-side
     # combined argmin; bit-equal to the literal argmin but milliseconds
     # (not seconds) of plan analysis
-    code_long = _pq_assign(vsub, _pq_cdf(spark, cents)).select(
+    code_long = _pq_assign(vsub, cdf).select(
         "vec_id", "m", F.col("k").alias("code")
     )
 
@@ -1475,7 +1482,7 @@ def _ann_pq_core(spark: SparkSession, emb: DataFrame, topk: int = 5) -> DataFram
     # tiny) through the 64-row broadcast join — no literal centroids
     lut = (
         vsub.filter(F.col("vec_id") < N_QUERY_VECS)
-        .join(F.broadcast(_pq_cdf(spark, cents)), "m")
+        .join(F.broadcast(cdf), "m")
         .select(
             F.col("vec_id").alias("query_id"),
             "m",

@@ -1643,27 +1643,27 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every round, and reference-GC'd blocks don't pin the session cache
     emb = emb.localCheckpoint()
 
-    def dist2(cent_col):
-        diff = F.zip_with(
-            F.col("embedding"),
-            cent_col,
-            lambda x, c: x.cast("double") - c.cast("double"),
-        )
-        return F.aggregate(
-            F.transform(diff, lambda d: d * d), F.lit(0.0), lambda acc, v: acc + v
+    # expression builders emit SQL TEXT parsed in one py4j call each —
+    # the Column-operator spelling of the literal argmin (8 clusters ×
+    # 64 F.lit + lambda chains) cost ~1.5 s of driver-side plan
+    # construction per query build (the same py4j lesson as
+    # _dot_unrolled). Double literals carry the D suffix, so
+    # Double.parseDouble round-trips repr() exactly — values unchanged.
+    def dist2_sql(cent_sql: str) -> str:
+        return (
+            f"aggregate(transform(zip_with(embedding, {cent_sql}, "
+            "(x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE)), d -> d * d), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
 
-    def assign(cent_cols):
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        dist2(cv).alias("d2"), F.lit(c).cast("int").alias("cluster")
-                    )
-                    for c, cv in enumerate(cent_cols)
-                ]
-            )
+    def assign(cent_vals: list[list[float]]):
+        structs = ", ".join(
+            "named_struct('d2', "
+            + dist2_sql("array(" + ", ".join(f"{x!r}D" for x in cv) + ")")
+            + f", 'cluster', CAST({c} AS INT))"
+            for c, cv in enumerate(cent_vals)
         )
+        best = F.expr(f"array_min(array({structs}))")
         return emb.select(
             "vec_id",
             "embedding",
@@ -1686,18 +1686,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for c in range(IVF_CELLS)
     ]
-    d2_col = F.aggregate(
-        F.transform(
-            F.zip_with(
-                F.col("embedding"),
-                F.col("c"),
-                lambda x, cc: x.cast("double") - cc.cast("double"),
-            ),
-            lambda d: d * d,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    d2_col = F.expr(dist2_sql("c"))
     for _ in range(KM_ITERS - 1):
         cdf = spark.createDataFrame(
             [(c, cent_vals[c]) for c in range(IVF_CELLS)],
@@ -1715,27 +1704,21 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # update = dim per-component avgs per cluster in ONE agg — k keys
         # × dim columns, pure map-side combine (the posexplode spelling
         # shuffles n·dim skinny rows instead; never explode before reduce)
+        upd = ", ".join(
+            f"avg(CAST(embedding[{i}] AS DOUBLE))" for i in range(dim)
+        )
         rows = (
             assigned.groupBy("cluster")
-            .agg(
-                *[
-                    F.avg(F.col("embedding")[i].cast("double")).alias(f"w{i}")
-                    for i in range(dim)
-                ]
-            )
+            .agg(F.expr(f"array({upd})").alias("cw"))
             .collect()
         )
-        new_vals = {r["cluster"]: [r[f"w{i}"] for i in range(dim)] for r in rows}
+        new_vals = {r["cluster"]: r["cw"] for r in rows}
         cent_vals = [
             [float(x) for x in new_vals[c]] if c in new_vals else cent_vals[c]
             for c in range(IVF_CELLS)
         ]
-    cents = [
-        F.array(*[F.lit(float(x)) for x in cent_vals[c]])
-        for c in range(IVF_CELLS)
-    ]
     return (
-        assign(cents)
+        assign(cent_vals)
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("size"),

@@ -190,6 +190,32 @@ def resize_media(
     )
 
 
+def resize_media_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable face of ``resize_media``: identical stage, payload
+    upper-hex encoded. Binary survives Arrow fine but ``toPandas``
+    materializes it as unhashable ``bytearray``, which no value-hash
+    comparator (the driver's included) can sort — so the BINARY contract
+    stays the registered rows-only query + pytest, and the BYTE MATH gets
+    its oracle here."""
+    return resize_media(spark, sf_dir).select(
+        "media_id", F.hex("payload").alias("payload_hex"), "orig_bytes"
+    )
+
+
+def resize_media_hex_oracle(target_bytes: int = 64) -> str:
+    """Replay of the resize double over hex text (DuckDB has no byte
+    slicing on BLOB; 2 hex chars per byte, NUL pad = '00' pairs) —
+    byte-exact against the engine's ``p[:N].ljust(N, b'\\0')``; both
+    engines emit uppercase hex."""
+    return f"""
+SELECT doc_id AS media_id,
+       rpad(substring(hex(encode(text)), 1, {2 * target_bytes}),
+            {2 * target_bytes}, '00') AS payload_hex,
+       CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes
+FROM documents
+"""
+
+
 FRAME_STRIDE = 16
 
 
@@ -215,3 +241,30 @@ def sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread(media.select("media_id", "payload")).mapInPandas(
         frames, "media_id long, frame_idx int, frame binary"
     )
+
+
+def sample_frames_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable face of ``sample_frames`` (see ``resize_media_hex``
+    for why the binary query itself stays rows-only)."""
+    return sample_frames(spark, sf_dir).select(
+        "media_id", "frame_idx", F.hex("frame").alias("frame_hex")
+    )
+
+
+def sample_frames_hex_oracle(stride: int = FRAME_STRIDE) -> str:
+    """Row-expanding replay of the frame sampler over hex text: one row
+    per ``stride``-byte chunk (last chunk short, never padded). Empty
+    payloads produce zero frames in both engines (range(0, 0) is empty;
+    ceil(0/stride) = 0)."""
+    return f"""
+SELECT doc_id AS media_id,
+       CAST(f.j AS INT) AS frame_idx,
+       substring(hex(encode(text)), f.j * {2 * stride} + 1,
+                 {2 * stride}) AS frame_hex
+FROM documents,
+     LATERAL (
+         SELECT unnest(range(0,
+             CAST(ceil(octet_length(encode(text)) / {stride}.0) AS BIGINT)
+         )) AS j
+     ) f
+"""

@@ -471,8 +471,21 @@ register(
     multimodal.media_features_long,
     multimodal.MEDIA_FEATURES_LONG_ORACLE,
 )
-register("media_resize", multimodal.resize_media, None)  # binary-out: rows-only
-register("media_frames", multimodal.sample_frames, None)  # row-expanding: rows-only
+# binary-out stages: rows-only — toPandas yields unhashable bytearrays no
+# value-hash comparator can sort. The BYTE MATH is hash-checked through
+# the *_hex faces below (same stage, hex-encoded payload).
+register("media_resize", multimodal.resize_media, None)
+register("media_frames", multimodal.sample_frames, None)
+register(
+    "media_resize_hex",
+    multimodal.resize_media_hex,
+    multimodal.resize_media_hex_oracle(),
+)
+register(
+    "media_frames_hex",
+    multimodal.sample_frames_hex,
+    multimodal.sample_frames_hex_oracle(),
+)
 
 
 # -- model path (not SQL-expressible: rows-only by design) -------------------
@@ -539,7 +552,8 @@ _PRIORITY = [
     # (a) never driver-checked
     "ann_pq_topk", "dedup_representatives", "lm_perplexity_scores",
     "simhash64", "approx_profiles", "media_features", "media_resize",
-    "media_frames", "als_eval_test", "cdae_eval_test",
+    "media_frames", "media_resize_hex", "media_frames_hex",
+    "als_eval_test", "cdae_eval_test",
     # (b) changed this round
     "gan_eval_test", "bm25_search", "dedup_clusters", "dedup_incremental",
     "minhash_lsh_pairs", "embedding_dedup_clusters",

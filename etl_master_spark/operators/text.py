@@ -461,6 +461,24 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     = md5 of 4 signature values; docs sharing any band bucket become a
     candidate pair (the only join, keyed by band digest — uniformly spread,
     skew-free). Output: (doc_a, doc_b, n_shared_bands)."""
+    bands = _minhash_bands(spark, sf_dir)
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bkey) LSH band frame, checkpointed — the
+    materialized index that BOTH the pair query (self-join) and the
+    clustering star edges build on. Hash family documented in
+    ``minhash_lsh_pairs``."""
     from ..functions.hashing import PHASH_P
 
     docs = load_table(spark, sf_dir, "documents")
@@ -522,28 +540,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    bands = (
+    return (
         sig.select("doc_id", F.explode(band_structs).alias("bb"))
         .select(
             "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
         )
-        # both sides of the self-join read this 4×|docs|-row frame; without
+        # every consumer (both sides of the pair self-join, or the star-
+        # edge window) re-reads this 4×|docs|-row frame; without
         # materialization the shingle→md5→signature subtree (the expensive
-        # part) executes once per side. localCheckpoint, not cache: its
+        # part) executes once per consumer. localCheckpoint, not cache: its
         # blocks are reference-GC'd when the query's frames go out of
         # scope, so a long session (82-query bench, notebook) never
         # accumulates pinned cache entries
         .localCheckpoint()
-    )
-    return (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bkey"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -743,8 +752,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exponentially with iterations (the classic iterative-DataFrame trap).
     Convergence is detected by a changed-label count, which shares the
     round's shuffle work. Not expressible as one SQL query in Spark —
-    the DuckDB oracle uses WITH RECURSIVE for the same fixpoint."""
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    the DuckDB oracle uses WITH RECURSIVE for the same fixpoint.
+
+    Edge generation is STAR edges per LSH bucket — (bucket-min doc,
+    member) — not the all-pairs collisions ``minhash_lsh_pairs`` reports:
+    labels depend only on CONNECTIVITY, and within a band bucket every
+    member is connected through the minimum, so the component labels are
+    IDENTICAL (the oracle keeps replaying the all-pairs fixpoint and
+    still matches) while a dup group of g docs contributes O(g) edges
+    instead of O(g²). On a dup-heavy corpus this is the difference
+    between linear and quadratic: the ×100 replica (dup groups of ~100)
+    generates ~119M collision pairs but only ~2.4M star edges."""
+    bands = _minhash_bands(spark, sf_dir)
+    w = Window.partitionBy("band", "bkey")
+    pairs = (
+        bands.withColumn("root", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(F.col("root").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
     nodes = load_table(spark, sf_dir, "documents").select("doc_id")
     return _connected_components(nodes, pairs)
 

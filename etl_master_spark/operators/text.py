@@ -950,8 +950,11 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~50k real entries) and broadcastable at ANY corpus size; scoring is
     one explode + one broadcast join + one per-doc aggregation. The
     trigram stream never re-shuffles: count aggregation is map-side
-    combined, and the per-doc mean keys on doc_id."""
-    docs = load_table(spark, sf_dir, "documents")
+    combined, and the per-doc mean keys on doc_id. ``spread`` splits the
+    under-partitioned small-file input before the per-char explode — the
+    most expensive projection in this plan (a real cluster's scans arrive
+    pre-split; see sources.io)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # length guard: Spark's sequence(1, n) DESCENDS for n < 1 (the same
     # trap bigram_counts documents) — short docs must not reach it
     tri = docs.filter(F.length("text") >= 3).select(
@@ -1334,7 +1337,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     by doc_id, exactly what the final rank window needs: Catalyst chains
     the two window operators with NO exchange between them. The df side
     is |vocabulary| rows, which AQE broadcasts while it fits; the
-    doc-count N is a scalar aggregate both engines fold cheaply."""
+    doc-count N is a scalar aggregate both engines fold cheaply.
+    (No ``spread`` here — measured: the split+explode is cheap enough that
+    the raw-row exchange costs more than the parallelism buys; the first
+    groupBy redistributes anyway.)"""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "best_epoch_reeval",
     "ann_cosine_topk",
     "kmeans_embeddings",
+    "semantic_dedup",
     "dedup_embedding_cosine_lsh_p99",
     "lsh_buckets",
     "ann_lsh_topk",

@@ -1637,48 +1637,67 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitors. Empty clusters keep their previous centroid (guarded
     identically in the oracle via COALESCE).
     """
-    dim = 64
     emb = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     # localCheckpoint, not cache: the training loop re-reads this frame
     # every round, and reference-GC'd blocks don't pin the session cache
     emb = emb.localCheckpoint()
-
-    # expression builders emit SQL TEXT parsed in one py4j call each —
-    # the Column-operator spelling of the literal argmin (8 clusters ×
-    # 64 F.lit + lambda chains) cost ~1.5 s of driver-side plan
-    # construction per query build (the same py4j lesson as
-    # _dot_unrolled). Double literals carry the D suffix, so
-    # Double.parseDouble round-trips repr() exactly — values unchanged.
-    def dist2_sql(cent_sql: str) -> str:
-        return (
-            f"aggregate(transform(zip_with(embedding, {cent_sql}, "
-            "(x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE)), d -> d * d), "
-            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    cent_vals = _km_train(spark, emb)
+    return (
+        _km_literal_assign(emb, cent_vals)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.round(F.sum("d2"), 3).alias("inertia"),
         )
+        .orderBy("cluster")
+    )
 
-    def assign(cent_vals: list[list[float]]):
-        structs = ", ".join(
-            "named_struct('d2', "
-            + dist2_sql("array(" + ", ".join(f"{x!r}D" for x in cv) + ")")
-            + f", 'cluster', CAST({c} AS INT))"
-            for c, cv in enumerate(cent_vals)
-        )
-        best = F.expr(f"array_min(array({structs}))")
-        return emb.select(
-            "vec_id",
-            "embedding",
-            best["cluster"].alias("cluster"),
-            best["d2"].alias("d2"),
-        )
 
-    # training rounds assign through a broadcast k-row centroid frame +
-    # window argmin (the oracle's own CROSS JOIN shape) instead of the
-    # literal-centroid struct argmin: a fresh k×dim-literal expression per
-    # round costs Catalyst-analysis seconds regardless of data size (the
-    # PQ lesson, see _pq_train). dist2 keeps the identical zip-with
-    # Σ(x−c)² fold, so assignments — and the trajectory — are unchanged.
-    # The FINAL assignment (once per query) keeps the row-local literal
-    # form that is right at scale.
+# expression builders emit SQL TEXT parsed in one py4j call each — the
+# Column-operator spelling of the literal argmin (8 clusters × 64 F.lit +
+# lambda chains) cost ~1.5 s of driver-side plan construction per query
+# build (the same py4j lesson as _dot_unrolled). Double literals carry the
+# D suffix, so Double.parseDouble round-trips repr() exactly.
+def _km_dist2_sql(cent_sql: str) -> str:
+    return (
+        f"aggregate(transform(zip_with(embedding, {cent_sql}, "
+        "(x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE)), d -> d * d), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _km_literal_assign(emb: DataFrame, cent_vals: list[list[float]]) -> DataFrame:
+    """Row-local literal-argmin assignment against a trained codebook —
+    the once-per-query FINAL assignment shape (no join, right at scale).
+    Output: (vec_id, embedding, cluster, d2)."""
+    structs = ", ".join(
+        "named_struct('d2', "
+        + _km_dist2_sql("array(" + ", ".join(f"{x!r}D" for x in cv) + ")")
+        + f", 'cluster', CAST({c} AS INT))"
+        for c, cv in enumerate(cent_vals)
+    )
+    best = F.expr(f"array_min(array({structs}))")
+    return emb.select(
+        "vec_id",
+        "embedding",
+        best["cluster"].alias("cluster"),
+        best["d2"].alias("d2"),
+    )
+
+
+def _km_train(
+    spark: SparkSession, emb: DataFrame, dim: int = 64
+) -> list[list[float]]:
+    """KM_ITERS−1 Lloyd refinement rounds from the deterministic phash
+    init; returns the trained k×dim centroid list (the tiny driver-side
+    artifact both `kmeans_embeddings` and `semantic_dedup` assign with).
+
+    Training rounds assign through a broadcast k-row centroid frame +
+    window argmin (the oracle's own CROSS JOIN shape) instead of the
+    literal-centroid struct argmin: a fresh k×dim-literal expression per
+    round costs Catalyst-analysis seconds regardless of data size (the
+    PQ lesson, see _pq_train). dist2 keeps the identical zip-with
+    Σ(x−c)² fold, so assignments — and the trajectory — are unchanged."""
     cent_vals: list[list[float]] = [
         [
             phash_py(c, i, seed=IVF_SEED) / float(PHASH_P) - 0.5
@@ -1686,7 +1705,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for c in range(IVF_CELLS)
     ]
-    d2_col = F.expr(dist2_sql("c"))
+    d2_col = F.expr(_km_dist2_sql("c"))
     for _ in range(KM_ITERS - 1):
         cdf = spark.createDataFrame(
             [(c, cent_vals[c]) for c in range(IVF_CELLS)],
@@ -1717,22 +1736,31 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             [float(x) for x in new_vals[c]] if c in new_vals else cent_vals[c]
             for c in range(IVF_CELLS)
         ]
-    return (
-        assign(cent_vals)
-        .groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("size"),
-            F.round(F.sum("d2"), 3).alias("inertia"),
-        )
-        .orderBy("cluster")
-    )
+    return cent_vals
 
 
 def kmeans_oracle() -> str:
     """Unrolled-CTE replay of the full Lloyd trajectory: cent0 from the
     phash planes, then KM_ITERS−1 (assign → per-dim avg → COALESCE empty)
     rounds, final assignment aggregated to (cluster, size, inertia)."""
-    dim = 64
+    parts, last = _km_oracle_parts()
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT cluster, COUNT(*) AS size, ROUND(SUM(d2), 3) AS inertia
+FROM a{last}
+GROUP BY cluster
+ORDER BY cluster
+"""
+    )
+
+
+def _km_oracle_parts(dim: int = 64) -> tuple[list[str], int]:
+    """Shared unrolled-CTE replay of the Lloyd trajectory (phash init →
+    KM_ITERS−1 assign/update rounds → final assignment CTE ``a{last}``
+    with per-vector (vec_id, e, cluster, d2)). `kmeans_oracle` aggregates
+    it; `semantic_dedup_oracle` prunes within its clusters."""
     cent0 = f"""
 cent0 AS (
     SELECT c.cell AS cluster, list(p.w ORDER BY p.i) AS c
@@ -1779,14 +1807,116 @@ cent{t + 1} AS (
     ) n ON p.cluster = n.cluster
 )"""
             parts.append(update.strip())
-    last = KM_ITERS - 1
+    return parts, KM_ITERS - 1
+
+
+# -- SemDeDup: cluster-then-prune semantic deduplication ---------------------
+
+# Production SemDeDup runs τ ≈ 0.95+ against real (correlated) embeddings;
+# this synthetic corpus is near-isotropic (pairwise cosines ~N(0, 1/64),
+# σ = 0.125), so 0.3 ≈ +2.4σ is the threshold that actually exercises the
+# prune path at test scale. The planted-cluster test pins the operator's
+# effectiveness at a production-like τ.
+SEMDEDUP_TAU = 0.3
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embedding corpus, then prune near-duplicates WITHIN each cluster by
+    exact cosine — the semantic member of the dedup family (exact /
+    Jaccard / MinHash-LSH / SimHash / cosine-LSH / semantic). Clustering
+    bounds the quadratic: all-pairs cosine runs per cluster, O(n²/k)
+    total, and k scales with the corpus so cluster populations stay
+    bounded (the paper's own scaling story — at 100 TB you raise k, not
+    the pair budget; cluster sizes are also exactly the `kmeans_embeddings`
+    output, so the budget is observable before committing to the join).
+
+    Reuses the deterministic Lloyd trajectory of `kmeans_embeddings`
+    (`_km_train` — phash init, broadcast-frame training assignment) and
+    its literal-argmin final assignment, so the full pipeline is
+    oracle-replayable. The prune rule is deterministic: a vector is
+    dropped iff some SAME-CLUSTER peer with a LOWER vec_id matches at
+    cosine ≥ τ (rounded 6dp in both engines) — the classic keep-first
+    representative choice, no randomness to reproduce.
+
+    Plan shape: one equi-join on `cluster` (k keys — the per-key work is
+    the point: it IS the bounded intra-cluster pair stream), norms
+    computed once per SIDE not per pair, map-side-combined per-victim
+    count, then a left join back onto the full corpus so kept vectors
+    emerge with n_dups = 0."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    emb = emb.localCheckpoint()
+    cent_vals = _km_train(spark, emb)
+    assigned = _km_literal_assign(emb, cent_vals).select(
+        "vec_id", "embedding", "cluster"
+    )
+    return _semantic_dedup_core(assigned)
+
+
+def _semantic_dedup_core(
+    assigned: DataFrame, tau: float = SEMDEDUP_TAU
+) -> DataFrame:
+    """Intra-cluster cosine prune over any (vec_id, embedding, cluster)
+    frame — split out so tests can plant clustered near-duplicates and
+    check the keep/drop decisions at a production-like τ."""
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    lhs = assigned.select(
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("v_a"),
+        norm.alias("n_a"),
+    )
+    rhs = assigned.select(
+        "cluster",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("v_b"),
+        norm.alias("n_b"),
+    )
+    cos = F.round(
+        _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
+    )
+    dup_counts = (
+        lhs.join(rhs, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= F.lit(tau))
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dups"))
+    )
+    return (
+        assigned.select("vec_id", "cluster")
+        .join(dup_counts, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
+            (F.coalesce("n_dups", F.lit(0)) == 0).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semantic_dedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
+    parts, last = _km_oracle_parts()
     return (
         "WITH "
         + ",\n".join(parts)
-        + f"""
-SELECT cluster, COUNT(*) AS size, ROUND(SUM(d2), 3) AS inertia
-FROM a{last}
-GROUP BY cluster
-ORDER BY cluster
+        + f""",
+sd_dups AS (
+    SELECT b.vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM a{last} a JOIN a{last} b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE ROUND(
+            list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))), 6) >= {tau!r}
+    GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cluster,
+       CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups,
+       COALESCE(d.n_dups, 0) = 0 AS keep
+FROM a{last} s LEFT JOIN sd_dups d ON s.vec_id = d.vec_id
+ORDER BY s.vec_id
 """
     )

@@ -306,6 +306,8 @@ register(
 register("ann_ivf_topk", vectors.ann_ivf_topk, vectors.ann_ivf_oracle())
 register("ann_pq_topk", vectors.ann_pq_topk, vectors.ann_pq_oracle())
 register("kmeans_embeddings", vectors.kmeans_embeddings, vectors.kmeans_oracle())
+# SemDeDup: reuses the kmeans trajectory, prunes within clusters by cosine
+register("semantic_dedup", vectors.semantic_dedup, vectors.semantic_dedup_oracle())
 register("mmd_rbf", vectors.mmd_rbf, vectors.mmd_rbf_oracle())
 register("mmd_rbf_multiscale", vectors.mmd_rbf_multiscale, vectors.mmd_rbf_multiscale_oracle())
 # BLAS tile path: shares the relational spelling's oracle — both engines
@@ -559,7 +561,7 @@ _PRIORITY = [
     "minhash_lsh_pairs", "embedding_dedup_clusters",
     "dedup_embedding_cosine_lsh_p99", "dedup_embedding_cosine_lsh",
     "dedup_embedding_cosine", "triangle_count", "kmeans_embeddings",
-    "mmd_rbf_fast", "mmd_rbf_multiscale", "mmd_rbf", "duplicate_passages",
+    "semantic_dedup", "mmd_rbf_fast", "mmd_rbf_multiscale", "mmd_rbf", "duplicate_passages",
     "dedup_exact", "dedup_ngram_jaccard",
     "prior_family_stats",
     # (c) family representatives

@@ -399,3 +399,33 @@ def test_lsh_dedup_adaptive_depth_keeps_planted_recall(spark):
         .collect()
     }
     assert got == {(i, 1_000_000 + i) for i in range(5)}
+
+
+def test_semantic_dedup_planted_near_duplicates(spark):
+    """SemDeDup effectiveness at a production-like τ: plant clustered
+    vectors where some members are near-identical copies (cos > 0.99) and
+    others are merely same-cluster neighbors (cos well under τ). The
+    prune must drop exactly the copies, keep the lowest-id representative
+    of each copy set, and never cross cluster boundaries."""
+    import numpy as np
+
+    from etl_master_spark.operators.vectors import _semantic_dedup_core
+
+    rng = np.random.default_rng(29)
+    rows = []
+    # cluster 0: ids 0,1 near-identical; id 2 orthogonal-ish neighbor
+    base = rng.normal(0.0, 1.0, 64)
+    rows.append((0, [float(x) for x in base], 0))
+    rows.append((1, [float(x) for x in base + rng.normal(0, 1e-3, 64)], 0))
+    rows.append((2, [float(x) for x in rng.normal(0.0, 1.0, 64)], 0))
+    # cluster 1: id 3 is ANOTHER near-copy of base — different cluster, so
+    # it must survive (the prune is intra-cluster by construction)
+    rows.append((3, [float(x) for x in base + rng.normal(0, 1e-3, 64)], 1))
+    rows.append((4, [float(x) for x in rng.normal(0.0, 1.0, 64)], 1))
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, cluster int"
+    )
+    out = {r["vec_id"]: r for r in _semantic_dedup_core(assigned, tau=0.95).collect()}
+    assert [out[i]["keep"] for i in range(5)] == [True, False, True, True, True]
+    assert out[1]["n_dups"] == 1  # dropped by its lower-id twin only
+    assert all(out[i]["n_dups"] == 0 for i in (0, 2, 3, 4))

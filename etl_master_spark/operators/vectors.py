@@ -1819,6 +1819,12 @@ cent{t + 1} AS (
 # effectiveness at a production-like τ.
 SEMDEDUP_TAU = 0.3
 
+# loud-fail ceiling on MEAN cluster population (n / IVF_CELLS): the prune
+# stream is Σ sizeᵢ² cosines, so a corpus that outgrows its cluster count
+# must raise k (re-cluster finer), not silently melt the stage — the same
+# guard idiom as COSINE_EXACT_MAX_ROWS. 10k mean ⇒ ~10⁸ cosines at k=8.
+SEMDEDUP_MAX_AVG_CLUSTER = 10_000
+
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
@@ -1848,6 +1854,16 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     emb = emb.localCheckpoint()
+    n = emb.count()  # free: reads the checkpointed blocks just written
+    if n > SEMDEDUP_MAX_AVG_CLUSTER * IVF_CELLS:
+        raise ValueError(
+            f"semantic_dedup: {n} vectors over IVF_CELLS={IVF_CELLS} "
+            f"clusters exceeds the mean-population ceiling "
+            f"{SEMDEDUP_MAX_AVG_CLUSTER} — the intra-cluster cosine "
+            "stream is quadratic per cluster. Raise the cluster count in "
+            "step with the corpus (the SemDeDup scaling rule) instead of "
+            "melting this stage."
+        )
     cent_vals = _km_train(spark, emb)
     assigned = _km_literal_assign(emb, cent_vals).select(
         "vec_id", "embedding", "cluster"

@@ -429,3 +429,16 @@ def test_semantic_dedup_planted_near_duplicates(spark):
     assert [out[i]["keep"] for i in range(5)] == [True, False, True, True, True]
     assert out[1]["n_dups"] == 1  # dropped by its lower-id twin only
     assert all(out[i]["n_dups"] == 0 for i in (0, 2, 3, 4))
+
+
+def test_semantic_dedup_guard_raises_on_oversized_clusters(spark, sf_dir, monkeypatch):
+    """The mean-cluster-population ceiling must fail loudly (pointing at
+    the raise-k scaling rule) before the quadratic intra-cluster stream
+    is ever planned."""
+    import pytest as _pytest
+
+    from etl_master_spark.operators import vectors as V
+
+    monkeypatch.setattr(V, "SEMDEDUP_MAX_AVG_CLUSTER", 1)
+    with _pytest.raises(ValueError, match="quadratic per cluster"):
+        V.semantic_dedup(spark, sf_dir)

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "duplicate_passages",
     "bm25_search",
     "hashed_tf_vectors",
+    "dsir_weights",
     "lm_perplexity_scores",
     "simhash64",
     "simhash64_jvm",

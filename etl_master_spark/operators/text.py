@@ -1468,6 +1468,134 @@ ORDER BY doc_id, dim
 """
 
 
+# -- DSIR importance weights --------------------------------------------------
+
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169), the distribution-matching member of the curation
+    family: score every document by how much more likely its hashed
+    features are under a TARGET corpus' unigram feature model than under
+    the raw corpus' — the weights a pretraining pipeline resamples with
+    to steer a web crawl toward a curated distribution. Target here =
+    the ``lang = 'en'`` slice (any predicate works); features are the
+    same md5-bucket hashing trick `hashed_tf_vectors` uses (the paper
+    hashes uni+bi-grams — identical plumbing, one more explode).
+
+    Both bucket models are Laplace-smoothed over the FIXED
+    ``HASH_VEC_DIM`` feature space — model frames are D rows, broadcast
+    at any corpus size; the per-doc score is one map-side-combined
+    (doc, bucket) count + one broadcast join + one per-doc aggregation
+    (exactly the `lm_perplexity_scores` shape). Per-token
+    ``avg_log_ratio`` rides along: the paper's raw sum favors long
+    documents, and the packing/chunking family downstream cares about
+    per-token quality. The resampling DRAW itself (Gumbel top-k) is
+    deliberately out of scope: it is the one nondeterministic step, and
+    `stratified_sample`'s seeded-hash machinery already covers
+    reproducible sampling."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    terms = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    h = F.md5("term")
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))
+    ) % HASH_VEC_DIM
+    feats = terms.select("doc_id", "lang", bucket.alias("bucket"))
+    # feeds the doc counts AND both corpus models; materialize the narrow
+    # (doc, lang, bucket) stream once (the materialize-the-index step)
+    feats = feats.localCheckpoint()
+    doc_b = feats.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    raw = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        feats.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    totals = feats.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("n_tgt"),
+    )
+    d = F.lit(HASH_VEC_DIM)
+    lr = F.log(
+        (F.coalesce("c_tgt", F.lit(0)) + 1)
+        / (F.col("n_tgt") + d).cast("double")
+    ) - F.log((F.col("c_raw") + 1) / (F.col("n_raw") + d).cast("double"))
+    model = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("bucket", lr.alias("lr"))
+    )
+    avg_lr = F.round(
+        F.sum(F.col("c") * F.col("lr")) / F.sum("c"), 6
+    )
+    return (
+        doc_b.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_terms"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 6).alias(
+                "sum_log_ratio"
+            ),
+            avg_lr.alias("avg_log_ratio"),
+            (avg_lr > 0).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DSIR_WEIGHTS_ORACLE = f"""
+WITH terms AS (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+feats AS (
+    SELECT doc_id, lang,
+           (ascii(substr(md5(term), 1, 1)) * 31
+            + ascii(substr(md5(term), 2, 1))) % {HASH_VEC_DIM} AS bucket
+    FROM terms WHERE term <> ''
+),
+doc_b AS (
+    SELECT doc_id, bucket, COUNT(*) AS c FROM feats GROUP BY 1, 2
+),
+raw AS (SELECT bucket, COUNT(*) AS c_raw FROM feats GROUP BY 1),
+tgt AS (
+    SELECT bucket, COUNT(*) AS c_tgt FROM feats
+    WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1
+),
+tot AS (
+    SELECT COUNT(*) AS n_raw,
+           SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+               AS n_tgt
+    FROM feats
+),
+model AS (
+    SELECT r.bucket,
+           LN((COALESCE(t.c_tgt, 0) + 1)
+              / CAST(tot.n_tgt + {HASH_VEC_DIM} AS DOUBLE))
+         - LN((r.c_raw + 1)
+              / CAST(tot.n_raw + {HASH_VEC_DIM} AS DOUBLE)) AS lr
+    FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket CROSS JOIN tot
+)
+SELECT d.doc_id,
+       CAST(SUM(d.c) AS BIGINT) AS n_terms,
+       ROUND(SUM(d.c * m.lr), 6) AS sum_log_ratio,
+       ROUND(SUM(d.c * m.lr) / SUM(d.c), 6) AS avg_log_ratio,
+       ROUND(SUM(d.c * m.lr) / SUM(d.c), 6) > 0 AS selected
+FROM doc_b d JOIN model m ON d.bucket = m.bucket
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # -- BM25 full-text retrieval -------------------------------------------------
 
 BM25_K1 = 1.2

@@ -277,6 +277,8 @@ register("bm25_search", text.bm25_search, text.bm25_oracle())
 register(
     "hashed_tf_vectors", text.hashed_tf_vectors, text.HASHED_TF_VECTORS_ORACLE
 )
+# DSIR distribution-matching weights (hashed features, broadcast models)
+register("dsir_weights", text.dsir_weights, text.DSIR_WEIGHTS_ORACLE)
 register("stratified_sample", text.stratified_sample, text.stratified_sample_oracle())
 register(
     "doc_length_percentiles",
@@ -561,7 +563,7 @@ _PRIORITY = [
     "minhash_lsh_pairs", "embedding_dedup_clusters",
     "dedup_embedding_cosine_lsh_p99", "dedup_embedding_cosine_lsh",
     "dedup_embedding_cosine", "triangle_count", "kmeans_embeddings",
-    "semantic_dedup", "mmd_rbf_fast", "mmd_rbf_multiscale", "mmd_rbf", "duplicate_passages",
+    "semantic_dedup", "dsir_weights", "mmd_rbf_fast", "mmd_rbf_multiscale", "mmd_rbf", "duplicate_passages",
     "dedup_exact", "dedup_ngram_jaccard",
     "prior_family_stats",
     # (c) family representatives

@@ -206,3 +206,31 @@ def test_mixture_weights_identities(spark, sf_dir):
     rows = sorted(rows, key=lambda r: r["n_tokens"])
     assert rows[0]["sampling_factor"] > 1.0
     assert rows[-1]["sampling_factor"] < 1.0
+
+
+def test_dsir_weights_separate_target_language(spark, sf_dir):
+    """DSIR weights must actually discriminate: documents FROM the target
+    slice (lang='en') should average a higher importance log-ratio than
+    the rest of the corpus — the whole point of distribution matching.
+    Also pins the output contract: one row per non-empty doc, selected
+    iff rounded avg_log_ratio > 0."""
+    from pyspark.sql import functions as F
+
+    from etl_master_spark.operators.text import DSIR_TARGET_LANG, dsir_weights
+    from etl_master_spark.sources.io import load_table
+
+    out = dsir_weights(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = out.join(docs, "doc_id")
+    means = {
+        r["is_target"]: r["m"]
+        for r in j.groupBy(
+            (F.col("lang") == DSIR_TARGET_LANG).alias("is_target")
+        )
+        .agg(F.avg("avg_log_ratio").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False], means
+    rows = out.collect()
+    assert all((r["avg_log_ratio"] > 0) == r["selected"] for r in rows)
+    assert all(r["n_terms"] > 0 for r in rows)

@@ -36,6 +36,7 @@ BNLJ_OK = {
     "mmd_rbf_fast",  # tile-grid block-nested-loop: the intended Gram shape
     "tfidf_top_terms",
     "lm_perplexity_scores",  # 1-row trigram total joined onto the vocab
+    "dsir_weights",  # 1-row corpus totals cross-joined onto the D-row models
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

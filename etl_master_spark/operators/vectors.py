@@ -1865,8 +1865,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "melting this stage."
         )
     cent_vals = _km_train(spark, emb)
-    assigned = _km_literal_assign(emb, cent_vals).select(
-        "vec_id", "embedding", "cluster"
+    # the assignment feeds both self-join sides plus the final output
+    # select; materialize it once instead of evaluating the k×dim literal
+    # argmin three times (this is the "persist the assignments" step a
+    # production SemDeDup pass writes to parquet anyway)
+    assigned = (
+        _km_literal_assign(emb, cent_vals)
+        .select("vec_id", "embedding", "cluster")
+        .localCheckpoint()
     )
     return _semantic_dedup_core(assigned)
 

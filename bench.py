@@ -135,12 +135,13 @@ def main() -> None:
                 print(f"WARM FAIL {name}: {errors[name]}", file=sys.stderr)
         spark.catalog.clearCache()
 
-    # two interleaved timed passes, keep the per-query minimum: the host's
+    # three interleaved timed passes, keep the per-query minimum: the host's
     # vCPUs are shared and a noisy-neighbor window can inflate a single
     # measurement 5-30x; interleaving means a slow window hits different
     # queries in each pass, and min() recovers the engine's real cost
+    # (round 4: 2 -> 3 passes — the min of two still swung ~10% run-to-run)
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in BENCH_QUERIES:
             if name in errors:
                 continue

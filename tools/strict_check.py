@@ -10,6 +10,13 @@ Differences from driver_replay.py (which keeps a float-tolerant compare):
 - every query runs in isolation; one failure never stops the sweep.
 
 Usage: python tools/strict_check.py [sf_dir] [name_substring ...]
+
+Caveat for non-default sf_dir: the three frozen-scores model evals
+(als/cdae/gan_eval_test) freeze per-sf but their STATIC oracle strings
+must name one path, and they name the driver's sf0.01 gate (see
+ranking.frozen_eval_oracle) — at any other sf_dir those three report a
+size mismatch BY CONSTRUCTION, not a correctness failure (pytest
+replays other scales through frozen_eval_oracle(sf_name=...)).
 """
 
 from __future__ import annotations

@@ -1410,6 +1410,25 @@ WHERE rnk <= {TFIDF_TOP_TERMS}
 HASH_VEC_DIM = 64
 
 
+def _hash_bucket(term_col: str = "term", dim: int = HASH_VEC_DIM) -> F.Column:
+    """md5-char feature-hash bucket — THE engine's portable hashing-trick
+    dim, shared by `hashed_tf_vectors` and `dsir_weights` (one definition,
+    or the two operators' feature spaces silently diverge). ascii-of-hex
+    arithmetic, chosen over xxhash64 because DuckDB evaluates it
+    identically (`_hash_bucket_sql` is the verbatim SQL twin)."""
+    h = F.md5(term_col)
+    return (
+        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))
+    ) % dim
+
+
+def _hash_bucket_sql(term_expr: str = "term", dim: int = HASH_VEC_DIM) -> str:
+    return (
+        f"(ascii(substr(md5({term_expr}), 1, 1)) * 31"
+        f" + ascii(substr(md5({term_expr}), 2, 1))) % {dim}"
+    )
+
+
 def hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashed term-frequency vectors (the hashing trick, Weinberger
     et al. '09): every document becomes a ``HASH_VEC_DIM``-dim sparse vector
@@ -1433,13 +1452,10 @@ def hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
         .filter(F.col("term") != "")
     )
-    h = F.md5("term")
-    dim = (
-        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))
-    ) % HASH_VEC_DIM
-    sign = F.when(F.ascii(F.substring(h, 3, 1)) % 2 == 0, F.lit(1)).otherwise(
-        F.lit(-1)
-    )
+    dim = _hash_bucket()
+    sign = F.when(
+        F.ascii(F.substring(F.md5("term"), 3, 1)) % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
     return (
         terms.select("doc_id", dim.alias("dim"), sign.alias("s"))
         .groupBy("doc_id", "dim")
@@ -1455,8 +1471,7 @@ WITH terms AS (
 ),
 h AS (
     SELECT doc_id,
-           (ascii(substr(md5(term), 1, 1)) * 31
-            + ascii(substr(md5(term), 2, 1))) % {HASH_VEC_DIM} AS dim,
+           {_hash_bucket_sql()} AS dim,
            CASE WHEN ascii(substr(md5(term), 3, 1)) % 2 = 0
                 THEN 1 ELSE -1 END AS s
     FROM terms WHERE term <> ''
@@ -1501,11 +1516,9 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.split(F.col("text"), " ")).alias("term"),
     ).filter(F.col("term") != "")
-    h = F.md5("term")
-    bucket = (
-        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))
-    ) % HASH_VEC_DIM
-    feats = terms.select("doc_id", "lang", bucket.alias("bucket"))
+    feats = terms.select(
+        "doc_id", "lang", _hash_bucket().alias("bucket")
+    )
     # feeds the doc counts AND both corpus models; materialize the narrow
     # (doc, lang, bucket) stream once (the materialize-the-index step)
     feats = feats.localCheckpoint()
@@ -1559,8 +1572,7 @@ WITH terms AS (
 ),
 feats AS (
     SELECT doc_id, lang,
-           (ascii(substr(md5(term), 1, 1)) * 31
-            + ascii(substr(md5(term), 2, 1))) % {HASH_VEC_DIM} AS bucket
+           {_hash_bucket_sql()} AS bucket
     FROM terms WHERE term <> ''
 ),
 doc_b AS (

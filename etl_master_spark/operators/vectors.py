@@ -1819,11 +1819,17 @@ cent{t + 1} AS (
 # effectiveness at a production-like τ.
 SEMDEDUP_TAU = 0.3
 
-# loud-fail ceiling on MEAN cluster population (n / IVF_CELLS): the prune
-# stream is Σ sizeᵢ² cosines, so a corpus that outgrows its cluster count
-# must raise k (re-cluster finer), not silently melt the stage — the same
-# guard idiom as COSINE_EXACT_MAX_ROWS. 10k mean ⇒ ~10⁸ cosines at k=8.
+# loud-fail ceilings: the prune stream is Σ sizeᵢ² cosines, so a corpus
+# that outgrows its cluster count must raise k (re-cluster finer), not
+# silently melt the stage — the same guard idiom as COSINE_EXACT_MAX_ROWS.
+# MEAN (n / IVF_CELLS, checked from parquet metadata BEFORE any
+# materialization) catches the oversized corpus cheaply; MAX (checked from
+# the trained assignment, whose blocks the join needs anyway) catches the
+# skew case a mean bound misses — Lloyd can legally collapse most of a
+# correlated corpus into one cell, and one 70k-member cluster is ~2.4e9
+# cosines on a single join key no matter how healthy the mean looks.
 SEMDEDUP_MAX_AVG_CLUSTER = 10_000
+SEMDEDUP_MAX_CLUSTER = 20_000
 
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1840,21 +1846,25 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reuses the deterministic Lloyd trajectory of `kmeans_embeddings`
     (`_km_train` — phash init, broadcast-frame training assignment) and
     its literal-argmin final assignment, so the full pipeline is
-    oracle-replayable. The prune rule is deterministic: a vector is
-    dropped iff some SAME-CLUSTER peer with a LOWER vec_id matches at
-    cosine ≥ τ (rounded 6dp in both engines) — the classic keep-first
-    representative choice, no randomness to reproduce.
+    oracle-replayable. The prune rule is deterministic and ONE-PASS: a
+    vector is dropped iff ANY same-cluster peer with a lower vec_id
+    matches at cosine ≥ τ (rounded 6dp in both engines) — dropped peers
+    included, so a similarity CHAIN a–b–c collapses even when cos(a,c)
+    < τ (pinned by the chain test). This is a superset of greedy
+    keep-against-kept (which is inherently sequential — not one SQL
+    pass); the group-exact alternative, connected components over the
+    τ-edge graph, is exactly what `embedding_dedup_clusters` computes
+    through the shared CC kernel when chain fidelity matters.
 
     Plan shape: one equi-join on `cluster` (k keys — the per-key work is
     the point: it IS the bounded intra-cluster pair stream), norms
     computed once per SIDE not per pair, map-side-combined per-victim
     count, then a left join back onto the full corpus so kept vectors
     emerge with n_dups = 0."""
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "embedding"
-    )
-    emb = emb.localCheckpoint()
-    n = emb.count()  # free: reads the checkpointed blocks just written
+    # mean-population guard BEFORE any materialization: this count
+    # resolves from parquet row-group metadata, so an oversized corpus is
+    # refused without paying the spread + checkpoint it is about to skip
+    n = load_table(spark, sf_dir, "embeddings").count()
     if n > SEMDEDUP_MAX_AVG_CLUSTER * IVF_CELLS:
         raise ValueError(
             f"semantic_dedup: {n} vectors over IVF_CELLS={IVF_CELLS} "
@@ -1864,6 +1874,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "step with the corpus (the SemDeDup scaling rule) instead of "
             "melting this stage."
         )
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    emb = emb.localCheckpoint()
     cent_vals = _km_train(spark, emb)
     # the assignment feeds both self-join sides plus the final output
     # select; materialize it once instead of evaluating the k×dim literal
@@ -1874,6 +1888,19 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", "cluster")
         .localCheckpoint()
     )
+    # skew guard on the ACTUAL assignment (cheap: aggregates the blocks
+    # just checkpointed): a mean-healthy corpus can still collapse into
+    # one cell, and per-key pair volume is size², not mean²
+    max_sz = assigned.groupBy("cluster").count().agg(
+        F.max("count")
+    ).first()[0]
+    if max_sz and max_sz > SEMDEDUP_MAX_CLUSTER:
+        raise ValueError(
+            f"semantic_dedup: largest cluster holds {max_sz} vectors "
+            f"(> {SEMDEDUP_MAX_CLUSTER}) — ~{max_sz * (max_sz - 1) // 2:,}"
+            " intra-cluster cosine pairs would land on one join key. "
+            "Raise the cluster count (finer k-means) before pruning."
+        )
     return _semantic_dedup_core(assigned)
 
 

@@ -442,3 +442,38 @@ def test_semantic_dedup_guard_raises_on_oversized_clusters(spark, sf_dir, monkey
     monkeypatch.setattr(V, "SEMDEDUP_MAX_AVG_CLUSTER", 1)
     with _pytest.raises(ValueError, match="quadratic per cluster"):
         V.semantic_dedup(spark, sf_dir)
+
+
+def test_semantic_dedup_chain_collapses_to_minimum(spark):
+    """Pins the documented ONE-PASS dominated rule: in a similarity chain
+    a–b–c (cos(a,b) ≥ τ, cos(b,c) ≥ τ, cos(a,c) < τ) BOTH b and c drop —
+    c is dominated by the already-dropped b. Greedy keep-against-kept
+    would keep c; the group-exact alternative is the CC kernel
+    (embedding_dedup_clusters). The oracle replays the same rule."""
+    import numpy as np
+
+    from etl_master_spark.operators.vectors import _semantic_dedup_core
+
+    rng = np.random.default_rng(41)
+    a = rng.normal(0.0, 1.0, 64)
+    d = rng.normal(0.0, 1.0, 64)
+    d -= (d @ a) / (a @ a) * a  # orthogonal direction
+    # b sits between a and c on the unit arc: cos(a,b)=cos(b,c)~0.97,
+    # cos(a,c)~0.88 — a genuine chain at tau=0.95
+    import math
+
+    def on_arc(theta):
+        na, nd = a / np.linalg.norm(a), d / np.linalg.norm(d)
+        return math.cos(theta) * na + math.sin(theta) * nd
+
+    rows = [
+        (0, [float(x) for x in on_arc(0.0)], 0),
+        (1, [float(x) for x in on_arc(0.25)], 0),
+        (2, [float(x) for x in on_arc(0.5)], 0),
+    ]
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, cluster int"
+    )
+    out = {r["vec_id"]: r for r in _semantic_dedup_core(assigned, tau=0.95).collect()}
+    assert [out[i]["keep"] for i in range(3)] == [True, False, False]
+    assert out[2]["n_dups"] == 1  # dominated by b only (cos(a,c) < tau)

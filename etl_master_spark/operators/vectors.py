@@ -1641,7 +1641,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint, not cache: the training loop re-reads this frame
     # every round, and reference-GC'd blocks don't pin the session cache
     emb = emb.localCheckpoint()
-    cent_vals = _km_train(spark, emb)
+    cent_vals, _ = _km_train(spark, emb)
     return (
         _km_literal_assign(emb, cent_vals)
         .groupBy("cluster")
@@ -1687,10 +1687,13 @@ def _km_literal_assign(emb: DataFrame, cent_vals: list[list[float]]) -> DataFram
 
 def _km_train(
     spark: SparkSession, emb: DataFrame, dim: int = 64
-) -> list[list[float]]:
+) -> tuple[list[list[float]], dict[int, int]]:
     """KM_ITERS−1 Lloyd refinement rounds from the deterministic phash
-    init; returns the trained k×dim centroid list (the tiny driver-side
-    artifact both `kmeans_embeddings` and `semantic_dedup` assign with).
+    init; returns (trained k×dim centroid list, last-round cluster
+    counts) — both tiny driver-side artifacts. The counts come from the
+    LAST refinement round's aggregate (free — same agg), so they lag the
+    final assignment by one Lloyd step: exact enough for budget guards,
+    not for reporting (`kmeans_embeddings` reports exact sizes).
 
     Training rounds assign through a broadcast k-row centroid frame +
     window argmin (the oracle's own CROSS JOIN shape) instead of the
@@ -1705,6 +1708,7 @@ def _km_train(
         ]
         for c in range(IVF_CELLS)
     ]
+    last_counts: dict[int, int] = {}
     d2_col = F.expr(_km_dist2_sql("c"))
     for _ in range(KM_ITERS - 1):
         cdf = spark.createDataFrame(
@@ -1728,15 +1732,21 @@ def _km_train(
         )
         rows = (
             assigned.groupBy("cluster")
-            .agg(F.expr(f"array({upd})").alias("cw"))
+            # the count rides the SAME agg for free — semantic_dedup's
+            # skew guard reads it instead of launching an extra job
+            .agg(
+                F.expr(f"array({upd})").alias("cw"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
             .collect()
         )
         new_vals = {r["cluster"]: r["cw"] for r in rows}
+        last_counts = {r["cluster"]: r["cnt"] for r in rows}
         cent_vals = [
             [float(x) for x in new_vals[c]] if c in new_vals else cent_vals[c]
             for c in range(IVF_CELLS)
         ]
-    return cent_vals
+    return cent_vals, last_counts
 
 
 def kmeans_oracle() -> str:
@@ -1878,7 +1888,20 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     emb = emb.localCheckpoint()
-    cent_vals = _km_train(spark, emb)
+    cent_vals, last_counts = _km_train(spark, emb)
+    # skew guard from the LAST training round's cluster counts (free —
+    # they ride the training aggregate; exact sizes lag the final
+    # assignment by one Lloyd step, which a budget ceiling absorbs): a
+    # mean-healthy corpus can still collapse into one cell, and per-key
+    # pair volume is size², not mean²
+    max_sz = max(last_counts.values(), default=0)
+    if max_sz > SEMDEDUP_MAX_CLUSTER:
+        raise ValueError(
+            f"semantic_dedup: largest cluster holds ~{max_sz} vectors "
+            f"(> {SEMDEDUP_MAX_CLUSTER}) — ~{max_sz * (max_sz - 1) // 2:,}"
+            " intra-cluster cosine pairs would land on one join key. "
+            "Raise the cluster count (finer k-means) before pruning."
+        )
     # the assignment feeds both self-join sides plus the final output
     # select; materialize it once instead of evaluating the k×dim literal
     # argmin three times (this is the "persist the assignments" step a
@@ -1888,19 +1911,6 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", "cluster")
         .localCheckpoint()
     )
-    # skew guard on the ACTUAL assignment (cheap: aggregates the blocks
-    # just checkpointed): a mean-healthy corpus can still collapse into
-    # one cell, and per-key pair volume is size², not mean²
-    max_sz = assigned.groupBy("cluster").count().agg(
-        F.max("count")
-    ).first()[0]
-    if max_sz and max_sz > SEMDEDUP_MAX_CLUSTER:
-        raise ValueError(
-            f"semantic_dedup: largest cluster holds {max_sz} vectors "
-            f"(> {SEMDEDUP_MAX_CLUSTER}) — ~{max_sz * (max_sz - 1) // 2:,}"
-            " intra-cluster cosine pairs would land on one join key. "
-            "Raise the cluster count (finer k-means) before pruning."
-        )
     return _semantic_dedup_core(assigned)
 
 

@@ -128,7 +128,10 @@ def als_eval_frozen(
         "user_id", "item_id", "domain"
     )
     return freeze_and_eval(
-        scores, hold, negatives(spark, sf_dir), f"als_{mode}", sf_dir
+        scores, hold, negatives(spark, sf_dir), f"als_{mode}", sf_dir,
+        # training-config fingerprint: a hyperparameter change invalidates
+        # the committed freeze instead of silently serving stale metrics
+        fingerprint=f"als:v1:rank={EMB_SIZE},seed={SEED},maxIter=10,reg=0.1",
     )
 
 

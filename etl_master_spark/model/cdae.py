@@ -360,4 +360,10 @@ def cdae_eval_frozen(
     sp = splits(spark, sf_dir)
     hold = sp.filter(F.col("split") == mode).select("user_id", "item_id", "domain")
     negs = negatives(spark, sf_dir)
-    return freeze_and_eval(scores, hold, negs, f"cdae_{mode}", sf_dir)
+    return freeze_and_eval(
+        scores, hold, negs, f"cdae_{mode}", sf_dir,
+        fingerprint=(
+            f"cdae:v1:emb={EMB_SIZE},epochs={EPOCHS},lr={LR},seed={SEED},"
+            f"drop={DROPOUT_NUM}/{DROPOUT_DEN}"
+        ),
+    )

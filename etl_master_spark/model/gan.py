@@ -112,7 +112,14 @@ def _prior(
     if kind == "laplace":  # np.random.laplace(0, 1) via inverse CDF
         return -np.sign(u1 - 0.5) * np.log(1.0 - 2.0 * np.abs(u1 - 0.5))
     z1 = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
-    if kind == "mixture":  # 0.5·(N(0,1) + N(3,1)) (main_my.py:174-175)
+    if kind == "mixture":
+        # FAITHFUL to the reference's dead code (main_my.py:174-175,
+        # labeled "multi-variate Gaussian"): 0.5·(N(0,1) + N(3,1)) — an
+        # AVERAGED SUM of two independent normals, i.e. the unimodal
+        # N(1.5, sqrt(0.5)), NOT a bimodal 50/50 mixture density (that
+        # would pick one component per sample). We reproduce the
+        # reference's arithmetic, quirk included; prior_family_stats and
+        # its oracle encode the same averaged spelling.
         z2 = np.sqrt(-2.0 * np.log(u1)) * np.sin(2.0 * np.pi * u2)
         return 0.5 * (z1 + (z2 + 3.0))
     if kind != "gaussian":
@@ -626,7 +633,13 @@ def gan_eval_frozen(
     sp = splits(spark, sf_dir)
     hold = sp.filter(F.col("split") == mode).select("user_id", "item_id", "domain")
     negs = negatives(spark, sf_dir)
-    return freeze_and_eval(scores, hold, negs, f"gan_{mode}", sf_dir)
+    return freeze_and_eval(
+        scores, hold, negs, f"gan_{mode}", sf_dir,
+        fingerprint=(
+            f"gan:v1:emb={EMB},passes={PASSES},lr={LR},lr_d={LR_D},"
+            f"seed={SEED},optimizer=gd,prior=gaussian"
+        ),
+    )
 
 
 def gan_eval_with(

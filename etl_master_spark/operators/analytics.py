@@ -377,11 +377,14 @@ FROM z GROUP BY bucket ORDER BY bucket
 def prior_family_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 extended to the reference's FULL prior menu (main_my.py:167-175):
     the live Gaussian plus the three commented-out alternatives — laplace
-    (inverse-CDF), uniform(0,1), and the two-Gaussian mixture
-    0.5·(N(0,1)+N(3,1)). All four derive from the SAME two portable-hash
+    (inverse-CDF), uniform(0,1), and the reference's "multi-variate
+    Gaussian" 0.5·(N(0,1)+N(3,1)) (kind name ``mixture`` here; note the
+    reference AVERAGES the two normals — a unimodal N(1.5, √0.5), not a
+    bimodal 50/50 mixture density — and we reproduce that arithmetic,
+    quirk included). All four derive from the SAME two portable-hash
     uniform streams (``prior_sample_stats``'s u1/u2), so the whole menu
-    is engine-replayable; the mixture's second normal is the Box–Muller
-    sine component (independent of the cosine by construction). Output:
+    is engine-replayable; the averaged spelling's second normal is the
+    Box–Muller sine component (independent of the cosine). Output:
     moment check per kind — expected (mean, std): gaussian (0,1),
     laplace (0,√2), uniform (.5,√(1/12)), mixture (1.5,√.5). Mirrors
     ``model.gan._prior``'s executor-side kinds."""

@@ -71,8 +71,11 @@ GROUP BY source ORDER BY origin
 
 def _try_pil():
     """Call-time import probe: the container has no codec libraries, but
-    the SAME operator must upgrade to real decode wherever PIL exists —
-    no code change, no fork of the pipeline."""
+    ``decode_image`` (the real-decode escape hatch) works wherever PIL
+    exists — no fork of the pipeline. The REGISTERED ``media_features``
+    query stays on the digest double (``fake=True``) by design: its
+    DuckDB oracle replays md5-hex arithmetic, which must hold in every
+    environment; real decode is a caller opt-in."""
     try:
         from PIL import Image  # noqa: F401
 

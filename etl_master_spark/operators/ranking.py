@@ -348,6 +348,7 @@ def freeze_and_eval(
     tag: str,
     sf_dir: str,
     ks: list[int] | None = None,
+    fingerprint: str = "",
 ) -> DataFrame:
     """Write (scores, holdout, negatives) to
     ``.artifacts/frozen_eval/<tag>/<sfname>/`` and evaluate from the
@@ -355,11 +356,18 @@ def freeze_and_eval(
     semantics, ``my_utils.py``): an existing freeze is reused — training
     is seeded-deterministic so a re-freeze writes the same values, and
     skipping it keeps the committed gate-scale artifacts byte-stable
-    across verification runs instead of churning part-file UUIDs. Delete
-    ``.artifacts/frozen_eval/<tag>`` to force a re-freeze after a model
-    change (tests/test_model pins live-vs-reload parity separately)."""
-    import glob
+    across verification runs instead of churning part-file UUIDs.
+
+    Reuse is gated on TWO markers, so a stale or torn freeze cannot
+    silently serve old metrics: (a) every frame directory must carry
+    Spark's ``_SUCCESS`` (a crashed prior write is re-frozen, never
+    trusted), and (b) ``meta.json``'s fingerprint must equal the
+    caller's ``fingerprint`` (the model's training-config constants —
+    change a hyperparameter and the freeze invalidates itself instead
+    of masking the change behind cached scores)."""
+    import json as _json
     import os
+    import shutil
 
     spark = scores.sparkSession
     base = os.path.join(FROZEN_EVAL_DIR, tag, os.path.basename(sf_dir.rstrip("/")))
@@ -370,12 +378,28 @@ def freeze_and_eval(
         "holdout": holdout.select("user_id", "item_id", "domain"),
         "negatives": negs.select("user_id", "item_id", "domain"),
     }
+    meta_path = os.path.join(base, "meta.json")
+    complete = all(
+        os.path.exists(os.path.join(base, name, "_SUCCESS")) for name in frames
+    )
+    if complete and fingerprint:
+        try:
+            with open(meta_path) as fh:
+                complete = _json.load(fh).get("fingerprint") == fingerprint
+        except (OSError, ValueError):
+            complete = False
+    if not complete and os.path.isdir(base):
+        shutil.rmtree(base)
     out = {}
     for name, df in frames.items():
         path = os.path.join(base, name)
-        if not glob.glob(os.path.join(path, "*.parquet")):
+        if not complete:
             df.coalesce(1).write.mode("overwrite").parquet(path)
         out[name] = spark.read.parquet(path)
+    if not complete:
+        os.makedirs(base, exist_ok=True)
+        with open(meta_path, "w") as fh:
+            _json.dump({"fingerprint": fingerprint}, fh)
     return eval_from_scores(
         out["scores"], out["holdout"], out["negatives"], ks=ks
     )

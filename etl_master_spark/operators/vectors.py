@@ -629,8 +629,12 @@ def _occ_split_sql(cap: int = LSH_OCC_CAP, xbits: int = LSH_XBITS) -> str:
 
 def _lsh_adaptive_shape(n: int, bands: int, rows: int) -> tuple[int, int]:
     """(bands, rows) scaled to corpus size n: +1 row per doubling past
-    LSH_OCC_BASE, +1 band per two extra rows. Identity below the base."""
-    extra = (n // LSH_OCC_BASE).bit_length()
+    LSH_OCC_BASE, +1 band per two extra rows. Identity below the base.
+    Capped at 20 doublings to stay in EXACT lockstep with the oracle's
+    unrolled CASE chain (`_lsh_shape_sql` enumerates e in 0..19) — the
+    cap binds only past LSH_OCC_BASE·2¹⁹ rows, where 20 extra signature
+    rows already push collision probability to the floor."""
+    extra = min((n // LSH_OCC_BASE).bit_length(), 20)
     if extra == 0:
         return bands, rows
     return bands + (extra + 1) // 2, rows + extra
@@ -1290,10 +1294,6 @@ def _pq_centroid_py(m: int, k: int) -> list[float]:
 PQ_ROUNDS = 2  # per-subspace Lloyd refinement rounds on the phash init
 
 
-def _pq_sub(v, m: int):
-    return F.slice(v, m * PQ_SUBDIM + 1, PQ_SUBDIM)
-
-
 def _dot_unrolled(a: str, b: str, n: int = PQ_SUBDIM):
     """Fold-left dot over a FIXED dimension, unrolled into a plain
     left-associated expression chain. Bit-equal to ``_dot`` (same IEEE
@@ -1699,7 +1699,7 @@ def _km_train(
     window argmin (the oracle's own CROSS JOIN shape) instead of the
     literal-centroid struct argmin: a fresh k×dim-literal expression per
     round costs Catalyst-analysis seconds regardless of data size (the
-    PQ lesson, see _pq_train). dist2 keeps the identical zip-with
+    PQ lesson, see _pq_train_cdf). dist2 keeps the identical zip-with
     Σ(x−c)² fold, so assignments — and the trajectory — are unchanged."""
     cent_vals: list[list[float]] = [
         [

@@ -312,9 +312,14 @@ register("kmeans_embeddings", vectors.kmeans_embeddings, vectors.kmeans_oracle()
 register("semantic_dedup", vectors.semantic_dedup, vectors.semantic_dedup_oracle())
 register("mmd_rbf", vectors.mmd_rbf, vectors.mmd_rbf_oracle())
 register("mmd_rbf_multiscale", vectors.mmd_rbf_multiscale, vectors.mmd_rbf_multiscale_oracle())
-# BLAS tile path: shares the relational spelling's oracle — both engines
-# round to 6 dp and the true |Δ| is pinned <1e-6 (tests/test_text_vectors),
-# so the rounded digit agrees on any fixed dataset (verified sf0.01+sf0.1).
+# BLAS tile path: shares the relational spelling's oracle. Both engines
+# round to 6 dp; the two sums differ only by float reordering, whose true
+# magnitude is ~n·eps·Σ|terms| ≈ 1e-12 here — six orders below the 1e-6
+# rounding step (probe: block=8/16/64/256 tilings all round identically;
+# the 1e-6 pytest bound is a loose CONTRACT, not the typical Δ). A
+# boundary flip therefore needs the true value within ~1e-12 of a 0.5e-6
+# edge — ~1e-6 odds per regenerated dataset. If this row ever flips on a
+# driver re-gen, demote to rows-only rather than widening the rounding.
 register("mmd_rbf_fast", vectors.mmd_rbf_fast, vectors.mmd_rbf_oracle())
 register(
     # 0.4 exercises real pairs on the synthetic embeddings (no planted

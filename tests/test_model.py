@@ -399,9 +399,13 @@ def test_cdae_checkpoint_reload_reeval_matches_live(spark, sf_dir, tmp_path):
 
 def test_media_decode_real_pil_smoke(spark, sf_dir):
     """Activates automatically in any environment where PIL is importable:
-    the SAME media_features operator must upgrade from the deterministic
-    stub to a real decode with no code change (multimodal.py's call-time
-    probe). Skipped (not failed) where codecs are absent."""
+    `decode_image` (the real-decode escape hatch) must produce a valid
+    FEATURE_DIM vector from genuine image bytes. The REGISTERED
+    `media_features` query deliberately stays on the deterministic
+    digest double (`fake=True`) in every environment — that is what its
+    md5-hex DuckDB oracle replays; real decode is a caller opt-in, not
+    an environment-dependent behavior switch. Skipped (not failed)
+    where codecs are absent."""
     from etl_master_spark.operators import multimodal
 
     if multimodal._try_pil() is None:

@@ -371,6 +371,13 @@ def test_lsh_adaptive_shape_formula():
         cur = _lsh_adaptive_shape(n, 4, 8)
         assert cur >= prev
         prev = cur
+    # the 20-doubling cap keeps the engine in EXACT lockstep with the
+    # oracle's unrolled CASE chain (e in 0..19) at any corpus size —
+    # past LSH_OCC_BASE*2^20 both sides plateau at the same shape
+    cap = _lsh_adaptive_shape(LSH_OCC_BASE * 2**19, 4, 8)
+    assert cap == (14, 28)
+    assert _lsh_adaptive_shape(LSH_OCC_BASE * 2**25, 4, 8) == cap
+    assert _lsh_adaptive_shape(2**62, 4, 8) == cap
 
 
 def test_lsh_dedup_adaptive_depth_keeps_planted_recall(spark):

@@ -106,8 +106,19 @@ def build_replica(mult: int) -> str:
 
 def main() -> None:
     args = sys.argv[1:]
+    # the multiplier may only be the FIRST argument; a numeric anywhere
+    # else is almost certainly a misplaced multiplier — refuse instead of
+    # silently running the default x100 replica
     mult = int(args[0]) if args and args[0].isdigit() else 100
-    names = [a for a in args if not a.isdigit()] or DEFAULT_QUERIES
+    rest = args[1:] if args and args[0].isdigit() else args
+    stray = [a for a in rest if a.isdigit()]
+    if stray:
+        raise SystemExit(
+            f"scale_table: numeric argument(s) {stray} after the query "
+            "names — the multiplier must come first: "
+            "scale_table.py [mult] [query ...]"
+        )
+    names = rest or DEFAULT_QUERIES
 
     from etl_master_spark.plans.registry import QUERIES
     from etl_master_spark.session import get_spark

@@ -70,3 +70,46 @@ def test_compact_parquet(spark, sf_dir, tmp_path):
 
     ts = [r["t"] for r in back.select(ts_us("ts").alias("t")).collect()]
     assert ts == sorted(ts)
+
+
+def test_freeze_and_eval_fingerprint_invalidation(spark, tmp_path, monkeypatch):
+    """freeze_and_eval's reuse gate: same fingerprint reuses the frozen
+    parquet byte-stably; a changed fingerprint (a model hyperparameter
+    change) or a missing _SUCCESS marker (torn write) re-freezes instead
+    of serving stale scores."""
+    import glob
+    import os
+
+    from etl_master_spark.operators import ranking
+
+    monkeypatch.setattr(ranking, "FROZEN_EVAL_DIR", str(tmp_path / "fz"))
+
+    def frames(score):
+        sc = spark.createDataFrame(
+            [(1, 10, "x", score)], "user_id long, item_id long, domain string, score double"
+        )
+        hold = spark.createDataFrame([(1, 10, "x")], "user_id long, item_id long, domain string")
+        negs = spark.createDataFrame([(1, 11, "x")], "user_id long, item_id long, domain string")
+        return sc, hold, negs
+
+    sc, hold, negs = frames(0.9)
+    ranking.freeze_and_eval(sc, hold, negs, "t", "/sf0.01", fingerprint="v1").collect()
+    base = str(tmp_path / "fz" / "t" / "sf0.01")
+    first = glob.glob(f"{base}/scores/*.parquet")
+
+    # same fingerprint: frozen files untouched even with NEW (different) scores
+    sc2, hold2, negs2 = frames(0.1)
+    ranking.freeze_and_eval(sc2, hold2, negs2, "t", "/sf0.01", fingerprint="v1").collect()
+    assert glob.glob(f"{base}/scores/*.parquet") == first
+
+    # changed fingerprint: re-freeze (file set changes, new scores land)
+    ranking.freeze_and_eval(sc2, hold2, negs2, "t", "/sf0.01", fingerprint="v2").collect()
+    second = glob.glob(f"{base}/scores/*.parquet")
+    assert second != first
+    assert spark.read.parquet(f"{base}/scores").collect()[0]["score"] == 0.1
+
+    # torn write: missing _SUCCESS forces a re-freeze even at same fingerprint
+    os.remove(f"{base}/scores/_SUCCESS")
+    ranking.freeze_and_eval(sc, hold, negs, "t", "/sf0.01", fingerprint="v2").collect()
+    assert os.path.exists(f"{base}/scores/_SUCCESS")
+    assert spark.read.parquet(f"{base}/scores").collect()[0]["score"] == 0.9

@@ -558,6 +558,45 @@ def events_dedup_stream(
     )
 
 
+def docs_dedup_incremental_stream(
+    spark: SparkSession, sf_dir: str, stream_dir: str | None = None
+) -> DataFrame:
+    """Streaming twin of ``text.dedup_incremental`` — the production
+    ingest shape as a STREAM-STATIC join (the one streaming join class
+    the stream-stream interval join above doesn't cover): documents
+    arrive as a file stream, each micro-batch is LEFT-ANTI joined
+    against the static corpus fingerprint table (yesterday's corpus on
+    disk; the static side re-probes per micro-batch with no state), then
+    within-stream duplicates collapse via ``dropDuplicates`` on the
+    content fingerprint (state-store-backed; documents carry no event
+    time, so the state has no watermark horizon — a production stream
+    would bound it with ``dropDuplicatesWithinWatermark`` on ingest
+    time, exactly like ``events_dedup_stream``).
+
+    Emits surviving (doc_id, lang, fp) rows in append mode. The batch
+    twin keeps min-doc_id per within-batch dup group; a stream keeps the
+    FIRST-SEEN (arrival order) — tests therefore compare fingerprint
+    SETS and per-lang counts, which the two spellings must agree on."""
+    from ..functions.hashing import phash_frag
+    from ..operators.text import INCR_BATCH_MOD
+
+    is_new = F.expr(phash_frag("doc_id", seed=59)) % INCR_BATCH_MOD == 0
+    corpus_fps = (
+        load_table(spark, sf_dir, "documents")
+        .filter(~is_new)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir or sf_dir)
+    return (
+        stream.filter(is_new)
+        .select("doc_id", "lang", F.md5("text").alias("fp"))
+        .join(corpus_fps, "fp", "left_anti")
+        .dropDuplicates(["fp"])
+    )
+
+
 # -- stream-stream interval join ----------------------------------------------
 
 def purchase_click_stream_join(

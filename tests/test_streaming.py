@@ -217,3 +217,49 @@ def test_sliding_stream_equals_batch(spark, sf_dir, tmp_path):
         for r in events_sliding_6h(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_static_incremental_dedup_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-static anti-join ingest dedup: feed the documents file TWICE
+    (redelivery across micro-batches); the surviving fingerprint set and
+    per-lang kept counts must equal the batch dedup_incremental
+    accounting — corpus-known docs dropped by the static side, within-
+    stream dups (including the redelivered copy) by the state store."""
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_master_spark.operators.text import dedup_incremental
+    from etl_master_spark.streaming.windows import docs_dedup_incremental_stream
+
+    doubled = tmp_path / "docs_doubled"
+    doubled.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", doubled / "delivery-0.parquet")
+    time.sleep(0.05)
+    shutil.copy(f"{sf_dir}/documents.parquet", doubled / "delivery-1.parquet")
+
+    q = (
+        docs_dedup_incremental_stream(spark, sf_dir, str(doubled))
+        .writeStream.format("memory")
+        .queryName("docs_incr_dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_docs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM docs_incr_dedup_test")
+    got_counts = {
+        r["lang"]: r["n"]
+        for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {
+        r["lang"]: r["n_kept"]
+        for r in dedup_incremental(spark, sf_dir).collect()
+        if r["n_kept"]
+    }
+    assert got_counts == want
+    # fingerprints are exactly the batch survivors' (first-seen vs min-id
+    # pick different doc_ids, never different fingerprints)
+    assert got.select("fp").distinct().count() == got.count()

@@ -65,3 +65,30 @@ def test_seeded_order_is_a_real_shuffle():
         1 for a in range(99) if order[a] > order[a + 1]
     )
     assert inversions > 20  # a sorted list has 0; random permutations ~50
+
+
+def test_hash_bucket_spark_matches_duckdb(spark):
+    """The shared feature-hash bucket (`text._hash_bucket` and its SQL
+    twin) must agree engine-to-engine on arbitrary strings — it defines
+    the feature space hashed_tf_vectors and dsir_weights share."""
+    from pyspark.sql import functions as F
+
+    from etl_master_spark.operators.text import _hash_bucket, _hash_bucket_sql
+
+    terms = [
+        "", "a", "the", "Zürich", "naïve", "123", "  spaced  ",
+        "long-token-" * 10, "emoji🙂", "tab\tsep",
+    ]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        r["term"]: r["b"]
+        for r in df.select("term", _hash_bucket().alias("b")).collect()
+    }
+    con = duckdb.connect()
+    for t in terms:
+        # the SQL twin interpolates the term EXPRESSION; bind it twice
+        # (the fragment references its argument twice)
+        (want,) = con.execute(
+            "SELECT " + _hash_bucket_sql("?"), [t, t]
+        ).fetchone()
+        assert got[t] == want, t

@@ -94,3 +94,34 @@ def test_negative_invariants(rows):
     for key in seen:
         if key not in got:
             assert not (universe[key[1]] - seen[key])
+
+
+def test_semantic_dedup_partitioning_invariance(spark):
+    """The dominated-by-lower-id prune is a pure function of the
+    (vec_id, embedding, cluster) SET: row order and partitioning must not
+    change a single keep/drop decision (the join + agg spelling could
+    silently pick arbitrary winners if the rule were order-sensitive)."""
+    import numpy as np
+
+    from etl_master_spark.operators.vectors import _semantic_dedup_core
+
+    rng = np.random.default_rng(97)
+    rows = []
+    for vid in range(40):
+        base = rng.normal(0.0, 1.0, 16)
+        rows.append((vid, [float(x) for x in base], int(vid % 3)))
+        if vid % 5 == 0:  # plant near-copies to exercise the prune
+            rows.append(
+                (100 + vid, [float(x) for x in base + rng.normal(0, 1e-3, 16)], int(vid % 3))
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, cluster int")
+    ref = sorted(
+        (r["vec_id"], r["n_dups"], r["keep"])
+        for r in _semantic_dedup_core(df, tau=0.95).collect()
+    )
+    for layout in (df.repartition(13), df.repartition(1), df.sort("cluster")):
+        got = sorted(
+            (r["vec_id"], r["n_dups"], r["keep"])
+            for r in _semantic_dedup_core(layout, tau=0.95).collect()
+        )
+        assert got == ref

@@ -2416,3 +2416,75 @@ SELECT lang, n_docs, n_tokens,
            AS sampling_factor
 FROM per_lang ORDER BY lang
 """
+
+
+# -- training-shard manifest (deterministic global shuffle for export) -------
+
+# Every LLM training-data export ends with "globally shuffle the corpus and
+# write it as N shards": downstream loaders stream shards sequentially, so
+# the shuffle must happen HERE, once, deterministically. Seeded portable
+# hash = the engine's seeded-shuffle primitive (functions/hashing.py), the
+# same construction the reference's sklearn.utils.shuffle(random_state=...)
+# splits map onto (Dataset_CDAE.py:79,103 — semantic determinism per
+# SURVEY.md §7.4).
+SHARD_SEED = 41
+N_SHARDS = 16
+
+
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard manifest for a training-data export: each doc
+    gets a shard (portable hash mod ``N_SHARDS``), a position within its
+    shard (rank by the same hash — the global shuffle), and a byte offset
+    (running ``n_chars`` sum) — the index a sequential loader seeks with.
+
+    Scale: ONE shuffle on ``shard`` (hash-balanced by construction; at
+    100 TB raise ``N_SHARDS`` so shards fit the writer's task size). The
+    rank/offset window sorts within each shard only — the physical plan a
+    ``repartition(shard).sortWithinPartitions(h)`` writer produces; this
+    manifest form is its oracle-checkable twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(phash_frag("doc_id", seed=SHARD_SEED))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            h.alias("h"),
+            (h % N_SHARDS).cast("int").alias("shard"),
+        )
+        .withColumn(
+            "pos",
+            F.row_number()
+            .over(Window.partitionBy("shard").orderBy(F.col("h").asc(), F.col("doc_id").asc()))
+            .cast("int"),
+        )
+        .withColumn(
+            "byte_start",
+            (F.sum("n_chars").over(w) - F.col("n_chars")).cast("bigint"),
+        )
+        .select("shard", "pos", "doc_id", "n_chars", "byte_start")
+        .orderBy("shard", "pos")
+    )
+
+
+TRAINING_SHARDS_ORACLE = f"""
+WITH s AS (
+    SELECT doc_id, n_chars,
+           {phash_frag('doc_id', seed=SHARD_SEED)} AS h,
+           CAST({phash_frag('doc_id', seed=SHARD_SEED)} % {N_SHARDS} AS INT) AS shard
+    FROM documents
+)
+SELECT shard,
+       CAST(ROW_NUMBER() OVER wo AS INT) AS pos,
+       doc_id, n_chars,
+       CAST(SUM(n_chars) OVER w - n_chars AS BIGINT) AS byte_start
+FROM s
+WINDOW wo AS (PARTITION BY shard ORDER BY h ASC, doc_id ASC),
+       w AS (PARTITION BY shard ORDER BY h ASC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY shard, pos
+"""

@@ -1979,3 +1979,102 @@ FROM a{last} s LEFT JOIN sd_dups d ON s.vec_id = d.vec_id
 ORDER BY s.vec_id
 """
     )
+
+
+# -- nearest-class-centroid classifier (domain/quality tagging pass) ---------
+
+# The cheap embedding-space classifier every corpus pipeline runs before the
+# expensive ones: per-class mean embedding ("Rocchio" / nearest-class-mean),
+# assign by max dot product. Used in production to tag documents with a
+# domain/quality label from a small labeled slice, at a broadcast-join cost.
+NCM_SEED = 47
+NCM_TEST_MOD = 5  # portable-hash fold: ~1/5 of vectors held out as test
+
+
+def centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean classifier over the embedding corpus with a
+    deterministic ~20% holdout; output is the confusion matrix
+    (label, pred_label, n, share) on the holdout.
+
+    Plan shape: TRAIN is one aggregation — 10 label keys × 64 per-dim
+    ROUND(avg, 9) means, pure map-side combine (never an explode before
+    the reduce — the kmeans lesson). PREDICT broadcasts the 10-row
+    centroid frame and takes the per-vector argmax as a map-side-combined
+    ``min(struct(-dot, label))`` (the ``_pq_assign`` spelling) — the
+    shuffle carries one combined row per test vector, K-free. At 100 TB
+    both sides stay a single corpus scan each; the centroid frame is
+    classes×dim no matter the corpus.
+
+    Rounding discipline: centroid components round to 9 dp in BOTH
+    engines (the PQ/kmeans precedent) so the broadcast frames are exactly
+    equal; the dot-product argmax then compares bit-identical doubles
+    (fold-left ``_dot_unrolled`` ≡ DuckDB ``list_dot_product``)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", "label"
+    )
+    h = F.expr(phash_frag("vec_id", seed=NCM_SEED))
+    base = emb.withColumn("is_test", (h % NCM_TEST_MOD) == 0)
+    avgs = ", ".join(
+        f"round(avg(CAST(embedding[{j}] AS DOUBLE)), 9)" for j in range(64)
+    )
+    cdf = (
+        base.filter(~F.col("is_test"))
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(F.expr(f"array({avgs})").alias("c"))
+    )
+    negdot = -_dot_unrolled("embedding", "c", 64)
+    pred = (
+        base.filter(F.col("is_test"))
+        .crossJoin(F.broadcast(cdf))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min(
+                F.struct(negdot.alias("nd"), F.col("clabel").alias("clabel"))
+            )["clabel"].alias("pred_label")
+        )
+    )
+    tot = Window.partitionBy("label")
+    return (
+        pred.groupBy("label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "share",
+            F.round(F.col("n") / F.sum("n").over(tot), 6),
+        )
+        .orderBy("label", "pred_label")
+    )
+
+
+def centroid_classify_oracle() -> str:
+    return f"""
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label,
+           ({phash_frag('vec_id', seed=NCM_SEED)} % {NCM_TEST_MOD} = 0) AS is_test
+    FROM embeddings
+),
+cent AS (
+    SELECT label AS clabel, list(w ORDER BY j) AS c FROM (
+        SELECT b.label, j.j, ROUND(AVG(b.e[j.j + 1]), 9) AS w
+        FROM base b, (SELECT unnest(range(0, 64)) AS j) j
+        WHERE NOT b.is_test
+        GROUP BY b.label, j.j
+    ) GROUP BY label
+),
+pred AS (
+    SELECT vec_id, label, clabel AS pred_label FROM (
+        SELECT b.vec_id, b.label, c.clabel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY list_dot_product(b.e, c.c) DESC, c.clabel ASC
+               ) AS rn
+        FROM base b CROSS JOIN cent c
+        WHERE b.is_test
+    ) WHERE rn = 1
+)
+SELECT label, pred_label, COUNT(*) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY label), 6) AS share
+FROM pred
+GROUP BY label, pred_label
+ORDER BY label, pred_label
+"""

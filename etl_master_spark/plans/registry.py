@@ -291,6 +291,8 @@ register(
     text.corpus_mixture_weights,
     text.CORPUS_MIXTURE_WEIGHTS_ORACLE,
 )
+# deterministic global-shuffle shard manifest (the training-export endgame)
+register("training_shards", text.training_shards, text.TRAINING_SHARDS_ORACLE)
 
 # -- vectors / similarity ----------------------------------------------------
 register("embedding_norms", vectors.embedding_norms, vectors.EMBEDDING_NORMS_ORACLE)
@@ -308,6 +310,12 @@ register(
 register("ann_ivf_topk", vectors.ann_ivf_topk, vectors.ann_ivf_oracle())
 register("ann_pq_topk", vectors.ann_pq_topk, vectors.ann_pq_oracle())
 register("kmeans_embeddings", vectors.kmeans_embeddings, vectors.kmeans_oracle())
+# nearest-class-mean domain classifier (confusion matrix on a hash holdout)
+register(
+    "centroid_classify",
+    vectors.centroid_classify,
+    vectors.centroid_classify_oracle(),
+)
 # SemDeDup: reuses the kmeans trajectory, prunes within clusters by cosine
 register("semantic_dedup", vectors.semantic_dedup, vectors.semantic_dedup_oracle())
 register("mmd_rbf", vectors.mmd_rbf, vectors.mmd_rbf_oracle())

@@ -2012,6 +2012,12 @@ def centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding", "label"
     )
+    return _centroid_classify_core(emb)
+
+
+def _centroid_classify_core(emb: DataFrame) -> DataFrame:
+    """NCM train/predict/confusion over any (vec_id, embedding, label)
+    frame — split out so tests can plant separable classes."""
     h = F.expr(phash_frag("vec_id", seed=NCM_SEED))
     base = emb.withColumn("is_test", (h % NCM_TEST_MOD) == 0)
     avgs = ", ".join(
@@ -2078,3 +2084,195 @@ FROM pred
 GROUP BY label, pred_label
 ORDER BY label, pred_label
 """
+
+
+# -- greedy k-center coreset (farthest-point traversal) ----------------------
+
+# Diversity-maximizing coreset selection (Gonzalez '85 2-approximation for
+# k-center): repeatedly add the point FARTHEST from every chosen center.
+# The data-curation counterpart of semantic_dedup — instead of dropping
+# near-duplicates, pick the k most mutually-distant exemplars (coverage
+# radius is the quality surface). Inherently k-sequential; each round is
+# one corpus scan, so the barrier count is k, data-independent.
+KC_K = 8
+
+
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center over the embedding corpus, reported as per-center
+    coverage: (step, center_id, n_assigned, max_d2) — which exemplar was
+    picked at each step, how many corpus vectors it covers, and the cell's
+    coverage radius² after the final assignment.
+
+    Plan shape: round t RECOMPUTES every row's distance-to-chosen-set
+    from the one localCheckpointed base frame against the centers-so-far
+    array (left fold of ``least`` over t centers), then TakeOrders the
+    argmax — ONE job per round, the algorithm's sequential floor, and
+    ZERO intermediate materializations. Two rejected spellings, both
+    measured: carrying a running ``mind2`` column costs a persist call
+    per round (~0.5 s data-independent each — and at 100 TB re-writing
+    the corpus k times loses outright to recomputing k×64 multiply-adds
+    per row); joining a broadcast centers frame pays a fresh broadcast
+    exchange per round (~0.4 s latency each). The centers land in the
+    plan as ONE parsed SQL literal array instead (~0.3 s/round, the
+    ``_km_literal_assign`` lesson) — at k×(dim+1) ≈ 520 doubles the
+    literal tree stays well under the Catalyst-analysis blowup that
+    retired the per-round literal codebooks in PQ (k×K×dim ≈ 8× larger).
+    The chosen center is a single collected row per round (driver
+    traffic is center-sized, the ``_km_train`` precedent). The FINAL
+    assignment is row-local too: ``array_min`` over the per-center
+    struct(d2, step) transform — no join, one 8-key aggregation, the
+    once-per-query literal-assign shape that is right at scale.
+
+    Cross-engine determinism: d2 is spelled ``vv − 2·v·c + cc`` with
+    fold-left dots in BOTH engines (``_dot_unrolled`` ≡ DuckDB
+    ``list_dot_product``), ``cc`` is the Python fold ``sum(w*w)`` (the
+    ``_pq_cdf`` precedent), and LEAST/argmin chains compare bit-identical
+    doubles — the whole trajectory replays exactly; output rounds to 6 dp
+    at the boundary only."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    return _kcenter_core(spark, emb)
+
+
+def _kcenter_core(
+    spark: SparkSession, emb: DataFrame, k: int = KC_K
+) -> DataFrame:
+    """Farthest-point traversal + final assignment over any
+    (vec_id, embedding) frame — split out so tests can plant clusters."""
+    d = emb.withColumn(
+        "vv", _dot_unrolled("embedding", "embedding", 64)
+    ).localCheckpoint()
+
+    seed = d.orderBy(F.col("vec_id").asc()).limit(1).collect()[0]
+    centers: list[tuple[int, int, list[float], float]] = []
+
+    def _push(step: int, row) -> None:
+        cv = [float(x) for x in row.embedding]
+        # Python fold-left sum — bit-equal to list_dot_product (see _pq_cdf)
+        centers.append((step, int(row.vec_id), cv, float(sum(w * w for w in cv))))
+
+    def _cents_sql() -> str:
+        # centers-so-far as ONE parsed literal array; D-suffixed doubles
+        # round-trip repr() exactly (the _km_literal_assign discipline)
+        return "array(" + ", ".join(
+            f"named_struct('step', CAST({s} AS INT), 'c', array("
+            + ", ".join(f"{x!r}D" for x in cv)
+            + f"), 'cc', {cc!r}D)"
+            for s, _, cv, cc in centers
+        ) + ")"
+
+    # d2 of a row against one centers-array element s, fold-left dot in
+    # index order — bit-equal to the oracle's list_dot_product spelling
+    _d2 = (
+        "vv - 2 * aggregate(zip_with(embedding, s.c,"
+        " (x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE),"
+        " (a, v) -> a + v) + s.cc"
+    )
+    _push(0, seed)
+    for step in range(1, k):
+        # distance to the chosen set: left fold of least() over the
+        # literal centers array — matches the oracle's LEAST chain
+        mind2 = F.expr(
+            f"aggregate({_cents_sql()}, CAST('Infinity' AS DOUBLE),"
+            f" (acc, s) -> least(acc, {_d2}))"
+        ).alias("mind2")
+        _push(
+            step,
+            d.select("vec_id", "embedding", mind2)
+            .orderBy(F.col("mind2").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0],
+        )
+
+    # final assignment: row-local argmin over the k-center literal array —
+    # struct(d2, step) ordering breaks ties toward the earlier center,
+    # matching the oracle's ORDER BY d2 ASC, step ASC
+    best = F.expr(
+        f"array_min(transform({_cents_sql()},"
+        f" s -> named_struct('d2', {_d2}, 'step', s.step)))"
+    ).alias("b")
+    assigned = d.select(best).select(
+        F.col("b.step").alias("step"), F.col("b.d2").alias("d2")
+    )
+    cent = spark.createDataFrame(
+        [(s, cid) for s, cid, _, _ in centers], "step int, center_id bigint"
+    )
+    return (
+        assigned.groupBy("step")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.round(F.max("d2"), 6).alias("max_d2"),
+        )
+        .join(F.broadcast(cent), "step")
+        .select("step", "center_id", "n_assigned", "max_d2")
+        .orderBy("step")
+    )
+
+
+def kcenter_coreset_oracle(k: int = KC_K) -> str:
+    """Unrolled-CTE replay of the farthest-point traversal: c0 = lowest
+    vec_id, then k−1 (argmax mind2 → LEAST update) rounds, then the final
+    nearest-center assignment aggregated per center — the kmeans_oracle
+    pattern with a LIMIT 1 selection per round."""
+    d2 = "(d.vv - 2 * list_dot_product(d.e, c.e) + list_dot_product(c.e, c.e))"
+    parts = [
+        """
+base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           list_dot_product(CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])) AS vv
+    FROM embeddings
+)""".strip(),
+        "c0 AS (SELECT vec_id, e FROM base ORDER BY vec_id ASC LIMIT 1)",
+        f"""
+d1 AS (
+    SELECT d.vec_id, d.e, d.vv, {d2} AS mind2
+    FROM base d CROSS JOIN c0 c
+)""".strip(),
+    ]
+    for t in range(1, k):
+        parts.append(
+            f"c{t} AS (SELECT vec_id, e FROM d{t} "
+            "ORDER BY mind2 DESC, vec_id ASC LIMIT 1)"
+        )
+        if t < k - 1:
+            parts.append(
+                f"""
+d{t + 1} AS (
+    SELECT d.vec_id, d.e, d.vv, LEAST(d.mind2, {d2}) AS mind2
+    FROM d{t} d CROSS JOIN c{t} c
+)""".strip()
+            )
+    union = "\n    UNION ALL ".join(
+        f"SELECT {t} AS step, vec_id, e FROM c{t}" for t in range(k)
+    )
+    parts.append(f"cent AS (\n    {union}\n)")
+    parts.append(
+        """
+assign AS (
+    SELECT vec_id, step, d2 FROM (
+        SELECT d.vec_id, c.step,
+               (d.vv - 2 * list_dot_product(d.e, c.e)
+                + list_dot_product(c.e, c.e)) AS d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.vec_id
+                   ORDER BY (d.vv - 2 * list_dot_product(d.e, c.e)
+                             + list_dot_product(c.e, c.e)) ASC,
+                            c.step ASC
+               ) AS rn
+        FROM base d CROSS JOIN cent c
+    ) WHERE rn = 1
+)""".strip()
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT a.step, c.vec_id AS center_id, COUNT(*) AS n_assigned,
+       ROUND(MAX(a.d2), 6) AS max_d2
+FROM assign a JOIN cent c ON a.step = c.step
+GROUP BY a.step, c.vec_id
+ORDER BY a.step
+"""
+    )

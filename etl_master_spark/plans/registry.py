@@ -316,6 +316,12 @@ register(
     vectors.centroid_classify,
     vectors.centroid_classify_oracle(),
 )
+# greedy k-center coreset (farthest-point traversal, per-center coverage)
+register(
+    "kcenter_coreset",
+    vectors.kcenter_coreset,
+    vectors.kcenter_coreset_oracle(),
+)
 # SemDeDup: reuses the kmeans trajectory, prunes within clusters by cosine
 register("semantic_dedup", vectors.semantic_dedup, vectors.semantic_dedup_oracle())
 register("mmd_rbf", vectors.mmd_rbf, vectors.mmd_rbf_oracle())
@@ -566,7 +572,9 @@ _PRIORITY = [
     # window covering every operator family. Everything not named keeps
     # its registration order after the spread and retains r01-r03 green
     # rows plus the full strict sweep.
-    # (a) never driver-checked
+    # (a) never driver-checked — the continuation session's NEW operators
+    # first (training-export shards, NCM classifier, k-center coreset)
+    "training_shards", "centroid_classify", "kcenter_coreset",
     "ann_pq_topk", "dedup_representatives", "lm_perplexity_scores",
     "simhash64", "approx_profiles", "media_features", "media_resize",
     "media_frames", "media_resize_hex", "media_frames_hex",

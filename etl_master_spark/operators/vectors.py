@@ -1313,11 +1313,12 @@ def _dot_unrolled(a: str, b: str, n: int = PQ_SUBDIM):
     return F.expr(terms)
 
 
-def _pq_vsub(emb: DataFrame) -> DataFrame:
-    """(vec_id, embedding) → (vec_id, m, v, vv): one row-local explode
+def _pq_vsub(emb: DataFrame, keys: tuple[str, ...] = ("vec_id",)) -> DataFrame:
+    """(keys…, embedding) → (keys…, m, v, vv): one row-local explode
     into PQ_M subvectors, with the fold-left self-dot ``vv`` computed
     ONCE per subvector here so every downstream distance costs a single
-    cross-dot."""
+    cross-dot. ``keys`` carries extra identity columns through (the
+    IVF-PQ path threads the coarse cell alongside vec_id)."""
     # one parsed SQL string for the whole subvector array — the Column-
     # operator spelling cost ~0.9 s of py4j round-trips per query build
     subs = ", ".join(
@@ -1326,8 +1327,8 @@ def _pq_vsub(emb: DataFrame) -> DataFrame:
         for m in range(PQ_M)
     )
     return (
-        emb.select("vec_id", F.expr(f"explode(array({subs}))").alias("s"))
-        .select("vec_id", F.col("s.m").alias("m"), F.col("s.v").alias("v"))
+        emb.select(*keys, F.expr(f"explode(array({subs}))").alias("s"))
+        .select(*keys, F.col("s.m").alias("m"), F.col("s.v").alias("v"))
         .withColumn("vv", _dot_unrolled("v", "v"))
     )
 
@@ -1356,7 +1357,9 @@ def _pq_d2():
     return F.col("vv") - 2 * _dot_unrolled("v", "c") + F.col("cc")
 
 
-def _pq_assign(vsub: DataFrame, cdf: DataFrame) -> DataFrame:
+def _pq_assign(
+    vsub: DataFrame, cdf: DataFrame, keys: tuple[str, ...] = ("vec_id",)
+) -> DataFrame:
     """Nearest-centroid assignment: broadcast the 64-row codebook frame
     (1:PQ_K join on m), then argmin via ``min(struct(d2, k))`` with
     map-side partial aggregation (lowest k wins ties). Returns
@@ -1374,14 +1377,14 @@ def _pq_assign(vsub: DataFrame, cdf: DataFrame) -> DataFrame:
     d2 = _pq_d2()
     return (
         vsub.join(F.broadcast(cdf), "m")
-        .groupBy("vec_id", "m")
+        .groupBy(*keys, "m")
         .agg(
             F.min(
                 F.struct(d2.alias("d2"), F.col("k").alias("k"))
             )["k"].alias("k"),
             F.first("v").alias("v"),
         )
-        .select("vec_id", "m", "k", "v")
+        .select(*keys, "m", "k", "v")
     )
 
 
@@ -1512,20 +1515,21 @@ def _ann_pq_core(spark: SparkSession, emb: DataFrame, topk: int = 5) -> DataFram
     )
 
 
-def ann_pq_oracle() -> str:
-    """Unrolled-CTE replay of the full PQ trajectory: phash cent0, then
-    PQ_ROUNDS (assign → per-component ROUND(avg,9) → COALESCE empty)
-    rounds per subspace, then encode/LUT/ADC with the final codebook —
-    the ``kmeans_oracle`` pattern with a subspace axis. Centroid
-    components are rounded to 9 dp in BOTH engines so the embedded
-    literals are exactly equal; cc is a list_dot_product over the
-    j-ordered list (deterministic order) in both."""
-    # d2(s, c) with cc folded in, shared fragment
+def _pq_oracle_traj_parts(
+    keys: tuple[str, ...] = ("vec_id",)
+) -> tuple[str, list[str], str, str]:
+    """Shared unrolled-CTE replay of the PQ codebook trajectory over an
+    existing ``vsub`` CTE with columns (keys…, m, v): returns
+    (cent0_part, round_parts, codes_part, last_cent_name). ``keys``
+    threads extra identity columns (the IVF-PQ path carries the coarse
+    cell) — they ride the per-subvector argmin partition unchanged."""
+    kl = ", ".join(keys)
+    skl = ", ".join(f"s.{k}" for k in keys)
     d2 = (
         "list_dot_product(s.v, s.v) - 2 * list_dot_product(s.v, c.c)"
         " + list_dot_product(c.c, c.c)"
     )
-    parts = [f"""
+    cent0 = f"""
 cent0 AS (
     SELECT m.m, k.k, list(p.w ORDER BY p.j) AS c
     FROM (SELECT unnest(range(0, {PQ_M})) AS m) m
@@ -1537,26 +1541,21 @@ cent0 AS (
         FROM (SELECT unnest(range(0, {PQ_SUBDIM})) AS j) j
     ) p
     GROUP BY m.m, k.k
-)""".strip(), f"""
-vsub AS (
-    SELECT vec_id, m.m,
-           list_slice(CAST(embedding AS DOUBLE[]),
-                      m.m * {PQ_SUBDIM} + 1, (m.m + 1) * {PQ_SUBDIM}) AS v
-    FROM embeddings CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) m
-)""".strip()]
+)""".strip()
+    rounds: list[str] = []
     for t in range(PQ_ROUNDS):
-        parts.append(f"""
+        rounds.append(f"""
 a{t} AS (
-    SELECT vec_id, m, v, k AS code FROM (
-        SELECT s.vec_id, s.m, s.v, c.k,
+    SELECT {kl}, m, v, k AS code FROM (
+        SELECT {skl}, s.m, s.v, c.k,
                ROW_NUMBER() OVER (
-                   PARTITION BY s.vec_id, s.m
+                   PARTITION BY {skl}, s.m
                    ORDER BY {d2} ASC, c.k ASC
                ) AS rn
         FROM vsub s JOIN cent{t} c ON s.m = c.m
     ) WHERE rn = 1
 )""".strip())
-        parts.append(f"""
+        rounds.append(f"""
 cent{t + 1} AS (
     SELECT p.m, p.k, COALESCE(n.c, p.c) AS c
     FROM cent{t} p LEFT JOIN (
@@ -1568,17 +1567,41 @@ cent{t + 1} AS (
     ) n ON p.m = n.m AND p.k = n.k
 )""".strip())
     last = f"cent{PQ_ROUNDS}"
-    parts.append(f"""
+    codes = f"""
 codes AS (
-    SELECT vec_id, m, k AS code FROM (
-        SELECT s.vec_id, s.m, c.k,
+    SELECT {kl}, m, k AS code FROM (
+        SELECT {skl}, s.m, c.k,
                ROW_NUMBER() OVER (
-                   PARTITION BY s.vec_id, s.m
+                   PARTITION BY {skl}, s.m
                    ORDER BY {d2} ASC, c.k ASC
                ) AS rn
         FROM vsub s JOIN {last} c ON s.m = c.m
     ) WHERE rn = 1
-)""".strip())
+)""".strip()
+    return cent0, rounds, codes, last
+
+
+def ann_pq_oracle() -> str:
+    """Unrolled-CTE replay of the full PQ trajectory: phash cent0, then
+    PQ_ROUNDS (assign → per-component ROUND(avg,9) → COALESCE empty)
+    rounds per subspace, then encode/LUT/ADC with the final codebook —
+    the ``kmeans_oracle`` pattern with a subspace axis. Centroid
+    components are rounded to 9 dp in BOTH engines so the embedded
+    literals are exactly equal; cc is a list_dot_product over the
+    j-ordered list (deterministic order) in both."""
+    d2 = (
+        "list_dot_product(s.v, s.v) - 2 * list_dot_product(s.v, c.c)"
+        " + list_dot_product(c.c, c.c)"
+    )
+    cent0, rounds, codes, last = _pq_oracle_traj_parts()
+    vsub = f"""
+vsub AS (
+    SELECT vec_id, m.m,
+           list_slice(CAST(embedding AS DOUBLE[]),
+                      m.m * {PQ_SUBDIM} + 1, (m.m + 1) * {PQ_SUBDIM}) AS v
+    FROM embeddings CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) m
+)""".strip()
+    parts = [cent0, vsub, *rounds, codes]
     parts.append(f"""
 lut AS (
     SELECT s.vec_id AS query_id, s.m, c.k AS code, {d2} AS dpart
@@ -2274,5 +2297,260 @@ SELECT a.step, c.vec_id AS center_id, COUNT(*) AS n_assigned,
 FROM assign a JOIN cent c ON a.step = c.step
 GROUP BY a.step, c.vec_id
 ORDER BY a.step
+"""
+    )
+
+
+# -- IVF-PQ (IVFADC): coarse cells + PQ residual codes -----------------------
+
+# The composition that actually serves billion-vector ANN (Jégou et al.
+# 2011, the Faiss IVFADC default): an inverted-file coarse quantizer prunes
+# the corpus to nprobe cells per query, and product-quantized RESIDUALS
+# (vector − coarse centroid) give the in-cell distance estimate from codes
+# alone. Reuses this module's IVF coarse centroids (phash planes, IVF_SEED)
+# and the whole PQ train/encode/LUT machinery over the residual frame.
+IVFPQ_NPROBE = 2
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: per query, probe the ``IVFPQ_NPROBE`` nearest coarse
+    cells and score ONLY their members by asymmetric distance over PQ
+    residual codes — never touching a raw corpus vector at query time.
+
+    Plan shape (what makes this THE 100 TB ANN architecture):
+    1. ASSIGN: row-local literal argmax over the 8 coarse phash planes
+       (the ``ann_ivf_topk`` spelling — no join, no corpus amplification).
+    2. RESIDUAL: one broadcast join against the 8-row centroid frame +
+       row-local ``zip_with`` subtraction; localCheckpointed because
+       train/encode re-read it (the index build materializes codes at
+       scale anyway).
+    3. TRAIN/ENCODE: the shared PQ trajectory (``_pq_train_cdf`` /
+       ``_pq_assign``) over residual subvectors — broadcast codebook,
+       map-side-combined argmin, codebook-sized driver traffic only.
+    4. PROBE: per query, row-local ``sort_array`` of (−dot, cell) structs
+       sliced to nprobe — ties break toward the lower cell in both
+       engines.
+    5. SCORE: corpus codes equi-join the broadcast per-(query, cell) LUT
+       on (cell, m, code) — the shuffle carries code rows, never vectors,
+       and the IVF prune bounds it to nprobe/cells of the corpus.
+
+    Recall on near-isotropic synthetic data is poor BY NATURE (same
+    honesty note as ``ann_pq_topk``); the planted-cluster test pins
+    effectiveness, the registry entry pins machinery + oracle."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    return _ann_ivfpq_core(spark, emb)
+
+
+def _ann_ivfpq_core(
+    spark: SparkSession, emb: DataFrame, topk: int = 5
+) -> DataFrame:
+    emb = emb.localCheckpoint()
+    # coarse centroids as data (cell, c): Python-computed phash values,
+    # identical doubles to the plan-literal planes and the oracle's SQL
+    # fragment (the _pq_cdf precedent)
+    cents = [
+        [
+            phash_py(c, j, seed=IVF_SEED) / float(PHASH_P) - 0.5
+            for j in range(64)
+        ]
+        for c in range(IVF_CELLS)
+    ]
+    coarse = spark.createDataFrame(
+        [(c, cents[c]) for c in range(IVF_CELLS)], "cell int, c array<double>"
+    )
+
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _dot(F.col("embedding"), _phash_plane(c, 64, IVF_SEED)).alias(
+                        "dot"
+                    ),
+                    F.lit(-c).cast("int").alias("negcell"),
+                )
+                for c in range(IVF_CELLS)
+            ]
+        )
+    )
+    with_cell = emb.select(
+        "vec_id", "embedding", (-best["negcell"]).cast("int").alias("cell")
+    )
+    resid = (
+        with_cell.join(F.broadcast(coarse), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.expr(
+                "zip_with(embedding, c, (x, w) -> CAST(x AS DOUBLE) - w)"
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    vsub = _pq_vsub(resid, keys=("vec_id", "cell"))
+    cdf = _pq_train_cdf(spark, vsub).localCheckpoint()
+    codes = _pq_assign(vsub, cdf, keys=("vec_id", "cell")).select(
+        "vec_id", "cell", "m", F.col("k").alias("code")
+    )
+
+    # probe: nprobe nearest cells per query, row-local
+    parr = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    (-_dot(F.col("embedding"), _phash_plane(c, 64, IVF_SEED))).alias(
+                        "negdot"
+                    ),
+                    F.lit(c).cast("int").alias("cell"),
+                )
+                for c in range(IVF_CELLS)
+            ]
+        )
+    )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "embedding",
+            F.explode(F.slice(parr, 1, IVFPQ_NPROBE)).alias("p"),
+        )
+        .select("query_id", "embedding", F.col("p.cell").alias("cell"))
+    )
+    qresid = q.join(F.broadcast(coarse), "cell").select(
+        "query_id",
+        "cell",
+        F.expr("zip_with(embedding, c, (x, w) -> CAST(x AS DOUBLE) - w)").alias(
+            "embedding"
+        ),
+    )
+    qsub = _pq_vsub(qresid, keys=("query_id", "cell"))
+    lut = qsub.join(F.broadcast(cdf), "m").select(
+        "query_id", "cell", "m", F.col("k").alias("code"), _pq_d2().alias("dpart")
+    )
+
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("dpart"), 6).alias("approx_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "approx_d2",
+            "rnk",
+        )
+    )
+
+
+def ann_ivfpq_oracle() -> str:
+    """Coarse-assign + residual + the shared PQ trajectory
+    (``_pq_oracle_traj_parts`` with the cell threaded through) + probe +
+    per-(query, cell) LUT + ADC, all as unrolled CTEs."""
+    ivfcent = f"""
+ivfcent AS (
+    SELECT c.cell, list(p.w ORDER BY p.i) AS c
+    FROM (SELECT unnest(range(0, {IVF_CELLS})) AS cell) c,
+         LATERAL (
+             SELECT i.i,
+                    CAST({phash_frag('c.cell', 'i.i', seed=IVF_SEED)} AS DOUBLE)
+                        / CAST({PHASH_P} AS DOUBLE) - 0.5 AS w
+             FROM (SELECT unnest(range(0, 64)) AS i) i
+         ) p
+    GROUP BY c.cell
+)""".strip()
+    assigned = f"""
+assigned AS (
+    SELECT vec_id, e, cell FROM (
+        SELECT x.vec_id, x.e, c.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY x.vec_id
+                   ORDER BY list_dot_product(x.e, c.c) DESC, c.cell ASC
+               ) AS rn
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) x
+        CROSS JOIN ivfcent c
+    ) WHERE rn = 1
+)""".strip()
+    resid = """
+resid AS (
+    SELECT a.vec_id, a.cell, list(a.e[j.j + 1] - c.c[j.j + 1] ORDER BY j.j) AS r
+    FROM assigned a JOIN ivfcent c ON a.cell = c.cell,
+         (SELECT unnest(range(0, 64)) AS j) j
+    GROUP BY a.vec_id, a.cell
+)""".strip()
+    vsub = f"""
+vsub AS (
+    SELECT vec_id, cell, m.m,
+           list_slice(r, m.m * {PQ_SUBDIM} + 1, (m.m + 1) * {PQ_SUBDIM}) AS v
+    FROM resid CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) m
+)""".strip()
+    cent0, rounds, codes, last = _pq_oracle_traj_parts(keys=("vec_id", "cell"))
+    probe = f"""
+probe AS (
+    SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.e, c.c) DESC, c.cell ASC
+               ) AS rn
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < {N_QUERY_VECS}) q
+        CROSS JOIN ivfcent c
+    ) WHERE rn <= {IVFPQ_NPROBE}
+)""".strip()
+    qresid = """
+qresid AS (
+    SELECT p.query_id, p.cell,
+           list(q.e[j.j + 1] - c.c[j.j + 1] ORDER BY j.j) AS r
+    FROM probe p
+    JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) q
+      ON q.vec_id = p.query_id
+    JOIN ivfcent c ON c.cell = p.cell,
+         (SELECT unnest(range(0, 64)) AS j) j
+    GROUP BY p.query_id, p.cell
+)""".strip()
+    qsub = f"""
+qsub AS (
+    SELECT query_id, cell, m.m,
+           list_slice(r, m.m * {PQ_SUBDIM} + 1, (m.m + 1) * {PQ_SUBDIM}) AS v
+    FROM qresid CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) m
+)""".strip()
+    lut = f"""
+lut AS (
+    SELECT s.query_id, s.cell, s.m, c.k AS code,
+           list_dot_product(s.v, s.v) - 2 * list_dot_product(s.v, c.c)
+             + list_dot_product(c.c, c.c) AS dpart
+    FROM qsub s JOIN {last} c ON s.m = c.m
+)""".strip()
+    scored = """
+scored AS (
+    SELECT l.query_id, cd.vec_id, ROUND(SUM(l.dpart), 6) AS approx_d2
+    FROM codes cd
+    JOIN lut l ON cd.cell = l.cell AND cd.m = l.m AND cd.code = l.code
+    WHERE cd.vec_id <> l.query_id
+    GROUP BY l.query_id, cd.vec_id
+)""".strip()
+    parts = [
+        ivfcent, assigned, resid, vsub, cent0, *rounds, codes,
+        probe, qresid, qsub, lut, scored,
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT query_id, neighbor_id, approx_d2, rnk FROM (
+    SELECT query_id, vec_id AS neighbor_id, approx_d2,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY approx_d2 ASC, vec_id ASC
+           ) AS INT) AS rnk
+    FROM scored
+) WHERE rnk <= 5
 """
     )

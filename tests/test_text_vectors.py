@@ -555,3 +555,32 @@ def test_kcenter_coreset_real_data_invariants(spark, sf_dir):
     assert sum(r["n_assigned"] for r in out) == n
     for r in out:
         assert r["max_d2"] >= 0.0
+
+
+def test_ann_ivfpq_planted_clusters_recall(spark):
+    """IVF-PQ effectiveness on its intended regime (clustered corpus):
+    a tight cluster's members share a coarse cell, so the query's probe
+    finds them, and residual-PQ distances must rank same-cluster members
+    into the top-5 (the ann_pq planted test, composed with the IVF
+    prune)."""
+    import numpy as np
+
+    from etl_master_spark.operators.vectors import _ann_ivfpq_core
+
+    rng = np.random.default_rng(19)
+    n_clusters, per = 40, 12
+    centers = rng.normal(0.0, 1.0, (n_clusters, 64))
+    rows = []
+    for c in range(n_clusters):
+        for i in range(per):
+            v = centers[c] + rng.normal(0.0, 0.05, 64)
+            rows.append((c * per + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = _ann_ivfpq_core(spark, emb).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    hits = sum(1 for q, ns in by_q.items() for n in ns if n < per)
+    total = sum(len(ns) for ns in by_q.values())
+    assert hits / total >= 0.9, (hits, total, by_q)

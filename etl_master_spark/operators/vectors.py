@@ -1210,8 +1210,9 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-corpus-scan plan) collapsing to per-method 1-row aggregates —
     the joins are on (query_id, neighbor_id) over ≤ |queries|·k rows, so
     the audit's own cost is the methods' cost, not a new quadratic term.
-    (PQ recall is pinned separately by its planted-cluster test — its
-    unrolled-codebook oracle is too heavy to replay inside a fourth CTE.)"""
+    (PQ and IVF-PQ recall are pinned separately by their planted-cluster
+    tests — the unrolled-codebook oracles are too heavy to replay inside
+    additional CTEs, and uniform-random testdata is their worst case.)"""
 
     def recall_of(method_df: DataFrame, method: str, k: int) -> DataFrame:
         truth = (

@@ -2555,3 +2555,191 @@ SELECT query_id, neighbor_id, approx_d2, rnk FROM (
 ) WHERE rnk <= 5
 """
     )
+
+
+# -- MMR diversified reranking (Carbonell & Goldstein '98) -------------------
+
+# Retrieval endgame for dense-retrieval pipelines: rerank the exact top-k
+# so results cover the query's neighborhood instead of repeating one tight
+# cluster — score = λ·relevance − (1−λ)·max-similarity-to-already-selected,
+# greedy. Inherently per-query sequential over a k-bounded candidate set:
+# the textbook case for the Arrow `applyInPandas` escape hatch (group state
+# is ≤ TOPK rows no matter the corpus size).
+MMR_LAMBDA = 0.7
+MMR_K = 5
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-rerank each query's exact cosine top-``TOPK`` down to
+    ``MMR_K`` diversified results. Output: (query_id, neighbor_id,
+    relevance, mmr_score, rnk) — rnk is the selection order; step 1's
+    score is λ·relevance (empty-set similarity term = 0, documented
+    convention, mirrored in the oracle).
+
+    Plan shape: candidates come from the single-corpus-scan exact top-k;
+    their vectors re-attach through ONE broadcast hash join (the
+    candidate table is |queries|·k rows — always the small side); the
+    greedy loop runs per query group in an Arrow kernel whose state is
+    k vectors, so parallelism scales with |queries| and NO step touches
+    the corpus again. At 100 TB only the candidate generator upgrades
+    (exact scan → IVF-PQ); the rerank stage is unchanged.
+
+    Cross-engine determinism: candidate relevances arrive 6-dp-rounded
+    from ``ann_cosine_topk``; pairwise sims are fold-left dots over
+    float64 (Python index-order loop ≡ DuckDB ``list_dot_product``)
+    rounded to 6 dp; scores are λ/(1−λ) products of those rounded values
+    (identical doubles both engines); ties break toward the lower
+    neighbor_id."""
+    cand = ann_cosine_topk(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    withv = emb.join(F.broadcast(cand), "neighbor_id").select(
+        "query_id", "neighbor_id", "cosine", "embedding"
+    )
+    return _mmr_core(withv)
+
+
+def _mmr_core(withv: DataFrame) -> DataFrame:
+    """Greedy MMR over any (query_id, neighbor_id, cosine, embedding)
+    candidate frame — split out so tests can plant redundant top-k sets."""
+
+    def _mmr_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            (
+                int(r.neighbor_id),
+                float(r.cosine),
+                [float(x) for x in r.embedding],
+            )
+            for r in pdf.itertuples()
+        ]
+        rows.sort(key=lambda t: t[0])
+
+        def dot(a: list, b: list) -> float:
+            acc = 0.0
+            for x, y in zip(a, b):  # index-order fold == list_dot_product
+                acc = acc + x * y
+            return acc
+
+        norm = {i: dot(v, v) ** 0.5 for i, _, v in rows}
+        vec = {i: v for i, _, v in rows}
+        rel = {i: c for i, c, _ in rows}
+
+        def sim(i: int, j: int) -> float:
+            return round(dot(vec[i], vec[j]) / (norm[i] * norm[j]), 6)
+
+        selected: list[tuple[int, float]] = []
+        remaining = [i for i, _, _ in rows]
+        while remaining and len(selected) < MMR_K:
+            best_id, best_score = None, None
+            for i in remaining:
+                maxsim = max(
+                    (sim(i, j) for j, _ in selected), default=0.0
+                )
+                score = MMR_LAMBDA * rel[i] - (1.0 - MMR_LAMBDA) * maxsim
+                # strict > keeps the LOWEST id on ties (remaining is sorted)
+                if best_score is None or score > best_score:
+                    best_id, best_score = i, score
+            selected.append((best_id, best_score))
+            remaining.remove(best_id)
+        qid = int(pdf["query_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(selected),
+                "neighbor_id": [i for i, _ in selected],
+                "relevance": [rel[i] for i, _ in selected],
+                "mmr_score": [round(s, 6) for _, s in selected],
+                "rnk": list(range(1, len(selected) + 1)),
+            }
+        )
+
+    out_schema = (
+        "query_id long, neighbor_id long, relevance double,"
+        " mmr_score double, rnk int"
+    )
+    return (
+        withv.groupBy("query_id")
+        .applyInPandas(_mmr_kernel, out_schema)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def mmr_rerank_oracle(k: int = MMR_K) -> str:
+    """Unrolled greedy replay: candidate top-k + pairwise-sim CTEs, then
+    k (score against selected-so-far → per-query argmax) rounds."""
+    lam, one_m = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    parts = [
+        f"cand AS (SELECT query_id, neighbor_id, cosine FROM ({ANN_COSINE_TOPK_ORACLE}))",
+        """
+cemb AS (
+    SELECT c.query_id, c.neighbor_id, c.cosine,
+           CAST(e.embedding AS DOUBLE[]) AS v
+    FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+)""".strip(),
+        """
+sim AS (
+    SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS s
+    FROM cemb a JOIN cemb b
+      ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+)""".strip(),
+        f"""
+sel1 AS (
+    SELECT query_id, neighbor_id, cosine, {lam!r} * cosine AS score,
+           1 AS rnk
+    FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC
+               ) AS rn
+        FROM cand
+    ) WHERE rn = 1
+)""".strip(),
+        "prev1 AS (SELECT * FROM sel1)",
+    ]
+    for t in range(2, k + 1):
+        parts.append(f"""
+sel{t} AS (
+    SELECT query_id, neighbor_id, cosine, score, {t} AS rnk FROM (
+        SELECT x.query_id, x.neighbor_id, x.cosine, x.score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY x.query_id
+                   ORDER BY x.score DESC, x.neighbor_id ASC
+               ) AS rn
+        FROM (
+            SELECT c.query_id, c.neighbor_id, c.cosine,
+                   {lam!r} * c.cosine - {one_m!r} * MAX(p.s) AS score
+            FROM cand c
+            JOIN prev{t - 1} v ON v.query_id = c.query_id
+            JOIN sim p ON p.query_id = c.query_id
+                      AND p.i = c.neighbor_id AND p.j = v.neighbor_id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM prev{t - 1} z
+                WHERE z.query_id = c.query_id
+                  AND z.neighbor_id = c.neighbor_id
+            )
+            GROUP BY c.query_id, c.neighbor_id, c.cosine
+        ) x
+    ) WHERE rn = 1
+)""".strip())
+        if t < k:
+            parts.append(
+                f"prev{t} AS (SELECT * FROM prev{t - 1} UNION ALL"
+                f" SELECT * FROM sel{t})"
+            )
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM sel{t}" for t in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, cosine AS relevance,
+       ROUND(score, 6) AS mmr_score, CAST(rnk AS INT) AS rnk
+FROM ({union})
+ORDER BY query_id, rnk
+"""
+    )

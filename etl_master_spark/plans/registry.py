@@ -325,6 +325,8 @@ register(
 # IVF-PQ (IVFADC): coarse-cell probe + PQ residual codes — the billion-
 # vector composition of the family's IVF and PQ members
 register("ann_ivfpq_topk", vectors.ann_ivfpq_topk, vectors.ann_ivfpq_oracle())
+# MMR diversified reranking of the exact top-k (per-query Arrow kernel)
+register("mmr_rerank", vectors.mmr_rerank, vectors.mmr_rerank_oracle())
 # SemDeDup: reuses the kmeans trajectory, prunes within clusters by cosine
 register("semantic_dedup", vectors.semantic_dedup, vectors.semantic_dedup_oracle())
 register("mmd_rbf", vectors.mmd_rbf, vectors.mmd_rbf_oracle())
@@ -578,7 +580,7 @@ _PRIORITY = [
     # (a) never driver-checked — the continuation session's NEW operators
     # first (training-export shards, NCM classifier, k-center coreset)
     "training_shards", "centroid_classify", "kcenter_coreset",
-    "ann_ivfpq_topk",
+    "ann_ivfpq_topk", "mmr_rerank",
     "ann_pq_topk", "dedup_representatives", "lm_perplexity_scores",
     "simhash64", "approx_profiles", "media_features", "media_resize",
     "media_frames", "media_resize_hex", "media_frames_hex",

@@ -38,6 +38,7 @@ BNLJ_OK = {
     "lm_perplexity_scores",  # 1-row trigram total joined onto the vocab
     "dsir_weights",  # 1-row corpus totals cross-joined onto the D-row models
     "centroid_classify",  # 10-row class-centroid frame vs every holdout row
+    "mmr_rerank",  # inherits ann_cosine_topk's broadcast-query corpus scan
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

@@ -125,3 +125,48 @@ def test_semantic_dedup_partitioning_invariance(spark):
             for r in _semantic_dedup_core(layout, tau=0.95).collect()
         )
         assert got == ref
+
+
+def test_kcenter_partitioning_invariance(spark):
+    """Farthest-point traversal is a pure function of the (vec_id,
+    embedding) SET: the per-round TakeOrdered argmax and the final
+    array_min argmin both carry vec_id/step tie-breaks, so layout must
+    not change a single selection or assignment."""
+    import numpy as np
+
+    from etl_master_spark.operators.vectors import _kcenter_core
+
+    rng = np.random.default_rng(41)
+    rows = [
+        (i, [float(x) for x in rng.normal(0.0, 1.0, 64)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ref = sorted(tuple(r) for r in _kcenter_core(spark, df).collect())
+    for layout in (df.repartition(17), df.coalesce(1), df.sort(df.vec_id.desc())):
+        got = sorted(tuple(r) for r in _kcenter_core(spark, layout).collect())
+        assert got == ref
+
+
+def test_centroid_classify_partitioning_invariance(spark):
+    """Centroid means round to 9 dp before the argmax and ties break on
+    the class id, so the confusion matrix must be layout-independent."""
+    import numpy as np
+
+    from etl_master_spark.operators.vectors import _centroid_classify_core
+
+    rng = np.random.default_rng(43)
+    rows = [
+        (
+            i,
+            [float(x) for x in rng.normal(0.0, 1.0, 64)],
+            int(rng.integers(0, 5)),
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    ref = sorted(tuple(r) for r in _centroid_classify_core(df).collect())
+    for layout in (df.repartition(23), df.coalesce(1)):
+        got = sorted(tuple(r) for r in _centroid_classify_core(layout).collect())
+        assert got == ref

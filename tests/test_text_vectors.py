@@ -584,3 +584,38 @@ def test_ann_ivfpq_planted_clusters_recall(spark):
     hits = sum(1 for q, ns in by_q.items() for n in ns if n < per)
     total = sum(len(ns) for ns in by_q.values())
     assert hits / total >= 0.9, (hits, total, by_q)
+
+
+def test_mmr_rerank_diversifies_redundant_topk(spark):
+    """MMR effectiveness: plant a top-k where 6 near-identical candidates
+    dominate relevance and 4 mutually-dissimilar ones trail slightly.
+    Plain top-5 would take 5 clones; MMR at λ=0.7 must keep the most
+    relevant clone, then prefer the diverse candidates over the other
+    clones (penalty ≈ 0.3·1.0 for a clone vs ≈ 0.3·sim_low for a
+    diverse pick)."""
+    import numpy as np
+
+    from etl_master_spark.operators.vectors import MMR_K, _mmr_core
+
+    rng = np.random.default_rng(53)
+    base = rng.normal(0.0, 1.0, 64)
+    rows = []
+    for i in range(6):  # clones: ids 0-5, relevance ~0.99
+        v = base + rng.normal(0.0, 0.01, 64)
+        rows.append((0, i, 0.99 - i * 0.001, [float(x) for x in v]))
+    for i in range(4):  # diverse: ids 10-13, relevance 0.9
+        v = rng.normal(0.0, 1.0, 64)
+        rows.append((0, 10 + i, 0.9, [float(x) for x in v]))
+    withv = spark.createDataFrame(
+        rows,
+        "query_id long, neighbor_id long, cosine double,"
+        " embedding array<float>",
+    )
+    out = sorted(_mmr_core(withv).collect(), key=lambda r: r["rnk"])
+    assert len(out) == MMR_K
+    assert out[0]["neighbor_id"] == 0  # most relevant clone first
+    picked = {r["neighbor_id"] for r in out}
+    assert len(picked & {10, 11, 12, 13}) >= 3, picked
+    # selection-order scores are non-increasing (greedy argmax invariant)
+    scores = [r["mmr_score"] for r in out]
+    assert scores == sorted(scores, reverse=True), scores

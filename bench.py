@@ -109,6 +109,12 @@ BENCH_QUERIES = [
     "media_stats",
     "ann_pq_topk",
     "prior_family_stats",
+    # round-4 continuation additions
+    "ann_ivfpq_topk",
+    "kcenter_coreset",
+    "centroid_classify",
+    "mmr_rerank",
+    "training_shards",
 ]
 
 

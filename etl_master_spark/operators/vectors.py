@@ -2743,3 +2743,115 @@ FROM ({union})
 ORDER BY query_id, rnk
 """
     )
+
+
+# -- incremental index maintenance: frozen-codebook batch append -------------
+
+# The production counterpart of dedup_incremental for the ANN index: new
+# vectors arrive, the PQ codebook stays FROZEN (retraining would invalidate
+# every stored code), the batch is encoded against it, and the operator
+# reports per-code occupancy + quantization error — the drift audit that
+# tells an index owner when a retrain is actually due.
+IDX_SEED = 59
+IDX_OLD_MOD = 10  # portable-hash fold: ~8/10 old corpus, ~2/10 new batch
+IDX_OLD_LT = 8
+
+
+def pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freeze a PQ codebook on the ~80% "old" corpus slice (deterministic
+    hash split), encode the ~20% "new" batch against it WITHOUT
+    retraining, and report per-(subspace, code) occupancy and mean
+    quantization error of the appended batch:
+    (m, code, n_new, avg_qerr).
+
+    Plan shape: training sees only the old slice (the shared
+    ``_pq_train_cdf`` broadcast-codebook trajectory); the append is ONE
+    scan of the new batch — broadcast-codebook argmin keeping the chosen
+    d2 — plus a 64-key aggregation. At 100 TB this is the shape that
+    matters: the historical corpus is NEVER rescanned to admit a batch,
+    and the audit output is codebook-sized. Rising ``avg_qerr`` against
+    the training-time distortion is the retrain signal.
+
+    Determinism: the trajectory/encode reuse the PQ fragments (bit-equal
+    fold-left dots both engines); ``avg_qerr`` rounds AVG over bit-equal
+    d2 values to 6 dp (the kmeans AVG precedent)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    h = F.expr(phash_frag("vec_id", seed=IDX_SEED))
+    emb = emb.withColumn("is_old", (h % IDX_OLD_MOD) < IDX_OLD_LT).localCheckpoint()
+    vsub_old = _pq_vsub(emb.filter(F.col("is_old")))
+    cdf = _pq_train_cdf(spark, vsub_old).localCheckpoint()
+
+    vsub_new = _pq_vsub(emb.filter(~F.col("is_old")))
+    d2 = _pq_d2()
+    best = F.min(
+        F.struct(d2.alias("d2"), F.col("k").alias("k"))
+    ).alias("b")
+    codes = (
+        vsub_new.join(F.broadcast(cdf), "m")
+        .groupBy("vec_id", "m")
+        .agg(best)
+        .select("m", F.col("b.k").alias("code"), F.col("b.d2").alias("qerr"))
+    )
+    return (
+        codes.groupBy("m", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.round(F.avg("qerr"), 6).alias("avg_qerr"),
+        )
+        .orderBy("m", "code")
+    )
+
+
+def pq_index_append_oracle() -> str:
+    d2 = (
+        "list_dot_product(s.v, s.v) - 2 * list_dot_product(s.v, c.c)"
+        " + list_dot_product(c.c, c.c)"
+    )
+    cent0, rounds, _codes, last = _pq_oracle_traj_parts()
+    split = f"""
+base AS (
+    SELECT vec_id, embedding,
+           ({phash_frag('vec_id', seed=IDX_SEED)} % {IDX_OLD_MOD})
+               < {IDX_OLD_LT} AS is_old
+    FROM embeddings
+)""".strip()
+    vsub = f"""
+vsub AS (
+    SELECT vec_id, m.m,
+           list_slice(CAST(embedding AS DOUBLE[]),
+                      m.m * {PQ_SUBDIM} + 1, (m.m + 1) * {PQ_SUBDIM}) AS v
+    FROM base CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) m
+    WHERE is_old
+)""".strip()
+    nvsub = f"""
+nvsub AS (
+    SELECT vec_id, m.m,
+           list_slice(CAST(embedding AS DOUBLE[]),
+                      m.m * {PQ_SUBDIM} + 1, (m.m + 1) * {PQ_SUBDIM}) AS v
+    FROM base CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) m
+    WHERE NOT is_old
+)""".strip()
+    ncodes = f"""
+ncodes AS (
+    SELECT m, k AS code, d2 AS qerr FROM (
+        SELECT s.vec_id, s.m, c.k, {d2} AS d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY {d2} ASC, c.k ASC
+               ) AS rn
+        FROM nvsub s JOIN {last} c ON s.m = c.m
+    ) WHERE rn = 1
+)""".strip()
+    parts = [split, vsub, nvsub, cent0, *rounds, ncodes]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT m, code, COUNT(*) AS n_new, ROUND(AVG(qerr), 6) AS avg_qerr
+FROM ncodes
+GROUP BY m, code
+ORDER BY m, code
+"""
+    )

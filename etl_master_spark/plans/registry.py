@@ -327,6 +327,10 @@ register(
 register("ann_ivfpq_topk", vectors.ann_ivfpq_topk, vectors.ann_ivfpq_oracle())
 # MMR diversified reranking of the exact top-k (per-query Arrow kernel)
 register("mmr_rerank", vectors.mmr_rerank, vectors.mmr_rerank_oracle())
+# frozen-codebook batch append + drift audit (incremental index maintenance)
+register(
+    "pq_index_append", vectors.pq_index_append, vectors.pq_index_append_oracle()
+)
 # SemDeDup: reuses the kmeans trajectory, prunes within clusters by cosine
 register("semantic_dedup", vectors.semantic_dedup, vectors.semantic_dedup_oracle())
 register("mmd_rbf", vectors.mmd_rbf, vectors.mmd_rbf_oracle())
@@ -580,7 +584,7 @@ _PRIORITY = [
     # (a) never driver-checked — the continuation session's NEW operators
     # first (training-export shards, NCM classifier, k-center coreset)
     "training_shards", "centroid_classify", "kcenter_coreset",
-    "ann_ivfpq_topk", "mmr_rerank",
+    "ann_ivfpq_topk", "mmr_rerank", "pq_index_append",
     "ann_pq_topk", "dedup_representatives", "lm_perplexity_scores",
     "simhash64", "approx_profiles", "media_features", "media_resize",
     "media_frames", "media_resize_hex", "media_frames_hex",

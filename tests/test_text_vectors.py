@@ -619,3 +619,40 @@ def test_mmr_rerank_diversifies_redundant_topk(spark):
     # selection-order scores are non-increasing (greedy argmax invariant)
     scores = [r["mmr_score"] for r in out]
     assert scores == sorted(scores, reverse=True), scores
+
+
+def test_pq_index_append_accounts_for_whole_batch(spark, sf_dir):
+    """Frozen-codebook append contract: every new-batch vector gets
+    exactly one code per subspace (per-m occupancies each sum to the
+    batch size), codes stay inside the codebook, and quantization error
+    is non-negative."""
+    from pyspark.sql import functions as F
+
+    from etl_master_spark.operators.text import load_table
+    from etl_master_spark.operators.vectors import (
+        IDX_OLD_LT,
+        IDX_OLD_MOD,
+        IDX_SEED,
+        PQ_K,
+        PQ_M,
+        pq_index_append,
+    )
+    from etl_master_spark.functions.hashing import phash_frag
+
+    out = pq_index_append(spark, sf_dir).collect()
+    n_new = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            F.expr(phash_frag("vec_id", seed=IDX_SEED)) % IDX_OLD_MOD
+            >= IDX_OLD_LT
+        )
+        .count()
+    )
+    assert n_new > 0
+    per_m: dict[int, int] = {}
+    for r in out:
+        assert 0 <= r["m"] < PQ_M
+        assert 0 <= r["code"] < PQ_K
+        assert r["avg_qerr"] >= 0.0
+        per_m[r["m"]] = per_m.get(r["m"], 0) + r["n_new"]
+    assert per_m == {m: n_new for m in range(PQ_M)}, per_m

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "centroid_classify",
     "mmr_rerank",
     "training_shards",
+    "pq_index_append",
 ]
 
 

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import PHASH_P, phash_frag, phash_py
-from ..sources.io import load_table, spread
+from ..sources.io import load_table, spread, spread_by
 
 N_QUERY_VECS = 5  # vec_id < 5 are the demo query set
 TOPK = 10
@@ -1458,7 +1458,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is inherently poor — the operator's EFFECTIVENESS is pinned by the
     planted-cluster recall test (tests/test_text_vectors.py), the same
     honesty split the banded-LSH dedup family uses."""
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     return _ann_pq_core(spark, emb)
@@ -1467,9 +1467,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_pq_core(spark: SparkSession, emb: DataFrame, topk: int = 5) -> DataFrame:
     """PQ train/encode/LUT/score over any (vec_id, embedding) frame —
     split out so tests can plant clustered corpora."""
-    # localCheckpoint, not cache: the training rounds re-read this frame,
-    # and reference-GC'd blocks don't pin the session cache
-    emb = emb.localCheckpoint()
+    # keyed spread instead of a checkpoint: HashPartitioning(vec_id)
+    # satisfies every (vec_id, m) argmin's clustering, so the train and
+    # encode groupBys lose their exchange barriers entirely; the parquet
+    # scan subtree is shallow enough that re-reading beats materializing
+    # (measured 3.8 -> 2.7 s; a localCheckpoint would erase the
+    # partitioning metadata and bring the shuffles back)
+    emb = spread_by(emb, "vec_id")
     vsub = _pq_vsub(emb)
     # the trained codebook feeds BOTH encode and LUT; checkpoint the
     # 64-row frame so the two training rounds execute exactly once
@@ -2389,6 +2393,12 @@ def _ann_ivfpq_core(
         )
         .localCheckpoint()
     )
+    # (measured: a spread_by(vec_id) after this checkpoint wins on the
+    # isolated train+encode sub-DAG but LOSES on the full query — the
+    # probe/LUT/score stages don't reuse the keyed layout and the extra
+    # corpus exchange outweighs the deleted argmin shuffles, 4.9 vs
+    # 5.1 s min-of-3 — so the checkpoint stands alone here, unlike
+    # _ann_pq_core)
     vsub = _pq_vsub(resid, keys=("vec_id", "cell"))
     cdf = _pq_train_cdf(spark, vsub).localCheckpoint()
     codes = _pq_assign(vsub, cdf, keys=("vec_id", "cell")).select(
@@ -2775,11 +2785,14 @@ def pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the trajectory/encode reuse the PQ fragments (bit-equal
     fold-left dots both engines); ``avg_qerr`` rounds AVG over bit-equal
     d2 values to 6 dp (the kmeans AVG precedent)."""
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     h = F.expr(phash_frag("vec_id", seed=IDX_SEED))
-    emb = emb.withColumn("is_old", (h % IDX_OLD_MOD) < IDX_OLD_LT).localCheckpoint()
+    # keyed spread, no checkpoint: the subtree is scan + one hash, and
+    # the (vec_id)-partitioning makes train and append argmins
+    # exchange-free (the _ann_pq_core lesson)
+    emb = spread_by(emb.withColumn("is_old", (h % IDX_OLD_MOD) < IDX_OLD_LT), "vec_id")
     vsub_old = _pq_vsub(emb.filter(F.col("is_old")))
     cdf = _pq_train_cdf(spark, vsub_old).localCheckpoint()
 

@@ -131,6 +131,21 @@ def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def spread_by(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:
+    """Hash-repartition to full core parallelism ON A KEY: like ``spread``
+    but the exchange buys a REUSABLE partitioning — every downstream
+    groupBy/join whose clustering keys contain ``cols`` is exchange-free
+    (HashPartitioning(cols) satisfies a ClusteredDistribution over any
+    superset of those keys). The PQ family's train/encode argmins group
+    by (vec_id, m) once per Lloyd round; one keyed exchange here deletes
+    a shuffle barrier per round (measured ~1 s off the train DAG at
+    bench scale). Unlike ``spread`` this always exchanges: the caller
+    asserts the keyed layout is worth one shuffle of the input."""
+    spark = df.sparkSession
+    target = n or spark.sparkContext.defaultParallelism
+    return df.repartition(target, *cols)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (mirrors the driver's
     DuckDB setup, where the same names are pre-registered)."""

@@ -1665,10 +1665,15 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitors. Empty clusters keep their previous centroid (guarded
     identically in the oracle via COALESCE).
     """
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    # localCheckpoint, not cache: the training loop re-reads this frame
-    # every round, and reference-GC'd blocks don't pin the session cache
-    emb = emb.localCheckpoint()
+    # keyed spread instead of a checkpoint (the _ann_pq_core lesson): the
+    # per-round window argmin clusters by vec_id, so HashPartitioning
+    # (vec_id) deletes its exchange every Lloyd round; the scan subtree
+    # is shallow enough that re-reading beats materializing (measured
+    # 2.2 -> 2.0 s min-of-3)
+    emb = spread_by(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+    )
     cent_vals, _ = _km_train(spark, emb)
     return (
         _km_literal_assign(emb, cent_vals)
@@ -1912,10 +1917,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "step with the corpus (the SemDeDup scaling rule) instead of "
             "melting this stage."
         )
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "embedding"
+    # keyed spread instead of a checkpoint — same trade as
+    # kmeans_embeddings (measured 2.4 -> 2.1 s min-of-3); the prune join
+    # itself is cluster-keyed and indifferent to this layout
+    emb = spread_by(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
     )
-    emb = emb.localCheckpoint()
     cent_vals, last_counts = _km_train(spark, emb)
     # skew guard from the LAST training round's cluster counts (free —
     # they ride the training aggregate; exact sizes lag the final

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "mmr_rerank",
     "training_shards",
     "pq_index_append",
+    "winnow_matches",
 ]
 
 

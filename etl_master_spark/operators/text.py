@@ -2488,3 +2488,156 @@ WINDOW wo AS (PARTITION BY shard ORDER BY h ASC, doc_id ASC),
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY shard, pos
 """
+
+
+# -- winnowing fingerprints (Schleimer-Wilkerson-Aiken '03, the MOSS
+#    algorithm) ---------------------------------------------------------------
+
+# The guarantee MinHash doesn't give: ANY shared substring of length
+# >= K + W - 1 is caught by at least one shared fingerprint (local
+# selection), with density ~2/(W+1) of all k-gram hashes. The robust
+# local-fingerprinting member of the dedup family — what plagiarism /
+# near-copy detectors actually run.
+WINNOW_K = 12  # char k-gram length
+WINNOW_W = 8  # winnowing window (in k-grams)
+WINNOW_SPACE = 1 << 24  # fingerprint space (31-mix over 8 md5 hex chars)
+WINNOW_MAXDF = 16  # stop-fingerprint bound: drop fps seen in more docs
+WINNOW_MIN_SHARED = 6  # report pairs sharing at least this many fps
+# (measured at sf0.01: >= 2 admits ~3.8k phrase-overlap pairs, >= 6 keeps
+# the ~28 genuine near-copy pairs the MinHash family also surfaces)
+
+
+def _winnow_fp_sql(term_of_j) -> str:
+    """k-gram fingerprint as a 31-mix over the K char codes, BIGINT the
+    whole way (Spark 4 ANSI would overflow INT at 31^7; the unreduced
+    fold tops out at ~1e18 < 2^63, so the mod runs once at the end).
+    ``term_of_j(j)`` supplies each engine's spelling of "code of the
+    j-th char of the gram" — one mixing definition, two index idioms
+    (Spark arrays are 0-based, DuckDB strings 1-based). An earlier md5
+    spelling cost ~6 s at bench scale: one digest + hex string per gram
+    vs K fused integer ops here."""
+    h = "CAST(0 AS BIGINT)"
+    for j in range(WINNOW_K):
+        h = f"({h} * 31 + {term_of_j(j)})"
+    return f"({h} % {WINNOW_SPACE})"
+
+
+def winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document winnowing matches: fingerprint every document
+    (k-gram rolling hashes → per-window minima → distinct), drop
+    stop-fingerprints (df > ``WINNOW_MAXDF``), and report document pairs
+    sharing ≥ ``WINNOW_MIN_SHARED`` fingerprints:
+    (doc_a, doc_b, n_shared).
+
+    Plan shape: fingerprinting is entirely ROW-LOCAL (two ``transform``
+    passes + window minima over arrays — no per-gram explode reaches an
+    exchange; only the ~2/(W+1)-dense selected fingerprints do). One
+    fp-keyed aggregate computes document frequency; the stop-fp filter
+    bounds every posting list to ``WINNOW_MAXDF`` docs, so the pair join
+    is ≤ df²/2 rows per fingerprint — the same vocabulary-bounding move
+    as ``duplicate_passages``. Text is fingerprinted RAW (no
+    normalization): deterministic and oracle-identical; a production
+    pass would fold case/whitespace first.
+
+    Why this exists next to MinHash-LSH: banded MinHash bounds WHOLE-DOC
+    Jaccard; winnowing guarantees detection of any shared RUN of length
+    ≥ K+W−1 chars regardless of how different the rest of the documents
+    are — the boilerplate/quotation/license-block detector."""
+    return _winnow_core(spread(load_table(spark, sf_dir, "documents")))
+
+
+def _winnow_core(
+    docs: DataFrame, min_shared: int = WINNOW_MIN_SHARED
+) -> DataFrame:
+    """Winnow + match over any (doc_id, text) frame — split out so tests
+    can plant shared runs and check the detection guarantee."""
+    min_len = WINNOW_K + WINNOW_W - 1
+    docs = docs.filter(F.col("text").isNotNull()).filter(
+        F.length("text") >= min_len
+    )
+    fp = _winnow_fp_sql(lambda j: f"codes[i + {j - 1}]" if j else "codes[i - 1]")
+    sel = (
+        docs.withColumn(
+            "codes",
+            F.expr(
+                "transform(sequence(1, length(text)),"
+                " p -> CAST(ascii(substr(text, p, 1)) AS BIGINT))"
+            ),
+        )
+        .withColumn(
+            "fps",
+            F.expr(
+                f"transform(sequence(1, size(codes) - {WINNOW_K - 1}),"
+                f" i -> {fp})"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform("
+                    f"sequence(1, size(fps) - {WINNOW_W - 1}),"
+                    f" j -> array_min(slice(fps, j, {WINNOW_W}))))"
+                )
+            ).alias("fp"),
+        )
+    )
+    dfreq = sel.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    good = sel.join(
+        dfreq.filter(F.col("df") <= WINNOW_MAXDF).select("fp"), "fp"
+    )
+    a = good.select(F.col("fp").alias("fp"), F.col("doc_id").alias("doc_a"))
+    b = good.select(F.col("fp").alias("fp"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def winnow_matches_oracle() -> str:
+    min_len = WINNOW_K + WINNOW_W - 1
+    fp = _winnow_fp_sql(
+        lambda j: f"CAST(ascii(substr(d.text, i.i + {j}, 1)) AS BIGINT)"
+        if j
+        else "CAST(ascii(substr(d.text, i.i, 1)) AS BIGINT)"
+    )
+    return f"""
+WITH d AS (
+    SELECT doc_id, text FROM documents
+    WHERE text IS NOT NULL AND length(text) >= {min_len}
+),
+g AS (
+    SELECT d.doc_id, i.i AS pos, {fp} AS h
+    FROM d, LATERAL (
+        SELECT unnest(range(1, length(d.text) - {WINNOW_K - 2})) AS i
+    ) i
+),
+w AS (
+    SELECT doc_id, pos,
+           MIN(h) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING
+           ) AS fp,
+           COUNT(*) OVER (PARTITION BY doc_id) AS n
+    FROM g
+),
+sel AS (
+    SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n - {WINNOW_W - 1}
+),
+good AS (
+    SELECT s.doc_id, s.fp FROM sel s
+    JOIN (
+        SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) <= {WINNOW_MAXDF}
+    ) k ON s.fp = k.fp
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM good a JOIN good b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+ORDER BY doc_a, doc_b
+"""

@@ -293,6 +293,8 @@ register(
 )
 # deterministic global-shuffle shard manifest (the training-export endgame)
 register("training_shards", text.training_shards, text.TRAINING_SHARDS_ORACLE)
+# winnowing (MOSS) local fingerprints -> cross-doc shared-run matches
+register("winnow_matches", text.winnow_matches, text.winnow_matches_oracle())
 
 # -- vectors / similarity ----------------------------------------------------
 register("embedding_norms", vectors.embedding_norms, vectors.EMBEDDING_NORMS_ORACLE)
@@ -584,7 +586,7 @@ _PRIORITY = [
     # (a) never driver-checked — the continuation session's NEW operators
     # first (training-export shards, NCM classifier, k-center coreset)
     "training_shards", "centroid_classify", "kcenter_coreset",
-    "ann_ivfpq_topk", "mmr_rerank", "pq_index_append",
+    "ann_ivfpq_topk", "mmr_rerank", "pq_index_append", "winnow_matches",
     "ann_pq_topk", "dedup_representatives", "lm_perplexity_scores",
     "simhash64", "approx_profiles", "media_features", "media_resize",
     "media_frames", "media_resize_hex", "media_frames_hex",

@@ -261,3 +261,36 @@ def test_training_shards_manifest_contract(spark, sf_dir):
     sizes = [len(rs) for rs in by_shard.values()]
     assert len(by_shard) == N_SHARDS
     assert max(sizes) <= 3 * (n_docs // N_SHARDS)
+
+
+def test_winnowing_detection_guarantee(spark):
+    """The SWA winnowing guarantee: any shared substring of length
+    >= K + W - 1 chars yields at least one shared fingerprint. Plant a
+    long common block inside two otherwise-unrelated documents and
+    require the pair to surface; unrelated random pairs must not."""
+    import random
+
+    from etl_master_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        _winnow_core,
+    )
+
+    rng = random.Random(61)
+
+    def junk(n):
+        return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(n))
+
+    shared = junk(220)  # >> K + W - 1 = guaranteed multiple shared fps
+    rows = [
+        (0, junk(300) + shared + junk(250)),
+        (1, junk(280) + shared + junk(300)),
+        (2, junk(800)),
+        (3, junk(800)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in _winnow_core(docs, min_shared=1).collect()}
+    assert (0, 1) in out, out
+    # a 220-char shared run winnowed at density ~2/(W+1) carries many fps
+    assert out[(0, 1)] >= (220 - WINNOW_K - WINNOW_W) // (2 * WINNOW_W), out
+    assert (2, 3) not in out, out

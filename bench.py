@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "training_shards",
     "pq_index_append",
     "winnow_matches",
+    "stratified_sample_threshold",
 ]
 
 

@@ -658,11 +658,11 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates, for when the mixture spec demands exact counts.
 
     Scale: the rank-within-stratum window shuffles by lang — a LOW
-    cardinality key, so at 100 TB the right spelling replaces the full
-    sort with a per-stratum hash THRESHOLD from approx_percentile
-    (rank ≤ quota ⇔ hash below the quota/|stratum| quantile) and keeps
-    only the boundary exact; the window form here is the oracle-checkable
-    exact twin that also verifies that threshold path."""
+    cardinality key, so at 100 TB the right spelling is
+    ``stratified_sample_threshold`` (registered against this SAME
+    oracle): prune by a per-stratum hash threshold derived from the
+    hash's uniformity, keep only the boundary exact. This window form is
+    the semantic definition both are checked against."""
     docs = load_table(spark, sf_dir, "documents")
     h = F.expr(phash_frag("doc_id", seed=STRAT_SEED))
     w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
@@ -688,6 +688,67 @@ SELECT doc_id, lang, rn FROM (
 ) WHERE rn <= {STRAT_QUOTA}
 ORDER BY lang, rn
 """
+
+
+STRAT_THR_SLACK = 2.0  # over-admit factor for the threshold pass
+
+
+def stratified_sample_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE spelling of ``stratified_sample`` — hash-threshold prune
+    + exact boundary, same output bit-for-bit (it registers against the
+    SAME oracle, so the driver continuously proves the equivalence):
+
+    1. One aggregate computes the exact stratum counts (dimension-sized;
+       production reads them off table stats for free).
+    2. The shuffle key h is UNIFORM over [0, P) by construction
+       (functions/hashing.py), so the quota-th smallest hash in a
+       stratum of n concentrates at P·quota/n — the threshold is pure
+       arithmetic, no percentile sketch, no extra pass. The corpus is
+       FILTERED against the broadcast per-stratum threshold overshooting
+       by ``STRAT_THR_SLACK`` (survivors ≈ quota·slack per stratum
+       regardless of corpus size; at slack 2 the under-admission tail is
+       ~5σ out, and the hash is FIXED per doc_id so a given dataset
+       either passes forever or fails loudly on first run).
+    3. The exact rank window runs over the boundary survivors only, and
+       a LOUD guard refuses silent under-selection — a threshold miss is
+       an error naming the knob, never a quietly short sample.
+
+    The full-sort twin shuffles every row of a 100 TB corpus into
+    |langs| sort partitions; this spelling shuffles ~|langs|·quota·slack
+    rows after a scan-shaped filter."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.expr(phash_frag("doc_id", seed=STRAT_SEED))
+    hd = docs.withColumn("h", h)
+    stats = hd.groupBy("lang").agg(F.count(F.lit(1)).alias("n_stratum"))
+    thr = (
+        F.lit(float(PHASH_P) * STRAT_QUOTA * STRAT_THR_SLACK)
+        / F.col("n_stratum")
+    )
+    cand = hd.join(F.broadcast(stats), "lang").filter(
+        (F.col("h") <= thr) | (F.col("n_stratum") <= STRAT_QUOTA)
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    ranked = cand.withColumn("rn", F.row_number().over(w).cast("int"))
+    # under-admission guard: if any stratum yields fewer survivors than
+    # min(quota, n), the threshold missed — fail loudly, never under-sample
+    short = (
+        ranked.groupBy("lang")
+        .agg(F.max("rn").alias("got"), F.first("n_stratum").alias("n_stratum"))
+        .filter(F.col("got") < F.least(F.lit(STRAT_QUOTA), F.col("n_stratum")))
+        .limit(1)
+        .collect()
+    )
+    if short:
+        raise ValueError(
+            f"stratified_sample_threshold: stratum {short[0]['lang']!r} "
+            f"admitted {short[0]['got']} < min(quota, n) rows — raise "
+            "STRAT_THR_SLACK"
+        )
+    return (
+        ranked.filter(F.col("rn") <= STRAT_QUOTA)
+        .select("doc_id", "lang", "rn")
+        .orderBy("lang", "rn")
+    )
 
 
 DOC_LEN_PCTS = [0.25, 0.5, 0.75, 0.95]

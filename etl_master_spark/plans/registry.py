@@ -280,6 +280,13 @@ register(
 # DSIR distribution-matching weights (hashed features, broadcast models)
 register("dsir_weights", text.dsir_weights, text.DSIR_WEIGHTS_ORACLE)
 register("stratified_sample", text.stratified_sample, text.stratified_sample_oracle())
+# the SCALE spelling of the same sample — approx threshold + exact boundary;
+# registered against the SAME oracle so the equivalence is continuously proven
+register(
+    "stratified_sample_threshold",
+    text.stratified_sample_threshold,
+    text.stratified_sample_oracle(),
+)
 register(
     "doc_length_percentiles",
     text.doc_length_percentiles,
@@ -587,6 +594,7 @@ _PRIORITY = [
     # first (training-export shards, NCM classifier, k-center coreset)
     "training_shards", "centroid_classify", "kcenter_coreset",
     "ann_ivfpq_topk", "mmr_rerank", "pq_index_append", "winnow_matches",
+    "stratified_sample_threshold",
     "ann_pq_topk", "dedup_representatives", "lm_perplexity_scores",
     "simhash64", "approx_profiles", "media_features", "media_resize",
     "media_frames", "media_resize_hex", "media_frames_hex",

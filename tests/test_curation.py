@@ -294,3 +294,19 @@ def test_winnowing_detection_guarantee(spark):
     # a 220-char shared run winnowed at density ~2/(W+1) carries many fps
     assert out[(0, 1)] >= (220 - WINNOW_K - WINNOW_W) // (2 * WINNOW_W), out
     assert (2, 3) not in out, out
+
+
+def test_stratified_threshold_twin_equals_exact(spark, sf_dir):
+    """The scale spelling (hash-threshold prune + exact boundary) must
+    reproduce the full-sort sample exactly — same rows, same ranks — and
+    its loud under-admission guard must not trip on real strata."""
+    from etl_master_spark.operators.text import (
+        stratified_sample,
+        stratified_sample_threshold,
+    )
+
+    exact = sorted(tuple(r) for r in stratified_sample(spark, sf_dir).collect())
+    fast = sorted(
+        tuple(r) for r in stratified_sample_threshold(spark, sf_dir).collect()
+    )
+    assert fast == exact

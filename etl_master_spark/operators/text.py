@@ -728,20 +728,30 @@ def stratified_sample_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("h") <= thr) | (F.col("n_stratum") <= STRAT_QUOTA)
     )
     w = Window.partitionBy("lang").orderBy(F.col("h").asc(), F.col("doc_id").asc())
-    ranked = cand.withColumn("rn", F.row_number().over(w).cast("int"))
+    # materialize the boundary survivors (~|langs|·quota·slack rows) so
+    # the guard's collect and the returned frame share one execution of
+    # the corpus pipeline instead of running it twice
+    ranked = cand.withColumn(
+        "rn", F.row_number().over(w).cast("int")
+    ).localCheckpoint()
     # under-admission guard: if any stratum yields fewer survivors than
-    # min(quota, n), the threshold missed — fail loudly, never under-sample
+    # min(quota, n), the threshold missed — fail loudly, never under-sample.
+    # LEFT join from stats so a stratum with ZERO survivors (absent from
+    # ranked entirely — the worst miss) is still seen
+    got = ranked.groupBy("lang").agg(F.max("rn").alias("got"))
     short = (
-        ranked.groupBy("lang")
-        .agg(F.max("rn").alias("got"), F.first("n_stratum").alias("n_stratum"))
-        .filter(F.col("got") < F.least(F.lit(STRAT_QUOTA), F.col("n_stratum")))
+        stats.join(got, "lang", "left")
+        .filter(
+            F.coalesce("got", F.lit(0))
+            < F.least(F.lit(STRAT_QUOTA), F.col("n_stratum"))
+        )
         .limit(1)
         .collect()
     )
     if short:
         raise ValueError(
             f"stratified_sample_threshold: stratum {short[0]['lang']!r} "
-            f"admitted {short[0]['got']} < min(quota, n) rows — raise "
+            f"admitted {short[0]['got'] or 0} < min(quota, n) rows — raise "
             "STRAT_THR_SLACK"
         )
     return (
@@ -2495,8 +2505,12 @@ N_SHARDS = 16
 def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shard manifest for a training-data export: each doc
     gets a shard (portable hash mod ``N_SHARDS``), a position within its
-    shard (rank by the same hash — the global shuffle), and a byte offset
-    (running ``n_chars`` sum) — the index a sequential loader seeks with.
+    shard (rank by the same hash — the global shuffle), and a CHARACTER
+    offset (running ``n_chars`` sum) — the index a sequential loader
+    seeks with. Character, not byte: the offsets come from the n_chars
+    column so the scan stays pruned to two skinny columns; a byte-exact
+    manifest swaps in ``octet_length(text)`` (Spark) / ``strlen(text)``
+    (DuckDB) at the cost of scanning the text column.
 
     Scale: ONE shuffle on ``shard`` (hash-balanced by construction; at
     100 TB raise ``N_SHARDS`` so shards fit the writer's task size). The
@@ -2524,10 +2538,10 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int"),
         )
         .withColumn(
-            "byte_start",
+            "char_start",
             (F.sum("n_chars").over(w) - F.col("n_chars")).cast("bigint"),
         )
-        .select("shard", "pos", "doc_id", "n_chars", "byte_start")
+        .select("shard", "pos", "doc_id", "n_chars", "char_start")
         .orderBy("shard", "pos")
     )
 
@@ -2542,7 +2556,7 @@ WITH s AS (
 SELECT shard,
        CAST(ROW_NUMBER() OVER wo AS INT) AS pos,
        doc_id, n_chars,
-       CAST(SUM(n_chars) OVER w - n_chars AS BIGINT) AS byte_start
+       CAST(SUM(n_chars) OVER w - n_chars AS BIGINT) AS char_start
 FROM s
 WINDOW wo AS (PARTITION BY shard ORDER BY h ASC, doc_id ASC),
        w AS (PARTITION BY shard ORDER BY h ASC, doc_id ASC
@@ -2570,8 +2584,11 @@ WINNOW_MIN_SHARED = 6  # report pairs sharing at least this many fps
 
 def _winnow_fp_sql(term_of_j) -> str:
     """k-gram fingerprint as a 31-mix over the K char codes, BIGINT the
-    whole way (Spark 4 ANSI would overflow INT at 31^7; the unreduced
-    fold tops out at ~1e18 < 2^63, so the mod runs once at the end).
+    whole way (Spark 4 ANSI would overflow INT at 31^7) and REDUCED mod
+    ``WINNOW_SPACE`` at every step: ascii() of a non-ASCII char is its
+    full codepoint (up to ~1.1M), so an unreduced fold reaches
+    codepoint·31^11 ≈ 5e20 > 2^63 and crashes both engines on CJK text
+    — per-step reduction bounds every intermediate at 2^24·31 + 2^21.
     ``term_of_j(j)`` supplies each engine's spelling of "code of the
     j-th char of the gram" — one mixing definition, two index idioms
     (Spark arrays are 0-based, DuckDB strings 1-based). An earlier md5
@@ -2579,8 +2596,8 @@ def _winnow_fp_sql(term_of_j) -> str:
     vs K fused integer ops here."""
     h = "CAST(0 AS BIGINT)"
     for j in range(WINNOW_K):
-        h = f"({h} * 31 + {term_of_j(j)})"
-    return f"({h} % {WINNOW_SPACE})"
+        h = f"(({h} * 31 + {term_of_j(j)}) % {WINNOW_SPACE})"
+    return h
 
 
 def winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2642,6 +2659,12 @@ def _winnow_core(
                 )
             ).alias("fp"),
         )
+        # the selected-fp frame feeds the df aggregate AND both self-join
+        # sides: without materialization the whole per-char fingerprint
+        # pipeline executes 4x (4 FileScans in the physical plan); the
+        # winnowed frame is the ~2/(W+1)-dense index a production pass
+        # persists anyway
+        .localCheckpoint()
     )
     dfreq = sel.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     good = sel.join(

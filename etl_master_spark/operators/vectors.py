@@ -1656,8 +1656,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     means — never an explode before the reduce. The k×dim result is
     collected to the driver (tiny, by construction) and fed to the next
     round's centroid frame, so rounds never grow the lineage over the
-    corpus — each assignment reads the checkpointed embeddings exactly
-    once. The FINAL assignment (once per query) keeps the row-local
+    corpus — each round re-reads the keyed-spread scan (a shallow,
+    pruned subtree; the former checkpoint materialized once but erased
+    the partitioning that now deletes the argmin exchange every round). The FINAL assignment (once per query) keeps the row-local
     literal-argmin form, which is right at scale.
 
     Output: per-cluster size + inertia (sum of squared distance to the
@@ -2639,7 +2640,11 @@ def _mmr_core(withv: DataFrame) -> DataFrame:
                 acc = acc + x * y
             return acc
 
-        norm = {i: dot(v, v) ** 0.5 for i, _, v in rows}
+        import math
+
+        # math.sqrt, not ** 0.5: IEEE correctly-rounded sqrt matches the
+        # oracle's sqrt(); pow(x, 0.5) may differ by 1 ulp on some libms
+        norm = {i: math.sqrt(dot(v, v)) for i, _, v in rows}
         vec = {i: v for i, _, v in rows}
         rel = {i: c for i, c, _ in rows}
 

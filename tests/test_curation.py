@@ -255,7 +255,7 @@ def test_training_shards_manifest_contract(spark, sf_dir):
         assert [r["pos"] for r in rs] == list(range(1, len(rs) + 1))
         off = 0
         for r in rs:
-            assert r["byte_start"] == off, (shard, r)
+            assert r["char_start"] == off, (shard, r)
             off += r["n_chars"]
     # hash balance: no shard empty, none pathologically hot
     sizes = [len(rs) for rs in by_shard.values()]

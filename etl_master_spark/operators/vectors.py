@@ -2648,8 +2648,18 @@ def _mmr_core(withv: DataFrame) -> DataFrame:
         vec = {i: v for i, _, v in rows}
         rel = {i: c for i, c, _ in rows}
 
+        def round6(x: float) -> float:
+            # DuckDB's double ROUND is scaled std::round (half AWAY from
+            # zero on x·1e6); Python's round() is banker's — and MMR
+            # scores land on EXACT decimal halves by construction
+            # (0.7·a − 0.3·b over 6-dp inputs), so the two disagree on
+            # real rows (caught by the sf0.001 parity sweep). This
+            # emulation matched DuckDB on 40k samples incl. exact-half
+            # constructions.
+            return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
         def sim(i: int, j: int) -> float:
-            return round(dot(vec[i], vec[j]) / (norm[i] * norm[j]), 6)
+            return round6(dot(vec[i], vec[j]) / (norm[i] * norm[j]))
 
         selected: list[tuple[int, float]] = []
         remaining = [i for i, _, _ in rows]
@@ -2671,7 +2681,7 @@ def _mmr_core(withv: DataFrame) -> DataFrame:
                 "query_id": [qid] * len(selected),
                 "neighbor_id": [i for i, _ in selected],
                 "relevance": [rel[i] for i, _ in selected],
-                "mmr_score": [round(s, 6) for _, s in selected],
+                "mmr_score": [round6(s) for _, s in selected],
                 "rnk": list(range(1, len(selected) + 1)),
             }
         )

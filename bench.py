@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "pq_index_append",
     "winnow_matches",
     "stratified_sample_threshold",
+    "embedding_covariance",
 ]
 
 

@@ -2891,3 +2891,176 @@ GROUP BY m, code
 ORDER BY m, code
 """
     )
+
+
+# -- embedding second moments / PCA whitening --------------------------------
+
+# The statistics pass before geometric dedup/ANN actually works on real
+# embeddings: raw model embeddings are anisotropic (dominant directions
+# swamp cosine), so production pipelines estimate the covariance and
+# whiten before LSH/IVF/kmeans. The covariance estimate is the
+# oracle-checked half; the eigendecomposition-based whitening transform is
+# the rows-only half (no SQL eigensolver), pinned by identity-covariance
+# and determinism tests.
+COV_ROUND = 9
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second moments of the embedding corpus: for every dimension pair
+    (i ≤ j), the raw moment E[x_i·x_j] and the centered covariance
+    E[x_i·x_j] − E[x_i]·E[x_j], both rounded to 9 dp — (i, j, exy, cov),
+    64·65/2 rows.
+
+    Plan shape: ONE Arrow pass computes per-batch partial Gram matrices
+    (numpy ``X.T @ X`` — BLAS, dim²-sized regardless of rows) plus
+    per-batch component sums; one dim²-key aggregation merges them. The
+    corpus is never exploded into (row × dim²) pairs — the shuffle
+    carries |partitions|·dim² partial rows, the two-level-reduce shape
+    ``mmd_rbf_fast`` uses. Centering happens on the ROUNDED moments in
+    both engines, so cov derives deterministically from oracle-checked
+    quantities."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select("embedding")
+    return _cov_core(emb)
+
+
+def _cov_core(emb: DataFrame) -> DataFrame:
+    """Moment/covariance aggregation over any (embedding) frame — split
+    out so tests can plant anisotropic corpora."""
+
+    def _gram_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            g = X.T @ X
+            s = X.sum(axis=0)
+            iu, ju = np.triu_indices(X.shape[1])
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(X.shape[1])]),
+                    "j": np.concatenate([ju, np.full(X.shape[1], -1)]),
+                    "s": np.concatenate([g[iu, ju], s]),
+                    "n": np.full(len(iu) + X.shape[1], len(X), dtype=np.int64),
+                }
+            )
+
+    parts = emb.mapInPandas(_gram_kernel, "i int, j int, s double, n long")
+    tot = parts.groupBy("i", "j").agg(
+        F.sum("s").alias("s"), F.sum("n").alias("n")
+    ).localCheckpoint()
+    moments = tot.filter(F.col("j") >= 0).select(
+        "i", "j", F.round(F.col("s") / F.col("n"), COV_ROUND).alias("exy")
+    )
+    means = tot.filter(F.col("j") < 0).select(
+        F.col("i").alias("mi_dim"),
+        F.round(F.col("s") / F.col("n"), COV_ROUND).alias("mean"),
+    )
+    return (
+        moments.join(
+            F.broadcast(means), moments.i == means.mi_dim
+        )
+        .drop("mi_dim")
+        .withColumnRenamed("mean", "mean_i")
+        .join(
+            F.broadcast(means.withColumnRenamed("mean", "mean_j")),
+            moments.j == F.col("mi_dim"),
+        )
+        .select(
+            "i",
+            "j",
+            "exy",
+            F.round(
+                F.col("exy") - F.col("mean_i") * F.col("mean_j"), COV_ROUND
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def embedding_covariance_oracle() -> str:
+    return f"""
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+moments AS (
+    SELECT i.i, j.j, ROUND(AVG(e.v[i.i + 1] * e.v[j.j + 1]), {COV_ROUND}) AS exy
+    FROM e, (SELECT unnest(range(0, 64)) AS i) i,
+         (SELECT unnest(range(0, 64)) AS j) j
+    WHERE i.i <= j.j
+    GROUP BY i.i, j.j
+),
+means AS (
+    SELECT i.i, ROUND(AVG(e.v[i.i + 1]), {COV_ROUND}) AS mean
+    FROM e, (SELECT unnest(range(0, 64)) AS i) i
+    GROUP BY i.i
+)
+SELECT m.i, m.j, m.exy,
+       ROUND(m.exy - a.mean * b.mean, {COV_ROUND}) AS cov
+FROM moments m
+JOIN means a ON a.i = m.i
+JOIN means b ON b.i = m.j
+ORDER BY m.i, m.j
+"""
+
+
+def pca_whiten(spark: SparkSession, sf_dir: str, k: int = 16) -> DataFrame:
+    """PCA-whitening projection: eigendecompose the (collected, dim² ≈
+    driver-trivial) covariance, project every embedding onto the top-k
+    eigenvectors scaled by λ^-1/2 — output (vec_id, wemb array<double>).
+    Rows-only by design (no SQL eigensolver); the contract tests pin
+    that (a) the whitened sample covariance is ≈ I_k on anisotropic
+    planted data, (b) components are variance-ordered, and (c) the
+    output is a pure function of the input set.
+
+    Plan shape: the covariance collect is dim²-sized (the `_km_train`
+    driver-traffic rule); the projection is one broadcast of a k×dim
+    matrix into an Arrow kernel — a single corpus scan, embarrassingly
+    parallel."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    return _pca_whiten_core(spark, emb, k)
+
+
+def _pca_whiten_core(spark: SparkSession, emb: DataFrame, k: int = 16) -> DataFrame:
+    cov_rows = _cov_core(emb.select("embedding")).collect()
+    dim = 64
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = r["cov"]
+        C[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)  # ascending; deterministic for fixed C
+    order = np.argsort(vals)[::-1][:k]
+    lam = np.maximum(vals[order], 1e-12)
+    W = (vecs[:, order] / np.sqrt(lam)[None, :]).T  # k × dim
+    # sign convention: force the largest-|component| entry of each
+    # eigenvector positive so the output is reproducible across LAPACK
+    # builds (eigenvectors are sign-ambiguous)
+    for r in range(W.shape[0]):
+        mx = np.argmax(np.abs(W[r]))
+        if W[r, mx] < 0:
+            W[r] = -W[r]
+    avgs = ", ".join(
+        f"avg(CAST(embedding[{j}] AS DOUBLE))" for j in range(dim)
+    )
+    mu = np.array(
+        emb.agg(F.expr(f"array({avgs})").alias("m")).collect()[0]["m"]
+    )
+    Wb = spark.sparkContext.broadcast((W, mu))
+
+    def _proj_kernel(batches):
+        Wm, mu_v = Wb.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            Y = (X - mu_v[None, :]) @ Wm.T
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "wemb": list(Y)}
+            )
+
+    return emb.mapInPandas(
+        _proj_kernel, "vec_id long, wemb array<double>"
+    ).orderBy("vec_id")

@@ -283,7 +283,7 @@ register("stratified_sample", text.stratified_sample, text.stratified_sample_ora
 # the SCALE spelling of the same sample — approx threshold + exact boundary;
 # registered against the SAME oracle so the equivalence is continuously proven
 register(
-    "stratified_sample_threshold",
+    "stratified_sample_threshold", "embedding_covariance", "pca_whiten",
     text.stratified_sample_threshold,
     text.stratified_sample_oracle(),
 )
@@ -340,6 +340,13 @@ register("mmr_rerank", vectors.mmr_rerank, vectors.mmr_rerank_oracle())
 register(
     "pq_index_append", vectors.pq_index_append, vectors.pq_index_append_oracle()
 )
+# embedding second moments (oracle half) + PCA whitening (rows-only half)
+register(
+    "embedding_covariance",
+    vectors.embedding_covariance,
+    vectors.embedding_covariance_oracle(),
+)
+register("pca_whiten", vectors.pca_whiten, None)
 # SemDeDup: reuses the kmeans trajectory, prunes within clusters by cosine
 register("semantic_dedup", vectors.semantic_dedup, vectors.semantic_dedup_oracle())
 register("mmd_rbf", vectors.mmd_rbf, vectors.mmd_rbf_oracle())
@@ -594,7 +601,7 @@ _PRIORITY = [
     # first (training-export shards, NCM classifier, k-center coreset)
     "training_shards", "centroid_classify", "kcenter_coreset",
     "ann_ivfpq_topk", "mmr_rerank", "pq_index_append", "winnow_matches",
-    "stratified_sample_threshold",
+    "stratified_sample_threshold", "embedding_covariance", "pca_whiten",
     "ann_pq_topk", "dedup_representatives", "lm_perplexity_scores",
     "simhash64", "approx_profiles", "media_features", "media_resize",
     "media_frames", "media_resize_hex", "media_frames_hex",

@@ -656,3 +656,65 @@ def test_pq_index_append_accounts_for_whole_batch(spark, sf_dir):
         assert r["avg_qerr"] >= 0.0
         per_m[r["m"]] = per_m.get(r["m"], 0) + r["n_new"]
     assert per_m == {m: n_new for m in range(PQ_M)}, per_m
+
+
+def test_pca_whiten_identity_covariance_on_anisotropic_data(spark):
+    """Whitening contract: on a planted anisotropic Gaussian (variances
+    spanning 2 orders of magnitude along random directions), the
+    whitened sample covariance must be ~I_k, components must come out
+    variance-ordered, and the projection must be a pure function of the
+    input set (layout-invariant)."""
+    import numpy as np
+
+    from etl_master_spark.operators.vectors import _pca_whiten_core
+
+    rng = np.random.default_rng(67)
+    dim, n, k = 64, 600, 8
+    scales = np.ones(dim)
+    scales[:8] = [30.0, 20.0, 14.0, 10.0, 7.0, 5.0, 3.5, 2.5]
+    Q, _ = np.linalg.qr(rng.normal(0.0, 1.0, (dim, dim)))
+    X = rng.normal(0.0, 1.0, (n, dim)) * scales[None, :] @ Q.T + 5.0
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = _pca_whiten_core(spark, emb, k=k).collect()
+    Y = np.array([r["wemb"] for r in sorted(out, key=lambda r: r["vec_id"])])
+    assert Y.shape == (n, k)
+    C = np.cov(Y, rowvar=False, bias=True)
+    assert np.abs(C - np.eye(k)).max() < 0.15, np.abs(C - np.eye(k)).max()
+    # variance ordering: raw projections before whitening are ordered, so
+    # whitened variances are all ~1 — check the ORDER via the transform:
+    # re-project without the lambda scaling is internal; instead assert
+    # the first component aligns with the largest planted direction
+    v1 = Q[:, 0]
+    # correlation between |projection onto v1| and first whitened coord
+    p1 = (X - X.mean(axis=0)) @ v1
+    corr = np.corrcoef(p1, Y[:, 0])[0, 1]
+    assert abs(corr) > 0.95, corr
+
+    # layout invariance
+    out2 = _pca_whiten_core(spark, emb.repartition(13), k=k).collect()
+    Y2 = np.array([r["wemb"] for r in sorted(out2, key=lambda r: r["vec_id"])])
+    assert np.abs(Y - Y2).max() < 1e-6, np.abs(Y - Y2).max()
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """The distributed partial-Gram aggregation must reproduce the plain
+    numpy moment estimates to rounding precision on a planted frame."""
+    import numpy as np
+
+    from etl_master_spark.operators.vectors import _cov_core
+
+    rng = np.random.default_rng(71)
+    X = rng.normal(0.0, 2.0, (300, 64))
+    emb = spark.createDataFrame(
+        [([float(x) for x in row],) for row in X], "embedding array<float>"
+    )
+    out = _cov_core(emb).collect()
+    Xd = X.astype(np.float32).astype(np.float64)  # parquet-free float32 trip
+    exy = (Xd.T @ Xd) / len(Xd)
+    mu = Xd.mean(axis=0)
+    cov = exy - np.outer(mu, mu)
+    for r in out:
+        assert abs(r["exy"] - round(exy[r["i"], r["j"]], 9)) <= 2e-9, r
+        assert abs(r["cov"] - round(cov[r["i"], r["j"]], 9)) <= 4e-9, r

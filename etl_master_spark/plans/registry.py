@@ -283,7 +283,7 @@ register("stratified_sample", text.stratified_sample, text.stratified_sample_ora
 # the SCALE spelling of the same sample — approx threshold + exact boundary;
 # registered against the SAME oracle so the equivalence is continuously proven
 register(
-    "stratified_sample_threshold", "embedding_covariance", "pca_whiten",
+    "stratified_sample_threshold",
     text.stratified_sample_threshold,
     text.stratified_sample_oracle(),
 )

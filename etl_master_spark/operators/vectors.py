@@ -2926,30 +2926,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cov_core(emb: DataFrame) -> DataFrame:
     """Moment/covariance aggregation over any (embedding) frame — split
     out so tests can plant anisotropic corpora."""
-
-    def _gram_kernel(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            g = X.T @ X
-            s = X.sum(axis=0)
-            iu, ju = np.triu_indices(X.shape[1])
-            yield pd.DataFrame(
-                {
-                    "i": np.concatenate([iu, np.arange(X.shape[1])]),
-                    "j": np.concatenate([ju, np.full(X.shape[1], -1)]),
-                    "s": np.concatenate([g[iu, ju], s]),
-                    "n": np.full(len(iu) + X.shape[1], len(X), dtype=np.int64),
-                }
-            )
-
-    parts = emb.mapInPandas(_gram_kernel, "i int, j int, s double, n long")
-    tot = parts.groupBy("i", "j").agg(
-        F.sum("s").alias("s"), F.sum("n").alias("n")
-    ).localCheckpoint()
+    tot = _cov_tot(emb)
     moments = tot.filter(F.col("j") >= 0).select(
         "i", "j", F.round(F.col("s") / F.col("n"), COV_ROUND).alias("exy")
     )
@@ -2977,6 +2954,37 @@ def _cov_core(emb: DataFrame) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+def _cov_tot(emb: DataFrame) -> DataFrame:
+    """Partial-Gram totals (i, j, s, n) with j = −1 rows carrying the
+    per-dimension component sums — ONE corpus pass shared by the
+    covariance query and the whitening path (which also needs the mean
+    vector; reading it here saves a second full scan)."""
+
+    def _gram_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            g = X.T @ X
+            s = X.sum(axis=0)
+            iu, ju = np.triu_indices(X.shape[1])
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(X.shape[1])]),
+                    "j": np.concatenate([ju, np.full(X.shape[1], -1)]),
+                    "s": np.concatenate([g[iu, ju], s]),
+                    "n": np.full(len(iu) + X.shape[1], len(X), dtype=np.int64),
+                }
+            )
+
+    parts = emb.mapInPandas(_gram_kernel, "i int, j int, s double, n long")
+    return parts.groupBy("i", "j").agg(
+        F.sum("s").alias("s"), F.sum("n").alias("n")
+    ).localCheckpoint()
 
 
 def embedding_covariance_oracle() -> str:
@@ -3023,12 +3031,28 @@ def pca_whiten(spark: SparkSession, sf_dir: str, k: int = 16) -> DataFrame:
 
 
 def _pca_whiten_core(spark: SparkSession, emb: DataFrame, k: int = 16) -> DataFrame:
-    cov_rows = _cov_core(emb.select("embedding")).collect()
-    dim = 64
+    # ONE corpus pass: the partial-Gram totals carry both the moment
+    # matrix and (as the j = −1 rows) the component sums — collecting
+    # them yields cov AND the centering mean with no second scan, and
+    # the dimensionality comes from the data, not a constant
+    tot_rows = _cov_tot(emb.select("embedding")).collect()
+    dim = max(r["i"] for r in tot_rows) + 1
+    mu = np.zeros(dim)
     C = np.zeros((dim, dim))
-    for r in cov_rows:
-        C[r["i"], r["j"]] = r["cov"]
-        C[r["j"], r["i"]] = r["cov"]
+    exy = np.zeros((dim, dim))
+    for r in tot_rows:
+        if r["j"] < 0:
+            mu[r["i"]] = r["s"] / r["n"]
+        else:
+            exy[r["i"], r["j"]] = round(r["s"] / r["n"], COV_ROUND)
+    for i in range(dim):
+        for j in range(i, dim):
+            # the _cov_core spelling: centered on ROUNDED moments
+            c = round(
+                exy[i, j] - round(mu[i], COV_ROUND) * round(mu[j], COV_ROUND),
+                COV_ROUND,
+            )
+            C[i, j] = C[j, i] = c
     vals, vecs = np.linalg.eigh(C)  # ascending; deterministic for fixed C
     order = np.argsort(vals)[::-1][:k]
     lam = np.maximum(vals[order], 1e-12)
@@ -3040,12 +3064,6 @@ def _pca_whiten_core(spark: SparkSession, emb: DataFrame, k: int = 16) -> DataFr
         mx = np.argmax(np.abs(W[r]))
         if W[r, mx] < 0:
             W[r] = -W[r]
-    avgs = ", ".join(
-        f"avg(CAST(embedding[{j}] AS DOUBLE))" for j in range(dim)
-    )
-    mu = np.array(
-        emb.agg(F.expr(f"array({avgs})").alias("m")).collect()[0]["m"]
-    )
     Wb = spark.sparkContext.broadcast((W, mu))
 
     def _proj_kernel(batches):

@@ -686,11 +686,13 @@ def test_pca_whiten_identity_covariance_on_anisotropic_data(spark):
     # whitened variances are all ~1 — check the ORDER via the transform:
     # re-project without the lambda scaling is internal; instead assert
     # the first component aligns with the largest planted direction
-    v1 = Q[:, 0]
-    # correlation between |projection onto v1| and first whitened coord
-    p1 = (X - X.mean(axis=0)) @ v1
-    corr = np.corrcoef(p1, Y[:, 0])[0, 1]
-    assert abs(corr) > 0.95, corr
+    # component ORDER: whitening is permutation-invariant, so ~I_k alone
+    # cannot catch a shuffled top-k — require coord r to align with the
+    # r-th largest planted direction for the three well-separated leaders
+    Xc = X - X.mean(axis=0)
+    for r in range(3):
+        corr = np.corrcoef(Xc @ Q[:, r], Y[:, r])[0, 1]
+        assert abs(corr) > 0.9, (r, corr)
 
     # layout invariance
     out2 = _pca_whiten_core(spark, emb.repartition(13), k=k).collect()

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "winnow_matches",
     "stratified_sample_threshold",
     "embedding_covariance",
+    "zipf_fit",
 ]
 
 

@@ -2725,3 +2725,68 @@ GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
 ORDER BY doc_a, doc_b
 """
+
+
+# -- Zipf power-law fit (corpus-health statistic) ----------------------------
+
+# A healthy natural-language corpus has a near -1 log-log slope of
+# frequency vs rank (Zipf '49); generated/corrupted/deduplicated-to-death
+# corpora drift visibly. One regression aggregate over the frequency head
+# gives the monitoring number corpus-QA dashboards track.
+ZIPF_HEAD = 500  # fit over the top-N ranks (the power law holds in the head;
+# the hapax tail follows a different regime and would bias the slope)
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit of ln(freq) against ln(rank) over the top
+    ``ZIPF_HEAD`` vocabulary ranks: (slope, intercept, r2, n_points) —
+    one row. Slope ≈ −1 is the Zipfian health signal.
+
+    Plan shape: one token explode + word-keyed count (the ``word_counts``
+    aggregation), a rank window over the |vocab|-sized frame, and ONE
+    ``regr_*`` aggregate over ≤ ZIPF_HEAD points — the whole regression
+    is a 3-value reduce, no matrix anywhere. At 100 TB only the token
+    count aggregation sees corpus-scale data."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # TakeOrdered top-N FIRST (distributed per-partition top-N + driver
+    # merge), THEN rank the 500-row frame — a global rank window over the
+    # full vocabulary would sort |vocab| rows in one partition
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    head = (
+        freq.orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(ZIPF_HEAD)
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    return head.agg(
+        F.round(F.expr("regr_slope(ln(cnt), ln(rnk))"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(ln(cnt), ln(rnk))"), 6).alias(
+            "intercept"
+        ),
+        F.round(F.expr("regr_r2(ln(cnt), ln(rnk))"), 6).alias("r2"),
+        F.expr("regr_count(ln(cnt), ln(rnk))").alias("n_points"),
+    )
+
+
+ZIPF_FIT_ORACLE = f"""
+WITH freq AS (
+    SELECT w.word, COUNT(*) AS cnt
+    FROM documents d, LATERAL unnest(string_split(d.text, ' ')) AS w(word)
+    WHERE w.word <> ''
+    GROUP BY w.word
+),
+head AS (
+    SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS rnk
+    FROM freq QUALIFY rnk <= {ZIPF_HEAD}
+)
+SELECT ROUND(regr_slope(ln(cnt), ln(rnk)), 6) AS slope,
+       ROUND(regr_intercept(ln(cnt), ln(rnk)), 6) AS intercept,
+       ROUND(regr_r2(ln(cnt), ln(rnk)), 6) AS r2,
+       regr_count(ln(cnt), ln(rnk)) AS n_points
+FROM head
+"""

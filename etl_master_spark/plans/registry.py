@@ -302,6 +302,8 @@ register(
 register("training_shards", text.training_shards, text.TRAINING_SHARDS_ORACLE)
 # winnowing (MOSS) local fingerprints -> cross-doc shared-run matches
 register("winnow_matches", text.winnow_matches, text.winnow_matches_oracle())
+# Zipf power-law fit over the vocabulary head (regr_* aggregate family)
+register("zipf_fit", text.zipf_fit, text.ZIPF_FIT_ORACLE)
 
 # -- vectors / similarity ----------------------------------------------------
 register("embedding_norms", vectors.embedding_norms, vectors.EMBEDDING_NORMS_ORACLE)
@@ -602,6 +604,7 @@ _PRIORITY = [
     "training_shards", "centroid_classify", "kcenter_coreset",
     "ann_ivfpq_topk", "mmr_rerank", "pq_index_append", "winnow_matches",
     "stratified_sample_threshold", "embedding_covariance", "pca_whiten",
+    "zipf_fit",
     "ann_pq_topk", "dedup_representatives", "lm_perplexity_scores",
     "simhash64", "approx_profiles", "media_features", "media_resize",
     "media_frames", "media_resize_hex", "media_frames_hex",

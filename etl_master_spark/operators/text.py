@@ -3024,3 +3024,105 @@ SELECT 'type_token_ratio',
        (SELECT types FROM h1), (SELECT tokens FROM h1)
 ORDER BY stat
 """
+
+
+# -- MinHash banding calibration audit ---------------------------------------
+
+# The text-dedup counterpart of ann_recall_audit: instead of CLAIMING the
+# 4x4 banding catches J>=~0.5 pairs, measure it — exact Jaccard on every
+# candidate pair (bounded verification, the LSH contract) bucketed against
+# the theoretical any-band collision curve 1-(1-J^r)^b. A drifting
+# empirical column is how a production pass notices its shingle/hash
+# family no longer matches the banding design point.
+CAL_BUCKETS = 10
+
+
+def minhash_band_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per Jaccard decile of the MinHash-LSH candidate pairs:
+    (j_bucket, n_pairs, avg_shared_bands, expected_any_band) — the
+    measured band-collision behavior next to the S-curve value at the
+    bucket midpoint.
+
+    Plan shape: exact Jaccard runs on CANDIDATE pairs only (the shingle
+    re-join is bounded by Σ|pair|·|shingles|, never all-pairs); the
+    bucket rollup is a 10-key aggregate. avg_shared_bands is a ratio of
+    exact integer sums — engine-exact without rounding concerns."""
+    cand = minhash_lsh_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    j = F.col("n_inter").cast("double") / (
+        F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")
+    ).cast("double")
+    bucket = F.least(
+        F.floor(j * CAL_BUCKETS).cast("int"), F.lit(CAL_BUCKETS - 1)
+    )
+    mid = (F.col("j_bucket") + 0.5) / CAL_BUCKETS
+    expected = F.round(
+        1
+        - F.pow(
+            1 - F.pow(mid, float(rows_per_band)), float(MINHASH_BANDS)
+        ),
+        6,
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .fillna({"n_inter": 0})
+        .join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(bucket.alias("j_bucket"), "n_shared_bands")
+        .groupBy("j_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("n_shared_bands"), 6).alias("avg_shared_bands"),
+        )
+        .withColumn("expected_any_band", expected)
+        .orderBy("j_bucket")
+    )
+
+
+def minhash_band_calibration_oracle() -> str:
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    return f"""
+WITH {_SHINGLES_SQL},
+cand AS (SELECT * FROM ({minhash_lsh_oracle()})),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY c.doc_a, c.doc_b
+),
+bucketed AS (
+    SELECT LEAST(CAST(FLOOR(
+               (CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                / (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)))
+               * {CAL_BUCKETS}) AS INT), {CAL_BUCKETS - 1}) AS j_bucket,
+           c.n_shared_bands
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+)
+SELECT j_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(n_shared_bands), 6) AS avg_shared_bands,
+       ROUND(1 - POW(1 - POW((j_bucket + 0.5) / {CAL_BUCKETS},
+                             {float(rows_per_band)!r}),
+                     {float(MINHASH_BANDS)!r}), 6) AS expected_any_band
+FROM bucketed
+GROUP BY j_bucket
+ORDER BY j_bucket
+"""

@@ -304,6 +304,12 @@ register("training_shards", text.training_shards, text.TRAINING_SHARDS_ORACLE)
 register("winnow_matches", text.winnow_matches, text.winnow_matches_oracle())
 # Zipf power-law fit over the vocabulary head (regr_* aggregate family)
 register("zipf_fit", text.zipf_fit, text.ZIPF_FIT_ORACLE)
+# MinHash banding calibration: measured band-collision curve vs theory
+register(
+    "minhash_band_calibration",
+    text.minhash_band_calibration,
+    text.minhash_band_calibration_oracle(),
+)
 # Heaps vocabulary-growth fit + corpus entropy (corpus-health companions)
 register("heaps_fit", text.heaps_fit, text.heaps_fit_oracle())
 register("corpus_entropy", text.corpus_entropy, text.CORPUS_ENTROPY_ORACLE)
@@ -610,7 +616,7 @@ _PRIORITY = [
     "training_shards", "centroid_classify", "kcenter_coreset",
     "ann_ivfpq_topk", "mmr_rerank", "pq_index_append", "winnow_matches",
     "stratified_sample_threshold", "embedding_covariance", "pca_whiten",
-    "zipf_fit", "heaps_fit", "corpus_entropy",
+    "zipf_fit", "heaps_fit", "corpus_entropy", "minhash_band_calibration",
     "ann_pq_topk", "dedup_representatives", "lm_perplexity_scores",
     "simhash64", "approx_profiles", "media_features", "media_resize",
     "media_frames", "media_resize_hex", "media_frames_hex",

@@ -415,3 +415,27 @@ def test_corpus_entropy_template_collapse_signal(spark):
     assert d_stats["conditional_bigram_entropy"] > 1.0, d_stats
     for s in (t_stats, d_stats):
         assert s["bigram_entropy"] >= s["unigram_entropy"] - 1e-9, s
+
+
+def test_minhash_calibration_planted_scurve(spark):
+    """Calibration validity on planted similarity levels: exact-duplicate
+    docs (J=1) must land in the top bucket with all bands shared, and a
+    candidate set containing them must report expected_any_band = 1.0
+    there (the S-curve endpoint)."""
+    import etl_master_spark.operators.text as T
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [(0, base), (1, base)]  # exact dup pair
+    rows += [(i, f"w{i} " * 60) for i in range(2, 12)]  # unrelated
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = T.load_table
+    try:
+        T.load_table = lambda s, d, t: df
+        out = {r["j_bucket"]: r for r in T.minhash_band_calibration(spark, "x").collect()}
+    finally:
+        T.load_table = orig
+    assert 9 in out, out
+    top = out[9]
+    assert top["n_pairs"] >= 1
+    assert top["avg_shared_bands"] == float(T.MINHASH_BANDS)
+    assert top["expected_any_band"] > 0.99

@@ -305,24 +305,13 @@ shingles AS (
 
 # -- n-gram Jaccard near-dup on candidate pairs ------------------------------
 
-def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.1
-) -> DataFrame:
-    """Exact 3-gram Jaccard similarity over candidate pairs (docs sharing a
-    32-char prefix — the cheap blocking key for this corpus; at scale the
-    candidates come from MinHash-LSH below). Jaccard is a ratio of integer
-    set sizes — exact across engines."""
-    docs = load_table(spark, sf_dir, "documents")
-    pref = docs.select("doc_id", F.substring("text", 1, 32).alias("pfx"))
-    pairs = (
-        pref.alias("a")
-        .join(pref.alias("b"), "pfx")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-    )
-    sh = _shingles(docs)
+def _pair_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for an explicit candidate-pair frame:
+    (doc_a, doc_b) → (doc_a, doc_b, jaccard 6 dp). Bounded by the pair
+    list — the shared verification kernel of ``dedup_ngram_jaccard`` and
+    ``minhash_band_calibration`` (ONE definition, or the two operators'
+    similarity semantics silently diverge). Pairs with no shared shingle
+    survive with jaccard 0."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -350,6 +339,53 @@ def dedup_ngram_jaccard(
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+def _pair_jaccard_sql(pairs_cte: str = "pairs") -> str:
+    """SQL twin of ``_pair_jaccard``: CTE chain (sizes, inter, jac) over
+    an existing ``shingles`` CTE and a ``{pairs_cte}`` pair list; ``jac``
+    carries the 6-dp-rounded jaccard — callers filter/bucket the ROUNDED
+    value, exactly like the Spark kernel."""
+    return f"""sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+    FROM {pairs_cte} p
+    JOIN shingles sa ON sa.doc_id = p.doc_a
+    JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+    GROUP BY p.doc_a, p.doc_b
+),
+jac AS (
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                 / CAST(za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE),
+                 6) AS jaccard
+    FROM {pairs_cte} p
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN sizes za ON za.doc_id = p.doc_a
+    JOIN sizes zb ON zb.doc_id = p.doc_b
+)"""
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.1
+) -> DataFrame:
+    """Exact 3-gram Jaccard similarity over candidate pairs (docs sharing a
+    32-char prefix — the cheap blocking key for this corpus; at scale the
+    candidates come from MinHash-LSH below). Jaccard is a ratio of integer
+    set sizes — exact across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    pref = docs.select("doc_id", F.substring("text", 1, 32).alias("pfx"))
+    pairs = (
+        pref.alias("a")
+        .join(pref.alias("b"), "pfx")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    return (
+        _pair_jaccard(pairs, _shingles(docs))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
@@ -363,25 +399,11 @@ pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM pref a JOIN pref b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
-inter AS (
-    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
-    FROM pairs p
-    JOIN shingles sa ON sa.doc_id = p.doc_a
-    JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
-    GROUP BY p.doc_a, p.doc_b
-)
-SELECT p.doc_a, p.doc_b,
-       ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-             / CAST(za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE), 6)
-           AS jaccard
-FROM pairs p
-LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-JOIN sizes za ON za.doc_id = p.doc_a
-JOIN sizes zb ON zb.doc_id = p.doc_b
-WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-      / CAST(za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE) >= {threshold}
-ORDER BY p.doc_a, p.doc_b
+{_pair_jaccard_sql()}
+SELECT doc_a, doc_b, jaccard
+FROM jac
+WHERE jaccard >= {threshold}
+ORDER BY doc_a, doc_b
 """
 
 
@@ -2747,7 +2769,7 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``regr_*`` aggregate over ≤ ZIPF_HEAD points — the whole regression
     is a 3-value reduce, no matrix anywhere. At 100 TB only the token
     count aggregation sees corpus-scale data."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     freq = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -2822,11 +2844,18 @@ def heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_toks = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     max_id = docs.agg(F.max("doc_id").alias("m"))
 
+    # thresholds use the SAME 6-dp-rounded fraction as the oracle's
+    # VALUES list (and the output column): the exact 1/128 = 0.0078125 vs
+    # rounded 0.007812 cut different doc_ids on corpora where an integer
+    # id falls in the gap — latent on current fixtures, fatal on a bigger
+    # id range
     vocab_sums = first_seen.crossJoin(F.broadcast(max_id)).agg(
         *[
             F.sum(
                 F.when(
-                    F.col("first_doc") <= (F.col("m") * F.lit(frac)), 1
+                    F.col("first_doc")
+                    <= (F.col("m") * F.lit(round(frac, 6))),
+                    1,
                 ).otherwise(0)
             ).alias(f"v{i}")
             for i, frac in enumerate(HEAPS_FRACS)
@@ -2836,7 +2865,7 @@ def heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.sum(
                 F.when(
-                    F.col("doc_id") <= (F.col("m") * F.lit(frac)),
+                    F.col("doc_id") <= (F.col("m") * F.lit(round(frac, 6))),
                     F.col("n_tok"),
                 ).otherwise(0)
             ).alias(f"t{i}")
@@ -2860,6 +2889,9 @@ def heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
         .select("p.frac", "p.n_tokens", "p.vocab")
+        # points feeds the beta aggregate AND the output select; without
+        # materialization the corpus-scale token lineage executes twice
+        .localCheckpoint()
     )
     beta = points.agg(
         F.round(
@@ -2976,7 +3008,16 @@ def corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "types",
         "tokens",
     )
-    return h1.unionByName(h2).unionByName(cond).unionByName(ttr).orderBy("stat")
+    return (
+        h1.unionByName(h2)
+        .unionByName(cond)
+        .unionByName(ttr)
+        # degenerate corpora (no tokens / no bigrams) make a stat
+        # undefined — drop it rather than emit a NULL row the oracle's
+        # GROUP BY (zero groups over an empty frame) never produces
+        .filter(F.col("h").isNotNull())
+        .orderBy("stat")
+    )
 
 
 CORPUS_ENTROPY_ORACLE = """
@@ -3011,17 +3052,19 @@ h2 AS (
     FROM bi, (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM bi) t
     GROUP BY t.n
 )
-SELECT stat, h, types, tokens FROM h1
-UNION ALL
-SELECT stat, h, types, tokens FROM h2
-UNION ALL
-SELECT 'conditional_bigram_entropy',
-       ROUND((SELECT h FROM h2) - (SELECT h FROM h1), 6),
-       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-UNION ALL
-SELECT 'type_token_ratio',
-       ROUND(CAST((SELECT types FROM h1) AS DOUBLE) / (SELECT tokens FROM h1), 6),
-       (SELECT types FROM h1), (SELECT tokens FROM h1)
+SELECT stat, h, types, tokens FROM (
+    SELECT stat, h, types, tokens FROM h1
+    UNION ALL
+    SELECT stat, h, types, tokens FROM h2
+    UNION ALL
+    SELECT 'conditional_bigram_entropy',
+           ROUND((SELECT h FROM h2) - (SELECT h FROM h1), 6),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    UNION ALL
+    SELECT 'type_token_ratio',
+           ROUND(CAST((SELECT types FROM h1) AS DOUBLE) / (SELECT tokens FROM h1), 6),
+           (SELECT types FROM h1), (SELECT tokens FROM h1)
+) WHERE h IS NOT NULL
 ORDER BY stat
 """
 
@@ -3049,25 +3092,11 @@ def minhash_band_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer sums — engine-exact without rounding concerns."""
     cand = minhash_lsh_pairs(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        cand.select("doc_a", "doc_b")
-        .join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     rows_per_band = MINHASH_K // MINHASH_BANDS
-    j = F.col("n_inter").cast("double") / (
-        F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")
-    ).cast("double")
+    jac = _pair_jaccard(cand.select("doc_a", "doc_b"), _shingles(docs))
     bucket = F.least(
-        F.floor(j * CAL_BUCKETS).cast("int"), F.lit(CAL_BUCKETS - 1)
+        F.floor(F.col("jaccard") * CAL_BUCKETS).cast("int"),
+        F.lit(CAL_BUCKETS - 1),
     )
     mid = (F.col("j_bucket") + 0.5) / CAL_BUCKETS
     expected = F.round(
@@ -3078,10 +3107,7 @@ def minhash_band_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .fillna({"n_inter": 0})
-        .join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
-        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        cand.join(jac, ["doc_a", "doc_b"])
         .select(bucket.alias("j_bucket"), "n_shared_bands")
         .groupBy("j_bucket")
         .agg(
@@ -3098,24 +3124,13 @@ def minhash_band_calibration_oracle() -> str:
     return f"""
 WITH {_SHINGLES_SQL},
 cand AS (SELECT * FROM ({minhash_lsh_oracle()})),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
-inter AS (
-    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-    FROM cand c
-    JOIN shingles sa ON sa.doc_id = c.doc_a
-    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-    GROUP BY c.doc_a, c.doc_b
-),
+{_pair_jaccard_sql('cand')},
 bucketed AS (
-    SELECT LEAST(CAST(FLOOR(
-               (CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-                / (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)))
-               * {CAL_BUCKETS}) AS INT), {CAL_BUCKETS - 1}) AS j_bucket,
+    SELECT LEAST(CAST(FLOOR(j.jaccard * {CAL_BUCKETS}) AS INT),
+                 {CAL_BUCKETS - 1}) AS j_bucket,
            c.n_shared_bands
     FROM cand c
-    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-    JOIN sizes za ON za.doc_id = c.doc_a
-    JOIN sizes zb ON zb.doc_id = c.doc_b
+    JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
 )
 SELECT j_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
        ROUND(AVG(n_shared_bands), 6) AS avg_shared_bands,

@@ -608,11 +608,12 @@ _PRIORITY = [
     # window covering every operator family. Everything not named keeps
     # its registration order after the spread and retains r01-r03 green
     # rows plus the full strict sweep.
-    # (a) never driver-checked — the continuation session's ELEVEN new
+    # (a) never driver-checked — the continuation session's FOURTEEN new
     # operators first (training-export shards, NCM classifier, k-center
     # coreset, IVF-PQ, MMR rerank, frozen-codebook append, winnowing,
-    # stratified threshold twin, covariance/whitening, Zipf fit), then
-    # the queries that had only strict-sweep evidence before round 4
+    # stratified threshold twin, covariance/whitening, Zipf/Heaps fits,
+    # corpus entropy, MinHash band calibration — all new this round),
+    # then the queries that had only strict-sweep evidence before round 4
     "training_shards", "centroid_classify", "kcenter_coreset",
     "ann_ivfpq_topk", "mmr_rerank", "pq_index_append", "winnow_matches",
     "stratified_sample_threshold", "embedding_covariance", "pca_whiten",

@@ -316,9 +316,7 @@ def test_zipf_fit_slope_on_planted_power_law(spark):
     """Fit validity: a corpus synthesized with an exact Zipf(s=1)
     frequency profile must fit slope ~ -1 with r2 ~ 1; tokenization and
     ranking run through the real operator path."""
-    from etl_master_spark.operators.text import zipf_fit  # noqa: F401  (spec)
-    from etl_master_spark.operators.text import ZIPF_HEAD, load_table  # noqa
-    from pyspark.sql import functions as F
+    import etl_master_spark.operators.text as T
     from etl_master_spark.functions.hashing import phash_py
 
     # words w0..w199 with freq ~ 600/(rank+1); lay them into doc rows
@@ -333,27 +331,16 @@ def test_zipf_fit_slope_on_planted_power_law(spark):
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
 
-    # inline the operator body over the planted frame (same expressions)
-    freq = (
-        df.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
-    head = (
-        freq.orderBy(F.col("cnt").desc(), F.col("word").asc())
-        .limit(ZIPF_HEAD)
-        .withColumn("rnk", F.row_number().over(w))
-    )
-    row = head.agg(
-        F.expr("regr_slope(ln(cnt), ln(rnk))").alias("slope"),
-        F.expr("regr_r2(ln(cnt), ln(rnk))").alias("r2"),
-    ).collect()[0]
+    # run the REAL operator over the planted frame
+    orig = T.load_table
+    try:
+        T.load_table = lambda s, d, t: df
+        row = T.zipf_fit(spark, "ignored").collect()[0]
+    finally:
+        T.load_table = orig
     assert -1.15 < row["slope"] < -0.85, row
     assert row["r2"] > 0.97, row
+    assert row["n_points"] == 200
 
 
 def test_heaps_fit_growth_invariants(spark, sf_dir):
@@ -381,9 +368,6 @@ def test_corpus_entropy_template_collapse_signal(spark):
     a diverse corpus keeps it well above zero; and jointly H2 >= H1
     always."""
     import random
-
-    from etl_master_spark.operators.text import corpus_entropy  # spec
-    from etl_master_spark.plans.registry import QUERIES
 
     rng = random.Random(79)
 

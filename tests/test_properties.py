@@ -170,3 +170,56 @@ def test_centroid_classify_partitioning_invariance(spark):
     for layout in (df.repartition(23), df.coalesce(1)):
         got = sorted(tuple(r) for r in _centroid_classify_core(layout).collect())
         assert got == ref
+
+
+def test_winnow_partitioning_invariance(spark):
+    """Winnowing is a pure function of the (doc_id, text) SET: per-doc
+    fingerprints are row-local and the df bound + pair counts are
+    set-aggregates, so layout must not change a single match."""
+    import random
+
+    from etl_master_spark.operators.text import _winnow_core
+
+    rng = random.Random(83)
+
+    def junk(n):
+        return "".join(rng.choice("abcdef ghij") for _ in range(n))
+
+    shared = junk(120)
+    rows = [(i, junk(150) + (shared if i % 3 == 0 else "") + junk(150)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = sorted(tuple(r) for r in _winnow_core(df, min_shared=1).collect())
+    assert ref, "planted shared runs must match"
+    for layout in (df.repartition(11), df.coalesce(1), df.sort(df.doc_id.desc())):
+        got = sorted(tuple(r) for r in _winnow_core(layout, min_shared=1).collect())
+        assert got == ref
+
+
+def test_mmr_partitioning_invariance(spark):
+    """The MMR kernel sorts its candidate rows by id before the greedy
+    loop and every score derives from 6-dp-rounded values, so the
+    selection must be layout-independent."""
+    import numpy as np
+
+    from etl_master_spark.operators.vectors import _mmr_core
+
+    rng = np.random.default_rng(89)
+    rows = []
+    for q in range(3):
+        for i in range(10):
+            rows.append(
+                (
+                    q,
+                    q * 100 + i,
+                    round(float(rng.uniform(0.3, 0.99)), 6),
+                    [float(x) for x in rng.normal(0.0, 1.0, 64)],
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, neighbor_id long, cosine double, embedding array<float>",
+    )
+    ref = sorted(tuple(r) for r in _mmr_core(df).collect())
+    for layout in (df.repartition(7), df.coalesce(1)):
+        got = sorted(tuple(r) for r in _mmr_core(layout).collect())
+        assert got == ref

@@ -1240,6 +1240,12 @@ def simhash64_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a different but equally valid bit labeling than the Arrow path's
     byte-endian order; the two are separate registered queries."""
     docs = spread(load_table(spark, sf_dir, "documents"))
+    return _simhash64_jvm_frame(docs).orderBy("doc_id")
+
+
+def _simhash64_jvm_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) via the JVM nibble-vote pipeline — shared by
+    ``simhash64_jvm`` and the Hamming-pair blocking audit."""
     # string work happens ONCE per token (md5 + four 8-hex-char conv()
     # words); the 64 vote expressions are then integer div/mod on those
     # word attributes. The first spelling did 64 substring+instr string
@@ -1276,7 +1282,7 @@ def simhash64_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint")
         )
         sim = term if sim is None else sim + term
-    return votes.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 def simhash64_oracle() -> str:
@@ -3140,4 +3146,260 @@ SELECT j_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
 FROM bucketed
 GROUP BY j_bucket
 ORDER BY j_bucket
+"""
+
+
+# -- SimHash Hamming-ball blocking audit --------------------------------------
+
+# 4 bands x 16 bits over the 63-bit simhash (band 3 carries 15 bits: the
+# kernel clears the sign bit). Pigeonhole guarantee: any pair within
+# Hamming distance <= 3 differs in at most 3 bands, so at least one band
+# matches and the pair IS generated as a candidate — the standard
+# Hamming-ball blocking scheme (Manku et al., WWW'07) expressed as a
+# band-equality self-join.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 16
+SIMHASH_HAM_NEAR = 3
+
+
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash blocking audit: every candidate document pair that collides
+    in at least one 16-bit simhash band, with its exact 63-bit Hamming
+    distance and the near-duplicate verdict (distance <= 3, which the
+    banding provably never misses — Manku et al.'s Hamming-ball scheme).
+
+    The full candidate list (not just the accepted pairs) is the audit a
+    production near-dup pipeline needs: candidate volume is the cost
+    driver, and the distance histogram shows whether the 16-bit bands are
+    selective enough for the corpus. Plan: the simhash frame (one
+    explode+aggregate pipeline) is localCheckpointed — it feeds BOTH
+    self-join sides, and without the checkpoint the 64-vote aggregation
+    would execute twice (measured elsewhere in this module); the band
+    join's key is (band, 16-bit value), uniformly distributed by the hash
+    itself, so the shuffle is skew-free and candidate volume is bounded
+    by band-bucket occupancy — never an all-pairs comparison."""
+    sim = _simhash64_jvm_frame(
+        spread(load_table(spark, sf_dir, "documents"))
+    ).localCheckpoint()
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(SIMHASH_BANDS)])
+        ).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            f"shiftright(simhash, {SIMHASH_BAND_BITS} * band)"
+            f" % {1 << SIMHASH_BAND_BITS}"
+        ),
+    )
+    a = bands.select(
+        "band",
+        "band_val",
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+    )
+    b = bands.select(
+        "band",
+        "band_val",
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            ham.cast("int").alias("hamming"),
+            (ham <= SIMHASH_HAM_NEAR).alias("is_near_dup"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_hamming_pairs_oracle() -> str:
+    return f"""
+WITH sim AS (SELECT * FROM ({simhash64_jvm_oracle()})),
+bands AS (
+    SELECT doc_id, simhash, b.band,
+           (simhash >> ({SIMHASH_BAND_BITS} * b.band))
+               % {1 << SIMHASH_BAND_BITS} AS band_val
+    FROM sim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash AS sim_a, b.simhash AS sim_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming,
+       bit_count(xor(sim_a, sim_b)) <= {SIMHASH_HAM_NEAR} AS is_near_dup
+FROM cand
+ORDER BY doc_a, doc_b
+"""
+
+
+# -- Bloom-filter membership pre-filter audit ----------------------------------
+
+# Deterministic Bloom filter over content fingerprints: K positions per
+# document from disjoint 8-hex-char windows of md5(text), each folded with
+# the portable 31-mix (per-step mod — see _winnow_fp_sql for why). M is
+# sized so the gate scale is clean (fill ~5%) while sf0.1 exercises a
+# measurably loaded filter — in production M scales with the corpus
+# (m = -n ln p / (ln 2)^2) and lives in each executor as a bitmap; here the
+# bit SET is a distinct-position frame so DuckDB can replay it exactly.
+BLOOM_M = 1 << 15
+BLOOM_K = 4
+
+
+def _bloom_pos_sql(md5_expr: str, i: int) -> str:
+    """Position i: 31-mix of hex chars 8i+1..8i+8 of the digest, mod M."""
+    h = "CAST(0 AS BIGINT)"
+    for j in range(8):
+        h = (
+            f"(({h} * 31 + CAST(ascii(substr({md5_expr}, {8 * i + j + 1}, 1))"
+            f" AS BIGINT)) % {BLOOM_M})"
+        )
+    return h
+
+
+def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-filter for incremental dedup, with its error
+    measured rather than assumed: split documents 90/10 into corpus/batch
+    by portable hash, build the corpus's Bloom bit set (K=4 positions per
+    md5 fingerprint), probe every batch document, and reconcile against
+    exact fingerprint membership — one audit row with the bit-set fill,
+    maybe-counts, true duplicates, false positives, and the measured FP
+    rate.
+
+    This is the production incremental-dedup shape (``dedup_incremental``
+    is the exact twin): at 100 TB the Bloom probe turns the batch-vs-corpus
+    anti-join into a local bitmap test per executor, and only Bloom-maybe
+    rows pay the exact join. Plan: corpus scan → K positions per doc →
+    distinct (bounded by M = 32k rows, broadcastable); batch positions
+    LEFT-join the bit set (bloom-hit = ALL K positions present); exact
+    membership via a fingerprint LEFT SEMI twin; two tiny scalar
+    aggregates crossJoined into the single audit row."""
+    fp = F.md5("text")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        fp.alias("fp"),
+        (F.expr(phash_frag("doc_id")) % 10 == 0).alias("is_batch"),
+        F.array(
+            *[F.expr(_bloom_pos_sql("md5(text)", i)) for i in range(BLOOM_K)]
+        ).alias("pos"),
+    ).localCheckpoint()  # feeds corpus bits, batch probes, AND exact join
+    corpus = docs.filter(~F.col("is_batch"))
+    batch = docs.filter(F.col("is_batch"))
+    bits = (
+        corpus.select(F.explode("pos").alias("pos")).distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probed = (
+        batch.select("doc_id", F.explode("pos").alias("pos"))
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id")
+        .agg(F.min(F.coalesce(F.col("hit"), F.lit(0))).alias("all_hit"))
+    )
+    exact = (
+        batch.join(
+            corpus.select("fp").distinct().withColumn("present", F.lit(1)),
+            "fp",
+            "left",
+        )
+        .select("doc_id", F.coalesce("present", F.lit(0)).alias("exact_hit"))
+    )
+    per_doc = probed.join(exact, "doc_id")
+    sums = per_doc.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum("all_hit").alias("bloom_maybe"),
+        F.sum("exact_hit").alias("exact_dups"),
+        F.sum(
+            F.when((F.col("all_hit") == 1) & (F.col("exact_hit") == 0), 1)
+            .otherwise(0)
+        ).alias("false_positives"),
+    )
+    sides = corpus.agg(F.count(F.lit(1)).alias("n_corpus")).crossJoin(
+        bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    )
+    return (
+        sums.crossJoin(F.broadcast(sides))
+        .select(
+            "n_corpus",
+            "n_batch",
+            "bits_set",
+            F.round(F.col("bits_set") / F.lit(float(BLOOM_M)), 6).alias(
+                "fill_ratio"
+            ),
+            "bloom_maybe",
+            "exact_dups",
+            "false_positives",
+            F.round(
+                F.col("false_positives")
+                / F.nullif(
+                    (F.col("n_batch") - F.col("exact_dups")).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
+
+
+def bloom_membership_audit_oracle() -> str:
+    pos_sql = ", ".join(
+        f"{_bloom_pos_sql('md5(text)', i)} AS p{i}" for i in range(BLOOM_K)
+    )
+    return f"""
+WITH base AS (
+    SELECT doc_id, md5(text) AS fp,
+           ({phash_frag('doc_id')}) % 10 = 0 AS is_batch,
+           {pos_sql}
+    FROM documents
+),
+long AS (
+    SELECT doc_id, is_batch, unnest([{', '.join(f'p{i}' for i in range(BLOOM_K))}]) AS pos
+    FROM base
+),
+bits AS (SELECT DISTINCT pos FROM long WHERE NOT is_batch),
+probed AS (
+    SELECT l.doc_id,
+           MIN(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS all_hit
+    FROM long l LEFT JOIN bits b ON l.pos = b.pos
+    WHERE l.is_batch
+    GROUP BY l.doc_id
+),
+exact AS (
+    SELECT d.doc_id,
+           CASE WHEN EXISTS (
+               SELECT 1 FROM base c WHERE NOT c.is_batch AND c.fp = d.fp
+           ) THEN 1 ELSE 0 END AS exact_hit
+    FROM base d WHERE d.is_batch
+),
+sums AS (
+    SELECT COUNT(*) AS n_batch,
+           CAST(SUM(p.all_hit) AS BIGINT) AS bloom_maybe,
+           CAST(SUM(e.exact_hit) AS BIGINT) AS exact_dups,
+           CAST(SUM(CASE WHEN p.all_hit = 1 AND e.exact_hit = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS false_positives
+    FROM probed p JOIN exact e ON p.doc_id = e.doc_id
+),
+sides AS (
+    SELECT (SELECT COUNT(*) FROM base WHERE NOT is_batch) AS n_corpus,
+           (SELECT COUNT(*) FROM bits) AS bits_set
+)
+SELECT n_corpus, n_batch, bits_set,
+       ROUND(bits_set / {float(BLOOM_M)!r}, 6) AS fill_ratio,
+       bloom_maybe, exact_dups, false_positives,
+       ROUND(false_positives
+             / NULLIF(CAST(n_batch - exact_dups AS DOUBLE), 0.0), 6) AS fp_rate
+FROM sums CROSS JOIN sides
 """

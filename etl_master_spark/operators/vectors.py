@@ -3082,3 +3082,90 @@ def _pca_whiten_core(spark: SparkSession, emb: DataFrame, k: int = 16) -> DataFr
     return emb.mapInPandas(
         _proj_kernel, "vec_id long, wemb array<double>"
     ).orderBy("vec_id")
+
+
+# -- int8 scalar quantization audit --------------------------------------------
+
+SQ8_LEVELS = 127  # symmetric int8 range
+
+
+def sq8_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization (the FAISS
+    ``ScalarQuantizer`` QT_8bit shape every embedding store ships before
+    PQ): scale = max|x|/127, code_j = round(x_j/scale), plus the
+    reconstruction audit — relative L2 error and the quantized-dot-product
+    self-similarity drift — so compression loss is measured, not assumed.
+
+    4x memory compression is the first lever at 100 TB of embeddings:
+    int8 codes keep brute-force and IVF scans in cache. The whole operator
+    is row-local higher-order functions (transform/aggregate) inside the
+    scan projection — zero shuffles, zero Python; the only ordering is the
+    output sort. Float32 inputs are widened to float64 before any
+    arithmetic and both engines evaluate the identical expression tree, so
+    the 6-dp rounds agree (round() is half-away-from-zero on doubles in
+    BOTH engines — the banker's-rounding trap lives only in Python)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xs = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(xs, lambda x: F.abs(x)))
+    scale = mx / F.lit(float(SQ8_LEVELS))
+    codes = F.when(mx == 0.0, F.transform(xs, lambda x: F.lit(0.0))).otherwise(
+        F.transform(xs, lambda x: F.round(x / scale, 0))
+    )
+    sq = lambda a: F.aggregate(  # noqa: E731 — local fold helper
+        a, F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    err = F.aggregate(
+        F.zip_with(xs, codes, lambda x, c: x - c * scale),
+        F.lit(0.0),
+        lambda acc, d: acc + d * d,
+    )
+    dot_q = F.aggregate(codes, F.lit(0.0), lambda acc, c: acc + c * c) * (
+        scale * scale
+    )
+    norm2 = sq(xs)
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("n_dims"),
+            F.round(scale, 6).alias("scale"),
+            F.array_max(F.transform(codes, lambda c: F.abs(c)))
+            .cast("int")
+            .alias("max_abs_code"),
+            F.round(F.sqrt(err / norm2), 6).alias("l2_rel_err"),
+            F.round((dot_q - norm2) / norm2, 6).alias("self_dot_drift"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SQ8_QUANTIZE_AUDIT_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id,
+           CAST(embedding AS DOUBLE[]) AS xs,
+           list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+               / {float(SQ8_LEVELS)!r} AS scale
+    FROM embeddings
+),
+coded AS (
+    SELECT vec_id, xs, scale,
+           CASE WHEN scale = 0.0 THEN list_transform(xs, x -> 0.0)
+                ELSE list_transform(xs, x -> round(x / scale, 0)) END AS codes
+    FROM base
+)
+SELECT vec_id,
+       CAST(len(xs) AS INT) AS n_dims,
+       ROUND(scale, 6) AS scale,
+       CAST(list_max(list_transform(codes, c -> abs(c))) AS INT)
+           AS max_abs_code,
+       ROUND(sqrt(list_sum(list_transform(range(1, len(xs) + 1),
+                       i -> (xs[i] - codes[i] * scale)
+                            * (xs[i] - codes[i] * scale)))
+                  / list_sum(list_transform(xs, x -> x * x))), 6)
+           AS l2_rel_err,
+       ROUND((list_sum(list_transform(codes, c -> c * c)) * (scale * scale)
+              - list_sum(list_transform(xs, x -> x * x)))
+             / list_sum(list_transform(xs, x -> x * x)), 6)
+           AS self_dot_drift
+FROM coded
+ORDER BY vec_id
+"""

@@ -21,6 +21,7 @@ from ..operators import (
     relational,
     stats,
     text,
+    tokenize,
     tpch,
     vectors,
     warehouse,
@@ -313,6 +314,34 @@ register(
 # Heaps vocabulary-growth fit + corpus entropy (corpus-health companions)
 register("heaps_fit", text.heaps_fit, text.heaps_fit_oracle())
 register("corpus_entropy", text.corpus_entropy, text.CORPUS_ENTROPY_ORACLE)
+# SimHash Hamming-ball blocking audit (Manku et al. WWW'07 banding)
+register(
+    "simhash_hamming_pairs",
+    text.simhash_hamming_pairs,
+    text.simhash_hamming_pairs_oracle(),
+)
+# Bloom-filter incremental-dedup pre-filter with measured FP rate
+register(
+    "bloom_membership_audit",
+    text.bloom_membership_audit,
+    text.bloom_membership_audit_oracle(),
+)
+# tokenizer-training / lexical statistics family
+register(
+    "bpe_merge_candidates",
+    tokenize.bpe_merge_candidates,
+    tokenize.BPE_MERGE_CANDIDATES_ORACLE,
+)
+register(
+    "pmi_collocations",
+    tokenize.pmi_collocations,
+    tokenize.PMI_COLLOCATIONS_ORACLE,
+)
+register(
+    "char_entropy_scores",
+    tokenize.char_entropy_scores,
+    tokenize.CHAR_ENTROPY_SCORES_ORACLE,
+)
 
 # -- vectors / similarity ----------------------------------------------------
 register("embedding_norms", vectors.embedding_norms, vectors.EMBEDDING_NORMS_ORACLE)
@@ -358,6 +387,12 @@ register(
     vectors.embedding_covariance_oracle(),
 )
 register("pca_whiten", vectors.pca_whiten, None)
+# symmetric int8 scalar quantization + reconstruction-error audit
+register(
+    "sq8_quantize_audit",
+    vectors.sq8_quantize_audit,
+    vectors.SQ8_QUANTIZE_AUDIT_ORACLE,
+)
 # SemDeDup: reuses the kmeans trajectory, prunes within clusters by cosine
 register("semantic_dedup", vectors.semantic_dedup, vectors.semantic_dedup_oracle())
 register("mmd_rbf", vectors.mmd_rbf, vectors.mmd_rbf_oracle())
@@ -614,6 +649,10 @@ _PRIORITY = [
     # stratified threshold twin, covariance/whitening, Zipf/Heaps fits,
     # corpus entropy, MinHash band calibration — all new this round),
     # then the queries that had only strict-sweep evidence before round 4
+    # round-4 second-continuation additions (never driver-checked) first
+    "simhash_hamming_pairs", "bloom_membership_audit",
+    "bpe_merge_candidates", "pmi_collocations", "char_entropy_scores",
+    "sq8_quantize_audit",
     "training_shards", "centroid_classify", "kcenter_coreset",
     "ann_ivfpq_topk", "mmr_rerank", "pq_index_append", "winnow_matches",
     "stratified_sample_threshold", "embedding_covariance", "pca_whiten",

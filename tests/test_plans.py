@@ -41,6 +41,8 @@ BNLJ_OK = {
     "mmr_rerank",  # inherits ann_cosine_topk's broadcast-query corpus scan
     "heaps_fit",  # 1-row max-id / beta aggregates cross-joined
     "corpus_entropy",  # 1-row total-N aggregates cross-joined
+    "pmi_collocations",  # 1-row unigram/bigram totals cross-joined
+    "bloom_membership_audit",  # 1-row corpus-count/bits-set summary join
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

@@ -1,0 +1,210 @@
+"""Tokenizer-training / lexical-statistics operators plus the new dedup
+infrastructure (SimHash Hamming blocking, Bloom pre-filter, int8
+quantization). Planted fixtures prove the semantics bind; sf0.001
+invariants prove the accounting identities on real tables. Engine-vs-oracle
+equality is covered separately by test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from etl_master_spark.functions.hashing import phash_py
+from etl_master_spark.operators.text import (
+    BLOOM_K,
+    BLOOM_M,
+    SIMHASH_HAM_NEAR,
+    bloom_membership_audit,
+    simhash_hamming_pairs,
+)
+from etl_master_spark.operators.tokenize import (
+    EOW,
+    PMI_MIN_COUNT,
+    bpe_merge_candidates,
+    char_entropy_scores,
+    pmi_collocations,
+)
+from etl_master_spark.operators.vectors import SQ8_LEVELS, sq8_quantize_audit
+
+
+def _write_docs(spark, path, docs):
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+# -- BPE merge candidates -----------------------------------------------------
+
+def test_bpe_pair_counts_tiny_corpus(spark, tmp_path):
+    """Hand-computable dictionary: 'ab'x2 + 'abc'x1 -> (a,b) dominates with
+    occurrences summed over word frequencies, and every word contributes
+    its (last_char, </w>) marker pair."""
+    _write_docs(
+        spark,
+        str(tmp_path),
+        [(0, "ab ab", "en", "s"), (1, "abc", "en", "s")],
+    )
+    rows = {
+        (r["left_sym"], r["right_sym"]): r
+        for r in bpe_merge_candidates(spark, str(tmp_path)).collect()
+    }
+    assert rows[("a", "b")]["occurrences"] == 3  # 2 from 'ab', 1 from 'abc'
+    assert rows[("a", "b")]["n_words"] == 2
+    assert rows[("b", EOW)]["occurrences"] == 2  # 'ab' ends in b, freq 2
+    assert rows[("b", "c")]["occurrences"] == 1
+    assert rows[("c", EOW)]["occurrences"] == 1
+    assert len(rows) == 4
+
+
+def test_bpe_single_char_word_only_marker(spark, tmp_path):
+    """A length-1 word has no inner pair — only its </w> marker (and the
+    sequence(1,0) descending-range trap stays guarded)."""
+    _write_docs(spark, str(tmp_path), [(0, "x x x", "en", "s")])
+    rows = bpe_merge_candidates(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert (rows[0]["left_sym"], rows[0]["right_sym"]) == ("x", EOW)
+    assert rows[0]["occurrences"] == 3 and rows[0]["n_words"] == 1
+
+
+# -- PMI collocations ---------------------------------------------------------
+
+def test_pmi_ranks_exclusive_pair_first(spark, tmp_path):
+    """'new york' always co-occurs (exclusive collocation) while 'the dog' /
+    'the cat' share 'the' — the exclusive pair must out-PMI them."""
+    docs = [(i, "new york", "en", "s") for i in range(PMI_MIN_COUNT)]
+    docs += [
+        (100 + i, "the dog" if i % 2 == 0 else "the cat", "en", "s")
+        for i in range(2 * PMI_MIN_COUNT)
+    ]
+    _write_docs(spark, str(tmp_path), docs)
+    rows = pmi_collocations(spark, str(tmp_path)).collect()
+    assert (rows[0]["w1"], rows[0]["w2"]) == ("new", "york")
+    assert rows[0]["pair_count"] == PMI_MIN_COUNT
+    by_pair = {(r["w1"], r["w2"]): r["pmi"] for r in rows}
+    assert by_pair[("new", "york")] > by_pair[("the", "dog")]
+
+
+def test_pmi_support_floor(spark, tmp_path):
+    """Bigrams below the support floor never appear (PMI over rare pairs is
+    noise — the standard guard)."""
+    docs = [(0, "rare pair", "en", "s")]
+    docs += [(1 + i, "common bigram", "en", "s") for i in range(PMI_MIN_COUNT)]
+    _write_docs(spark, str(tmp_path), docs)
+    pairs = {
+        (r["w1"], r["w2"])
+        for r in pmi_collocations(spark, str(tmp_path)).collect()
+    }
+    assert ("common", "bigram") in pairs
+    assert ("rare", "pair") not in pairs
+
+
+# -- char entropy -------------------------------------------------------------
+
+def test_char_entropy_extremes(spark, tmp_path):
+    """One repeated char -> H = 0; k equiprobable chars -> H = ln k."""
+    _write_docs(
+        spark,
+        str(tmp_path),
+        [(0, "aaaa", "en", "s"), (1, "abcd", "en", "s")],
+    )
+    rows = {r["doc_id"]: r for r in char_entropy_scores(spark, str(tmp_path)).collect()}
+    assert rows[0]["char_entropy"] == 0.0
+    assert rows[0]["distinct_chars"] == 1 and rows[0]["n_chars"] == 4
+    assert rows[1]["char_entropy"] == pytest.approx(math.log(4), abs=1e-6)
+
+
+def test_char_entropy_counts_spaces(spark, sf_dir):
+    """n_chars equals the full character length (spaces included) and the
+    entropy is bounded by ln(distinct_chars)."""
+    rows = char_entropy_scores(spark, sf_dir).collect()
+    assert rows, "corpus produced no entropy rows"
+    for r in rows[:50]:
+        assert 0.0 <= r["char_entropy"] <= math.log(r["distinct_chars"]) + 1e-9
+
+
+# -- SimHash Hamming blocking ---------------------------------------------------
+
+def test_simhash_identical_docs_are_near_dups(spark, tmp_path):
+    """Identical texts share a simhash (Hamming 0): the banding must emit
+    the pair and flag it — the no-false-negative half of the pigeonhole
+    guarantee (<= 3 differing bits always collide in >= 1 band)."""
+    same = "the quick brown fox jumps over the lazy dog"
+    _write_docs(
+        spark,
+        str(tmp_path),
+        [
+            (0, same, "en", "s"),
+            (1, same, "en", "s"),
+            (2, "completely different text about spark shuffles", "en", "s"),
+        ],
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in simhash_hamming_pairs(spark, str(tmp_path)).collect()
+    }
+    assert (0, 1) in rows
+    assert rows[(0, 1)]["hamming"] == 0
+    assert rows[(0, 1)]["is_near_dup"] is True
+
+
+def test_simhash_pairs_canonical_and_flagged(spark, sf_dir):
+    """Candidate pairs are canonical (a < b, no duplicates) and the flag
+    matches the distance threshold exactly."""
+    rows = simhash_hamming_pairs(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        key = (r["doc_a"], r["doc_b"])
+        assert key not in seen
+        seen.add(key)
+        assert r["is_near_dup"] == (r["hamming"] <= SIMHASH_HAM_NEAR)
+
+
+# -- Bloom membership ----------------------------------------------------------
+
+def test_bloom_never_misses_planted_duplicate(spark, tmp_path):
+    """A batch document whose text exists in the corpus MUST be a Bloom
+    maybe (no false negatives) and an exact duplicate."""
+    # split is phash(doc_id) % 10 == 0 -> batch
+    batch_ids = [i for i in range(200) if phash_py(i) % 10 == 0]
+    corpus_ids = [i for i in range(200) if phash_py(i) % 10 != 0]
+    dup_text = "this exact sentence lives in both corpus and batch"
+    docs = [(batch_ids[0], dup_text, "en", "s")]
+    docs += [(corpus_ids[0], dup_text, "en", "s")]
+    docs += [
+        (i, f"unique corpus filler number {i}", "en", "s")
+        for i in corpus_ids[1:20]
+    ]
+    _write_docs(spark, str(tmp_path), docs)
+    row = bloom_membership_audit(spark, str(tmp_path)).collect()[0]
+    assert row["n_batch"] == 1 and row["exact_dups"] == 1
+    assert row["bloom_maybe"] >= row["exact_dups"]  # Bloom never misses
+    assert row["false_positives"] == row["bloom_maybe"] - row["exact_dups"]
+
+
+def test_bloom_accounting_identities(spark, sf_dir):
+    row = bloom_membership_audit(spark, sf_dir).collect()[0]
+    assert row["bits_set"] <= min(BLOOM_M, BLOOM_K * row["n_corpus"])
+    assert row["exact_dups"] <= row["bloom_maybe"] <= row["n_batch"]
+    assert (
+        row["false_positives"] == row["bloom_maybe"] - row["exact_dups"]
+        or row["bloom_maybe"] > row["exact_dups"]
+    )
+    assert row["fill_ratio"] == pytest.approx(row["bits_set"] / BLOOM_M, abs=1e-6)
+
+
+# -- int8 scalar quantization ----------------------------------------------------
+
+def test_sq8_reconstruction_bounds(spark, sf_dir):
+    """Symmetric int8 over 64 dims: every non-zero vector uses the full
+    code range (its max hits ±127 by construction), codes never exceed
+    the range, and reconstruction error is sub-percent."""
+    rows = sq8_quantize_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["max_abs_code"] == SQ8_LEVELS
+        assert r["scale"] > 0
+        assert 0.0 <= r["l2_rel_err"] < 0.02
+        assert abs(r["self_dot_drift"]) < 0.05

@@ -123,6 +123,17 @@ BENCH_QUERIES = [
     "heaps_fit",
     "corpus_entropy",
     "minhash_band_calibration",
+    # round-4 second continuation: tokenizer stats + dedup infrastructure
+    "simhash_hamming_pairs",
+    "bloom_membership_audit",
+    "bpe_merge_candidates",
+    "pmi_collocations",
+    "char_entropy_scores",
+    "sq8_quantize_audit",
+    "weighted_sample_aes",
+    "ngram_novelty",
+    "dedup_levenshtein",
+    "mahalanobis_outliers",
 ]
 
 

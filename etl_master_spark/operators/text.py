@@ -3403,3 +3403,191 @@ SELECT n_corpus, n_batch, bits_set,
              / NULLIF(CAST(n_batch - exact_dups AS DOUBLE), 0.0), 6) AS fp_rate
 FROM sums CROSS JOIN sides
 """
+
+
+# -- weighted sampling without replacement (Efraimidis–Spirakis) ---------------
+
+WS_TOPK = 100  # sample size
+
+
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample-without-replacement of 100 documents, weight =
+    document length: the A-ES scheme (Efraimidis & Spirakis 2006) — each
+    row draws u ~ U(0,1) and the sample is the top-K by key u^(1/w).
+    The u here is the portable hash (seeded, engine-replayable), making
+    the 'random' sample deterministic and oracle-checkable — the same
+    trick the split/negative-sampling family uses.
+
+    This is THE distributed weighted-sampling primitive: one scan, one
+    top-K (no global sort — Spark's TakeOrderedAndProject keeps per-
+    partition heaps of K and merges), no collect, no sequential pass over
+    cumulative weights. Length-weighted document sampling is how token-
+    budgeted eval/calibration subsets are drawn from a corpus. Ranks are
+    computed on the ROUNDED key with doc_id tie-break so both engines
+    rank identically."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (F.expr(phash_frag("doc_id", seed=97)) + F.lit(0.5)) / F.lit(
+        float(PHASH_P)
+    )
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 6
+    )
+    # top-K FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps of K, merged on the driver — no global sort, no single-
+    # partition window), THEN rank the K survivors: the global
+    # row_number window runs over 100 rows, not the corpus.
+    top = (
+        docs.select(
+            "doc_id", F.col("n_chars").alias("weight"), key.alias("samp_key")
+        )
+        .orderBy(F.col("samp_key").desc(), F.col("doc_id").asc())
+        .limit(WS_TOPK)
+    )
+    w = Window.orderBy(F.col("samp_key").desc(), F.col("doc_id").asc())
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+def weighted_sample_aes_oracle() -> str:
+    return f"""
+WITH keyed AS (
+    SELECT doc_id, n_chars AS weight,
+           ROUND(pow((({phash_frag('doc_id', seed=97)}) + 0.5)
+                     / {float(PHASH_P)!r},
+                     1.0 / CAST(n_chars AS DOUBLE)), 6) AS samp_key
+    FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight, samp_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY samp_key DESC, doc_id ASC) AS INT)
+           AS rnk
+FROM keyed
+QUALIFY rnk <= {WS_TOPK}
+"""
+
+
+# -- n-gram novelty ------------------------------------------------------------
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    word-3-gram shingles that occur in NO other document — the uniqueness
+    signal dual to the dedup family (novelty 1.0 = fully original text;
+    low novelty = templated/boilerplate even when no single pair crosses
+    a dedup threshold). Docs shorter than one shingle are excluded, same
+    as the MinHash family built on the identical ``_shingles`` frame.
+
+    Plan: one shingle explode (distinct-per-doc before the exchange),
+    a shingle-keyed document-frequency aggregate, and a join back —
+    shingle keys are near-unique so the join is skew-free; the final
+    per-doc aggregate is map-side combined. Shares ``_shingles`` /
+    ``_SHINGLES_SQL`` with MinHash so the feature space provably matches
+    the dedup operators it complements."""
+    sh = _shingles(spread(load_table(spark, sf_dir, "documents")))
+    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias(
+                "novel_shingles"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "novel_shingles",
+            F.round(
+                F.col("novel_shingles") / F.col("n_shingles").cast("double"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+NGRAM_NOVELTY_ORACLE = f"""
+WITH {_SHINGLES_SQL},
+df AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle)
+SELECT s.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS novel_shingles,
+       ROUND(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM shingles s JOIN df ON s.shingle = df.shingle
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+# -- Levenshtein fuzzy-dup audit -------------------------------------------------
+
+LEV_PREFIX = 24  # blocking key: first 24 chars
+LEV_BLOCK_CAP = 64  # drop hot prefix blocks (standard blocking hygiene)
+LEV_SIM = 0.8  # near-dup verdict: 1 - dist/max_len >= 0.8
+
+
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy-duplicate audit: candidate pairs from prefix
+    blocking (same first-24-chars), verified with exact Levenshtein
+    distance and a normalized similarity verdict — the record-linkage
+    shape (block → compare) for near-identical text that token-level
+    dedup under-weights (small in-place edits).
+
+    Scale posture: Levenshtein is O(len²) per pair, so candidate volume
+    is everything. Prefix blocks bound it; blocks hotter than
+    ``LEV_BLOCK_CAP`` are DROPPED (not compared) — the standard blocking
+    hygiene; production would fall back to a second key (suffix or
+    winnow fingerprint) for dropped blocks. The comparison itself is a
+    JVM builtin inside the block self-join — no Python."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, LEV_PREFIX).alias("blk")
+    )
+    wcnt = Window.partitionBy("blk")
+    blocked = (
+        docs.withColumn("blk_n", F.count(F.lit(1)).over(wcnt))
+        .filter(F.col("blk_n") <= LEV_BLOCK_CAP)
+        .drop("blk_n")
+    )
+    a = blocked.select(
+        "blk", F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")
+    )
+    b = blocked.select(
+        "blk", F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")
+    )
+    dist = F.levenshtein("ta", "tb")
+    max_len = F.greatest(F.length("ta"), F.length("tb")).cast("double")
+    sim = F.round(F.lit(1.0) - dist / max_len, 6)
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("int").alias("edit_dist"),
+            sim.alias("similarity"),
+            (sim >= LEV_SIM).alias("is_near_dup"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_LEVENSHTEIN_ORACLE = f"""
+WITH blocked AS (
+    SELECT doc_id, text, substr(text, 1, {LEV_PREFIX}) AS blk
+    FROM documents
+    QUALIFY COUNT(*) OVER (PARTITION BY substr(text, 1, {LEV_PREFIX}))
+            <= {LEV_BLOCK_CAP}
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS edit_dist,
+           ROUND(1.0 - levenshtein(a.text, b.text)
+                 / CAST(GREATEST(length(a.text), length(b.text)) AS DOUBLE),
+                 6) AS similarity
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(edit_dist AS INT) AS edit_dist, similarity,
+       similarity >= {LEV_SIM} AS is_near_dup
+FROM pairs
+ORDER BY doc_a, doc_b
+"""

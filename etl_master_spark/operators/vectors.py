@@ -3169,3 +3169,97 @@ SELECT vec_id,
 FROM coded
 ORDER BY vec_id
 """
+
+
+# -- Mahalanobis outlier scores ---------------------------------------------------
+
+MAHAL_TOPK = 20
+
+
+def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embedding outliers by diagonal-covariance Mahalanobis
+    distance: per-dimension corpus mean/variance, then per-vector
+    Σ (x_j − μ_j)²/σ²_j — the standard cheap outlier prune before
+    clustering / dedup (full-covariance whitening lives in
+    ``pca_whiten``; the diagonal form is the one that stays a pure
+    aggregation at any scale).
+
+    Plan: one posexplode feeds BOTH the 64-row per-dimension moment
+    aggregate and the scoring join — the stats side reduces to |dims|
+    rows (broadcast), the scoring side is a map-side-combined per-vector
+    aggregate. Moments are spelled sum/count (not var_pop) so DuckDB
+    replays the identical arithmetic. Ranks are computed on the ROUNDED
+    score with vec_id tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        ).alias("dim", "v"),
+    )
+    st = (
+        x.groupBy("dim")
+        .agg(
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ss"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+        .select(
+            "dim",
+            (F.col("s") / F.col("n")).alias("mu"),
+            (
+                F.col("ss") / F.col("n")
+                - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+            ).alias("s2"),
+        )
+    )
+    scored = (
+        x.join(F.broadcast(st), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("v") - F.col("mu"))
+                    * (F.col("v") - F.col("mu"))
+                    / F.col("s2")
+                ),
+                6,
+            ).alias("mahal2")
+        )
+    )
+    # top-K via orderBy+limit (TakeOrderedAndProject — per-partition heaps,
+    # no single-partition global window over |vectors| rows), then rank
+    # only the 20 survivors.
+    top = scored.orderBy(
+        F.col("mahal2").desc(), F.col("vec_id").asc()
+    ).limit(MAHAL_TOPK)
+    w = Window.orderBy(F.col("mahal2").desc(), F.col("vec_id").asc())
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
+        "vec_id", "mahal2", "rnk"
+    )
+
+
+MAHALANOBIS_OUTLIERS_ORACLE = f"""
+WITH x AS (
+    SELECT vec_id,
+           generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS dim,
+           unnest(CAST(embedding AS DOUBLE[])) AS v
+    FROM embeddings
+),
+st AS (
+    SELECT dim, SUM(v) / CAST(COUNT(*) AS DOUBLE) AS mu,
+           SUM(v * v) / CAST(COUNT(*) AS DOUBLE)
+           - (SUM(v) / CAST(COUNT(*) AS DOUBLE))
+             * (SUM(v) / CAST(COUNT(*) AS DOUBLE)) AS s2
+    FROM x GROUP BY dim
+),
+scored AS (
+    SELECT vec_id, ROUND(SUM((v - mu) * (v - mu) / s2), 6) AS mahal2
+    FROM x JOIN st USING (dim) GROUP BY vec_id
+)
+SELECT vec_id, mahal2,
+       CAST(ROW_NUMBER() OVER (ORDER BY mahal2 DESC, vec_id ASC) AS INT)
+           AS rnk
+FROM scored
+QUALIFY rnk <= {MAHAL_TOPK}
+"""

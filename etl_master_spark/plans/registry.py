@@ -326,6 +326,18 @@ register(
     text.bloom_membership_audit,
     text.bloom_membership_audit_oracle(),
 )
+# deterministic weighted sampling (A-ES), n-gram novelty, fuzzy-dup audit
+register(
+    "weighted_sample_aes",
+    text.weighted_sample_aes,
+    text.weighted_sample_aes_oracle(),
+)
+register("ngram_novelty", text.ngram_novelty, text.NGRAM_NOVELTY_ORACLE)
+register(
+    "dedup_levenshtein",
+    text.dedup_levenshtein,
+    text.DEDUP_LEVENSHTEIN_ORACLE,
+)
 # tokenizer-training / lexical statistics family
 register(
     "bpe_merge_candidates",
@@ -392,6 +404,12 @@ register(
     "sq8_quantize_audit",
     vectors.sq8_quantize_audit,
     vectors.SQ8_QUANTIZE_AUDIT_ORACLE,
+)
+# diagonal-covariance Mahalanobis outlier prune
+register(
+    "mahalanobis_outliers",
+    vectors.mahalanobis_outliers,
+    vectors.MAHALANOBIS_OUTLIERS_ORACLE,
 )
 # SemDeDup: reuses the kmeans trajectory, prunes within clusters by cosine
 register("semantic_dedup", vectors.semantic_dedup, vectors.semantic_dedup_oracle())
@@ -652,7 +670,8 @@ _PRIORITY = [
     # round-4 second-continuation additions (never driver-checked) first
     "simhash_hamming_pairs", "bloom_membership_audit",
     "bpe_merge_candidates", "pmi_collocations", "char_entropy_scores",
-    "sq8_quantize_audit",
+    "sq8_quantize_audit", "weighted_sample_aes", "ngram_novelty",
+    "dedup_levenshtein", "mahalanobis_outliers",
     "training_shards", "centroid_classify", "kcenter_coreset",
     "ann_ivfpq_topk", "mmr_rerank", "pq_index_append", "winnow_matches",
     "stratified_sample_threshold", "embedding_covariance", "pca_whiten",

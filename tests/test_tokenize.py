@@ -208,3 +208,115 @@ def test_sq8_reconstruction_bounds(spark, sf_dir):
         assert r["scale"] > 0
         assert 0.0 <= r["l2_rel_err"] < 0.02
         assert abs(r["self_dot_drift"]) < 0.05
+
+
+# -- weighted sampling (A-ES) ----------------------------------------------------
+
+def test_weighted_sample_deterministic_and_biased(spark, sf_dir):
+    """Same corpus -> same sample (hash-derived u), and length-weighting
+    must pull the sample's mean weight above the corpus mean."""
+    from etl_master_spark.operators.text import WS_TOPK, weighted_sample_aes
+
+    a = weighted_sample_aes(spark, sf_dir).collect()
+    b = weighted_sample_aes(spark, sf_dir).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert len(a) == WS_TOPK
+    assert sorted(r["rnk"] for r in a) == list(range(1, WS_TOPK + 1))
+    corpus_mean = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg({"n_chars": "avg"})
+        .collect()[0][0]
+    )
+    sample_mean = sum(r["weight"] for r in a) / len(a)
+    assert sample_mean > corpus_mean  # heavier docs oversampled
+
+
+def test_weighted_sample_key_formula(spark, sf_dir):
+    """The sampling key must equal the documented u^(1/w) with u from the
+    portable hash — pinned against the pure-Python hash."""
+    from etl_master_spark.functions.hashing import PHASH_P
+    from etl_master_spark.operators.text import weighted_sample_aes
+
+    r = weighted_sample_aes(spark, sf_dir).collect()[0]
+    u = (phash_py(r["doc_id"], seed=97) + 0.5) / PHASH_P
+    assert r["samp_key"] == pytest.approx(u ** (1.0 / r["weight"]), abs=1e-6)
+
+
+# -- n-gram novelty ---------------------------------------------------------------
+
+def test_ngram_novelty_extremes(spark, tmp_path):
+    """A fully-copied doc pair scores novelty 0; an unrelated doc scores 1;
+    sub-shingle docs are excluded."""
+    copied = "alpha beta gamma delta epsilon"
+    _write_docs(
+        spark,
+        str(tmp_path),
+        [
+            (0, copied, "en", "s"),
+            (1, copied, "en", "s"),
+            (2, "completely unrelated words only here", "en", "s"),
+            (3, "too short", "en", "s"),  # < 3 words -> no shingles
+        ],
+    )
+    rows = {r["doc_id"]: r for r in
+            __import__("etl_master_spark.operators.text", fromlist=["ngram_novelty"])
+            .ngram_novelty(spark, str(tmp_path)).collect()}
+    assert rows[0]["novelty"] == 0.0 and rows[1]["novelty"] == 0.0
+    assert rows[2]["novelty"] == 1.0
+    assert 3 not in rows
+
+
+# -- Levenshtein fuzzy dedup -------------------------------------------------------
+
+def test_levenshtein_detects_planted_edit(spark, tmp_path):
+    """One-character edit within a shared prefix block -> near-dup pair
+    with edit_dist 1."""
+    from etl_master_spark.operators.text import dedup_levenshtein
+
+    base = "this prefix is long enough to share a block " + "x" * 30
+    _write_docs(
+        spark,
+        str(tmp_path),
+        [
+            (0, base, "en", "s"),
+            (1, base[:-1] + "y", "en", "s"),
+            (2, "different prefix entirely " + "z" * 40, "en", "s"),
+        ],
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r
+            for r in dedup_levenshtein(spark, str(tmp_path)).collect()}
+    assert rows[(0, 1)]["edit_dist"] == 1
+    assert rows[(0, 1)]["is_near_dup"] is True
+    assert not any(2 in k for k in rows)
+
+
+def test_levenshtein_block_cap_drops_hot_block(spark, tmp_path):
+    """Prefix blocks hotter than the cap are dropped, not compared —
+    candidate volume stays bounded."""
+    from etl_master_spark.operators.text import LEV_BLOCK_CAP, dedup_levenshtein
+
+    hot = "shared hot prefix for the capped block test padding"
+    docs = [(i, hot + f" tail {i}", "en", "s") for i in range(LEV_BLOCK_CAP + 1)]
+    _write_docs(spark, str(tmp_path), docs)
+    assert dedup_levenshtein(spark, str(tmp_path)).count() == 0
+
+
+# -- Mahalanobis outliers -----------------------------------------------------------
+
+def test_mahalanobis_flags_planted_outlier(spark, tmp_path):
+    """A vector far outside the per-dimension spread must rank first."""
+    import random
+
+    from etl_master_spark.operators.vectors import mahalanobis_outliers
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(8)], 0) for i in range(50)
+    ]
+    rows.append((99, [25.0] * 8, 1))  # planted outlier
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = mahalanobis_outliers(spark, str(tmp_path)).collect()
+    assert out[0]["vec_id"] == 99 and out[0]["rnk"] == 1
+    assert out[0]["mahal2"] > out[1]["mahal2"] * 3

@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "ngram_novelty",
     "dedup_levenshtein",
     "mahalanobis_outliers",
+    "jl_project_audit",
+    "association_rules",
 ]
 
 

@@ -1524,3 +1524,106 @@ SELECT month,
 FROM monthly
 ORDER BY month
 """
+
+
+# -- association rules over co-purchase pairs ------------------------------------
+
+RULES_TOP = 50
+
+
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules from the co-purchase pairs:
+    support, directional confidences conf(a→b)=n_ab/n_a and conf(b→a),
+    and lift = N·n_ab/(n_a·n_b) — the Apriori/recommendation output the
+    pair census (`co_purchase_pairs`) feeds. Lift > 1 = the pair co-occurs
+    above independence; the top-50 by lift is the "customers who bought X
+    also bought Y" table.
+
+    Plan: the basket collapse runs ONCE and feeds both the row-local pair
+    build and the per-item basket counts (cheap re-aggregation of the
+    collapsed frame, not a fact rescan); item counts join the pair frame
+    twice on near-unique keys (skew-free), the basket total N is a 1-row
+    broadcast. All ratios are spelled identically in both engines before
+    the 6-dp round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    parts = F.col("parts")
+    pair_arr = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + 2, F.size(parts)),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(
+            F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= CO_PURCHASE_MIN_COUNT)
+    )
+    item = baskets.select(F.explode("parts").alias("part")).groupBy(
+        "part"
+    ).agg(F.count(F.lit(1)).alias("n_item"))
+    n = baskets.agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+    ia = item.select(F.col("part").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("part").alias("part_b"), F.col("n_item").alias("n_b"))
+    lift = F.round(
+        (F.col("n_orders") * F.col("n_ab"))
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        6,
+    )
+    out = (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n_a").cast("double"), 6).alias(
+                "conf_a_b"
+            ),
+            F.round(F.col("n_ab") / F.col("n_b").cast("double"), 6).alias(
+                "conf_b_a"
+            ),
+            lift.alias("lift"),
+        )
+    )
+    return (
+        out.orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(RULES_TOP)
+    )
+
+
+ASSOCIATION_RULES_ORACLE = f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+    FROM baskets a
+    JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {CO_PURCHASE_MIN_COUNT}
+),
+item AS (SELECT l_partkey AS part, COUNT(*) AS n_item FROM baskets GROUP BY 1),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+      FROM baskets)
+SELECT p.part_a, p.part_b, p.n_ab,
+       ROUND(p.n_ab / CAST(ia.n_item AS DOUBLE), 6) AS conf_a_b,
+       ROUND(p.n_ab / CAST(ib.n_item AS DOUBLE), 6) AS conf_b_a,
+       ROUND((n.n_orders * p.n_ab)
+             / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)), 6)
+           AS lift
+FROM pairs p
+JOIN item ia ON ia.part = p.part_a
+JOIN item ib ON ib.part = p.part_b
+CROSS JOIN n
+ORDER BY lift DESC, p.part_a, p.part_b
+LIMIT {RULES_TOP}
+"""

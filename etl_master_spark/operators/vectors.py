@@ -27,6 +27,8 @@ identically.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -3262,4 +3264,91 @@ SELECT vec_id, mahal2,
            AS rnk
 FROM scored
 QUALIFY rnk <= {MAHAL_TOPK}
+"""
+
+
+# -- Johnson–Lindenstrauss random-projection audit ---------------------------------
+
+JL_K = 16  # target dimensionality
+JL_DIM = 64  # corpus embedding width
+JL_SEED = 33
+
+
+def _jl_signs() -> list[list[int]]:
+    """±1 projection matrix (k × dim), derived row-by-row from the portable
+    hash so Spark, DuckDB, and tests all inline the SAME literal matrix —
+    the deterministic twist that makes a 'random' projection
+    oracle-checkable (Achlioptas 2003: ±1 entries satisfy the JL lemma)."""
+    return [
+        [1 if phash_py(j * JL_DIM + i, seed=JL_SEED) % 2 == 0 else -1
+         for i in range(JL_DIM)]
+        for j in range(JL_K)
+    ]
+
+
+def jl_project_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random projection 64 → 16 dims (Johnson–Lindenstrauss with ±1
+    entries, scaled 1/√k) with the distance-preservation audit attached:
+    per vector, the original norm, the projected norm, and their ratio —
+    the cheap dimensionality-reduction step ahead of LSH/clustering, with
+    its distortion MEASURED per row rather than assumed from the lemma.
+
+    Scale: entirely row-local — the k×dim sign matrix is 1024 literals
+    folded into whole-stage codegen (k·dim multiply-adds per row, zero
+    shuffles, zero Python); the only ordering is the output sort. This is
+    the projection shape that survives any corpus size: no stats pass, no
+    broadcast, no state."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xs = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    signs = _jl_signs()
+    dots = [
+        F.aggregate(
+            F.zip_with(
+                xs,
+                F.array(*[F.lit(float(s)) for s in signs[j]]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for j in range(JL_K)
+    ]
+    scale = F.lit(1.0 / math.sqrt(JL_K))
+    proj_sq = F.lit(0.0)
+    for d in dots:
+        proj_sq = proj_sq + (d * scale) * (d * scale)
+    proj_norm = F.sqrt(proj_sq)
+    orig_norm = F.sqrt(
+        F.aggregate(xs, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.round(orig_norm, 6).alias("orig_norm"),
+            F.round(proj_norm, 6).alias("proj_norm"),
+            F.round(proj_norm / orig_norm, 6).alias("norm_ratio"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def jl_project_audit_oracle() -> str:
+    signs = _jl_signs()
+    scale = 1.0 / math.sqrt(JL_K)
+    dot_terms = " + ".join(
+        f"pow(list_dot_product(xs, {[float(s) for s in signs[j]]})"
+        f" * {scale!r}, 2)"
+        for j in range(JL_K)
+    )
+    return f"""
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xs FROM embeddings
+)
+SELECT vec_id,
+       ROUND(sqrt(list_dot_product(xs, xs)), 6) AS orig_norm,
+       ROUND(sqrt({dot_terms}), 6) AS proj_norm,
+       ROUND(sqrt({dot_terms}) / sqrt(list_dot_product(xs, xs)), 6)
+           AS norm_ratio
+FROM base
+ORDER BY vec_id
 """

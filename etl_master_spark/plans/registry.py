@@ -411,6 +411,12 @@ register(
     vectors.mahalanobis_outliers,
     vectors.MAHALANOBIS_OUTLIERS_ORACLE,
 )
+# Johnson–Lindenstrauss ±1 projection with per-row distortion audit
+register(
+    "jl_project_audit",
+    vectors.jl_project_audit,
+    vectors.jl_project_audit_oracle(),
+)
 # SemDeDup: reuses the kmeans trajectory, prunes within clusters by cosine
 register("semantic_dedup", vectors.semantic_dedup, vectors.semantic_dedup_oracle())
 register("mmd_rbf", vectors.mmd_rbf, vectors.mmd_rbf_oracle())
@@ -532,6 +538,12 @@ register(
     "co_purchase_pairs", analytics.co_purchase_pairs, analytics.CO_PURCHASE_PAIRS_ORACLE
 )
 register("triangle_count", analytics.triangle_count, analytics.TRIANGLE_COUNT_ORACLE)
+# Apriori output: confidence/lift rules over the co-purchase pair census
+register(
+    "association_rules",
+    analytics.association_rules,
+    analytics.ASSOCIATION_RULES_ORACLE,
+)
 register(
     "monthly_revenue_growth",
     analytics.monthly_revenue_growth,
@@ -671,7 +683,8 @@ _PRIORITY = [
     "simhash_hamming_pairs", "bloom_membership_audit",
     "bpe_merge_candidates", "pmi_collocations", "char_entropy_scores",
     "sq8_quantize_audit", "weighted_sample_aes", "ngram_novelty",
-    "dedup_levenshtein", "mahalanobis_outliers",
+    "dedup_levenshtein", "mahalanobis_outliers", "jl_project_audit",
+    "association_rules",
     "training_shards", "centroid_classify", "kcenter_coreset",
     "ann_ivfpq_topk", "mmr_rerank", "pq_index_append", "winnow_matches",
     "stratified_sample_threshold", "embedding_covariance", "pca_whiten",

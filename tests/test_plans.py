@@ -43,6 +43,7 @@ BNLJ_OK = {
     "corpus_entropy",  # 1-row total-N aggregates cross-joined
     "pmi_collocations",  # 1-row unigram/bigram totals cross-joined
     "bloom_membership_audit",  # 1-row corpus-count/bits-set summary join
+    "association_rules",  # 1-row basket total N cross-joined
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

@@ -320,3 +320,69 @@ def test_mahalanobis_flags_planted_outlier(spark, tmp_path):
     out = mahalanobis_outliers(spark, str(tmp_path)).collect()
     assert out[0]["vec_id"] == 99 and out[0]["rnk"] == 1
     assert out[0]["mahal2"] > out[1]["mahal2"] * 3
+
+
+# -- JL projection audit ------------------------------------------------------------
+
+def test_jl_norm_preservation_in_expectation(spark, sf_dir):
+    """E[proj_norm^2] = orig_norm^2 for +-1/sqrt(k) projections — the JL
+    unbiasedness; the corpus mean of ratio^2 must sit near 1."""
+    from etl_master_spark.operators.vectors import jl_project_audit
+
+    rows = jl_project_audit(spark, sf_dir).collect()
+    assert rows
+    mean_sq = sum(r["norm_ratio"] ** 2 for r in rows) / len(rows)
+    assert 0.85 < mean_sq < 1.15
+    for r in rows:
+        assert r["proj_norm"] >= 0 and r["orig_norm"] > 0
+
+
+def test_jl_sign_matrix_pinned():
+    """The projection matrix derives from the portable hash — any engine
+    (or future session) regenerates the identical literals."""
+    from etl_master_spark.operators.vectors import JL_DIM, JL_SEED, _jl_signs
+
+    signs = _jl_signs()
+    assert len(signs) == 16 and all(len(r) == JL_DIM for r in signs)
+    assert all(s in (-1, 1) for r in signs for s in r)
+    assert signs[0][0] == (
+        1 if phash_py(0, seed=JL_SEED) % 2 == 0 else -1
+    )
+    # not degenerate: both signs occur in every row
+    assert all(len(set(r)) == 2 for r in signs)
+
+
+# -- association rules ----------------------------------------------------------------
+
+def test_association_rules_hand_computed(spark, tmp_path):
+    """Controlled baskets: {1,2} x3 plus distractors -> rule (1,2) with
+    exactly the hand-computed confidence and lift."""
+    from etl_master_spark.operators.analytics import association_rules
+
+    baskets = [
+        (100, [1, 2]), (101, [1, 2]), (102, [1, 2]),
+        (103, [1, 3]), (104, [4, 5]),
+    ]
+    rows = [(ok, pk) for ok, parts in baskets for pk in parts]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    out = {(r["part_a"], r["part_b"]): r
+           for r in association_rules(spark, str(tmp_path)).collect()}
+    r = out[(1, 2)]
+    assert r["n_ab"] == 3
+    assert r["conf_a_b"] == pytest.approx(3 / 4, abs=1e-6)  # item 1 in 4 baskets
+    assert r["conf_b_a"] == pytest.approx(3 / 3, abs=1e-6)
+    assert r["lift"] == pytest.approx(5 * 3 / (4 * 3), abs=1e-6)
+    assert len(out) == 1  # every other pair is below support
+
+
+def test_association_rules_bounds(spark, sf_dir):
+    from etl_master_spark.operators.analytics import association_rules
+
+    rows = association_rules(spark, sf_dir).collect()
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert 0 < r["conf_a_b"] <= 1 and 0 < r["conf_b_a"] <= 1
+        assert r["lift"] > 0

@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "mahalanobis_outliers",
     "jl_project_audit",
     "association_rules",
+    "hard_negatives_mine",
+    "tokenizer_fertility",
 ]
 
 

@@ -291,3 +291,66 @@ FROM counts
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# -- tokenizer fertility by language -------------------------------------------
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility: subword tokens per whitespace
+    word and characters per subword token under the BPE-ish regex
+    pre-tokenizer — the standard multilingual-tokenizer health metric
+    (fertility far above ~1.3 for a language means its text costs
+    disproportionate sequence length, skewing mixture budgets).
+
+    One narrow scan; the three counts are JVM regex builtins evaluated in
+    the projection and the per-language aggregate is dimension-sized.
+    Ratios divide the SUMS (corpus-level fertility), not the mean of
+    per-doc ratios — the estimator mixture-budget math actually needs."""
+    from .text import BPEISH_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.expr(f"regexp_extract_all(text, '{BPEISH_RE}', 0)")
+    words = _words(F.col("text"))
+    per = docs.select(
+        "lang",
+        F.length("text").alias("chars"),
+        F.size(words).alias("ws"),
+        F.size(bpe).alias("bp"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bp").alias("bpeish_tokens"),
+            F.round(
+                F.sum("bp") / F.sum("ws").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("chars") / F.sum("bp").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+def tokenizer_fertility_oracle() -> str:
+    from .text import BPEISH_RE
+
+    return f"""
+WITH per AS (
+    SELECT lang,
+           length(text) AS chars,
+           len(list_filter(string_split(text, ' '), t -> t <> '')) AS ws,
+           len(regexp_extract_all(text, '{BPEISH_RE}')) AS bp
+    FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bp) AS BIGINT) AS bpeish_tokens,
+       ROUND(SUM(bp) / CAST(SUM(ws) AS DOUBLE), 6) AS fertility,
+       ROUND(SUM(chars) / CAST(SUM(bp) AS DOUBLE), 6) AS chars_per_token
+FROM per
+GROUP BY lang
+ORDER BY lang
+"""

@@ -3352,3 +3352,208 @@ SELECT vec_id,
 FROM base
 ORDER BY vec_id
 """
+
+
+# -- k-NN holdout label audit -------------------------------------------------------
+
+KNN_K = 5
+KNN_EXACT_MAX_ROWS = 100_000  # same ceiling idiom as COSINE_EXACT_MAX_ROWS
+
+
+def knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN (k=5, cosine) classification audit on the same deterministic
+    holdout as ``centroid_classify``: per held-out vector, majority label
+    of its 5 nearest TRAIN vectors; output the confusion matrix
+    (label, pred_label, n, share). The non-parametric companion to the
+    nearest-class-mean pass — together they say whether embedding space
+    separates the classes locally as well as globally.
+
+    Scale honesty: the exact test×train scoring here is the audit twin
+    (the ``dedup_embedding_cosine`` precedent) — quadratic and meant for
+    samples/gates; the production path generates neighbors with the ANN
+    family (``ann_lsh_topk`` / ``ann_ivfpq_topk``) and only the vote is
+    new. Top-5 is a per-vector window on the ROUNDED cosine with
+    neighbor-id tie-break; the majority vote is a count aggregate with a
+    min-label tie-break — both engines rank identically."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", "label"
+    )
+    n = emb.count()
+    if n > KNN_EXACT_MAX_ROWS:
+        raise ValueError(
+            f"knn_label_audit: input has {n} rows > "
+            f"max_rows={KNN_EXACT_MAX_ROWS}. Generate neighbors with the "
+            f"ANN family (ann_lsh_topk / ann_ivfpq_topk) and reuse the "
+            f"vote aggregate for corpus-scale k-NN."
+        )
+    h = F.expr(phash_frag("vec_id", seed=NCM_SEED))
+    base = emb.withColumn("is_test", (h % NCM_TEST_MOD) == 0)
+    # norms are computed ONCE PER ROW before the quadratic join (not once
+    # per pair — 2/3 of the pair math deleted), and the pair dot is the
+    # unrolled whole-stage-codegen chain (see _dot_unrolled: bit-equal to
+    # the fold, ~4-6× faster than interpreted higher-order lambdas here —
+    # measured 6.2 → 4.2 s at sf0.1, window-sort bound after). sqrt-once-
+    # per-row yields the same
+    # doubles as sqrt-per-pair, so the oracle's per-pair spelling matches.
+    test = base.filter(F.col("is_test")).select(
+        F.col("vec_id").alias("tid"),
+        F.col("embedding").alias("te"),
+        F.col("label").alias("tlabel"),
+        F.sqrt(_dot_unrolled("embedding", "embedding", 64)).alias("tnorm"),
+    )
+    train = base.filter(~F.col("is_test")).select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("ne"),
+        F.col("label").alias("nlabel"),
+        F.sqrt(_dot_unrolled("embedding", "embedding", 64)).alias("nnorm"),
+    )
+    cos = _dot_unrolled("te", "ne", 64) / (
+        F.col("tnorm") * F.col("nnorm")
+    )
+    w = Window.partitionBy("tid").orderBy(
+        F.col("cosine").desc(), F.col("nid").asc()
+    )
+    topk = (
+        train.crossJoin(F.broadcast(test))
+        .select(
+            "tid", "tlabel", "nid", "nlabel", F.round(cos, 6).alias("cosine")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+    )
+    pred = (
+        topk.groupBy("tid", "tlabel", "nlabel")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .groupBy("tid", "tlabel")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("votes")).alias("nv"), F.col("nlabel").alias("nl")
+                )
+            )["nl"].alias("pred_label")
+        )
+    )
+    tot = Window.partitionBy("label")
+    return (
+        pred.groupBy(F.col("tlabel").alias("label"), "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("share", F.round(F.col("n") / F.sum("n").over(tot), 6))
+        .orderBy("label", "pred_label")
+    )
+
+
+def knn_label_audit_oracle() -> str:
+    return f"""
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label,
+           ({phash_frag('vec_id', seed=NCM_SEED)} % {NCM_TEST_MOD} = 0)
+               AS is_test
+    FROM embeddings
+),
+topk AS (
+    SELECT tid, tlabel, nlabel FROM (
+        SELECT t.vec_id AS tid, t.label AS tlabel, n.label AS nlabel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t.vec_id
+                   ORDER BY ROUND(list_dot_product(t.e, n.e)
+                                  / (sqrt(list_dot_product(t.e, t.e))
+                                     * sqrt(list_dot_product(n.e, n.e))), 6)
+                                DESC,
+                            n.vec_id ASC
+               ) AS rn
+        FROM base t JOIN base n ON t.is_test AND NOT n.is_test
+    ) WHERE rn <= {KNN_K}
+),
+pred AS (
+    SELECT tid, tlabel, nlabel AS pred_label FROM (
+        SELECT tid, tlabel, nlabel, COUNT(*) AS votes,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tid
+                   ORDER BY COUNT(*) DESC, nlabel ASC
+               ) AS rn
+        FROM topk GROUP BY tid, tlabel, nlabel
+    ) WHERE rn = 1
+)
+SELECT tlabel AS label, pred_label, COUNT(*) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY tlabel), 6) AS share
+FROM pred
+GROUP BY tlabel, pred_label
+ORDER BY label, pred_label
+"""
+
+
+# -- hard-negative mining -----------------------------------------------------------
+
+HARDNEG_TOPK = 10
+
+
+def hard_negatives_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector (the ann family's vec_id < 5 demo set), the top-10 most
+    similar vectors with a DIFFERENT label — the near-miss negatives
+    that make embedding/reranker training data effective (random
+    negatives are trivially separable; the hard ones sit just across the
+    class boundary).
+
+    Same plan as ``ann_cosine_topk`` — queries broadcast, corpus
+    streamed once, per-query top-k window on the rounded cosine — with a
+    label anti-filter on the scored stream. At 100 TB the mining pass
+    swaps the exact scan for an ANN candidate generator and keeps the
+    label filter + window unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    pairs = (
+        spread(emb)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+    )
+    cos = _dot(F.col("qv"), F.col("embedding")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    scored = pairs.select(
+        "query_id",
+        "qlabel",
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.round(cos, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= HARDNEG_TOPK)
+        .select("query_id", "qlabel", "neg_id", "neg_label", "cosine", "rnk")
+    )
+
+
+HARD_NEGATIVES_MINE_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+           label AS qlabel
+    FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+),
+scored AS (
+    SELECT q.query_id, q.qlabel, e.vec_id AS neg_id, e.label AS neg_label,
+           ROUND(list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))),
+                 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.label <> q.qlabel
+)
+SELECT query_id, qlabel, neg_id, neg_label, cosine,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neg_id ASC
+       ) AS INT) AS rnk
+FROM scored
+QUALIFY rnk <= {HARDNEG_TOPK}
+ORDER BY query_id, rnk
+"""

@@ -354,6 +354,11 @@ register(
     tokenize.char_entropy_scores,
     tokenize.CHAR_ENTROPY_SCORES_ORACLE,
 )
+register(
+    "tokenizer_fertility",
+    tokenize.tokenizer_fertility,
+    tokenize.tokenizer_fertility_oracle(),
+)
 
 # -- vectors / similarity ----------------------------------------------------
 register("embedding_norms", vectors.embedding_norms, vectors.EMBEDDING_NORMS_ORACLE)
@@ -416,6 +421,18 @@ register(
     "jl_project_audit",
     vectors.jl_project_audit,
     vectors.jl_project_audit_oracle(),
+)
+# k-NN holdout confusion (non-parametric twin of centroid_classify)
+register(
+    "knn_label_audit",
+    vectors.knn_label_audit,
+    vectors.knn_label_audit_oracle(),
+)
+# contrastive hard-negative mining over the ann query set
+register(
+    "hard_negatives_mine",
+    vectors.hard_negatives_mine,
+    vectors.HARD_NEGATIVES_MINE_ORACLE,
 )
 # SemDeDup: reuses the kmeans trajectory, prunes within clusters by cosine
 register("semantic_dedup", vectors.semantic_dedup, vectors.semantic_dedup_oracle())
@@ -684,7 +701,8 @@ _PRIORITY = [
     "bpe_merge_candidates", "pmi_collocations", "char_entropy_scores",
     "sq8_quantize_audit", "weighted_sample_aes", "ngram_novelty",
     "dedup_levenshtein", "mahalanobis_outliers", "jl_project_audit",
-    "association_rules",
+    "association_rules", "knn_label_audit", "hard_negatives_mine",
+    "tokenizer_fertility",
     "training_shards", "centroid_classify", "kcenter_coreset",
     "ann_ivfpq_topk", "mmr_rerank", "pq_index_append", "winnow_matches",
     "stratified_sample_threshold", "embedding_covariance", "pca_whiten",

@@ -44,6 +44,8 @@ BNLJ_OK = {
     "pmi_collocations",  # 1-row unigram/bigram totals cross-joined
     "bloom_membership_audit",  # 1-row corpus-count/bits-set summary join
     "association_rules",  # 1-row basket total N cross-joined
+    "knn_label_audit",  # broadcast holdout vs train corpus (audit twin)
+    "hard_negatives_mine",  # inherits ann_cosine_topk's broadcast-query scan
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

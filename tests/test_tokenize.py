@@ -386,3 +386,75 @@ def test_association_rules_bounds(spark, sf_dir):
     for r in rows:
         assert 0 < r["conf_a_b"] <= 1 and 0 < r["conf_b_a"] <= 1
         assert r["lift"] > 0
+
+
+# -- kNN label audit / hard negatives / fertility -------------------------------------
+
+def test_knn_confusion_shares_sum_to_one(spark, sf_dir):
+    from etl_master_spark.operators.vectors import knn_label_audit
+
+    rows = knn_label_audit(spark, sf_dir).collect()
+    assert rows
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["share"])
+    for label, shares in by_label.items():
+        assert sum(shares) == pytest.approx(1.0, abs=1e-5), label
+
+
+def test_knn_separable_classes_perfect(spark, tmp_path):
+    """Two far-apart clusters -> the kNN vote classifies the holdout
+    perfectly (diagonal confusion)."""
+    import random
+
+    from etl_master_spark.operators.vectors import knn_label_audit
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(80):
+        label = i % 2
+        center = 10.0 if label else -10.0
+        # 64 dims: the embeddings-table contract the unrolled dot assumes
+        rows.append(
+            (i, [center + rng.gauss(0, 0.1) for _ in range(64)], label)
+        )
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = knn_label_audit(spark, str(tmp_path)).collect()
+    for r in out:
+        assert r["label"] == r["pred_label"] and r["share"] == 1.0
+
+
+def test_hard_negatives_exclude_query_label(spark, sf_dir):
+    from etl_master_spark.operators.vectors import (
+        HARDNEG_TOPK,
+        N_QUERY_VECS,
+        hard_negatives_mine,
+    )
+
+    rows = hard_negatives_mine(spark, sf_dir).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert r["neg_label"] != r["qlabel"]
+        assert r["query_id"] < N_QUERY_VECS
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        assert len(rs) == HARDNEG_TOPK
+        cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rnk"])]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_tokenizer_fertility_identities(spark, sf_dir):
+    """Fertility >= 1 on this corpus (the BPE-ish regex splits punctuation
+    off words, never merges) and chars_per_token is positive and bounded
+    by the longest token."""
+    from etl_master_spark.operators.tokenize import tokenizer_fertility
+
+    rows = tokenizer_fertility(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["fertility"] >= 1.0
+        assert 0 < r["chars_per_token"] < 40
+        assert r["bpeish_tokens"] >= r["ws_tokens"]

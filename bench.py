@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "association_rules",
     "hard_negatives_mine",
     "tokenizer_fertility",
+    "corpus_drift_psi",
+    "copurchase_communities",
 ]
 
 

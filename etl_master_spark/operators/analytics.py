@@ -1627,3 +1627,114 @@ CROSS JOIN n
 ORDER BY lift DESC, p.part_a, p.part_b
 LIMIT {RULES_TOP}
 """
+
+
+# -- label-propagation communities over the co-purchase graph ---------------------
+
+LPA_ROUNDS = 3
+LPA_MIN_COUNT = 2  # edge support (same graph as triangle_count)
+
+
+def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the item co-purchase graph by synchronous
+    label propagation (Raghavan et al. 2007), made deterministic: every
+    node starts as its own label and, for 3 synchronous rounds, adopts
+    the most frequent label among its neighbors with ties broken toward
+    the SMALLEST label — no randomized update order, so the trajectory
+    is engine-replayable. Output: community sizes. The fourth graph
+    kernel beside PageRank, connected components, and the triangle
+    census — communities are basket-affinity clusters where components
+    only prove reachability.
+
+    Plan shape per round: one (edge ⋈ label) hash join + two map-side-
+    combined aggregates — label frames are (node, label) pairs only,
+    never adjacency materialization; the round count is fixed (LPA's own
+    convergence idiom), so the lineage stays 3 joins deep and needs no
+    checkpoint. Skew = hub nodes fan into the per-node vote aggregate,
+    which partial aggregation absorbs. The oracle replays the identical
+    3 rounds as unrolled CTEs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = F.col("parts")
+    pair_arr = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + 2, F.size(parts)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= LPA_MIN_COUNT)
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .localCheckpoint()  # feeds every round's join — one pipeline run
+    )
+    labels = edges.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges["dst"] == labels["v"])
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = votes.groupBy("src").agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
+            )["l"].alias("label")
+        ).select(F.col("src").alias("v"), "label")
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), F.col("community").asc())
+    )
+
+
+def copurchase_communities_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""
+r{r} AS (
+    SELECT v, label FROM (
+        SELECT e.src AS v, l.label, COUNT(*) AS c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.src ORDER BY COUNT(*) DESC, l.label ASC
+               ) AS rn
+        FROM e JOIN {prev} l ON l.v = e.dst
+        GROUP BY e.src, l.label
+    ) WHERE rn = 1
+)""")
+        prev = f"r{r}"
+    return f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS a, b.l_partkey AS b
+    FROM baskets a
+    JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {LPA_MIN_COUNT}
+),
+e AS (
+    SELECT a AS src, b AS dst FROM pairs
+    UNION ALL
+    SELECT b AS src, a AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS v, src AS label FROM e),
+{','.join(rounds)}
+SELECT label AS community, COUNT(*) AS n_nodes
+FROM {prev}
+GROUP BY label
+ORDER BY n_nodes DESC, community ASC
+"""

@@ -3160,6 +3160,13 @@ ORDER BY j_bucket
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = 16
 SIMHASH_HAM_NEAR = 3
+# hot-bucket cap (the LEV_BLOCK_CAP hygiene): a band bucket hotter than this
+# is dropped, not paired — measured occupancy is 28 at sf0.01 and 291 at
+# sf0.1 (template-heavy corpus, superlinear in corpus size), and the ×100
+# replica drives one bucket into a hundreds-of-millions-of-pairs straggler
+# without the cap. Production recovers dropped buckets by deepening the
+# bands (8×8-bit) or a secondary key, same as the MinHash family's knobs.
+SIMHASH_BAND_CAP = 512
 
 
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3177,22 +3184,31 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     would execute twice (measured elsewhere in this module); the band
     join's key is (band, 16-bit value), uniformly distributed by the hash
     itself, so the shuffle is skew-free and candidate volume is bounded
-    by band-bucket occupancy — never an all-pairs comparison."""
+    by band-bucket occupancy — buckets hotter than ``SIMHASH_BAND_CAP``
+    are dropped (blocking hygiene; the pigeonhole guarantee then covers
+    every pair outside dropped buckets), never an all-pairs comparison."""
     sim = _simhash64_jvm_frame(
         spread(load_table(spark, sf_dir, "documents"))
     ).localCheckpoint()
-    bands = sim.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(*[F.lit(b) for b in range(SIMHASH_BANDS)])
-        ).alias("band"),
-    ).withColumn(
-        "band_val",
-        F.expr(
-            f"shiftright(simhash, {SIMHASH_BAND_BITS} * band)"
-            f" % {1 << SIMHASH_BAND_BITS}"
-        ),
+    wb = Window.partitionBy("band", "band_val")
+    bands = (
+        sim.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(*[F.lit(b) for b in range(SIMHASH_BANDS)])
+            ).alias("band"),
+        )
+        .withColumn(
+            "band_val",
+            F.expr(
+                f"shiftright(simhash, {SIMHASH_BAND_BITS} * band)"
+                f" % {1 << SIMHASH_BAND_BITS}"
+            ),
+        )
+        .withColumn("occ", F.count(F.lit(1)).over(wb))
+        .filter(F.col("occ") <= SIMHASH_BAND_CAP)
+        .drop("occ")
     )
     a = bands.select(
         "band",
@@ -3232,6 +3248,10 @@ bands AS (
            (simhash >> ({SIMHASH_BAND_BITS} * b.band))
                % {1 << SIMHASH_BAND_BITS} AS band_val
     FROM sim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+    QUALIFY COUNT(*) OVER (PARTITION BY b.band,
+                           (simhash >> ({SIMHASH_BAND_BITS} * b.band))
+                               % {1 << SIMHASH_BAND_BITS})
+            <= {SIMHASH_BAND_CAP}
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -3590,4 +3610,118 @@ SELECT doc_a, doc_b, CAST(edit_dist AS INT) AS edit_dist, similarity,
        similarity >= {LEV_SIM} AS is_near_dup
 FROM pairs
 ORDER BY doc_a, doc_b
+"""
+
+
+# -- distribution-drift monitor (PSI) ------------------------------------------
+
+PSI_BINS = 10  # reference-decile bins
+PSI_SMOOTH = 0.5  # additive smoothing so empty batch bins stay finite
+
+
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor between an incoming batch
+    and the reference corpus (the same 90/10 portable-hash split the
+    Bloom/incremental-dedup family uses): bin document length by the
+    REFERENCE deciles, compare the two bin distributions, and emit the
+    per-bin PSI terms — the production data-drift gate that catches a
+    scraper/source change before it poisons a training mixture
+    (rule of thumb: total PSI > 0.2 = investigate).
+
+    Plan: one percentile aggregate over the reference side (the
+    ``doc_length_percentiles`` spelling — both engines interpolate
+    identically), the 9 cut points broadcast as a 1-row array, bin
+    assignment row-local (count of cuts below the length), then a
+    10-row bin × side aggregate. Shares divide exact integer counts, so
+    no cross-row float-order risk; smoothing keeps ln() finite on empty
+    batch bins. At 100 TB: two scans (one per statistic), everything
+    else is bins-sized."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("len"),
+        (F.expr(phash_frag("doc_id")) % 10 == 0).alias("is_batch"),
+    )
+    pct_arr = ", ".join(str((i + 1) / PSI_BINS) for i in range(PSI_BINS - 1))
+    cuts = (
+        docs.filter(~F.col("is_batch"))
+        .agg(F.expr(f"percentile(len, array({pct_arr}))").alias("cuts"))
+        .select(F.transform("cuts", lambda c: F.round(c, 6)).alias("cuts"))
+    )
+    binned = docs.crossJoin(F.broadcast(cuts)).select(
+        "is_batch",
+        F.size(
+            F.filter("cuts", lambda c: F.col("len").cast("double") > c)
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(~F.col("is_batch"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_batch"), 1).otherwise(0)).alias("n_batch"),
+    )
+    tot = Window.partitionBy()  # 10-row frame: integer sums, order-free
+    sm = F.lit(float(PSI_SMOOTH))
+    ref_share = (F.col("n_ref") + sm) / (
+        F.sum("n_ref").over(tot) + sm * PSI_BINS
+    )
+    bat_share = (F.col("n_batch") + sm) / (
+        F.sum("n_batch").over(tot) + sm * PSI_BINS
+    )
+    return (
+        counts.select(
+            "bin",
+            "n_ref",
+            "n_batch",
+            F.round(ref_share, 6).alias("ref_share"),
+            F.round(bat_share, 6).alias("batch_share"),
+            F.round(
+                (ref_share - bat_share) * F.log(ref_share / bat_share), 6
+            ).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+def corpus_drift_psi_oracle() -> str:
+    pct_arr = ", ".join(str((i + 1) / PSI_BINS) for i in range(PSI_BINS - 1))
+    return f"""
+WITH docs AS (
+    SELECT doc_id, length(text) AS len,
+           ({phash_frag('doc_id')}) % 10 = 0 AS is_batch
+    FROM documents
+),
+cuts AS (
+    SELECT list_transform(quantile_cont(len, [{pct_arr}]),
+                          c -> round(c, 6)) AS cuts
+    FROM docs WHERE NOT is_batch
+),
+binned AS (
+    SELECT d.is_batch,
+           len(list_filter(c.cuts, x -> CAST(d.len AS DOUBLE) > x)) AS bin
+    FROM docs d CROSS JOIN cuts c
+),
+counts AS (
+    SELECT bin,
+           CAST(SUM(CASE WHEN NOT is_batch THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref,
+           CAST(SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_batch
+    FROM binned GROUP BY bin
+)
+SELECT bin, n_ref, n_batch,
+       ROUND((n_ref + {PSI_SMOOTH!r})
+             / (SUM(n_ref) OVER () + {PSI_SMOOTH!r} * {PSI_BINS}), 6)
+           AS ref_share,
+       ROUND((n_batch + {PSI_SMOOTH!r})
+             / (SUM(n_batch) OVER () + {PSI_SMOOTH!r} * {PSI_BINS}), 6)
+           AS batch_share,
+       ROUND(((n_ref + {PSI_SMOOTH!r})
+              / (SUM(n_ref) OVER () + {PSI_SMOOTH!r} * {PSI_BINS})
+              - (n_batch + {PSI_SMOOTH!r})
+                / (SUM(n_batch) OVER () + {PSI_SMOOTH!r} * {PSI_BINS}))
+             * ln(((n_ref + {PSI_SMOOTH!r})
+                   / (SUM(n_ref) OVER () + {PSI_SMOOTH!r} * {PSI_BINS}))
+                  / ((n_batch + {PSI_SMOOTH!r})
+                     / (SUM(n_batch) OVER () + {PSI_SMOOTH!r} * {PSI_BINS}))),
+             6) AS psi_term
+FROM counts
+ORDER BY bin
 """

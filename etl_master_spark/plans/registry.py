@@ -359,6 +359,12 @@ register(
     tokenize.tokenizer_fertility,
     tokenize.tokenizer_fertility_oracle(),
 )
+# PSI drift monitor between the hash-split batch and reference corpus
+register(
+    "corpus_drift_psi",
+    text.corpus_drift_psi,
+    text.corpus_drift_psi_oracle(),
+)
 
 # -- vectors / similarity ----------------------------------------------------
 register("embedding_norms", vectors.embedding_norms, vectors.EMBEDDING_NORMS_ORACLE)
@@ -561,6 +567,12 @@ register(
     analytics.association_rules,
     analytics.ASSOCIATION_RULES_ORACLE,
 )
+# deterministic synchronous label propagation (4th graph kernel)
+register(
+    "copurchase_communities",
+    analytics.copurchase_communities,
+    analytics.copurchase_communities_oracle(),
+)
 register(
     "monthly_revenue_growth",
     analytics.monthly_revenue_growth,
@@ -702,7 +714,7 @@ _PRIORITY = [
     "sq8_quantize_audit", "weighted_sample_aes", "ngram_novelty",
     "dedup_levenshtein", "mahalanobis_outliers", "jl_project_audit",
     "association_rules", "knn_label_audit", "hard_negatives_mine",
-    "tokenizer_fertility",
+    "tokenizer_fertility", "corpus_drift_psi", "copurchase_communities",
     "training_shards", "centroid_classify", "kcenter_coreset",
     "ann_ivfpq_topk", "mmr_rerank", "pq_index_append", "winnow_matches",
     "stratified_sample_threshold", "embedding_covariance", "pca_whiten",

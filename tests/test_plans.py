@@ -46,6 +46,7 @@ BNLJ_OK = {
     "association_rules",  # 1-row basket total N cross-joined
     "knn_label_audit",  # broadcast holdout vs train corpus (audit twin)
     "hard_negatives_mine",  # inherits ann_cosine_topk's broadcast-query scan
+    "corpus_drift_psi",  # 1-row reference-decile cut array cross-joined
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

@@ -458,3 +458,59 @@ def test_tokenizer_fertility_identities(spark, sf_dir):
         assert r["fertility"] >= 1.0
         assert 0 < r["chars_per_token"] < 40
         assert r["bpeish_tokens"] >= r["ws_tokens"]
+
+
+# -- PSI drift / LPA communities ---------------------------------------------------
+
+def test_psi_identities(spark, sf_dir):
+    """Shares sum to 1 on each side; psi_term is ~0 when shares agree and
+    positive as they diverge; every doc lands in exactly one bin."""
+    from etl_master_spark.operators.text import PSI_BINS, corpus_drift_psi
+
+    rows = corpus_drift_psi(spark, sf_dir).collect()
+    assert 0 < len(rows) <= PSI_BINS
+    if len(rows) == PSI_BINS:  # shares only telescope when no bin is absent
+        assert sum(r["ref_share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+        assert sum(r["batch_share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_ref"] + r["n_batch"] for r in rows) == n_docs
+    for r in rows:
+        # identical shares give a 0 term; either way terms are finite
+        assert r["psi_term"] is not None
+        assert r["psi_term"] >= -1e-9
+
+
+def test_psi_flags_planted_shift(spark, tmp_path):
+    """A batch whose lengths all exceed the reference P90 must push PSI
+    above the 0.2 alarm threshold."""
+    from etl_master_spark.functions.hashing import phash_py
+    from etl_master_spark.operators.text import corpus_drift_psi
+
+    batch_ids = [i for i in range(400) if phash_py(i) % 10 == 0]
+    ref_ids = [i for i in range(400) if phash_py(i) % 10 != 0][:100]
+    docs = [(i, "x" * (50 + (i % 40)), "en", "s") for i in ref_ids]
+    docs += [(i, "y" * 5000, "en", "s") for i in batch_ids[:20]]
+    _write_docs(spark, str(tmp_path), docs)
+    rows = corpus_drift_psi(spark, str(tmp_path)).collect()
+    assert sum(r["psi_term"] for r in rows) > 0.2
+
+
+def test_lpa_two_cliques_two_communities(spark, tmp_path):
+    """Two disjoint 3-cliques (each pair co-bought twice to clear the edge
+    support) converge to exactly two communities of size 3."""
+    from etl_master_spark.operators.analytics import copurchase_communities
+
+    orders = []
+    oid = 0
+    for rep in range(2):  # support 2 per pair
+        for basket in ([1, 2, 3], [10, 11, 12]):
+            orders.append((oid, basket))
+            oid += 1
+    rows = [(ok, pk) for ok, parts in orders for pk in parts]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    out = copurchase_communities(spark, str(tmp_path)).collect()
+    assert len(out) == 2
+    assert all(r["n_nodes"] == 3 for r in out)
+    assert {r["community"] for r in out} == {1, 10}  # min-label convergence

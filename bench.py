@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "tokenizer_fertility",
     "corpus_drift_psi",
     "copurchase_communities",
+    "cluster_label_purity",
 ]
 
 

@@ -3557,3 +3557,78 @@ FROM scored
 QUALIFY rnk <= {HARDNEG_TOPK}
 ORDER BY query_id, rnk
 """
+
+
+# -- cluster-label purity audit ------------------------------------------------------
+
+def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality audit: run the deterministic Lloyd trajectory
+    (``kmeans_embeddings``'s training, unchanged) and score every final
+    cluster against the ground-truth labels — size, majority label, and
+    purity (majority share). The companion to ``ann_recall_audit``:
+    recall measures the INDEX against exact search, purity measures the
+    CLUSTERING against labels — both keep approximation quality a
+    continuously-checked number instead of a claim.
+
+    Plan: training is the shared ``_km_train`` loop (k×dim driver
+    traffic only); the final assignment is the row-local literal-argmin
+    form; labels join back on vec_id (near-unique key); the vote +
+    size reduce to ONE k-key aggregate over the (cluster, label) counts
+    — min(struct(-count, label)) picks the majority with the smallest-
+    label tie-break both engines replay."""
+    emb = spread_by(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+    )
+    cent_vals, _ = _km_train(spark, emb)
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (
+        _km_literal_assign(emb, cent_vals)
+        .select("vec_id", "cluster")
+        .join(labels, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = votes.groupBy("cluster").agg(
+        F.min(
+            F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
+        ).alias("best"),
+        F.sum("c").alias("size"),
+    )
+    return top.select(
+        "cluster",
+        "size",
+        F.col("best")["l"].alias("top_label"),
+        F.round((-F.col("best")["nc"]) / F.col("size").cast("double"), 6).alias(
+            "purity"
+        ),
+    ).orderBy("cluster")
+
+
+def cluster_label_purity_oracle() -> str:
+    parts, last = _km_oracle_parts()
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+lab AS (
+    SELECT a.cluster, e.label
+    FROM a{last} a JOIN embeddings e ON a.vec_id = e.vec_id
+),
+votes AS (SELECT cluster, label, COUNT(*) AS c FROM lab GROUP BY 1, 2),
+top AS (
+    SELECT cluster, label AS top_label, c FROM (
+        SELECT cluster, label, c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster ORDER BY c DESC, label ASC
+               ) AS rn
+        FROM votes
+    ) WHERE rn = 1
+),
+sz AS (SELECT cluster, CAST(SUM(c) AS BIGINT) AS size FROM votes GROUP BY 1)
+SELECT t.cluster, s.size, t.top_label,
+       ROUND(t.c / CAST(s.size AS DOUBLE), 6) AS purity
+FROM top t JOIN sz s ON t.cluster = s.cluster
+ORDER BY t.cluster
+"""
+    )

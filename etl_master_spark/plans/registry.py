@@ -428,6 +428,12 @@ register(
     vectors.jl_project_audit,
     vectors.jl_project_audit_oracle(),
 )
+# clustering-quality audit: kmeans trajectory scored against labels
+register(
+    "cluster_label_purity",
+    vectors.cluster_label_purity,
+    vectors.cluster_label_purity_oracle(),
+)
 # k-NN holdout confusion (non-parametric twin of centroid_classify)
 register(
     "knn_label_audit",
@@ -715,6 +721,7 @@ _PRIORITY = [
     "dedup_levenshtein", "mahalanobis_outliers", "jl_project_audit",
     "association_rules", "knn_label_audit", "hard_negatives_mine",
     "tokenizer_fertility", "corpus_drift_psi", "copurchase_communities",
+    "cluster_label_purity",
     "training_shards", "centroid_classify", "kcenter_coreset",
     "ann_ivfpq_topk", "mmr_rerank", "pq_index_append", "winnow_matches",
     "stratified_sample_threshold", "embedding_covariance", "pca_whiten",

@@ -514,3 +514,16 @@ def test_lpa_two_cliques_two_communities(spark, tmp_path):
     assert len(out) == 2
     assert all(r["n_nodes"] == 3 for r in out)
     assert {r["community"] for r in out} == {1, 10}  # min-label convergence
+
+
+def test_cluster_purity_identities(spark, sf_dir):
+    """Sizes sum to the corpus, purity in (0,1], and on near-isotropic
+    synthetic embeddings no cluster should be label-pure by accident."""
+    from etl_master_spark.operators.vectors import cluster_label_purity
+
+    rows = cluster_label_purity(spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r["size"] for r in rows) == n_vecs
+    for r in rows:
+        assert 0 < r["purity"] <= 1.0
+        assert r["size"] >= 1

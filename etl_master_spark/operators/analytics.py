@@ -1330,6 +1330,42 @@ ORDER BY prev_type, next_type
 CO_PURCHASE_MIN_COUNT = 3
 
 
+def _baskets(li: DataFrame) -> DataFrame:
+    """Per-order DISTINCT part set (collect_set is its own dedup),
+    array_sorted for the canonical a<b pair orientation."""
+    return li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+
+
+def _pairs_of(baskets: DataFrame) -> DataFrame:
+    """(part_a < part_b, n) co-occurrence counts from a basket frame: the
+    k(k-1)/2 pairs built ROW-LOCALLY with array higher-order functions
+    (slice from i+2 — 1-based — pairs each part with its strict
+    successors only). The ONE pair-build shared by co_purchase_pairs,
+    triangle_count, association_rules, and copurchase_communities, so
+    the subtle slice offset lives in exactly one place."""
+    parts = F.col("parts")
+    pair_arr = F.flatten(
+        F.transform(
+            parts,
+            lambda x, i: F.transform(
+                F.slice(parts, i + 2, F.size(parts)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _basket_pairs(li: DataFrame) -> DataFrame:
+    return _pairs_of(_baskets(li))
+
+
 def co_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part pairs bought together in the same order (market-basket / item
     co-occurrence — the edge-build for an item-similarity graph, the third
@@ -1346,32 +1382,13 @@ def co_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal than its 12M pairs cost). Final agg is map-side-combined on the
     pair key; the min-count filter drops the long tail before the sort."""
     li = load_table(spark, sf_dir, "lineitem")
-    # one scan + two shuffles: per-order distinct part set (collect_set is
-    # its own dedup — no separate DISTINCT pass), then the k(k-1)/2 pairs
-    # build ROW-LOCALLY with array higher-order fns (all JVM), then the
-    # pair agg. The self-join spelling scanned and shuffled the basket
-    # table twice (Spark doesn't share the common subplan) — measured
-    # 6.4 s → ~1.5 s at sf0.1. array_sort gives the canonical a<b
-    # orientation; slice from i+2 (1-based) pairs each part with its
-    # strict successors only.
-    parts = F.col("parts")
-    pairs = F.flatten(
-        F.transform(
-            parts,
-            lambda x, i: F.transform(
-                F.slice(parts, i + 2, F.size(parts)),
-                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
-            ),
-        )
-    )
+    # one scan + two shuffles: the shared _baskets/_pairs_of build (the
+    # self-join spelling scanned and shuffled the basket table twice —
+    # Spark doesn't share the common subplan — measured 6.4 s → ~1.5 s
+    # at sf0.1), then the support filter and top-100.
     return (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-        .select(F.explode(pairs).alias("p"))
-        .groupBy(
-            F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        _basket_pairs(li)
+        .select("part_a", "part_b", F.col("n").alias("n_orders"))
         .filter(F.col("n_orders") >= CO_PURCHASE_MIN_COUNT)
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(100)
@@ -1411,24 +1428,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge join — bounds per-key wedges by sqrt(|E|), Suri & Vassilvitskii
     '11); the demo keeps id order, which the oracle replays exactly."""
     li = load_table(spark, sf_dir, "lineitem")
-    parts = F.col("parts")
-    pair_arr = F.flatten(
-        F.transform(
-            parts,
-            lambda x, i: F.transform(
-                F.slice(parts, i + 2, F.size(parts)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
     edges = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-        .select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        _basket_pairs(li)
         .filter(F.col("n") >= TRIANGLE_MIN_COUNT)
-        .select("a", "b")
+        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
         # feeds three join legs + two audit aggregates; localCheckpoint
         # (not cache) so the blocks are reference-GC'd after the query's
         # frames drop instead of pinning in the session cache
@@ -1546,25 +1549,18 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. All ratios are spelled identically in both engines before
     the 6-dp round."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
-    )
-    parts = F.col("parts")
-    pair_arr = F.flatten(
-        F.transform(
-            parts,
-            lambda x, i: F.transform(
-                F.slice(parts, i + 2, F.size(parts)),
-                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
-            ),
-        )
-    )
+    # the basket collapse feeds THREE consumers (pairs, item counts, N)
+    # and re-executes per consumer (verified: 4 scans in the executed
+    # plan) — deliberately UNcheckpointed: a localCheckpoint measured
+    # SLOWER at x1 AND x10 (2.2→2.3 s / 4.0→5.2 s; the item/N consumers
+    # are cheap narrow re-aggregations, and eagerly materializing 150k
+    # basket arrays costs more than recomputing them). Contrast
+    # copurchase_communities, where the checkpoint guards a 3-round
+    # ITERATIVE consumer and measured 4x faster.
+    baskets = _baskets(li)
     pairs = (
-        baskets.select(F.explode(pair_arr).alias("p"))
-        .groupBy(
-            F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_ab"))
+        _pairs_of(baskets)
+        .select("part_a", "part_b", F.col("n").alias("n_ab"))
         .filter(F.col("n_ab") >= CO_PURCHASE_MIN_COUNT)
     )
     item = baskets.select(F.explode("parts").alias("part")).groupBy(
@@ -1632,7 +1628,7 @@ LIMIT {RULES_TOP}
 # -- label-propagation communities over the co-purchase graph ---------------------
 
 LPA_ROUNDS = 3
-LPA_MIN_COUNT = 2  # edge support (same graph as triangle_count)
+LPA_MIN_COUNT = TRIANGLE_MIN_COUNT  # the SAME graph as triangle_count
 
 
 def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1654,30 +1650,19 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     which partial aggregation absorbs. The oracle replays the identical
     3 rounds as unrolled CTEs."""
     li = load_table(spark, sf_dir, "lineitem")
-    parts = F.col("parts")
-    pair_arr = F.flatten(
-        F.transform(
-            parts,
-            lambda x, i: F.transform(
-                F.slice(parts, i + 2, F.size(parts)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    # checkpoint the PAIRS (before the two-orientation union), not the
+    # union: each union branch is a separate consumer, so a post-union
+    # checkpoint would still run the basket collapse twice
     pairs = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-        .select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        _basket_pairs(li)
         .filter(F.col("n") >= LPA_MIN_COUNT)
+        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+        .localCheckpoint()
     )
-    edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-        )
-        .localCheckpoint()  # feeds every round's join — one pipeline run
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     labels = edges.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("label")

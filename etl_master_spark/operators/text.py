@@ -3500,6 +3500,13 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregate is map-side combined. Shares ``_shingles`` /
     ``_SHINGLES_SQL`` with MinHash so the feature space provably matches
     the dedup operators it complements."""
+    # the shingle frame feeds BOTH the df aggregate and the join-back and
+    # the explode therefore runs twice (verified: 2 FileScans in the
+    # executed plan) — deliberately UNcheckpointed: a localCheckpoint
+    # measured SLOWER at x1 AND x10 (1.4→2.1 s / 4.4→5.8 s; eager
+    # row-materialization of the wide shingle stream costs more than the
+    # second narrow explode). The tfidf_top_terms note applies at 100 TB:
+    # materialize the shingle index to parquet, don't rely on either.
     sh = _shingles(spread(load_table(spark, sf_dir, "documents")))
     df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return (
@@ -3566,6 +3573,9 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("blk_n", F.count(F.lit(1)).over(wcnt))
         .filter(F.col("blk_n") <= LEV_BLOCK_CAP)
         .drop("blk_n")
+        # feeds both self-join sides — one scan + one hot-block window,
+        # not two (the simhash_hamming_pairs idiom)
+        .localCheckpoint()
     )
     a = blocked.select(
         "blk", F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")

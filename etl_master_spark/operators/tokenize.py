@@ -308,7 +308,9 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc ratios — the estimator mixture-budget math actually needs."""
     from .text import BPEISH_RE
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread before the regex-heavy projection: the driver's single-file
+    # scan would otherwise run the per-row regex work on one core
+    docs = spread(load_table(spark, sf_dir, "documents"))
     bpe = F.expr(f"regexp_extract_all(text, '{BPEISH_RE}', 0)")
     words = _words(F.col("text"))
     per = docs.select(

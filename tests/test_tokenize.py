@@ -188,10 +188,9 @@ def test_bloom_accounting_identities(spark, sf_dir):
     row = bloom_membership_audit(spark, sf_dir).collect()[0]
     assert row["bits_set"] <= min(BLOOM_M, BLOOM_K * row["n_corpus"])
     assert row["exact_dups"] <= row["bloom_maybe"] <= row["n_batch"]
-    assert (
-        row["false_positives"] == row["bloom_maybe"] - row["exact_dups"]
-        or row["bloom_maybe"] > row["exact_dups"]
-    )
+    # holds unconditionally: Bloom has no false negatives, so every exact
+    # dup is a maybe and the FP count is exactly the surplus
+    assert row["false_positives"] == row["bloom_maybe"] - row["exact_dups"]
     assert row["fill_ratio"] == pytest.approx(row["bits_set"] / BLOOM_M, abs=1e-6)
 
 

@@ -141,6 +141,9 @@ BENCH_QUERIES = [
     "corpus_drift_psi",
     "copurchase_communities",
     "cluster_label_purity",
+    "cms_word_counts_audit",
+    "hll_cardinality_audit",
+    "dp_lang_counts",
 ]
 
 

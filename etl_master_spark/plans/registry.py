@@ -19,6 +19,7 @@ from ..operators import (
     ranking,
     recsplit,
     relational,
+    sketches,
     stats,
     text,
     tokenize,
@@ -364,6 +365,23 @@ register(
     "corpus_drift_psi",
     text.corpus_drift_psi,
     text.corpus_drift_psi_oracle(),
+)
+# mergeable sketches built from relational primitives, error audited
+register(
+    "cms_word_counts_audit",
+    sketches.cms_word_counts_audit,
+    sketches.cms_word_counts_audit_oracle(),
+)
+register(
+    "hll_cardinality_audit",
+    sketches.hll_cardinality_audit,
+    sketches.hll_cardinality_audit_oracle(),
+)
+# Laplace-mechanism DP release with deterministic (auditable) noise
+register(
+    "dp_lang_counts",
+    sketches.dp_lang_counts,
+    sketches.dp_lang_counts_oracle(),
 )
 
 # -- vectors / similarity ----------------------------------------------------
@@ -721,7 +739,8 @@ _PRIORITY = [
     "dedup_levenshtein", "mahalanobis_outliers", "jl_project_audit",
     "association_rules", "knn_label_audit", "hard_negatives_mine",
     "tokenizer_fertility", "corpus_drift_psi", "copurchase_communities",
-    "cluster_label_purity",
+    "cluster_label_purity", "cms_word_counts_audit",
+    "hll_cardinality_audit", "dp_lang_counts",
     "training_shards", "centroid_classify", "kcenter_coreset",
     "ann_ivfpq_topk", "mmr_rerank", "pq_index_append", "winnow_matches",
     "stratified_sample_threshold", "embedding_covariance", "pca_whiten",

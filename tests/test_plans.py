@@ -47,6 +47,7 @@ BNLJ_OK = {
     "knn_label_audit",  # broadcast holdout vs train corpus (audit twin)
     "hard_negatives_mine",  # inherits ann_cosine_topk's broadcast-query scan
     "corpus_drift_psi",  # 1-row reference-decile cut array cross-joined
+    "hll_cardinality_audit",  # 1-row exact-count audit side cross-joined
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

@@ -526,3 +526,67 @@ def test_cluster_purity_identities(spark, sf_dir):
     for r in rows:
         assert 0 < r["purity"] <= 1.0
         assert r["size"] >= 1
+
+
+# -- sketches ------------------------------------------------------------------------
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """Count-Min's one-sided guarantee: estimate >= exact, always."""
+    from etl_master_spark.operators.sketches import cms_word_counts_audit
+
+    rows = cms_word_counts_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["overcount"] >= 0
+        assert r["cms_estimate"] == r["exact"] + r["overcount"]
+
+
+def test_cms_collisions_only_inflate(spark, tmp_path):
+    """A vocabulary larger than the grid width forces collisions; the
+    audited heavy hitter is still never undercounted."""
+    from etl_master_spark.operators.sketches import (
+        CMS_WIDTH,
+        cms_word_counts_audit,
+    )
+
+    vocab = " ".join(f"tok{i}" for i in range(2 * CMS_WIDTH))
+    docs = [(0, "hot " * 50 + vocab, "en", "s"), (1, vocab, "en", "s")]
+    _write_docs(spark, str(tmp_path), docs)
+    rows = {r["w"]: r for r in cms_word_counts_audit(spark, str(tmp_path)).collect()}
+    assert rows["hot"]["exact"] == 50
+    assert rows["hot"]["overcount"] >= 0  # collisions only ADD
+
+
+def test_hll_error_within_bound(spark, sf_dir):
+    """Measured |relative error| inside 3x the 1.04/sqrt(m) expectation."""
+    from etl_master_spark.operators.sketches import HLL_M, hll_cardinality_audit
+
+    row = hll_cardinality_audit(spark, sf_dir).collect()[0]
+    assert row["n_exact"] > 0
+    assert abs(row["rel_err"]) <= 3 * 1.04 / (HLL_M ** 0.5)
+    assert row["registers_used"] <= min(HLL_M, row["n_exact"])
+
+
+def test_hll_estimate_grows_with_vocabulary(spark, tmp_path):
+    """2000 distinct tokens (well past the small-range regime) estimate
+    within the standard error band."""
+    from etl_master_spark.operators.sketches import hll_cardinality_audit
+
+    vocab = " ".join(f"word{i}" for i in range(2000))
+    _write_docs(spark, str(tmp_path), [(0, vocab, "en", "s")])
+    row = hll_cardinality_audit(spark, str(tmp_path)).collect()[0]
+    assert row["n_exact"] == 2000
+    assert abs(row["rel_err"]) < 0.25
+
+
+def test_dp_noise_bounded_and_deterministic(spark, sf_dir):
+    """Laplace(1/eps) noise: P(|noise| > 10) ~ 2e-5, so every |abs_err|
+    lands under 10/eps here; two runs release identical counts."""
+    from etl_master_spark.operators.sketches import DP_EPSILON, dp_lang_counts
+
+    a = dp_lang_counts(spark, sf_dir).collect()
+    b = dp_lang_counts(spark, sf_dir).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    for r in a:
+        assert 0 < r["abs_err"] <= 10.0 / DP_EPSILON
+        assert r["noisy_count"] != r["true_count"]

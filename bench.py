@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "cms_word_counts_audit",
     "hll_cardinality_audit",
     "dp_lang_counts",
+    "prf_query_expansion",
+    "embedding_drift_audit",
 ]
 
 

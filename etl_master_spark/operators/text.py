@@ -3735,3 +3735,189 @@ SELECT bin, n_ref, n_batch,
 FROM counts
 ORDER BY bin
 """
+
+
+# -- pseudo-relevance-feedback query expansion -----------------------------------
+
+PRF_FB_DOCS = 5  # feedback depth: top stage-1 docs mined for terms
+PRF_EXP_TERMS = 3  # expansion terms added to the query
+PRF_MIN_TERM_LEN = 2
+
+
+def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio-style) retrieval: run the BM25
+    query, mine the top-5 documents for their strongest non-query terms
+    (feedback tf × corpus idf, stopwords and sub-2-char tokens excluded),
+    add the top-3 as expansion terms, and rank the SECOND BM25 pass over
+    the expanded query — the classic two-stage IR composition
+    (``bm25_search`` is stage 1; this is the full loop).
+
+    The expansion terms are DATA-DEPENDENT, so stage 2 filters the token
+    stream by JOINING a term frame (original ∪ expansion — ≤ 6 rows,
+    broadcast) rather than a literal IN — the plan stays declarative and
+    the oracle replays it as a semi-join. Corpus stats and document
+    frequencies reuse the stage-1 spellings; at serving scale both stages
+    probe the same materialized inverted index, so PRF costs one extra
+    broadcast-join round, not a corpus rescan."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = F.split(F.col("text"), " ")
+    base = spread(docs).select(
+        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    )
+    stats = docs.select(F.size(toks).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+    def bm25_scored(tf: DataFrame) -> DataFrame:
+        df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        norm = F.col("tf").cast("double") * (BM25_K1 + 1.0) / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        return (
+            tf.join(F.broadcast(df), "term")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_terms"),
+                F.round(F.sum(idf * norm), 6).alias("bm25"),
+            )
+        )
+
+    tf1 = (
+        base.filter(F.col("term").isin(BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    fb_docs = (
+        bm25_scored(tf1)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(PRF_FB_DOCS)
+        .select("doc_id")
+    )
+    # corpus document frequency for ALL terms (two-level agg, no expand)
+    df_all = (
+        base.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_corpus"))
+    )
+    fb_tf = (
+        base.join(F.broadcast(fb_docs), "doc_id")
+        .filter(
+            (~F.col("term").isin(BM25_QUERY))
+            & (~F.col("term").isin(STOPWORDS))
+            & (F.length("term") >= PRF_MIN_TERM_LEN)
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fb_tf"))
+    )
+    exp_terms = (
+        fb_tf.join(df_all, "term")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term",
+            F.round(
+                F.col("fb_tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df_corpus")),
+                6,
+            ).alias("escore"),
+        )
+        .orderBy(F.col("escore").desc(), F.col("term").asc())
+        .limit(PRF_EXP_TERMS)
+        .select("term")
+    )
+    all_terms = exp_terms.unionByName(
+        spark.createDataFrame([(t,) for t in BM25_QUERY], "term string")
+    ).distinct()
+    tf2 = (
+        base.join(F.broadcast(all_terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    return (
+        bm25_scored(tf2)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP)
+    )
+
+
+def prf_query_expansion_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    def bm25_expr(dfa: str) -> str:
+        return (
+            f"ln(1.0 + (s.n_docs - {dfa}.df + 0.5) / ({dfa}.df + 0.5))"
+            f" * CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0)"
+            f" / (tf.tf + {BM25_K1}"
+            f" * (1.0 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))"
+        )
+    return f"""
+WITH base AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+           unnest(string_split(text, ' ')) AS term
+    FROM documents WHERE text IS NOT NULL
+),
+stats AS (
+    SELECT COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id) AS avgdl
+    FROM base
+),
+tf1 AS (
+    SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+    FROM base WHERE term IN ({terms})
+    GROUP BY doc_id, term
+),
+df1 AS (SELECT term, COUNT(*) AS df FROM tf1 GROUP BY term),
+fb AS (
+    SELECT tf.doc_id, ROUND(SUM({bm25_expr('df1')}), 6) AS bm25
+    FROM tf1 tf JOIN df1 ON tf.term = df1.term CROSS JOIN stats s
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id ASC
+    LIMIT {PRF_FB_DOCS}
+),
+df_all AS (
+    SELECT term, COUNT(*) AS df_corpus FROM (
+        SELECT doc_id, term FROM base GROUP BY doc_id, term
+    ) GROUP BY term
+),
+fb_tf AS (
+    SELECT b.term, COUNT(*) AS fb_tf
+    FROM base b JOIN fb ON b.doc_id = fb.doc_id
+    WHERE b.term NOT IN ({terms}) AND b.term NOT IN ({stop})
+      AND length(b.term) >= {PRF_MIN_TERM_LEN}
+    GROUP BY b.term
+),
+exp_terms AS (
+    SELECT f.term
+    FROM fb_tf f JOIN df_all d ON f.term = d.term CROSS JOIN stats s
+    ORDER BY ROUND(f.fb_tf * ln(CAST(s.n_docs AS DOUBLE) / d.df_corpus), 6)
+             DESC, f.term ASC
+    LIMIT {PRF_EXP_TERMS}
+),
+all_terms AS (
+    SELECT term FROM exp_terms
+    UNION
+    SELECT unnest([{terms}]) AS term
+),
+tf2 AS (
+    SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+    FROM base WHERE term IN (SELECT term FROM all_terms)
+    GROUP BY doc_id, term
+),
+df2 AS (SELECT term, COUNT(*) AS df FROM tf2 GROUP BY term)
+SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(SUM({bm25_expr('df2')}), 6) AS bm25
+FROM tf2 tf JOIN df2 ON tf.term = df2.term CROSS JOIN stats s
+GROUP BY tf.doc_id
+ORDER BY bm25 DESC, tf.doc_id ASC
+LIMIT {BM25_TOP}
+"""

@@ -3632,3 +3632,82 @@ FROM top t JOIN sz s ON t.cluster = s.cluster
 ORDER BY t.cluster
 """
     )
+
+
+# -- embedding distribution drift -----------------------------------------------------
+
+DRIFT_Z_FLAG = 3.0
+
+
+def embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding-distribution drift between an incoming
+    batch and the reference corpus (the same 90/10 portable-hash split
+    as the text-side ``corpus_drift_psi``): reference mean/variance,
+    batch mean, and the standard-error z-score of the mean shift, with
+    the |z| > 3 alarm flag — the vector-side drift gate that catches an
+    encoder/version change before it poisons an index or a dedup pass.
+
+    Plan: ONE posexplode feeds a single (dim, side) aggregate — 128
+    output rows however large the corpus, map-side combined. Moments are
+    spelled sum/count (the ``mahalanobis_outliers`` discipline) so the
+    oracle replays the identical arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        (F.expr(phash_frag("vec_id")) % 10 == 0).alias("is_batch"),
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        ).alias("dim", "v"),
+    )
+    agg = x.groupBy("dim").agg(
+        F.sum(F.when(~F.col("is_batch"), F.col("v"))).alias("sr"),
+        F.sum(F.when(~F.col("is_batch"), F.col("v") * F.col("v"))).alias(
+            "ssr"
+        ),
+        F.count(F.when(~F.col("is_batch"), 1)).cast("double").alias("nr"),
+        F.sum(F.when(F.col("is_batch"), F.col("v"))).alias("sb"),
+        F.count(F.when(F.col("is_batch"), 1)).cast("double").alias("nb"),
+    )
+    mu_r = F.col("sr") / F.col("nr")
+    mu_b = F.col("sb") / F.col("nb")
+    var_r = F.col("ssr") / F.col("nr") - mu_r * mu_r
+    z = (mu_b - mu_r) / F.sqrt(var_r / F.col("nb"))
+    return (
+        agg.select(
+            "dim",
+            F.round(mu_r, 6).alias("mu_ref"),
+            F.round(mu_b, 6).alias("mu_batch"),
+            F.round(z, 6).alias("z_shift"),
+            (F.abs(z) > DRIFT_Z_FLAG).alias("is_drifted"),
+        )
+        .orderBy("dim")
+    )
+
+
+def embedding_drift_audit_oracle() -> str:
+    return f"""
+WITH x AS (
+    SELECT ({phash_frag('vec_id')}) % 10 = 0 AS is_batch,
+           generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS dim,
+           unnest(CAST(embedding AS DOUBLE[])) AS v
+    FROM embeddings
+),
+agg AS (
+    SELECT dim,
+           SUM(CASE WHEN NOT is_batch THEN v END) AS sr,
+           SUM(CASE WHEN NOT is_batch THEN v * v END) AS ssr,
+           CAST(COUNT(CASE WHEN NOT is_batch THEN 1 END) AS DOUBLE) AS nr,
+           SUM(CASE WHEN is_batch THEN v END) AS sb,
+           CAST(COUNT(CASE WHEN is_batch THEN 1 END) AS DOUBLE) AS nb
+    FROM x GROUP BY dim
+)
+SELECT dim,
+       ROUND(sr / nr, 6) AS mu_ref,
+       ROUND(sb / nb, 6) AS mu_batch,
+       ROUND((sb / nb - sr / nr)
+             / sqrt((ssr / nr - (sr / nr) * (sr / nr)) / nb), 6) AS z_shift,
+       abs((sb / nb - sr / nr)
+           / sqrt((ssr / nr - (sr / nr) * (sr / nr)) / nb)) > {DRIFT_Z_FLAG!r}
+           AS is_drifted
+FROM agg
+ORDER BY dim
+"""

@@ -366,6 +366,12 @@ register(
     text.corpus_drift_psi,
     text.corpus_drift_psi_oracle(),
 )
+# two-stage IR: pseudo-relevance-feedback expansion over the BM25 core
+register(
+    "prf_query_expansion",
+    text.prf_query_expansion,
+    text.prf_query_expansion_oracle(),
+)
 # mergeable sketches built from relational primitives, error audited
 register(
     "cms_word_counts_audit",
@@ -439,6 +445,12 @@ register(
     "mahalanobis_outliers",
     vectors.mahalanobis_outliers,
     vectors.MAHALANOBIS_OUTLIERS_ORACLE,
+)
+# vector-side drift gate (mean-shift z per dimension)
+register(
+    "embedding_drift_audit",
+    vectors.embedding_drift_audit,
+    vectors.embedding_drift_audit_oracle(),
 )
 # Johnson–Lindenstrauss ±1 projection with per-row distortion audit
 register(
@@ -740,7 +752,8 @@ _PRIORITY = [
     "association_rules", "knn_label_audit", "hard_negatives_mine",
     "tokenizer_fertility", "corpus_drift_psi", "copurchase_communities",
     "cluster_label_purity", "cms_word_counts_audit",
-    "hll_cardinality_audit", "dp_lang_counts",
+    "hll_cardinality_audit", "dp_lang_counts", "prf_query_expansion",
+    "embedding_drift_audit",
     "training_shards", "centroid_classify", "kcenter_coreset",
     "ann_ivfpq_topk", "mmr_rerank", "pq_index_append", "winnow_matches",
     "stratified_sample_threshold", "embedding_covariance", "pca_whiten",

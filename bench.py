@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "dp_lang_counts",
     "prf_query_expansion",
     "embedding_drift_audit",
+    "distinctive_terms_llr",
+    "containment_pairs",
 ]
 
 

@@ -3921,3 +3921,209 @@ GROUP BY tf.doc_id
 ORDER BY bm25 DESC, tf.doc_id ASC
 LIMIT {BM25_TOP}
 """
+
+
+# -- distinctive vocabulary by log-likelihood ratio --------------------------------
+
+LLR_TOP = 5
+
+
+def distinctive_terms_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinctive vocabulary by Dunning's log-likelihood
+    ratio (Dunning 1993): for each (lang, term), the G² statistic of the
+    2×2 contingency table (term vs rest-of-vocabulary, lang vs
+    rest-of-corpus), keeping the top-5 OVER-represented terms per
+    language — the corpus-linguistics "topic signature" pass (and the
+    statistically sound replacement for raw tf-idf when comparing
+    subcorpora).
+
+    Plan: ONE token explode → (lang, term) counts; language totals,
+    term totals, and the corpus total are all re-aggregations of that
+    reduced frame (no second scan). The term-total join is
+    vocabulary-keyed (skew-free); G² is a row-local expression with
+    0·ln0 handled as 0 in BOTH engines; ranks use the ROUNDED statistic
+    with term tie-breaks."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tl = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+            ).alias("term"),
+        )
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("k1"))
+    )
+    lang_tot = tl.groupBy("lang").agg(F.sum("k1").alias("n1"))
+    term_tot = tl.groupBy("term").agg(F.sum("k1").alias("kt"))
+    corpus = lang_tot.agg(F.sum("n1").cast("double").alias("nn"))
+
+    def t(o, e):
+        return F.when(o > 0, o * F.log(o / e)).otherwise(F.lit(0.0))
+
+    k1 = F.col("k1").cast("double")
+    n1 = F.col("n1").cast("double")
+    kt = F.col("kt").cast("double")
+    nn = F.col("nn")
+    k2 = kt - k1
+    n2 = nn - n1
+    e1 = n1 * kt / nn
+    e2 = n2 * kt / nn
+    e3 = n1 * (nn - kt) / nn
+    e4 = n2 * (nn - kt) / nn
+    g2 = F.lit(2.0) * (
+        t(k1, e1) + t(k2, e2) + t(n1 - k1, e3) + t(n2 - k2, e4)
+    )
+    scored = (
+        tl.join(F.broadcast(lang_tot), "lang")
+        .join(term_tot, "term")
+        .crossJoin(F.broadcast(corpus))
+        .filter(k1 / n1 > k2 / n2)  # over-represented side only
+        .select("lang", "term", "k1", F.round(g2, 6).alias("g2"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("g2").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= LLR_TOP)
+        .select("lang", "term", "k1", "g2", "rnk")
+    )
+
+
+DISTINCTIVE_TERMS_LLR_ORACLE = f"""
+WITH tl AS (
+    SELECT lang, term, COUNT(*) AS k1 FROM (
+        SELECT lang,
+               unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS term
+        FROM documents
+    ) GROUP BY lang, term
+),
+lt AS (SELECT lang, CAST(SUM(k1) AS BIGINT) AS n1 FROM tl GROUP BY lang),
+tt AS (SELECT term, CAST(SUM(k1) AS BIGINT) AS kt FROM tl GROUP BY term),
+nn AS (SELECT CAST(SUM(n1) AS DOUBLE) AS nn FROM lt),
+scored AS (
+    SELECT tl.lang, tl.term, tl.k1,
+           ROUND(2.0 * (
+               (CASE WHEN tl.k1 > 0
+                     THEN tl.k1 * ln(tl.k1 / (lt.n1 * tt.kt / nn.nn))
+                     ELSE 0.0 END)
+             + (CASE WHEN tt.kt - tl.k1 > 0
+                     THEN (tt.kt - tl.k1)
+                          * ln((tt.kt - tl.k1)
+                               / ((nn.nn - lt.n1) * tt.kt / nn.nn))
+                     ELSE 0.0 END)
+             + (CASE WHEN lt.n1 - tl.k1 > 0
+                     THEN (lt.n1 - tl.k1)
+                          * ln((lt.n1 - tl.k1)
+                               / (lt.n1 * (nn.nn - tt.kt) / nn.nn))
+                     ELSE 0.0 END)
+             + (CASE WHEN (nn.nn - lt.n1) - (tt.kt - tl.k1) > 0
+                     THEN ((nn.nn - lt.n1) - (tt.kt - tl.k1))
+                          * ln(((nn.nn - lt.n1) - (tt.kt - tl.k1))
+                               / ((nn.nn - lt.n1) * (nn.nn - tt.kt) / nn.nn))
+                     ELSE 0.0 END)
+           ), 6) AS g2
+    FROM tl JOIN lt ON tl.lang = lt.lang
+    JOIN tt ON tl.term = tt.term
+    CROSS JOIN nn
+    WHERE CAST(tl.k1 AS DOUBLE) / lt.n1
+          > CAST(tt.kt - tl.k1 AS DOUBLE) / (nn.nn - lt.n1)
+)
+SELECT lang, term, k1, g2,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY g2 DESC, term ASC
+       ) AS INT) AS rnk
+FROM scored
+QUALIFY rnk <= {LLR_TOP}
+ORDER BY lang, rnk
+"""
+
+
+# -- asymmetric containment over MinHash candidates ----------------------------------
+
+CONTAIN_FLAG = 0.5  # near-containment verdict: max direction >= 0.5
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (Broder 1997's second resemblance
+    measure) for the MinHash-LSH candidate pairs: C(A⊂B) = |A∩B|/|A| and
+    the reverse — what quote/sub-document detection needs where Jaccard
+    under-scores (a paragraph fully inside a long doc has tiny Jaccard
+    but containment ≈ 1).
+
+    Plan: candidates come from the SAME banded MinHash generator as the
+    dedup family (never all-pairs); the verification joins are bounded by
+    the candidate list exactly like ``_pair_jaccard``. One new shuffle
+    family over the shared `_shingles` frame."""
+    cand = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sh = _shingles(spread(load_table(spark, sf_dir, "documents")))
+    return _pair_containment(cand, sh).orderBy("doc_a", "doc_b")
+
+
+def _pair_containment(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Directional containment for an explicit candidate-pair frame — the
+    verification kernel, split out (like ``_pair_jaccard``) so tests can
+    score a planted pair without depending on the LSH generator's
+    collision luck on tiny fixtures."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    c_ab = F.col("n_inter").cast("double") / F.col("za.n_sh").cast("double")
+    c_ba = F.col("n_inter").cast("double") / F.col("zb.n_sh").cast("double")
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .fillna({"n_inter": 0})
+        .join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round(c_ab, 6).alias("cont_a_in_b"),
+            F.round(c_ba, 6).alias("cont_b_in_a"),
+            (F.round(F.greatest(c_ab, c_ba), 6) >= CONTAIN_FLAG).alias(
+                "is_contained"
+            ),
+        )
+    )
+
+
+def containment_pairs_oracle() -> str:
+    return f"""
+WITH {_SHINGLES_SQL},
+cand AS (SELECT doc_a, doc_b FROM ({minhash_lsh_oracle()})),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+    FROM cand p
+    JOIN shingles sa ON sa.doc_id = p.doc_a
+    JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / CAST(za.n_sh AS DOUBLE), 6) AS cont_a_in_b,
+       ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / CAST(zb.n_sh AS DOUBLE), 6) AS cont_b_in_a,
+       ROUND(GREATEST(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                          / CAST(za.n_sh AS DOUBLE),
+                      CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                          / CAST(zb.n_sh AS DOUBLE)), 6)
+           >= {CONTAIN_FLAG!r} AS is_contained
+FROM cand p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN sizes za ON za.doc_id = p.doc_a
+JOIN sizes zb ON zb.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""

@@ -366,6 +366,18 @@ register(
     text.corpus_drift_psi,
     text.corpus_drift_psi_oracle(),
 )
+# Dunning G² distinctive vocabulary per language (topic signatures)
+register(
+    "distinctive_terms_llr",
+    text.distinctive_terms_llr,
+    text.DISTINCTIVE_TERMS_LLR_ORACLE,
+)
+# asymmetric shingle containment over the MinHash candidates
+register(
+    "containment_pairs",
+    text.containment_pairs,
+    text.containment_pairs_oracle(),
+)
 # two-stage IR: pseudo-relevance-feedback expansion over the BM25 core
 register(
     "prf_query_expansion",
@@ -753,7 +765,7 @@ _PRIORITY = [
     "tokenizer_fertility", "corpus_drift_psi", "copurchase_communities",
     "cluster_label_purity", "cms_word_counts_audit",
     "hll_cardinality_audit", "dp_lang_counts", "prf_query_expansion",
-    "embedding_drift_audit",
+    "embedding_drift_audit", "distinctive_terms_llr", "containment_pairs",
     "training_shards", "centroid_classify", "kcenter_coreset",
     "ann_ivfpq_topk", "mmr_rerank", "pq_index_append", "winnow_matches",
     "stratified_sample_threshold", "embedding_covariance", "pca_whiten",

@@ -647,3 +647,65 @@ def test_embedding_drift_null_case_and_planted_shift(spark, tmp_path, sf_dir):
     out = {r["dim"]: r for r in embedding_drift_audit(spark, str(tmp_path)).collect()}
     assert out[3]["is_drifted"] is True
     assert sum(1 for r in out.values() if r["is_drifted"]) <= 2
+
+
+# -- LLR topic signatures / containment ------------------------------------------------
+
+def test_llr_flags_planted_exclusive_term(spark, tmp_path):
+    """A term appearing ONLY in one language must top that language's
+    distinctive list."""
+    from etl_master_spark.operators.text import distinctive_terms_llr
+
+    docs = [(i, "shared words here plus klingon", "xx", "s") for i in range(10)]
+    docs += [(100 + i, "shared words here plus normal", "en", "s") for i in range(10)]
+    _write_docs(spark, str(tmp_path), docs)
+    rows = [r for r in distinctive_terms_llr(spark, str(tmp_path)).collect()
+            if r["lang"] == "xx"]
+    assert rows[0]["term"] == "klingon" and rows[0]["rnk"] == 1
+    assert rows[0]["k1"] == 10
+
+
+def test_llr_only_overrepresented(spark, sf_dir):
+    from etl_master_spark.operators.text import LLR_TOP, distinctive_terms_llr
+
+    rows = distinctive_terms_llr(spark, sf_dir).collect()
+    assert rows
+    per_lang = {}
+    for r in rows:
+        assert r["g2"] >= 0
+        per_lang.setdefault(r["lang"], []).append(r["rnk"])
+    for lang, rnks in per_lang.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= LLR_TOP
+
+
+def test_containment_detects_planted_subdocument(spark, tmp_path):
+    """A paragraph fully embedded in a longer doc: Jaccard is small but
+    containment of the short side is exactly 1 — the measure's reason to
+    exist. Scored through the verification kernel on an explicit pair
+    (tiny fixtures don't reliably collide in the LSH generator — that
+    path is covered by the oracle parity at corpus scale)."""
+    from etl_master_spark.operators.text import _pair_containment, _shingles
+
+    para = "alpha beta gamma delta epsilon zeta eta theta"
+    long_doc = para + " plus a much longer tail " + " ".join(
+        f"filler{i}" for i in range(40)
+    )
+    _write_docs(
+        spark, str(tmp_path), [(0, para, "en", "s"), (1, long_doc, "en", "s")]
+    )
+    sh = _shingles(spark.read.parquet(f"{tmp_path}/documents.parquet"))
+    cand = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    r = _pair_containment(cand, sh).collect()[0]
+    assert r["cont_a_in_b"] == 1.0  # every shingle of the para is inside
+    assert r["cont_b_in_a"] < 0.5
+    assert r["is_contained"] is True
+
+
+def test_containment_bounds(spark, sf_dir):
+    from etl_master_spark.operators.text import containment_pairs
+
+    rows = containment_pairs(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r["cont_a_in_b"] <= 1.0
+        assert 0.0 <= r["cont_b_a" if False else "cont_b_in_a"] <= 1.0

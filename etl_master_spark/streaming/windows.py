@@ -738,3 +738,52 @@ def events_sliding_6h_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# -- streaming drift monitor (PSI bins over a static reference) -----------------
+
+def docs_drift_psi_stream(
+    spark: SparkSession, sf_dir: str, stream_dir: str | None = None
+) -> DataFrame:
+    """Streaming twin of ``text.corpus_drift_psi``'s batch side: incoming
+    documents arrive as a file stream, each row is binned against the
+    STATIC reference-corpus deciles (computed once, broadcast — the
+    stream never touches the reference again), and the running per-bin
+    histogram aggregates in complete mode. The consumer (or the test)
+    joins the bin counts to the reference shares for the PSI terms —
+    splitting histogram (streaming, cheap, exact) from scoring (tiny,
+    bins-sized) is the production drift-monitor shape: the alert job
+    reads 10 rows per trigger, not the stream.
+
+    State is |bins| rows — bounded forever, no watermark needed; the
+    identical bin-assignment expression (count of reference cuts below
+    the length) is what ``corpus_drift_psi`` oracle-checks, so the
+    streaming histogram provably matches the batch one once all files
+    are processed (test-pinned)."""
+    from ..functions.hashing import phash_frag
+    from ..operators.text import PSI_BINS
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.expr(phash_frag("doc_id")) % 10 == 0
+    pct_arr = ", ".join(str((i + 1) / PSI_BINS) for i in range(PSI_BINS - 1))
+    cuts_row = (
+        docs.filter(~is_batch)
+        .agg(F.expr(f"percentile(length(text), array({pct_arr}))").alias("c"))
+        .select(F.transform("c", lambda x: F.round(x, 6)).alias("c"))
+        .collect()[0]["c"]
+    )
+    cuts = F.array(*[F.lit(float(c)) for c in cuts_row])
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir or sf_dir)
+    return (
+        stream.filter(is_batch)
+        .select(
+            F.size(
+                F.filter(
+                    cuts, lambda c: F.length(F.col("text")).cast("double") > c
+                )
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_batch"))
+    )

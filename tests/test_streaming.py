@@ -263,3 +263,32 @@ def test_stream_static_incremental_dedup_equals_batch(spark, sf_dir, tmp_path):
     # fingerprints are exactly the batch survivors' (first-seen vs min-id
     # pick different doc_ids, never different fingerprints)
     assert got.select("fp").distinct().count() == got.count()
+
+
+def test_stream_drift_histogram_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming PSI histogram (complete mode, static reference cuts)
+    must converge to exactly the batch corpus_drift_psi bin counts once
+    every file is processed."""
+    from etl_master_spark.operators.text import corpus_drift_psi
+    from etl_master_spark.streaming.windows import docs_drift_psi_stream
+
+    q = (
+        docs_drift_psi_stream(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("docs_drift_psi_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_psi"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["bin"]: r["n_batch"]
+        for r in spark.sql("SELECT * FROM docs_drift_psi_test").collect()
+    }
+    want = {
+        r["bin"]: r["n_batch"]
+        for r in corpus_drift_psi(spark, sf_dir).collect()
+        if r["n_batch"] > 0
+    }
+    assert got == want

@@ -83,3 +83,20 @@ def phash_py(*vals: int, seed: int = 2020) -> int:
     for v in vals:
         h = (h * PHASH_A + PHASH_B + (int(v) % PHASH_P)) % PHASH_P
     return (h * PHASH_A + PHASH_B) % PHASH_P
+
+
+def hex_mix_frag(md5_expr: str, window: int, mod: int) -> str:
+    """31-mix over hex chars 8·window+1..8·window+8 of ``md5_expr``, mod
+    ``mod``, REDUCED at every step — identical SQL text in Spark and
+    DuckDB. The per-step reduction is load-bearing: ascii() of a
+    non-ASCII char is its full codepoint, so an unreduced fold overflows
+    int64 (see operators.text._winnow_fp_sql for the original analysis).
+    Shared by the Bloom positions, the Count-Min rows, and the DP noise
+    key so the subtle fold lives in ONE place."""
+    h = "CAST(0 AS BIGINT)"
+    for j in range(8):
+        h = (
+            f"(({h} * 31 + CAST(ascii(substr({md5_expr}, {8 * window + j + 1}, 1))"
+            f" AS BIGINT)) % {mod})"
+        )
+    return h

@@ -31,12 +31,10 @@ identical expressions in both engines.
 
 from __future__ import annotations
 
-import math
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import PHASH_P, phash_frag
+from ..functions.hashing import PHASH_P, hex_mix_frag, phash_frag
 from ..sources.io import load_table, spread
 
 # -- Count-Min sketch ----------------------------------------------------------
@@ -46,17 +44,7 @@ CMS_WIDTH = 1 << 10  # counters per row
 CMS_TOP = 20  # audited heavy hitters
 
 
-def _hex_mix_sql(md5_expr: str, window: int, mod: int) -> str:
-    """31-mix over hex chars 8·window+1..8·window+8 of ``md5_expr``, mod
-    ``mod`` — the portable per-step-reduced fold (see text._bloom_pos_sql /
-    text._winnow_fp_sql for the overflow discipline)."""
-    h = "CAST(0 AS BIGINT)"
-    for j in range(8):
-        h = (
-            f"(({h} * 31 + CAST(ascii(substr({md5_expr}, {8 * window + j + 1}, 1))"
-            f" AS BIGINT)) % {mod})"
-        )
-    return h
+_hex_mix_sql = hex_mix_frag  # shared portable fold (functions.hashing)
 
 
 def cms_word_counts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,7 +65,11 @@ def cms_word_counts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
         ).alias("w")
     )
-    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact"))
+    # the vocabulary frame feeds SIX consumers (the grid, the top-20, and
+    # four per-row probe branches); checkpoint it so the corpus explode
+    # runs once — wc is vocabulary-sized, so the materialization is tiny
+    # (review finding: 5 FileScans before, 1 after)
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact")).localCheckpoint()
     poses = [
         F.expr(_hex_mix_sql("md5(w)", i, CMS_WIDTH)) for i in range(CMS_DEPTH)
     ]
@@ -169,8 +161,6 @@ HLL_RHO_CAP = 40  # rank cap: keeps the harmonic sum an exact int64
 HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 
 _HEX = "0123456789abcdef"
-# leading zero BITS of a hex nibble (value 0 handled by the run-length walk)
-_NIB_LZ = {0: 4, 1: 3, 2: 2, 3: 2}
 
 
 def _rho_sql(md5_expr: str) -> str:
@@ -229,7 +219,7 @@ def hll_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rho = F.expr(_rho_sql("md5(w)"))
     regs = (
-        toks.select(bucket.alias("bucket"), rho.alias("rho"), "w")
+        toks.select(bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("m_rho"))
     )

@@ -305,13 +305,14 @@ shingles AS (
 
 # -- n-gram Jaccard near-dup on candidate pairs ------------------------------
 
-def _pair_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard for an explicit candidate-pair frame:
-    (doc_a, doc_b) → (doc_a, doc_b, jaccard 6 dp). Bounded by the pair
-    list — the shared verification kernel of ``dedup_ngram_jaccard`` and
-    ``minhash_band_calibration`` (ONE definition, or the two operators'
-    similarity semantics silently diverge). Pairs with no shared shingle
-    survive with jaccard 0."""
+def _pair_overlap(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-set overlap counts for an explicit candidate-pair
+    frame: (doc_a, doc_b) → (doc_a, doc_b, n_inter, n_a, n_b). Bounded by
+    the pair list — THE verification kernel under ``_pair_jaccard`` (the
+    symmetric measure) and ``_pair_containment`` (the directional one):
+    one definition of the sizes/intersection joins, or the two similarity
+    semantics silently diverge. Pairs with no shared shingle survive with
+    n_inter 0."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -331,14 +332,25 @@ def _pair_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (
-                    F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")
-                ).cast("double"),
-                6,
-            ).alias("jaccard"),
+            "n_inter",
+            F.col("za.n_sh").alias("n_a"),
+            F.col("zb.n_sh").alias("n_b"),
         )
+    )
+
+
+def _pair_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard over ``_pair_overlap``: (doc_a, doc_b) →
+    (doc_a, doc_b, jaccard 6 dp) — shared by ``dedup_ngram_jaccard`` and
+    ``minhash_band_calibration``."""
+    return _pair_overlap(pairs, sh).select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+            6,
+        ).alias("jaccard"),
     )
 
 
@@ -1756,6 +1768,20 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
+    return (
+        _bm25_scored(tf, stats)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP)
+    )
+
+
+def _bm25_scored(tf: DataFrame, stats: DataFrame) -> DataFrame:
+    """(doc_id, n_terms, bm25) from a (doc_id, term, tf, dl) frame and the
+    1-row (n_docs, avgdl) stats — THE Okapi scoring definition. Shared by
+    ``bm25_search`` and both stages of ``prf_query_expansion`` (one
+    definition, or a k1/b/idf tweak silently diverges the stages — the
+    ``_pair_jaccard`` discipline). Document frequency derives from the
+    already-filtered tf frame, never a second corpus scan."""
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
@@ -1766,7 +1792,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         + BM25_K1
         * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
     )
-    scored = (
+    return (
         tf.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
@@ -1775,8 +1801,16 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(idf * norm), 6).alias("bm25"),
         )
     )
-    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(
-        BM25_TOP
+
+
+def _bm25_sql_expr(dfa: str) -> str:
+    """Oracle twin of ``_bm25_scored``'s per-(doc,term) summand, with the
+    document-frequency CTE alias parameterized."""
+    return (
+        f"ln(1.0 + (s.n_docs - {dfa}.df + 0.5) / ({dfa}.df + 0.5))"
+        f" * CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0)"
+        f" / (tf.tf + {BM25_K1}"
+        f" * (1.0 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))"
     )
 
 
@@ -1802,12 +1836,7 @@ df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
 scored AS (
     SELECT tf.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_terms,
-           ROUND(SUM(
-               ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-               * CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0)
-               / (tf.tf + {BM25_K1}
-                  * (1.0 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))
-           ), 6) AS bm25
+           ROUND(SUM({_bm25_sql_expr('df')}), 6) AS bm25
     FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s
     GROUP BY tf.doc_id
 )
@@ -3281,14 +3310,10 @@ BLOOM_K = 4
 
 
 def _bloom_pos_sql(md5_expr: str, i: int) -> str:
-    """Position i: 31-mix of hex chars 8i+1..8i+8 of the digest, mod M."""
-    h = "CAST(0 AS BIGINT)"
-    for j in range(8):
-        h = (
-            f"(({h} * 31 + CAST(ascii(substr({md5_expr}, {8 * i + j + 1}, 1))"
-            f" AS BIGINT)) % {BLOOM_M})"
-        )
-    return h
+    """Position i: the shared portable fold over hex window i, mod M."""
+    from ..functions.hashing import hex_mix_frag
+
+    return hex_mix_frag(md5_expr, i, BLOOM_M)
 
 
 def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3627,6 +3652,14 @@ ORDER BY doc_a, doc_b
 
 PSI_BINS = 10  # reference-decile bins
 PSI_SMOOTH = 0.5  # additive smoothing so empty batch bins stay finite
+# the load-bearing spellings shared with streaming.docs_drift_psi_stream —
+# ONE definition so batch/stream bin semantics are structurally identical
+PSI_PCTS_SQL = ", ".join(str((i + 1) / PSI_BINS) for i in range(PSI_BINS - 1))
+
+
+def psi_bin_col(cuts, length_col):
+    """Bin index = number of reference cuts strictly below the length."""
+    return F.size(F.filter(cuts, lambda c: length_col.cast("double") > c))
 
 
 def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3651,17 +3684,14 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("len"),
         (F.expr(phash_frag("doc_id")) % 10 == 0).alias("is_batch"),
     )
-    pct_arr = ", ".join(str((i + 1) / PSI_BINS) for i in range(PSI_BINS - 1))
     cuts = (
         docs.filter(~F.col("is_batch"))
-        .agg(F.expr(f"percentile(len, array({pct_arr}))").alias("cuts"))
+        .agg(F.expr(f"percentile(len, array({PSI_PCTS_SQL}))").alias("cuts"))
         .select(F.transform("cuts", lambda c: F.round(c, 6)).alias("cuts"))
     )
     binned = docs.crossJoin(F.broadcast(cuts)).select(
         "is_batch",
-        F.size(
-            F.filter("cuts", lambda c: F.col("len").cast("double") > c)
-        ).alias("bin"),
+        psi_bin_col(F.col("cuts"), F.col("len")).alias("bin"),
     )
     counts = binned.groupBy("bin").agg(
         F.sum(F.when(~F.col("is_batch"), 1).otherwise(0)).alias("n_ref"),
@@ -3771,34 +3801,13 @@ def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
 
-    def bm25_scored(tf: DataFrame) -> DataFrame:
-        df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        )
-        norm = F.col("tf").cast("double") * (BM25_K1 + 1.0) / (
-            F.col("tf")
-            + BM25_K1
-            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-        )
-        return (
-            tf.join(F.broadcast(df), "term")
-            .crossJoin(F.broadcast(stats))
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_terms"),
-                F.round(F.sum(idf * norm), 6).alias("bm25"),
-            )
-        )
-
     tf1 = (
         base.filter(F.col("term").isin(BM25_QUERY))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
     fb_docs = (
-        bm25_scored(tf1)
+        _bm25_scored(tf1, stats)
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(PRF_FB_DOCS)
         .select("doc_id")
@@ -3835,16 +3844,25 @@ def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PRF_EXP_TERMS)
         .select("term")
     )
-    all_terms = exp_terms.unionByName(
-        spark.createDataFrame([(t,) for t in BM25_QUERY], "term string")
-    ).distinct()
+    # checkpoint the ≤6-row expanded-term frame: tf2 feeds TWO consumers
+    # inside _bm25_scored (the df branch and the scoring join) and each
+    # would re-run the whole stage-1 + expansion DAG from the raw corpus
+    # (measured 4.2 → 3.6 s min-of-3 at ×1 — an ITERATIVE-shaped reuse,
+    # the copurchase_communities case, not the association_rules one)
+    all_terms = (
+        exp_terms.unionByName(
+            spark.createDataFrame([(t,) for t in BM25_QUERY], "term string")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     tf2 = (
         base.join(F.broadcast(all_terms), "term")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
     return (
-        bm25_scored(tf2)
+        _bm25_scored(tf2, stats)
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(BM25_TOP)
     )
@@ -3853,13 +3871,7 @@ def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def prf_query_expansion_oracle() -> str:
     terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
     stop = ", ".join(f"'{s}'" for s in STOPWORDS)
-    def bm25_expr(dfa: str) -> str:
-        return (
-            f"ln(1.0 + (s.n_docs - {dfa}.df + 0.5) / ({dfa}.df + 0.5))"
-            f" * CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0)"
-            f" / (tf.tf + {BM25_K1}"
-            f" * (1.0 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))"
-        )
+    bm25_expr = _bm25_sql_expr  # shared Okapi summand (one definition)
     return f"""
 WITH base AS (
     SELECT doc_id, len(string_split(text, ' ')) AS dl,
@@ -3978,7 +3990,11 @@ def distinctive_terms_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         tl.join(F.broadcast(lang_tot), "lang")
         .join(term_tot, "term")
         .crossJoin(F.broadcast(corpus))
-        .filter(k1 / n1 > k2 / n2)  # over-represented side only
+        # n2 > 0 guard FIRST: a single-language corpus has no comparison
+        # side (n2 = 0 → k2/n2 is NULL in Spark but inf in DuckDB — the
+        # one div-by-zero the engines spell differently); no comparison
+        # corpus = no distinctiveness signal, so emit nothing
+        .filter((n2 > 0) & (k1 / n1 > k2 / n2))  # over-represented only
         .select("lang", "term", "k1", F.round(g2, 6).alias("g2"))
     )
     w = Window.partitionBy("lang").orderBy(
@@ -4028,7 +4044,8 @@ scored AS (
     FROM tl JOIN lt ON tl.lang = lt.lang
     JOIN tt ON tl.term = tt.term
     CROSS JOIN nn
-    WHERE CAST(tl.k1 AS DOUBLE) / lt.n1
+    WHERE nn.nn - lt.n1 > 0
+      AND CAST(tl.k1 AS DOUBLE) / lt.n1
           > CAST(tt.kt - tl.k1 AS DOUBLE) / (nn.nn - lt.n1)
 )
 SELECT lang, term, k1, g2,
@@ -4063,38 +4080,20 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pair_containment(cand: DataFrame, sh: DataFrame) -> DataFrame:
-    """Directional containment for an explicit candidate-pair frame — the
-    verification kernel, split out (like ``_pair_jaccard``) so tests can
-    score a planted pair without depending on the LSH generator's
-    collision luck on tiny fixtures."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    c_ab = F.col("n_inter").cast("double") / F.col("za.n_sh").cast("double")
-    c_ba = F.col("n_inter").cast("double") / F.col("zb.n_sh").cast("double")
-    return (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .fillna({"n_inter": 0})
-        .join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
-        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_inter",
-            F.round(c_ab, 6).alias("cont_a_in_b"),
-            F.round(c_ba, 6).alias("cont_b_in_a"),
-            (F.round(F.greatest(c_ab, c_ba), 6) >= CONTAIN_FLAG).alias(
-                "is_contained"
-            ),
-        )
+    """Directional containment over the shared ``_pair_overlap`` kernel —
+    split out so tests can score a planted pair without depending on the
+    LSH generator's collision luck on tiny fixtures."""
+    c_ab = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+    c_ba = F.col("n_inter").cast("double") / F.col("n_b").cast("double")
+    return _pair_overlap(cand, sh).select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        F.round(c_ab, 6).alias("cont_a_in_b"),
+        F.round(c_ba, 6).alias("cont_b_in_a"),
+        (F.round(F.greatest(c_ab, c_ba), 6) >= CONTAIN_FLAG).alias(
+            "is_contained"
+        ),
     )
 
 

@@ -761,14 +761,17 @@ def docs_drift_psi_stream(
     streaming histogram provably matches the batch one once all files
     are processed (test-pinned)."""
     from ..functions.hashing import phash_frag
-    from ..operators.text import PSI_BINS
+    from ..operators.text import PSI_PCTS_SQL, psi_bin_col
 
     docs = load_table(spark, sf_dir, "documents")
     is_batch = F.expr(phash_frag("doc_id")) % 10 == 0
-    pct_arr = ", ".join(str((i + 1) / PSI_BINS) for i in range(PSI_BINS - 1))
     cuts_row = (
         docs.filter(~is_batch)
-        .agg(F.expr(f"percentile(length(text), array({pct_arr}))").alias("c"))
+        .agg(
+            F.expr(f"percentile(length(text), array({PSI_PCTS_SQL}))").alias(
+                "c"
+            )
+        )
         .select(F.transform("c", lambda x: F.round(x, 6)).alias("c"))
         .collect()[0]["c"]
     )
@@ -777,13 +780,7 @@ def docs_drift_psi_stream(
     stream = spark.readStream.schema(schema).parquet(stream_dir or sf_dir)
     return (
         stream.filter(is_batch)
-        .select(
-            F.size(
-                F.filter(
-                    cuts, lambda c: F.length(F.col("text")).cast("double") > c
-                )
-            ).alias("bin")
-        )
+        .select(psi_bin_col(cuts, F.length(F.col("text"))).alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n_batch"))
     )

@@ -708,4 +708,15 @@ def test_containment_bounds(spark, sf_dir):
     rows = containment_pairs(spark, sf_dir).collect()
     for r in rows:
         assert 0.0 <= r["cont_a_in_b"] <= 1.0
-        assert 0.0 <= r["cont_b_a" if False else "cont_b_in_a"] <= 1.0
+        assert 0.0 <= r["cont_b_in_a"] <= 1.0
+
+
+def test_llr_single_language_corpus_is_empty(spark, tmp_path):
+    """One language only = no comparison corpus: the n2 > 0 guard makes
+    BOTH engines return empty (previously Spark NULL vs DuckDB inf on the
+    k2/0 division — the one div-by-zero the engines spell differently)."""
+    from etl_master_spark.operators.text import distinctive_terms_llr
+
+    _write_docs(spark, str(tmp_path),
+                [(i, "only one language here", "en", "s") for i in range(5)])
+    assert distinctive_terms_llr(spark, str(tmp_path)).count() == 0

@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "embedding_drift_audit",
     "distinctive_terms_llr",
     "containment_pairs",
+    "events_weekly_seasonality",
 ]
 
 

@@ -1723,3 +1723,64 @@ FROM {prev}
 GROUP BY label
 ORDER BY n_nodes DESC, community ASC
 """
+
+
+# -- hour-of-week seasonality profile ------------------------------------------------
+
+
+def events_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week activity profile: events bucketed by (day-of-week,
+    hour-of-day) with volume share and mean value — the seasonality
+    surface capacity planning and anomaly baselining read (the hourly
+    z-score op flags deviations; this is the baseline shape itself).
+
+    Day-of-week derives from INTEGER epoch-day arithmetic
+    ((days + 4) % 7, anchored on 1970-01-01 = Thursday) rather than each
+    engine's dayofweek() — Spark numbers Sunday=1..7, DuckDB Sunday=0..6,
+    and the off-by-one would silently rotate the profile. One scan, a
+    168-key map-side-combined aggregate, and a 1-row total broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    # floor() in BOTH engines: DuckDB CAST(double AS BIGINT) ROUNDS
+    # while Spark truncates — floor-then-cast is the portable spelling
+    dow = (F.floor(ts_us("ts") / F.lit(86_400_000_000)).cast("bigint") + 4) % 7
+    keyed = ev.select(
+        dow.cast("int").alias("dow"),
+        F.hour("ts").alias("hour"),
+        "value",
+    )
+    counts = keyed.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    total = counts.agg(F.sum("n_events").cast("double").alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            F.round(F.col("n_events") / F.col("tot"), 6).alias("share"),
+            "avg_value",
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+EVENTS_WEEKLY_SEASONALITY_ORACLE = """
+WITH keyed AS (
+    SELECT CAST((CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) + 4) % 7 AS INT)
+               AS dow,
+           hour(ts) AS hour, value
+    FROM events
+),
+counts AS (
+    SELECT dow, hour, COUNT(*) AS n_events,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM keyed GROUP BY dow, hour
+),
+total AS (SELECT CAST(SUM(n_events) AS DOUBLE) AS tot FROM counts)
+SELECT dow, hour, n_events,
+       ROUND(n_events / t.tot, 6) AS share, avg_value
+FROM counts CROSS JOIN total t
+ORDER BY dow, hour
+"""

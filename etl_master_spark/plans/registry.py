@@ -615,6 +615,12 @@ register(
     analytics.association_rules,
     analytics.ASSOCIATION_RULES_ORACLE,
 )
+# hour-of-week seasonality baseline (portable epoch-day dow arithmetic)
+register(
+    "events_weekly_seasonality",
+    analytics.events_weekly_seasonality,
+    analytics.EVENTS_WEEKLY_SEASONALITY_ORACLE,
+)
 # deterministic synchronous label propagation (4th graph kernel)
 register(
     "copurchase_communities",
@@ -766,6 +772,7 @@ _PRIORITY = [
     "cluster_label_purity", "cms_word_counts_audit",
     "hll_cardinality_audit", "dp_lang_counts", "prf_query_expansion",
     "embedding_drift_audit", "distinctive_terms_llr", "containment_pairs",
+    "events_weekly_seasonality",
     "training_shards", "centroid_classify", "kcenter_coreset",
     "ann_ivfpq_topk", "mmr_rerank", "pq_index_append", "winnow_matches",
     "stratified_sample_threshold", "embedding_covariance", "pca_whiten",

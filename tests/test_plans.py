@@ -50,6 +50,7 @@ BNLJ_OK = {
     "hll_cardinality_audit",  # 1-row exact-count audit side cross-joined
     "prf_query_expansion",  # 1-row corpus stats cross-joined (bm25 shape)
     "distinctive_terms_llr",  # 1-row corpus-total N cross-joined
+    "events_weekly_seasonality",  # 1-row volume total cross-joined
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

@@ -720,3 +720,32 @@ def test_llr_single_language_corpus_is_empty(spark, tmp_path):
     _write_docs(spark, str(tmp_path),
                 [(i, "only one language here", "en", "s") for i in range(5)])
     assert distinctive_terms_llr(spark, str(tmp_path)).count() == 0
+
+
+def test_weekly_seasonality_covers_and_sums(spark, sf_dir):
+    """dow in 0..6 (0=Sunday, epoch-day anchored), hour in 0..23, shares
+    telescope to 1, counts cover every event."""
+    from etl_master_spark.operators.analytics import events_weekly_seasonality
+
+    rows = events_weekly_seasonality(spark, sf_dir).collect()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    assert sum(r["share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    for r in rows:
+        assert 0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23
+
+
+def test_weekly_seasonality_dow_anchor(spark, tmp_path):
+    """2024-01-01 was a Monday: a single event that day must land in
+    dow=1 (0=Sunday convention)."""
+    from etl_master_spark.operators.analytics import events_weekly_seasonality
+
+    spark.createDataFrame(
+        [(0, "2024-01-01 10:00:00", 1, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id",
+        "event_type", "value", "props"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = events_weekly_seasonality(spark, str(tmp_path)).collect()[0]
+    assert r["dow"] == 1 and r["hour"] == 10

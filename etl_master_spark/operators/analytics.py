@@ -1784,3 +1784,100 @@ SELECT dow, hour, n_events,
 FROM counts CROSS JOIN total t
 ORDER BY dow, hour
 """
+
+
+# -- CUSUM changepoint detection ----------------------------------------------
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint statistic over the hourly event-volume series:
+    both one-sided cumulative sums of the deviation from the series mean,
+    computed through the closed form S⁺_i = prefix_i − min(0, min_{j≤i}
+    prefix_j) (and S⁻ via the running max; the 0 is the virtual empty
+    prefix, which carries the max(0, ·) clamp) — the recursive definition is
+    NOT window-expressible, the prefix-extremum identity is, in any
+    engine. Emits the statistic per hour plus an is_peak flag on the
+    hour where S⁺ attains its global maximum (the most likely upward
+    changepoint).
+
+    Engine-parity: deviations are scaled by n (the hour count) so every
+    prefix/extremum/statistic is exact int64 arithmetic — n·x_i − T —
+    and the single float division happens once, in the rounded output.
+
+    Scale: the raw stream reduces to a calendar-sized hourly frame in one
+    shuffle; the cumulative windows then run over |hours| rows (87k rows
+    for a decade — driver-trivial), so the unavoidable single-partition
+    ordered window is over the REDUCED series, never the raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        ts_s(F.date_trunc("hour", F.col("ts"))).alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tot = hourly.agg(
+        F.sum("n_events").alias("t_sum"), F.count(F.lit(1)).alias("n_hours")
+    )
+    w = Window.orderBy("hour_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = (
+        hourly.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "dev_n", F.col("n_hours") * F.col("n_events") - F.col("t_sum")
+        )
+        .withColumn("prefix", F.sum("dev_n").over(w))
+        # the running extremum must include the virtual empty prefix 0
+        # (prefix_{-1}) or the first rows lose their max(0, ·) clamp
+        .withColumn(
+            "s_pos",
+            F.col("prefix") - F.least(F.lit(0), F.min("prefix").over(w)),
+        )
+        .withColumn(
+            "s_neg",
+            F.greatest(F.lit(0), F.max("prefix").over(w)) - F.col("prefix"),
+        )
+    )
+    peak = F.max("s_pos").over(Window.partitionBy())
+    return scored.select(
+        "hour_start",
+        "n_events",
+        F.round(F.col("s_pos") / F.col("n_hours"), 6).alias("cusum_pos"),
+        F.round(F.col("s_neg") / F.col("n_hours"), 6).alias("cusum_neg"),
+        ((F.col("s_pos") == peak) & (peak > 0)).alias("is_peak"),
+    ).orderBy("hour_start")
+
+
+EVENTS_CUSUM_ORACLE = """
+WITH hourly AS (
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+),
+tot AS (
+    SELECT SUM(n_events) AS t_sum, COUNT(*) AS n_hours FROM hourly
+),
+scored AS (
+    SELECT hour_start, n_events, n_hours,
+           SUM(n_hours * n_events - t_sum)
+               OVER (ORDER BY hour_start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prefix
+    FROM hourly CROSS JOIN tot
+),
+stat AS (
+    SELECT hour_start, n_events, n_hours,
+           prefix - LEAST(0, MIN(prefix)
+               OVER (ORDER BY hour_start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS s_pos,
+           GREATEST(0, MAX(prefix)
+               OVER (ORDER BY hour_start
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               - prefix AS s_neg
+    FROM scored
+)
+SELECT hour_start, n_events,
+       ROUND(CAST(s_pos AS DOUBLE) / n_hours, 6) AS cusum_pos,
+       ROUND(CAST(s_neg AS DOUBLE) / n_hours, 6) AS cusum_neg,
+       s_pos = MAX(s_pos) OVER () AND MAX(s_pos) OVER () > 0 AS is_peak
+FROM stat
+ORDER BY hour_start
+"""

@@ -4126,3 +4126,223 @@ JOIN sizes za ON za.doc_id = p.doc_a
 JOIN sizes zb ON zb.doc_id = p.doc_b
 ORDER BY p.doc_a, p.doc_b
 """
+
+
+# -- RAKE keyword extraction ---------------------------------------------------
+
+RAKE_TOP_PHRASES = 3  # phrases kept per document
+RAKE_SCALE = 1_000_000  # micro-units for exact integer word-score arithmetic
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal runs of non-stopword tokens, each word scores
+    degree(w)/freq(w) over the document's candidate words (degree = its
+    own count plus co-occurrences inside phrases), and a phrase scores
+    the sum of its word scores; the top-3 phrases per document are the
+    extracted keywords — the unsupervised keyword tagger a curation
+    pipeline runs before topic routing.
+
+    Engine-parity: word scores are exact integers in 1e-6 units
+    (floor-divided — both engines floor positive integer division), so
+    the per-phrase SUM is order-free; the only float appears in the final
+    round. Phrase grouping is the gaps-and-islands spelling: position
+    minus the non-stopword running count is constant within a run.
+
+    Scale: every window partitions by doc_id (one shuffle by doc);
+    word-stat frames are per-document aggregates, never a global
+    vocabulary join. At 100 TB this is embarrassingly parallel over
+    documents; nothing global exists except the final ordering."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    ).filter(F.col("term") != "")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    cand = (
+        toks.withColumn("is_stop", F.col("term").isin(STOPWORDS))
+        .withColumn(
+            "run",
+            F.col("pos")
+            - F.sum(F.when(~F.col("is_stop"), 1).otherwise(0)).over(w_doc),
+        )
+        .filter(~F.col("is_stop"))
+    )
+    phrases = cand.groupBy("doc_id", "run").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s.term,
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    # per-document word statistics over candidate words only
+    wstats = (
+        cand.join(
+            phrases.select("doc_id", "run", "plen"), ["doc_id", "run"]
+        )
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("degree"),
+        )
+        .select(
+            "doc_id",
+            "term",
+            F.expr(f"CAST(({RAKE_SCALE} * degree) DIV freq AS BIGINT)").alias(
+                "wscore_u"
+            ),
+        )
+    )
+    # a phrase string repeated in a document scores identically from every
+    # run (score is a pure function of its words) — keyword candidates are
+    # UNIQUE phrases, so collapse runs before ranking
+    scored = (
+        cand.join(wstats, ["doc_id", "term"])
+        .groupBy("doc_id", "run")
+        .agg(F.sum("wscore_u").alias("score_u"))
+        .join(phrases, ["doc_id", "run"])
+        .select("doc_id", "phrase", "score_u")
+        .distinct()
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("score_u").desc(), F.col("phrase")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= RAKE_TOP_PHRASES)
+        .select(
+            "doc_id",
+            "rank",
+            "phrase",
+            F.round(F.col("score_u") / RAKE_SCALE, 6).alias("score"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+RAKE_KEYWORDS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, term, pos - 1 AS pos
+    FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE text IS NOT NULL
+    )
+    WHERE term <> ''
+),
+cand AS (
+    SELECT doc_id, term, pos,
+           pos - SUM(CASE WHEN term IN ({_STOP_IN}) THEN 0 ELSE 1 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS run
+    FROM toks
+    QUALIFY term NOT IN ({_STOP_IN})
+),
+phrases AS (
+    SELECT doc_id, run,
+           string_agg(term, ' ' ORDER BY pos) AS phrase,
+           COUNT(*) AS plen
+    FROM cand GROUP BY doc_id, run
+),
+wstats AS (
+    SELECT c.doc_id, c.term,
+           ({RAKE_SCALE} * SUM(p.plen)) // COUNT(*) AS wscore_u
+    FROM cand c JOIN phrases p ON p.doc_id = c.doc_id AND p.run = c.run
+    GROUP BY c.doc_id, c.term
+),
+scored AS (
+    SELECT DISTINCT s.doc_id, p.phrase, s.score_u
+    FROM (
+        SELECT c.doc_id, c.run, SUM(w.wscore_u) AS score_u
+        FROM cand c JOIN wstats w ON w.doc_id = c.doc_id AND w.term = c.term
+        GROUP BY c.doc_id, c.run
+    ) s JOIN phrases p ON p.doc_id = s.doc_id AND p.run = s.run
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score_u DESC, phrase)
+            AS INTEGER) AS rank,
+       phrase,
+       ROUND(CAST(score_u AS DOUBLE) / {RAKE_SCALE}, 6) AS score
+FROM scored
+QUALIFY rank <= {RAKE_TOP_PHRASES}
+ORDER BY doc_id, rank
+"""
+
+
+# -- readability profile -------------------------------------------------------
+
+
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability profile: word count, vowel-group syllable
+    proxy, mean syllables/word, long-word (≥7 chars) share, and the
+    Flesch reading-ease and LIX composites — the cheap text-difficulty
+    gate a curation mixture uses alongside ``quality_scores``. This
+    corpus has no sentence delimiters, so each document is literally one
+    sentence (documented, not fudged): words-per-sentence = n_words.
+
+    Syllables are counted as maximal vowel runs via the portable regex
+    ``[aeiou]+`` (identical RE2/Java semantics). Every ratio is a single
+    division of exact integers (deterministic IEEE) and composites are
+    written as one identical expression in both engines; floats appear
+    only in the final rounded columns. Scale: row-local map over
+    documents, zero shuffles before the output ordering."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    prof = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.expr(
+            "CAST(size(regexp_extract_all(text, '[aeiou]+', 0)) AS BIGINT)"
+        ).alias("n_syll"),
+        F.size(F.filter(toks, lambda t: F.length(t) >= 7))
+        .cast("bigint")
+        .alias("n_long"),
+    ).filter(F.col("n_words") > 0)
+    syl_pw = F.col("n_syll") / F.col("n_words")
+    return prof.select(
+        "doc_id",
+        "n_words",
+        "n_syll",
+        F.round(syl_pw, 6).alias("syll_per_word"),
+        F.round(F.col("n_long") / F.col("n_words"), 6).alias("long_share"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * F.col("n_words")
+            - F.lit(84.6) * syl_pw,
+            6,
+        ).alias("flesch"),
+        F.round(
+            F.col("n_words") + F.lit(100.0) * F.col("n_long") / F.col("n_words"),
+            6,
+        ).alias("lix"),
+    ).orderBy("doc_id")
+
+
+READABILITY_SCORES_ORACLE = """
+WITH prof AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+               AS n_syll,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> t <> '' AND length(t) >= 7))
+                AS BIGINT) AS n_long
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, n_words, n_syll,
+       ROUND(CAST(n_syll AS DOUBLE) / n_words, 6) AS syll_per_word,
+       ROUND(CAST(n_long AS DOUBLE) / n_words, 6) AS long_share,
+       ROUND(206.835 - 1.015 * n_words
+             - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6) AS flesch,
+       ROUND(n_words + 100.0 * n_long / n_words, 6) AS lix
+FROM prof WHERE n_words > 0
+ORDER BY doc_id
+"""

@@ -378,6 +378,14 @@ register(
     text.containment_pairs,
     text.containment_pairs_oracle(),
 )
+# RAKE keyword extraction (gaps-and-islands phrase runs, integer scores)
+register("rake_keywords", text.rake_keywords, text.RAKE_KEYWORDS_ORACLE)
+# readability composites (Flesch/LIX over a vowel-run syllable proxy)
+register(
+    "readability_scores",
+    text.readability_scores,
+    text.READABILITY_SCORES_ORACLE,
+)
 # two-stage IR: pseudo-relevance-feedback expansion over the BM25 core
 register(
     "prf_query_expansion",
@@ -626,6 +634,12 @@ register(
     "copurchase_communities",
     analytics.copurchase_communities,
     analytics.copurchase_communities_oracle(),
+)
+# closed-form CUSUM (prefix-extremum identity; recursion-free)
+register(
+    "events_cusum_changepoint",
+    analytics.events_cusum_changepoint,
+    analytics.EVENTS_CUSUM_ORACLE,
 )
 register(
     "monthly_revenue_growth",

@@ -1,0 +1,138 @@
+"""RAKE keyword extraction, readability composites, and the closed-form
+CUSUM changepoint — planted fixtures prove the semantics (phrase runs,
+syllable proxy, prefix-extremum identity against the recursive textbook
+CUSUM). Engine-vs-oracle equality is covered by test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from etl_master_spark.operators.analytics import events_cusum_changepoint
+from etl_master_spark.operators.text import (
+    RAKE_TOP_PHRASES,
+    rake_keywords,
+    readability_scores,
+)
+
+
+def _write_docs(spark, path, docs):
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        [(i, ts, uid, et, 1.0, "{}") for i, (ts, uid, et) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+# -- RAKE ---------------------------------------------------------------------
+
+def test_rake_phrase_runs_and_scores(spark, tmp_path):
+    """'fast scan the big table of fast scan': runs are ('fast scan'),
+    ('big table'), ('fast scan'). freq(fast)=2, degree(fast)=4 (two
+    2-word phrases) -> score 2.0; same for scan; big/table 2.0 each via
+    degree 2 / freq 1. Phrase scores: 'fast scan' = 4.0, 'big table' =
+    4.0. Both phrases surface, ranked by score then text."""
+    _write_docs(
+        spark, str(tmp_path), [(0, "fast scan the big table of fast scan")]
+    )
+    rows = rake_keywords(spark, str(tmp_path)).collect()
+    got = {(r["rank"]): (r["phrase"], r["score"]) for r in rows}
+    assert got[1] == ("big table", 4.0)  # tie broken by phrase text
+    assert got[2] == ("fast scan", 4.0)
+    assert len(rows) == 2
+
+
+def test_rake_single_word_and_stopword_only(spark, tmp_path):
+    """A stopword-only doc emits nothing; an isolated word scores
+    degree/freq = 1.0."""
+    _write_docs(
+        spark, str(tmp_path), [(0, "the of a"), (1, "the vector of")]
+    )
+    rows = rake_keywords(spark, str(tmp_path)).collect()
+    assert [(r["doc_id"], r["phrase"], r["score"]) for r in rows] == [
+        (1, "vector", 1.0)
+    ]
+
+
+def test_rake_caps_phrases_per_doc(spark, tmp_path):
+    text = " of ".join(f"w{i}" for i in range(10))  # 10 distinct runs
+    _write_docs(spark, str(tmp_path), [(0, text)])
+    rows = rake_keywords(spark, str(tmp_path)).collect()
+    assert len(rows) == RAKE_TOP_PHRASES
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+
+
+# -- readability --------------------------------------------------------------
+
+def test_readability_counts_and_composites(spark, tmp_path):
+    """'scan the table' -> 3 words, vowel runs: a, e, a, e = 4 syllables,
+    no >=7-char words. One-sentence Flesch = 206.835 - 1.015*3 -
+    84.6*(4/3)."""
+    _write_docs(spark, str(tmp_path), [(0, "scan the table")])
+    r = readability_scores(spark, str(tmp_path)).collect()[0]
+    assert r["n_words"] == 3
+    assert r["n_syll"] == 4
+    assert r["long_share"] == 0.0
+    assert abs(r["flesch"] - round(206.835 - 1.015 * 3 - 84.6 * (4 / 3), 6)) < 1e-9
+    assert r["lix"] == 3.0
+
+
+def test_readability_long_words_and_vowel_runs(spark, tmp_path):
+    """'beautiful streaming' : 'eau'+'i'+'u' = 3 runs, 'ea'+'i' = 2 runs;
+    both words >=7 chars -> long_share 1.0."""
+    _write_docs(spark, str(tmp_path), [(0, "beautiful streaming")])
+    r = readability_scores(spark, str(tmp_path)).collect()[0]
+    assert r["n_syll"] == 5
+    assert r["long_share"] == 1.0
+    assert r["lix"] == 2.0 + 100.0
+
+
+# -- CUSUM --------------------------------------------------------------------
+
+def _recursive_cusum(xs):
+    """Textbook recursion the closed form must reproduce (k=0 allowance)."""
+    mean = sum(xs) / len(xs)
+    sp, sn, out = 0.0, 0.0, []
+    for x in xs:
+        sp = max(0.0, sp + (x - mean))
+        sn = max(0.0, sn - (x - mean))
+        out.append((sp, sn))
+    return out
+
+
+def test_cusum_matches_recursive_definition(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    counts = [4, 4, 4, 10, 10, 2, 2, 4]  # level shift up then down
+    rows = []
+    for h, n in enumerate(counts):
+        for j in range(n):
+            rows.append((t0 + dt.timedelta(hours=h, seconds=j), 1, "click"))
+    _write_events(spark, str(tmp_path), rows)
+    got = events_cusum_changepoint(spark, str(tmp_path)).collect()
+    want = _recursive_cusum(counts)
+    assert len(got) == len(want)
+    for r, (sp, sn) in zip(got, want):
+        assert abs(r["cusum_pos"] - sp) < 1e-6
+        assert abs(r["cusum_neg"] - sn) < 1e-6
+    # the peak flag marks the global argmax of the positive statistic
+    peaks = [r["hour_start"] for r in got if r["is_peak"]]
+    best = max(want, key=lambda t: t[0])[0]
+    assert peaks == [r["hour_start"] for r, (sp, _) in zip(got, want) if sp == best]
+
+
+def test_cusum_flat_series_has_no_peak(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(4):
+        for j in range(5):
+            rows.append((t0 + dt.timedelta(hours=h, seconds=j), 1, "view"))
+    _write_events(spark, str(tmp_path), rows)
+    got = events_cusum_changepoint(spark, str(tmp_path)).collect()
+    assert all(r["cusum_pos"] == 0.0 and r["cusum_neg"] == 0.0 for r in got)
+    assert not any(r["is_peak"] for r in got)

@@ -1881,3 +1881,137 @@ SELECT hour_start, n_events,
 FROM stat
 ORDER BY hour_start
 """
+
+
+# -- link prediction over the co-purchase graph -------------------------------
+
+LINK_PRED_TOP = 50  # predicted edges kept
+LINK_AA_SCALE = 1_000_000  # micro-units for the Adamic-Adar sum
+
+
+def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood link prediction on the co-purchase item graph (same
+    edge set as ``triangle_count``): for every NON-adjacent part pair that
+    shares at least one neighbor, score common-neighbors, Jaccard
+    |Γa∩Γc| / |Γa∪Γc|, and Adamic-Adar Σ_b 1/ln(deg b) — the classic
+    recommend-an-edge triad (Liben-Nowell & Kleinberg '03), here "parts
+    likely to be co-bought next".
+
+    Engine-parity: Adamic-Adar is a float SUM, so each term is floored to
+    integer micro-units first (FLOOR then cast — DuckDB CAST alone
+    rounds, Spark truncates) making the aggregation order-free; ln(deg)
+    on the same int is bit-identical IEEE in both engines. deg ≥ 2 for
+    any shared neighbor (it has two wedge spokes), so ln > 0.
+
+    Plan: wedges come from one self-join of the symmetrized adjacency
+    keyed on the hub b — each candidate (a<c) appears once per shared
+    neighbor and aggregates map-side. Known edges leave via one anti-join
+    on the canonical pair. Hub skew is the classic wedge risk: at 100 TB
+    cap per-node degree (row_number ≤ K over the adjacency, the
+    co_purchase mega-basket guard one level up) — wedge volume is then
+    ≤ K·|E|, linear in edges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        _basket_pairs(li)
+        .filter(F.col("n") >= TRIANGLE_MIN_COUNT)
+        .select("part_a", "part_b")
+        .localCheckpoint()
+    )
+    adj = edges.select(
+        F.col("part_a").alias("node"), F.col("part_b").alias("nbr")
+    ).unionByName(
+        edges.select(
+            F.col("part_b").alias("node"), F.col("part_a").alias("nbr")
+        )
+    )
+    deg = adj.groupBy(F.col("node").alias("b")).agg(
+        F.count(F.lit(1)).alias("deg_b")
+    )
+    aa_term = F.floor(LINK_AA_SCALE / F.log(F.col("deg_b").cast("double"))).cast(
+        "bigint"
+    )
+    wedges = (
+        adj.select(F.col("nbr").alias("b"), F.col("node").alias("a"))
+        .join(
+            adj.select(F.col("nbr").alias("b"), F.col("node").alias("c")),
+            "b",
+        )
+        .filter(F.col("a") < F.col("c"))
+        .join(deg, "b")
+        .groupBy("a", "c")
+        .agg(
+            F.count(F.lit(1)).alias("common_nbrs"),
+            F.sum(aa_term).alias("aa_u"),
+        )
+    )
+    cand = wedges.join(
+        edges,
+        (wedges.a == edges.part_a) & (wedges.c == edges.part_b),
+        "left_anti",
+    )
+    dnode = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        cand.join(dnode.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(dnode.select(F.col("node").alias("c"), F.col("deg").alias("deg_c")), "c")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("c").alias("part_b"),
+            "common_nbrs",
+            F.round(
+                F.col("common_nbrs")
+                / (F.col("deg_a") + F.col("deg_c") - F.col("common_nbrs")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("aa_u") / LINK_AA_SCALE, 6).alias("adamic_adar"),
+        )
+        .orderBy(
+            F.col("common_nbrs").desc(),
+            F.col("adamic_adar").desc(),
+            "part_a",
+            "part_b",
+        )
+        .limit(LINK_PRED_TOP)
+    )
+
+
+LINK_PREDICTION_ORACLE = f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM baskets a
+    JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {TRIANGLE_MIN_COUNT}
+),
+adj AS (
+    SELECT part_a AS node, part_b AS nbr FROM edges
+    UNION ALL
+    SELECT part_b AS node, part_a AS nbr FROM edges
+),
+deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY node),
+wedges AS (
+    SELECT x.node AS a, y.node AS c,
+           COUNT(*) AS common_nbrs,
+           CAST(SUM(CAST(FLOOR({LINK_AA_SCALE} / ln(CAST(d.deg AS DOUBLE)))
+                         AS BIGINT)) AS BIGINT) AS aa_u
+    FROM adj x
+    JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+    JOIN deg d ON d.node = x.nbr
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT w.* FROM wedges w
+    ANTI JOIN edges e ON e.part_a = w.a AND e.part_b = w.c
+)
+SELECT cand.a AS part_a, cand.c AS part_b,
+       CAST(common_nbrs AS BIGINT) AS common_nbrs,
+       ROUND(CAST(common_nbrs AS DOUBLE)
+             / (da.deg + dc.deg - common_nbrs), 6) AS jaccard,
+       ROUND(CAST(aa_u AS DOUBLE) / {LINK_AA_SCALE}, 6) AS adamic_adar
+FROM cand
+JOIN deg da ON da.node = cand.a
+JOIN deg dc ON dc.node = cand.c
+ORDER BY common_nbrs DESC, adamic_adar DESC, part_a, part_b
+LIMIT {LINK_PRED_TOP}
+"""

@@ -257,3 +257,74 @@ SELECT o_custkey AS c_custkey,
 FROM per_cust
 ORDER BY c_custkey
 """
+
+
+# -- join-key skew audit -------------------------------------------------------
+
+SKEW_KEYS = [
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+]
+
+
+def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-join-key skew profile for the fact tables' hot join keys: key
+    cardinality, multiplicity percentiles, the heaviest key's share, and
+    max/mean skew factor — the planning audit that decides, BEFORE a
+    100 TB join, which keys need AQE skew handling or salting (a
+    max_mult ≫ p99_mult key concentrates one shuffle partition; top_share
+    bounds the single-task fraction of the build side).
+
+    Per key: one map-side-combined count aggregate (raw rows → |keys|),
+    then one percentile aggregate over the multiplicities. Integer
+    multiplicities make the interpolated percentiles exact in both
+    engines; ratios divide exact integers once, in the output. The
+    audited key list is static config, so the union is a fixed fan of
+    independent scans — at 100 TB each leg is the cheapest possible
+    full-scan summary of its table, and `approx_percentile` is the
+    drop-in swap exactly as value_percentiles documents."""
+    legs = []
+    for tbl, key in SKEW_KEYS:
+        counts = (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("mult"))
+        )
+        legs.append(
+            counts.agg(
+                F.lit(tbl).alias("rel"),
+                F.lit(key).alias("key_col"),
+                F.sum("mult").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("mult").alias("max_mult"),
+                F.expr("round(percentile(mult, 0.5), 6)").alias("p50_mult"),
+                F.expr("round(percentile(mult, 0.99), 6)").alias("p99_mult"),
+                F.round(F.max("mult") / F.sum("mult"), 6).alias("top_share"),
+                F.round(
+                    F.max("mult") * F.count(F.lit(1)) / F.sum("mult"), 6
+                ).alias("skew_factor"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("rel", "key_col")
+
+
+JOIN_SKEW_AUDIT_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{tbl}' AS rel, '{key}' AS key_col,
+       CAST(SUM(mult) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(mult) AS BIGINT) AS max_mult,
+       ROUND(quantile_cont(mult, 0.5), 6) AS p50_mult,
+       ROUND(quantile_cont(mult, 0.99), 6) AS p99_mult,
+       ROUND(CAST(MAX(mult) AS DOUBLE) / SUM(mult), 6) AS top_share,
+       ROUND(CAST(MAX(mult) AS DOUBLE) * COUNT(*) / SUM(mult), 6)
+           AS skew_factor
+FROM (SELECT {key} AS k, COUNT(*) AS mult FROM {tbl} GROUP BY 1)
+"""
+    for tbl, key in SKEW_KEYS
+) + "\nORDER BY rel, key_col"

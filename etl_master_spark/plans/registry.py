@@ -635,6 +635,18 @@ register(
     analytics.copurchase_communities,
     analytics.copurchase_communities_oracle(),
 )
+# pre-join skew planning audit over the hot fact join keys
+register(
+    "join_skew_audit",
+    warehouse.join_skew_audit,
+    warehouse.JOIN_SKEW_AUDIT_ORACLE,
+)
+# neighborhood link prediction (CN/Jaccard/Adamic-Adar, 5th graph kernel)
+register(
+    "link_prediction",
+    analytics.link_prediction,
+    analytics.LINK_PREDICTION_ORACLE,
+)
 # closed-form CUSUM (prefix-extremum identity; recursion-free)
 register(
     "events_cusum_changepoint",

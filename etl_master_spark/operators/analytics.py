@@ -2015,3 +2015,93 @@ JOIN deg dc ON dc.node = cand.c
 ORDER BY common_nbrs DESC, adamic_adar DESC, part_a, part_b
 LIMIT {LINK_PRED_TOP}
 """
+
+
+# -- trailing EWMA baseline ---------------------------------------------------
+
+EWMA_WINDOW_H = 24  # trailing window; ratio-2 weights halve per hour of lag
+
+
+def events_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exponentially-weighted hourly-volume baseline: each hour's
+    expected volume is the weight-2^(−lag) average of the previous 24
+    hours (itself included), plus the observed/expected ratio — the
+    smoothed twin of ``events_hourly_anomalies`` (z-score vs a static
+    mean) for streams whose level drifts.
+
+    The recursive EWMA is order-dependent; the TRUNCATED form is a pure
+    windowed sum, expressed here as a self-join of the hourly frame on a
+    bounded hour-lag range so both engines share one spelling. Weights
+    2^(23−lag) and the weighted volume sum stay exact int64 (max count ·
+    2^24 ≪ 2^63); the single float division happens in the output.
+
+    Scale: the raw stream reduces to |hours| rows first; the range join
+    is |hours|·24 — for a decade of data that is 2M pairs, driver-trivial.
+    (If the series ever got big, bucket both sides by day and equi-join
+    adjacent buckets to keep the range join from going nested-loop.)"""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        ts_s(F.date_trunc("hour", F.col("ts"))).alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    a = hourly.select(F.col("hour_start").alias("h"), "n_events")
+    b = hourly.select(
+        F.col("hour_start").alias("h2"), F.col("n_events").alias("x")
+    )
+    lag = (F.col("h") - F.col("h2")) / 3600
+    win = a.join(
+        b,
+        (F.col("h2") <= F.col("h"))
+        & (F.col("h2") > F.col("h") - EWMA_WINDOW_H * 3600),
+    ).select(
+        "h",
+        "n_events",
+        "x",
+        F.expr(
+            f"CAST(POWER(2.0, {EWMA_WINDOW_H - 1} - (h - h2) DIV 3600)"
+            " AS BIGINT)"
+        ).alias("w"),
+    )
+    ewma = F.col("num") / F.col("den")
+    return (
+        win.groupBy(F.col("h").alias("hour_start"), "n_events")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).alias("num"),
+            F.sum("w").alias("den"),
+        )
+        .select(
+            "hour_start",
+            "n_events",
+            F.round(ewma, 6).alias("ewma"),
+            F.round(F.col("n_events") / ewma, 6).alias("obs_over_exp"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+EVENTS_EWMA_ORACLE = f"""
+WITH hourly AS (
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+),
+win AS (
+    SELECT a.hour_start AS h, a.n_events, b.n_events AS x,
+           CAST(POWER(2.0, {EWMA_WINDOW_H - 1}
+                           - (a.hour_start - b.hour_start) // 3600)
+                AS BIGINT) AS w
+    FROM hourly a
+    JOIN hourly b
+      ON b.hour_start <= a.hour_start
+     AND b.hour_start > a.hour_start - {EWMA_WINDOW_H} * 3600
+),
+agg AS (
+    SELECT h AS hour_start, n_events,
+           SUM(w * x) AS num, SUM(w) AS den
+    FROM win GROUP BY 1, 2
+)
+SELECT hour_start, n_events,
+       ROUND(CAST(num AS DOUBLE) / den, 6) AS ewma,
+       ROUND(n_events / (CAST(num AS DOUBLE) / den), 6) AS obs_over_exp
+FROM agg
+ORDER BY hour_start
+"""

@@ -3711,3 +3711,121 @@ SELECT dim,
 FROM agg
 ORDER BY dim
 """
+
+
+# -- Matryoshka dimension-truncation recall audit -----------------------------
+
+TRUNC_DIM = 16  # leading-dim prefix scored against the full 64-dim rank
+
+
+def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style retrieval audit: rank the query set's top-10 by
+    cosine over only the LEADING 16 dimensions and measure recall against
+    the full 64-dim exact top-10 — the measurement that decides whether a
+    truncated (4× cheaper) index serves first-stage retrieval, exactly as
+    ``ann_recall_audit`` does for the LSH index (Kusupati et al. '22 is
+    the public reference for why leading-dim prefixes work).
+
+    Both ranks reuse the broadcast-queries × corpus-scan shape of
+    ``ann_cosine_topk`` (scored rows shuffle once for the per-query
+    window top-k); the overlap join is TOPK² per query. At 100 TB the
+    truncated leg is the point: a prefix slice scans the same rows but
+    0.25× the arithmetic, and recall is continuously measured instead of
+    assumed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pairs = spread(emb).crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    def topk_by(vec_q, vec_e, tag):
+        cos = _dot(vec_q, vec_e) / (
+            F.sqrt(_dot(vec_q, vec_q)) * F.sqrt(_dot(vec_e, vec_e))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.round(cos, 6).desc(), F.col("vec_id").asc()
+        )
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOPK)
+            .select("query_id", F.col("vec_id").alias(f"nbr_{tag}"))
+        )
+
+    full = topk_by(F.col("qv"), F.col("embedding"), "full")
+    trunc = topk_by(
+        F.slice(F.col("qv"), 1, TRUNC_DIM),
+        F.slice(F.col("embedding"), 1, TRUNC_DIM),
+        "trunc",
+    )
+    hits = full.join(
+        trunc,
+        (full.query_id == trunc.query_id)
+        & (full.nbr_full == trunc.nbr_trunc),
+    ).groupBy(full.query_id.alias("qid")).agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        full.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, F.col("query_id") == F.col("qid"), "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("k"), 6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+DIM_TRUNCATION_RECALL_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           ROUND(
+             list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))), 6)
+               AS cos_full,
+           ROUND(
+             list_dot_product(q.qv[1:{TRUNC_DIM}],
+                              CAST(e.embedding AS DOUBLE[])[1:{TRUNC_DIM}])
+             / (sqrt(list_dot_product(q.qv[1:{TRUNC_DIM}],
+                                      q.qv[1:{TRUNC_DIM}]))
+                * sqrt(list_dot_product(
+                      CAST(e.embedding AS DOUBLE[])[1:{TRUNC_DIM}],
+                      CAST(e.embedding AS DOUBLE[])[1:{TRUNC_DIM}]))), 6)
+               AS cos_trunc
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+),
+full_k AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_full DESC, vec_id ASC) AS rnk
+        FROM scored) WHERE rnk <= {TOPK}
+),
+trunc_k AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_trunc DESC, vec_id ASC) AS rnk
+        FROM scored) WHERE rnk <= {TOPK}
+)
+SELECT f.query_id,
+       CAST(COUNT(t.vec_id) AS BIGINT) AS n_overlap,
+       ROUND(CAST(COUNT(t.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM full_k f
+LEFT JOIN trunc_k t
+  ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+GROUP BY f.query_id
+ORDER BY f.query_id
+"""

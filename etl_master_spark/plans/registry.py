@@ -635,6 +635,18 @@ register(
     analytics.copurchase_communities,
     analytics.copurchase_communities_oracle(),
 )
+# trailing EWMA volume baseline (truncated-window exact-int spelling)
+register(
+    "events_ewma_trailing",
+    analytics.events_ewma_trailing,
+    analytics.EVENTS_EWMA_ORACLE,
+)
+# Matryoshka prefix-dim retrieval audit (recall vs the full-dim rank)
+register(
+    "dim_truncation_recall",
+    vectors.dim_truncation_recall,
+    vectors.DIM_TRUNCATION_RECALL_ORACLE,
+)
 # pre-join skew planning audit over the hot fact join keys
 register(
     "join_skew_audit",

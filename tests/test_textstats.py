@@ -136,3 +136,69 @@ def test_cusum_flat_series_has_no_peak(spark, tmp_path):
     got = events_cusum_changepoint(spark, str(tmp_path)).collect()
     assert all(r["cusum_pos"] == 0.0 and r["cusum_neg"] == 0.0 for r in got)
     assert not any(r["is_peak"] for r in got)
+
+
+# -- trailing EWMA ------------------------------------------------------------
+
+def test_ewma_trailing_weights(spark, tmp_path):
+    """Three hours of counts [2, 4, 8]: hour 2's trailing EWMA =
+    (8*2^23 + 4*2^22 + 2*2^21) / (2^23 + 2^22 + 2^21) = 44/7."""
+    from etl_master_spark.operators.analytics import events_ewma_trailing
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for h, n in enumerate([2, 4, 8]):
+        for j in range(n):
+            rows.append((t0 + dt.timedelta(hours=h, seconds=j), 1, "click"))
+    _write_events(spark, str(tmp_path), rows)
+    got = events_ewma_trailing(spark, str(tmp_path)).collect()
+    assert [r["n_events"] for r in got] == [2, 4, 8]
+    assert got[0]["ewma"] == 2.0  # window holds only itself
+    assert got[1]["ewma"] == round((4 * 2 + 2) / 3, 6)
+    assert got[2]["ewma"] == round((8 * 4 + 4 * 2 + 2) / 7, 6)
+    assert got[2]["obs_over_exp"] == round(8 / ((8 * 4 + 4 * 2 + 2) / 7), 6)
+
+
+def test_ewma_window_truncates_at_24h(spark, tmp_path):
+    """An hour 30h after a burst must not see it: its window only holds
+    itself, so ewma == own count."""
+    from etl_master_spark.operators.analytics import events_ewma_trailing
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for j in range(50):
+        rows.append((t0 + dt.timedelta(seconds=j), 1, "click"))
+    for j in range(3):
+        rows.append((t0 + dt.timedelta(hours=30, seconds=j), 1, "click"))
+    _write_events(spark, str(tmp_path), rows)
+    got = {r["hour_start"]: r for r in events_ewma_trailing(spark, str(tmp_path)).collect()}
+    late = [r for r in got.values() if r["n_events"] == 3][0]
+    assert late["ewma"] == 3.0
+    assert late["obs_over_exp"] == 1.0
+
+
+# -- Matryoshka truncation recall ---------------------------------------------
+
+def test_dim_truncation_recall_extremes(spark, tmp_path):
+    """Corpus where the leading 16 dims carry ALL the signal -> recall 1.0
+    for every query (the truncated rank equals the full rank because
+    trailing dims are identical zeros)."""
+    import random
+
+    from etl_master_spark.operators.vectors import (
+        N_QUERY_VECS,
+        TOPK,
+        dim_truncation_recall,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        head = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, [float(x) for x in head] + [0.0] * 48, i % 3))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = dim_truncation_recall(spark, str(tmp_path)).collect()
+    assert len(got) == N_QUERY_VECS
+    assert all(r["recall"] == 1.0 and r["n_overlap"] == TOPK for r in got)

@@ -328,3 +328,163 @@ FROM (SELECT {key} AS k, COUNT(*) AS mult FROM {tbl} GROUP BY 1)
 """
     for tbl, key in SKEW_KEYS
 ) + "\nORDER BY rel, key_col"
+
+
+# -- incremental aggregate refresh (IVM twin) ---------------------------------
+
+IVM_CUTOFF = "1998-01-01"  # rows before = materialized base; after = delta
+
+
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance for the monthly
+    revenue-by-priority rollup: the pre-cutoff BASE aggregate (the state a
+    warehouse would have materialized) is merged with the post-cutoff
+    DELTA batch by re-aggregating the two partial states — never
+    rescanning base facts. The oracle recomputes the rollup from ALL
+    facts, so the hash gate IS the IVM correctness statement: merged
+    partials ≡ full recompute (sums/counts are the self-maintainable
+    aggregates; min/max/distinct would need auxiliary state).
+
+    Money stays in exact 1e-2 integer units through every partial, so
+    merge order cannot perturb values. At 100 TB the point is the cost
+    model: refresh work is O(|delta| + |dirty groups|), not O(|base|) —
+    the delta aggregate shuffles only the day's rows and the merge
+    touches only group keys the delta produced plus the stored state."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def partial(df):
+        return df.groupBy(
+            month.alias("month"), F.col("o_orderpriority").alias("priority")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("cents"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < F.lit(IVM_CUTOFF)))
+    delta = partial(orders.filter(F.col("o_orderdate") >= F.lit(IVM_CUTOFF)))
+    return (
+        base.unionByName(delta)
+        .groupBy("month", "priority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+        .select(
+            "month",
+            "priority",
+            "n_orders",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("month", "priority")
+    )
+
+
+INCREMENTAL_AGG_REFRESH_ORACLE = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0, 2) AS revenue
+FROM orders
+GROUP BY 1, 2
+ORDER BY month, priority
+"""
+
+
+# -- robust numeric-cleanup stats ---------------------------------------------
+
+ROBUST_Z = 3.5  # the standard modified-z outlier cut (Iglewicz-Hoaglin)
+
+
+def robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust numeric-quality profile per event type: median, MAD,
+    p1/p99 winsorization bounds, and how many rows a |modified z| > 3.5
+    cut or a p1/p99 clamp would touch — the outlier-handling decision
+    table a feature pipeline computes before normalizing a raw value
+    column (median/MAD resist the very outliers a mean/stddev gate would
+    absorb).
+
+    Two grouped percentile aggregates (the second for MAD needs |x −
+    median| and so a join back of the |types|-row medians — broadcast),
+    then one counting pass. Modified z uses the 0.6745·dev/MAD form; the
+    comparison is written identically in both engines and rows with MAD=0
+    count as non-outliers by construction. At 100 TB swap the exact
+    percentile for ``approx_percentile`` (value_percentiles documents the
+    trade) and the shape is three map-side-combined passes."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("median"),
+        F.expr("percentile(value, 0.01)").alias("p1"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "median",
+        "p1",
+        "p99",
+        F.abs(F.col("value") - F.col("median")).alias("adev"),
+    )
+    mad = dev.groupBy(F.col("event_type").alias("et")).agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    z_out = (F.lit(0.6745) * F.col("adev")) > (F.lit(ROBUST_Z) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), dev.event_type == mad.et)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("median"), 6).alias("median"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.round(F.max("p1"), 6).alias("p1"),
+            F.round(F.max("p99"), 6).alias("p99"),
+            F.sum(F.when(F.col("value") < F.col("p1"), 1).otherwise(0)).alias(
+                "n_below_p1"
+            ),
+            F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0)).alias(
+                "n_above_p99"
+            ),
+            F.sum(
+                F.when((F.col("mad") > 0) & z_out, 1).otherwise(0)
+            ).alias("n_robust_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ROBUST_VALUE_STATS_ORACLE = f"""
+WITH med AS (
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS median,
+           quantile_cont(value, 0.01) AS p1,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY 1
+),
+dev AS (
+    SELECT e.event_type, e.value, m.median, m.p1, m.p99,
+           ABS(e.value - m.median) AS adev
+    FROM events e JOIN med m ON m.event_type = e.event_type
+),
+mad AS (
+    SELECT event_type AS et, quantile_cont(adev, 0.5) AS mad
+    FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MAX(d.median), 6) AS median,
+       ROUND(MAX(m.mad), 6) AS mad,
+       ROUND(MAX(d.p1), 6) AS p1,
+       ROUND(MAX(d.p99), 6) AS p99,
+       CAST(SUM(CASE WHEN d.value < d.p1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_below_p1,
+       CAST(SUM(CASE WHEN d.value > d.p99 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_above_p99,
+       CAST(SUM(CASE WHEN m.mad > 0
+                      AND 0.6745 * d.adev > {ROBUST_Z} * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_robust_outliers
+FROM dev d JOIN mad m ON m.et = d.event_type
+GROUP BY 1
+ORDER BY event_type
+"""

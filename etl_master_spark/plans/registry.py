@@ -635,6 +635,18 @@ register(
     analytics.copurchase_communities,
     analytics.copurchase_communities_oracle(),
 )
+# incremental MV maintenance: merged partials hash-checked vs full recompute
+register(
+    "incremental_agg_refresh",
+    warehouse.incremental_agg_refresh,
+    warehouse.INCREMENTAL_AGG_REFRESH_ORACLE,
+)
+# robust (median/MAD) numeric-cleanup decision table
+register(
+    "robust_value_stats",
+    warehouse.robust_value_stats,
+    warehouse.ROBUST_VALUE_STATS_ORACLE,
+)
 # trailing EWMA volume baseline (truncated-window exact-int spelling)
 register(
     "events_ewma_trailing",

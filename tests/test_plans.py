@@ -51,6 +51,9 @@ BNLJ_OK = {
     "prf_query_expansion",  # 1-row corpus stats cross-joined (bm25 shape)
     "distinctive_terms_llr",  # 1-row corpus-total N cross-joined
     "events_weekly_seasonality",  # 1-row volume total cross-joined
+    "events_cusum_changepoint",  # 1-row series mean/count cross-joined
+    "events_ewma_trailing",  # bounded hour-lag range join over |hours| rows
+    "dim_truncation_recall",  # inherits ann_cosine_topk's broadcast-query scan
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

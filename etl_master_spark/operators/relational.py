@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import phash_frag
 from ..sources.io import load_table, ts_us
 
 
@@ -866,4 +867,90 @@ SELECT user_id, event_type, COUNT(*) AS n_events
 FROM events
 GROUP BY user_id, event_type
 ORDER BY user_id, event_type
+"""
+
+
+# -- Pareto skyline ------------------------------------------------------------
+
+SKY_BUCKETS = 32  # local-skyline parallelism (skyline is distributive)
+
+
+def _skyline_pass(df: DataFrame, *part_cols: str) -> DataFrame:
+    """One window skyline pass minimizing price_c / maximizing p_size:
+    a row survives iff no strictly-cheaper row has ≥ its size (RANGE
+    frame to 1 PRECEDING on integer cents = all strictly cheaper) and it
+    carries the max size of its own price point."""
+    cheaper = (
+        Window.partitionBy(*part_cols)
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    same = Window.partitionBy(*part_cols, "price_c")
+    return (
+        df.withColumn("m_cheaper", F.max("p_size").over(cheaper))
+        .withColumn("m_same", F.max("p_size").over(same))
+        .filter(
+            (F.col("m_cheaper").isNull() | (F.col("p_size") > F.col("m_cheaper")))
+            & (F.col("p_size") == F.col("m_same"))
+        )
+        .drop("m_cheaper", "m_same")
+    )
+
+
+def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) query over parts: the set not dominated on
+    (minimize retail price, maximize size) — q dominates p iff q is no
+    worse on both axes and strictly better on one. The classic
+    multi-criteria shortlist operator (Börzsönyi et al. '01).
+
+    A single-window skyline is a GLOBAL sort — the known scale-killer —
+    so this runs the distributive form: a LOCAL skyline per hash bucket
+    (windows partitioned by bucket, embarrassingly parallel) followed by
+    the same pass globally over the few local survivors. skyline(S) for
+    any superset S of the true front that drops only dominated rows
+    equals skyline(full), so the two-level result is EXACTLY the direct
+    global skyline — which is what the oracle computes, making the gate
+    also a proof of the reduction. Prices compare in integer cents (the
+    RANGE-to-1-PRECEDING frame needs an integral key, and float equality
+    groups are exactly what price points must not depend on)."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_c"),
+    )
+    local = _skyline_pass(
+        part.withColumn(
+            "bkt", F.expr(phash_frag("p_partkey")) % SKY_BUCKETS
+        ),
+        "bkt",
+    )
+    return (
+        _skyline_pass(local.drop("bkt"))
+        .select(
+            "p_partkey",
+            F.round(F.col("price_c") / 100.0, 2).alias("price"),
+            "p_size",
+        )
+        .orderBy("price", F.col("p_size").desc(), "p_partkey")
+    )
+
+
+PARETO_FRONT_PARTS_ORACLE = """
+WITH p AS (
+    SELECT p_partkey, p_size,
+           CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c
+    FROM part
+),
+sky AS (
+    SELECT p_partkey, p_size, price_c,
+           MAX(p_size) OVER (ORDER BY price_c
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS m_cheaper,
+           MAX(p_size) OVER (PARTITION BY price_c) AS m_same
+    FROM p
+)
+SELECT p_partkey, ROUND(price_c / 100.0, 2) AS price, p_size
+FROM sky
+WHERE (m_cheaper IS NULL OR p_size > m_cheaper) AND p_size = m_same
+ORDER BY price, p_size DESC, p_partkey
 """

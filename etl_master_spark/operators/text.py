@@ -4346,3 +4346,135 @@ SELECT doc_id, n_words, n_syll,
 FROM prof WHERE n_words > 0
 ORDER BY doc_id
 """
+
+
+# -- tf-idf cosine over the LSH candidates ------------------------------------
+
+TFIDF_W_SCALE = 1_000_000  # micro-unit weights: order-free integer dot products
+
+
+def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tf-idf cosine similarity for the MinHash/LSH candidate pairs — the
+    third similarity lens over the same candidate set (Jaccard:
+    ``dedup_ngram_jaccard``; shingle containment: ``containment_pairs``),
+    weighting by term rarity so boilerplate-heavy near-dups separate from
+    topically-similar docs.
+
+    Engine-parity: weights are floored to integer micro-units
+    (w = ⌊1e6·tf·ln(N/df)⌋ — identical float product, then both engines
+    floor), so dot products and norms are exact int64 sums in any order;
+    the cosine's sqrt/divide chain runs once per pair on identical
+    operands. Docs whose every term is corpus-universal (ln 1 = 0 → zero
+    norm) are excluded by both engines rather than dividing by zero.
+
+    Scale: candidates come from the banded LSH join (never all-pairs);
+    term weights need one explode + two aggregates; the pair dot product
+    joins the (doc, term) frame twice on candidate doc ids — each probe
+    is |candidate|-bounded. At 100 TB the (doc, term) frame is the
+    inverted index a serving system would materialize once."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = tf.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.floor(
+                F.lit(float(TFIDF_W_SCALE))
+                * F.col("tf")
+                * F.log(F.col("n") / F.col("df"))
+            )
+            .cast("bigint")
+            .alias("wu"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("wu") * F.col("wu")).alias("n2")
+    )
+    cand = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    wa = w.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("wu").alias("wa")
+    )
+    wb = w.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("wu").alias("wb")
+    )
+    dots = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    return (
+        cand.join(dots, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter((F.col("na2") > 0) & (F.col("nb2") > 0))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("dot"), F.lit(0)).cast("double")
+                / (F.sqrt(F.col("na2").cast("double"))
+                   * F.sqrt(F.col("nb2").cast("double"))),
+                6,
+            ).alias("tfidf_cosine"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def tfidf_doc_similarity_oracle() -> str:
+    return f"""
+WITH cand AS (SELECT doc_a, doc_b FROM ({minhash_lsh_oracle()})),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE text IS NOT NULL
+    )
+    WHERE term <> ''
+    GROUP BY 1, 2
+),
+n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+w AS (
+    SELECT tf.doc_id, tf.term,
+           CAST(FLOOR({float(TFIDF_W_SCALE)!r} * tf.tf
+                      * ln(CAST(n.n AS DOUBLE) / d.df)) AS BIGINT) AS wu
+    FROM tf JOIN df d ON d.term = tf.term CROSS JOIN n_docs n
+),
+norms AS (SELECT doc_id, SUM(wu * wu) AS n2 FROM w GROUP BY 1),
+dots AS (
+    SELECT c.doc_a, c.doc_b, SUM(a.wu * b.wu) AS dot
+    FROM cand c
+    JOIN w a ON a.doc_id = c.doc_a
+    JOIN w b ON b.doc_id = c.doc_b AND b.term = a.term
+    GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(COALESCE(d.dot, 0) AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+             6) AS tfidf_cosine
+FROM cand c
+LEFT JOIN dots d ON d.doc_a = c.doc_a AND d.doc_b = c.doc_b
+JOIN norms na ON na.doc_id = c.doc_a
+JOIN norms nb ON nb.doc_id = c.doc_b
+WHERE na.n2 > 0 AND nb.n2 > 0
+ORDER BY c.doc_a, c.doc_b
+"""

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import phash_frag
 from ..sources.io import load_table
 
 
@@ -487,4 +488,109 @@ SELECT d.event_type,
 FROM dev d JOIN mad m ON m.et = d.event_type
 GROUP BY 1
 ORDER BY event_type
+"""
+
+
+# -- block-jackknife confidence interval --------------------------------------
+
+JK_BUCKETS = 32
+JK_Z = 1.96
+
+
+def jackknife_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-block jackknife standard error and 95% CI for the mean
+    order revenue: orders hash into 32 blocks, each block's leave-one-out
+    mean comes from the complement totals, and the spread of the 32 LOO
+    means gives SE² = (B−1)/B · Σ(m_b − m̄)² — the resampling-free
+    uncertainty estimate a metrics pipeline attaches to a topline mean
+    (valid under any within-block dependence; needs only partial sums).
+
+    Engine-parity: money is exact integer cents; each LOO mean is one
+    floor division (both engines floor positive DIV); deviations are the
+    integer d_b = B·m_b − Σm (computed per row and THEN squared — the
+    B²Σm² expansion would overflow int64, the deviation form stays
+    ~1e14); the float chain (cast, sqrt, scale) is written identically in
+    both engines.
+
+    Scale: one map-side-combined aggregate to 32 partial rows, then
+    constant work over block-count-sized frames — the TreeAggregate
+    shape with the block count as the only driver-side state."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = (
+        orders.select(
+            (F.expr(phash_frag("o_orderkey")) % JK_BUCKETS).alias("bkt"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("n_b"), F.sum("cents").alias("c_b"))
+    )
+    tot = per.agg(F.sum("n_b").alias("n"), F.sum("c_b").alias("t"))
+    loo = per.crossJoin(F.broadcast(tot)).select(
+        F.expr("CAST((t - c_b) DIV (n - n_b) AS BIGINT)").alias("m_b"),
+        "n",
+        "t",
+    )
+    jtot = loo.groupBy("n", "t").agg(
+        F.count(F.lit(1)).alias("b"), F.sum("m_b").alias("s")
+    )
+    dev = loo.join(F.broadcast(jtot.select("b", "s")), how="cross").select(
+        "n",
+        "t",
+        "b",
+        (F.col("b") * F.col("m_b") - F.col("s")).alias("d"),
+    )
+    stats = dev.groupBy("n", "t", "b").agg(
+        F.sum(F.col("d") * F.col("d")).alias("ss")
+    )
+    se = (
+        F.sqrt(
+            F.col("ss").cast("double")
+            * (F.col("b") - 1)
+            / F.col("b")
+            / F.col("b")
+            / F.col("b")
+        )
+        / 100.0
+    )
+    mean = F.col("t").cast("double") / F.col("n") / 100.0
+    return stats.select(
+        F.col("n").alias("n_orders"),
+        F.col("b").alias("n_blocks"),
+        F.round(mean, 4).alias("mean_revenue"),
+        F.round(se, 4).alias("se_jack"),
+        F.round(mean - JK_Z * se, 4).alias("ci_lo"),
+        F.round(mean + JK_Z * se, 4).alias("ci_hi"),
+    )
+
+
+JACKKNIFE_REVENUE_CI_ORACLE = f"""
+WITH per AS (
+    SELECT ({phash_frag('o_orderkey')}) % {JK_BUCKETS} AS bkt,
+           COUNT(*) AS n_b,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS c_b
+    FROM orders GROUP BY 1
+),
+tot AS (SELECT SUM(n_b) AS n, SUM(c_b) AS t FROM per),
+loo AS (
+    SELECT CAST((t.t - p.c_b) // (t.n - p.n_b) AS BIGINT) AS m_b, t.n, t.t
+    FROM per p CROSS JOIN tot t
+),
+jtot AS (SELECT COUNT(*) AS b, SUM(m_b) AS s FROM loo),
+stats AS (
+    SELECT l.n, l.t, j.b, SUM((j.b * l.m_b - j.s) * (j.b * l.m_b - j.s)) AS ss
+    FROM loo l CROSS JOIN jtot j
+    GROUP BY 1, 2, 3
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       CAST(b AS BIGINT) AS n_blocks,
+       ROUND(CAST(t AS DOUBLE) / n / 100.0, 4) AS mean_revenue,
+       ROUND(sqrt(CAST(ss AS DOUBLE) * (b - 1) / b / b / b) / 100.0, 4)
+           AS se_jack,
+       ROUND(CAST(t AS DOUBLE) / n / 100.0
+             - {JK_Z} * sqrt(CAST(ss AS DOUBLE) * (b - 1) / b / b / b)
+                       / 100.0, 4) AS ci_lo,
+       ROUND(CAST(t AS DOUBLE) / n / 100.0
+             + {JK_Z} * sqrt(CAST(ss AS DOUBLE) * (b - 1) / b / b / b)
+                       / 100.0, 4) AS ci_hi
+FROM stats
 """

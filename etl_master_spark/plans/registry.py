@@ -635,6 +635,24 @@ register(
     analytics.copurchase_communities,
     analytics.copurchase_communities_oracle(),
 )
+# distributive two-level skyline (local fronts, then global over survivors)
+register(
+    "pareto_front_parts",
+    relational.pareto_front_parts,
+    relational.PARETO_FRONT_PARTS_ORACLE,
+)
+# delete-one-block jackknife SE/CI (TreeAggregate-shaped uncertainty)
+register(
+    "jackknife_revenue_ci",
+    warehouse.jackknife_revenue_ci,
+    warehouse.JACKKNIFE_REVENUE_CI_ORACLE,
+)
+# tf-idf cosine over the LSH candidate pairs (third similarity lens)
+register(
+    "tfidf_doc_similarity",
+    text.tfidf_doc_similarity,
+    text.tfidf_doc_similarity_oracle(),
+)
 # incremental MV maintenance: merged partials hash-checked vs full recompute
 register(
     "incremental_agg_refresh",

@@ -54,6 +54,8 @@ BNLJ_OK = {
     "events_cusum_changepoint",  # 1-row series mean/count cross-joined
     "events_ewma_trailing",  # bounded hour-lag range join over |hours| rows
     "dim_truncation_recall",  # inherits ann_cosine_topk's broadcast-query scan
+    "jackknife_revenue_ci",  # 1-row totals cross-joined onto 32 block rows
+    "tfidf_doc_similarity",  # 1-row corpus doc-count cross-joined into idf
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

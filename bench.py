@@ -149,6 +149,19 @@ BENCH_QUERIES = [
     "distinctive_terms_llr",
     "containment_pairs",
     "events_weekly_seasonality",
+    # round-4 third continuation: stats/graph/warehouse widening
+    "rake_keywords",
+    "readability_scores",
+    "events_cusum_changepoint",
+    "events_ewma_trailing",
+    "link_prediction",
+    "join_skew_audit",
+    "dim_truncation_recall",
+    "incremental_agg_refresh",
+    "robust_value_stats",
+    "pareto_front_parts",
+    "jackknife_revenue_ci",
+    "tfidf_doc_similarity",
 ]
 
 

@@ -824,13 +824,16 @@ _PRIORITY = [
     # window covering every operator family. Everything not named keeps
     # its registration order after the spread and retains r01-r03 green
     # rows plus the full strict sweep.
-    # (a) never driver-checked — the continuation session's FOURTEEN new
-    # operators first (training-export shards, NCM classifier, k-center
-    # coreset, IVF-PQ, MMR rerank, frozen-codebook append, winnowing,
-    # stratified threshold twin, covariance/whitening, Zipf/Heaps fits,
-    # corpus entropy, MinHash band calibration — all new this round),
-    # then the queries that had only strict-sweep evidence before round 4
-    # round-4 second-continuation additions (never driver-checked) first
+    # (a) never driver-checked, newest continuation first: the TWELVE
+    # third-continuation operators (RAKE, readability, CUSUM, EWMA,
+    # link prediction, skew audit, Matryoshka recall, IVM refresh,
+    # robust stats, skyline, jackknife CI, tf-idf pair cosine), then the
+    # earlier continuations' additions in reverse-recency order.
+    "rake_keywords", "readability_scores", "events_cusum_changepoint",
+    "events_ewma_trailing", "link_prediction", "join_skew_audit",
+    "dim_truncation_recall", "incremental_agg_refresh",
+    "robust_value_stats", "pareto_front_parts", "jackknife_revenue_ci",
+    "tfidf_doc_similarity",
     "simhash_hamming_pairs", "bloom_membership_audit",
     "bpe_merge_candidates", "pmi_collocations", "char_entropy_scores",
     "sq8_quantize_audit", "weighted_sample_aes", "ngram_novelty",

@@ -2105,3 +2105,175 @@ SELECT hour_start, n_events,
 FROM agg
 ORDER BY hour_start
 """
+
+
+# -- classical seasonal decomposition -----------------------------------------
+
+SEAS_HALF = 12  # centered 2x24 moving-average half-width (hours)
+
+
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly volume
+    series: trend = centered 2×24 moving average (the textbook even-window
+    form: endpoints half-weighted), seasonal = per-hour-of-day mean of the
+    detrended series, residual = observed − trend − seasonal. The
+    monitoring decomposition that separates "traffic grows" from "it's
+    3 am" before an anomaly rule fires.
+
+    Exact-arithmetic spelling: trend·48 = (Σ rows∈±12h) + (Σ rows∈±11h)
+    over RANGE frames (half-weighted endpoints fall out of the sum of the
+    two frames), all int64; detrended·48 = 48·x − trend48; the per-hod
+    seasonal index is one int ratio Σdetr48/(48·n) and every float
+    appears once, in the identically-written output expressions. The
+    indices are not re-centered: the detrended series already sums to
+    ≈0 per hod, and exact centering would need a cross-hod rational sum
+    (lcm denominators) for zero monitoring value.
+
+    Only hours with a COMPLETE ±12h window decompose (RANGE count = 25 —
+    robust to gaps, no partial-window bias). Scale: raw stream → |hours|
+    rows first; windows/aggregates run on the calendar-sized frame."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        ts_s(F.date_trunc("hour", F.col("ts"))).alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w_out = (
+        Window.orderBy("hour_start")
+        .rangeBetween(-SEAS_HALF * 3600, SEAS_HALF * 3600)
+    )
+    w_in = (
+        Window.orderBy("hour_start")
+        .rangeBetween(-(SEAS_HALF - 1) * 3600, (SEAS_HALF - 1) * 3600)
+    )
+    detr = (
+        hourly.withColumn("n_win", F.count(F.lit(1)).over(w_out))
+        .withColumn(
+            "trend48",
+            F.sum("n_events").over(w_out) + F.sum("n_events").over(w_in),
+        )
+        .filter(F.col("n_win") == 2 * SEAS_HALF + 1)
+        .withColumn("detr48", 48 * F.col("n_events") - F.col("trend48"))
+        .withColumn("hod", F.expr("(hour_start DIV 3600) % 24"))
+    )
+    seas = detr.groupBy(F.col("hod").alias("h")).agg(
+        F.sum("detr48").alias("a"), F.count(F.lit(1)).alias("cnt")
+    )
+    s_idx = F.col("a").cast("double") / (48 * F.col("cnt"))
+    return (
+        detr.join(F.broadcast(seas), detr.hod == seas.h)
+        .select(
+            "hour_start",
+            "n_events",
+            F.round(F.col("trend48") / 48.0, 6).alias("trend"),
+            F.round(s_idx, 6).alias("seasonal"),
+            F.round(F.col("detr48") / 48.0 - s_idx, 6).alias("residual"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+EVENTS_SEASONAL_DECOMPOSE_ORACLE = f"""
+WITH hourly AS (
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+),
+win AS (
+    SELECT hour_start, n_events,
+           COUNT(*) OVER (ORDER BY hour_start
+                          RANGE BETWEEN {SEAS_HALF * 3600} PRECEDING
+                                AND {SEAS_HALF * 3600} FOLLOWING) AS n_win,
+           SUM(n_events) OVER (ORDER BY hour_start
+                               RANGE BETWEEN {SEAS_HALF * 3600} PRECEDING
+                                     AND {SEAS_HALF * 3600} FOLLOWING)
+           + SUM(n_events) OVER (ORDER BY hour_start
+                                 RANGE BETWEEN {(SEAS_HALF - 1) * 3600}
+                                       PRECEDING
+                                       AND {(SEAS_HALF - 1) * 3600} FOLLOWING)
+               AS trend48
+    FROM hourly
+),
+detr AS (
+    SELECT hour_start, n_events, trend48,
+           48 * n_events - trend48 AS detr48,
+           (hour_start // 3600) % 24 AS hod
+    FROM win WHERE n_win = {2 * SEAS_HALF + 1}
+),
+seas AS (
+    SELECT hod AS h, SUM(detr48) AS a, COUNT(*) AS cnt
+    FROM detr GROUP BY 1
+)
+SELECT hour_start, n_events,
+       ROUND(trend48 / 48.0, 6) AS trend,
+       ROUND(CAST(a AS DOUBLE) / (48 * cnt), 6) AS seasonal,
+       ROUND(CAST(detr48 AS DOUBLE) / 48.0
+             - CAST(a AS DOUBLE) / (48 * cnt), 6) AS residual
+FROM detr JOIN seas ON seas.h = detr.hod
+ORDER BY hour_start
+"""
+
+
+# -- Theil-Sen robust trend ----------------------------------------------------
+
+
+def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-revenue trend: the Theil–Sen estimator — median of all
+    pairwise day-slopes, 29% breakdown point, immune to the promo-spike
+    days that drag a least-squares fit — reported with the slope
+    distribution's quartiles so the spread is visible, not just the
+    point estimate.
+
+    The pairwise-slope set is quadratic in DAYS, not rows: the raw table
+    reduces to |days| daily sums first (a decade is ~3.6k days → 6.6M
+    pairs, trivial next to one fact-table scan; at larger calendars
+    subsample pairs by portable hash exactly like weighted_sample_aes).
+    Slopes are identical single divisions of exact cent/day int64s and
+    the quantiles interpolate the same doubles in both engines. (An OLS
+    companion via n·Σxy − Σx·Σy moments was deliberately left out: those
+    products exceed int64 near sf≈1 — the at-scale OLS spelling is a
+    centered double-moment pass, which would break exact engine parity
+    here for no monitoring gain.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("cents").alias("c1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("cents").alias("c2"))
+    slopes = a.join(b, F.col("d1") < F.col("d2")).select(
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / (F.col("d2") - F.col("d1"))
+        ).alias("slope")
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.25) / 100.0"), 4).alias("slope_q1"),
+        F.round(F.expr("percentile(slope, 0.5) / 100.0"), 4).alias(
+            "theil_sen_slope"
+        ),
+        F.round(F.expr("percentile(slope, 0.75) / 100.0"), 4).alias("slope_q3"),
+    )
+
+
+THEIL_SEN_REVENUE_TREND_ORACLE = """
+WITH daily AS (
+    SELECT datediff('day', DATE '1992-01-01', o_orderdate) AS day,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders GROUP BY 1
+),
+slopes AS (
+    SELECT CAST(b.cents - a.cents AS DOUBLE) / (b.day - a.day) AS slope
+    FROM daily a JOIN daily b ON a.day < b.day
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(quantile_cont(slope, 0.25) / 100.0, 4) AS slope_q1,
+       ROUND(quantile_cont(slope, 0.5) / 100.0, 4) AS theil_sen_slope,
+       ROUND(quantile_cont(slope, 0.75) / 100.0, 4) AS slope_q3
+FROM slopes
+"""

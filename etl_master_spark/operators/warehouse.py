@@ -594,3 +594,113 @@ SELECT CAST(n AS BIGINT) AS n_orders,
                        / 100.0, 4) AS ci_hi
 FROM stats
 """
+
+
+# -- declarative data-quality audit -------------------------------------------
+
+# (rule, relation, violation predicate — SQL valid in BOTH engines)
+DQ_RULES = [
+    ("quantity_in_range", "lineitem",
+     "NOT (l_quantity >= 1 AND l_quantity <= 50)"),
+    ("discount_in_range", "lineitem",
+     "NOT (l_discount >= 0.0 AND l_discount <= 0.1)"),
+    ("priority_in_enum", "orders",
+     "o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM',"
+     " '4-NOT SPECIFIED', '5-LOW')"),
+    ("totalprice_positive", "orders", "NOT (o_totalprice > 0)"),
+    ("value_non_negative", "events",
+     "value IS NULL OR value < 0"),
+    ("text_nonempty", "documents",
+     "text IS NULL OR length(text) = 0"),
+]
+
+
+def dq_violations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the Great-Expectations/dbt-test
+    shape): each rule is a violation predicate evaluated as ONE
+    conditional aggregate over its relation, plus the cross-table rule
+    ship_after_order (a line must not ship before its order is placed —
+    needs the orders join). Output is the per-rule violation census a
+    pipeline gates ingestion on.
+
+    The rule list is static config; single-table rules sharing a relation
+    compile into one scan each (conditional sums side by side), and the
+    predicates are written in the engine-portable SQL subset so the same
+    strings drive Spark and the oracle. At 100 TB every leg is a
+    map-side-combined scan; the join rule shuffles on orderkey once."""
+    per_rel: dict[str, list] = {}
+    for rule, rel, pred in DQ_RULES:
+        per_rel.setdefault(rel, []).append((rule, pred))
+    legs = []
+    for rel, rules in per_rel.items():
+        df = load_table(spark, sf_dir, rel)
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(
+                    F.when(F.expr(pred), 1).otherwise(0)
+                ).alias(f"v_{rule}")
+                for rule, pred in rules
+            ],
+        )
+        for rule, _ in rules:
+            legs.append(
+                agg.select(
+                    F.lit(rule).alias("rule"),
+                    F.lit(rel).alias("rel"),
+                    "n_rows",
+                    F.col(f"v_{rule}").alias("n_violations"),
+                )
+            )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+        ).alias("n_violations"),
+    )
+    legs.append(
+        joined.select(
+            F.lit("ship_after_order").alias("rule"),
+            F.lit("lineitem⋈orders").alias("rel"),
+            "n_rows",
+            "n_violations",
+        )
+    )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.select(
+        "rule",
+        "rel",
+        "n_rows",
+        "n_violations",
+        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias(
+            "violation_share"
+        ),
+    ).orderBy("rule")
+
+
+DQ_VIOLATIONS_AUDIT_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{rule}' AS rule, '{rel}' AS rel,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+       ROUND(CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS violation_share
+FROM {rel}
+"""
+    for rule, rel, pred in DQ_RULES
+) + """
+UNION ALL
+SELECT 'ship_after_order' AS rule, 'lineitem⋈orders' AS rel,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations,
+       ROUND(CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS violation_share
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+ORDER BY rule
+"""

@@ -635,6 +635,24 @@ register(
     analytics.copurchase_communities,
     analytics.copurchase_communities_oracle(),
 )
+# classical additive trend/seasonal/residual decomposition
+register(
+    "events_seasonal_decompose",
+    analytics.events_seasonal_decompose,
+    analytics.EVENTS_SEASONAL_DECOMPOSE_ORACLE,
+)
+# Theil-Sen robust trend (median of daily pairwise slopes)
+register(
+    "theil_sen_revenue_trend",
+    analytics.theil_sen_revenue_trend,
+    analytics.THEIL_SEN_REVENUE_TREND_ORACLE,
+)
+# declarative DQ rule census (Great-Expectations shape, incl. a join rule)
+register(
+    "dq_violations_audit",
+    warehouse.dq_violations_audit,
+    warehouse.DQ_VIOLATIONS_AUDIT_ORACLE,
+)
 # distributive two-level skyline (local fronts, then global over survivors)
 register(
     "pareto_front_parts",

@@ -56,6 +56,7 @@ BNLJ_OK = {
     "dim_truncation_recall",  # inherits ann_cosine_topk's broadcast-query scan
     "jackknife_revenue_ci",  # 1-row totals cross-joined onto 32 block rows
     "tfidf_doc_similarity",  # 1-row corpus doc-count cross-joined into idf
+    "theil_sen_revenue_trend",  # pairwise slopes over the |days|-sized frame
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

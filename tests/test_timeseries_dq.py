@@ -1,0 +1,106 @@
+"""Seasonal decomposition, Theil–Sen trend, and the declarative DQ audit —
+planted fixtures with hand-computable answers."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from etl_master_spark.operators.analytics import (
+    events_seasonal_decompose,
+    theil_sen_revenue_trend,
+)
+from etl_master_spark.operators.warehouse import dq_violations_audit
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        [(i, ts, uid, et, 1.0, "{}") for i, (ts, uid, et) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_seasonal_decompose_flat_plus_cycle(spark, tmp_path):
+    """Volume = 5 + (1 if hour-of-day == 0 else 0) over 4 days: trend is
+    flat at the daily mean, the hod-0 seasonal index is positive, others
+    slightly negative, and residuals vanish (pattern is perfectly
+    periodic). Only hours with a complete ±12h window appear."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(96):
+        n = 5 + (1 if h % 24 == 0 else 0)
+        for j in range(n):
+            rows.append((t0 + dt.timedelta(hours=h, seconds=j), 1, "e"))
+    _write_events(spark, str(tmp_path), rows)
+    got = events_seasonal_decompose(spark, str(tmp_path)).collect()
+    assert len(got) == 96 - 24  # 12 hours trimmed at each edge
+    for r in got:
+        hod = (r["hour_start"] // 3600) % 24
+        # the 2x24 MA of a periodic series is the period mean everywhere
+        assert abs(r["trend"] - (5 + 1 / 24)) < 1e-6, r
+        if hod == 0:
+            assert r["seasonal"] > 0.9
+        else:
+            assert -0.1 < r["seasonal"] < 0
+        assert abs(r["residual"]) < 1e-6
+
+
+def test_theil_sen_exact_linear_series(spark, tmp_path):
+    """Revenue t dollars on day t: every pairwise slope is exactly 1, so
+    median and quartiles are all 1.0."""
+    base = dt.date(1992, 1, 1)
+    rows = [
+        (i, 1, f"{i}-URGENT"[:0] or "1-URGENT", float(i + 1),
+         base + dt.timedelta(days=i))
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_totalprice double, o_orderdate date",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    r = theil_sen_revenue_trend(spark, str(tmp_path)).collect()[0]
+    assert r["n_pairs"] == 45
+    assert r["theil_sen_slope"] == 1.0
+    assert r["slope_q1"] == 1.0 and r["slope_q3"] == 1.0
+
+
+def test_dq_audit_counts_planted_violations(spark, tmp_path):
+    """One bad quantity, one bad discount, one pre-order shipdate among
+    clean rows — each rule counts exactly its plant."""
+    li_rows = [
+        (1, 1, 1, 1, 10.0, 100.0, 0.05, 0.0, "N", "O", dt.date(1995, 1, 10)),
+        (1, 2, 1, 2, -3.0, 100.0, 0.05, 0.0, "N", "O", dt.date(1995, 1, 11)),
+        (2, 1, 1, 1, 10.0, 100.0, 0.5, 0.0, "N", "O", dt.date(1995, 2, 2)),
+        (2, 2, 1, 2, 10.0, 100.0, 0.05, 0.0, "N", "O", dt.date(1994, 12, 25)),
+    ]
+    spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate date",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [
+            (1, 1, "1-URGENT", 100.0, dt.date(1995, 1, 1)),
+            (2, 1, "9-BOGUS", -5.0, dt.date(1995, 1, 1)),
+        ],
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_totalprice double, o_orderdate date",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    _write_events(spark, str(tmp_path), [(dt.datetime(2024, 1, 1), 1, "e")])
+    spark.createDataFrame(
+        [(0, "ok text", "en", "s", 7), (1, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r["rule"]: r for r in dq_violations_audit(spark, str(tmp_path)).collect()}
+    assert got["quantity_in_range"]["n_violations"] == 1
+    assert got["discount_in_range"]["n_violations"] == 1
+    assert got["priority_in_enum"]["n_violations"] == 1
+    assert got["totalprice_positive"]["n_violations"] == 1
+    assert got["text_nonempty"]["n_violations"] == 1
+    assert got["value_non_negative"]["n_violations"] == 0
+    assert got["ship_after_order"]["n_violations"] == 1  # the 1994-12-25 line
+    assert got["ship_after_order"]["n_rows"] == 4
+    assert got["quantity_in_range"]["violation_share"] == 0.25

@@ -2277,3 +2277,169 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        ROUND(quantile_cont(slope, 0.75) / 100.0, 4) AS slope_q3
 FROM slopes
 """
+
+
+# -- degree distribution power-law fit ----------------------------------------
+
+PL_SCALE = 1_000_000  # micro-units for the exact-integer log-sum
+
+
+def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree statistics + continuous-MLE power-law exponent for the
+    co-purchase graph (same support-≥2 edge set as ``triangle_count``):
+    α = 1 + n / Σ ln(d/(dmin−½)) with dmin = 1 (Clauset-Shalizi-Newman
+    '09) — the one-number test of whether the item graph is hub-dominated
+    (α ≲ 2.5) before wedge-heavy kernels like ``link_prediction`` run
+    uncapped.
+
+    Each node's log term is floored to integer micro-units (identical
+    double → both engines floor) so the sum is order-free; mean degree
+    divides exact ints; α's float chain runs once on identical operands.
+    Scale: degrees are one count per node; everything after is a
+    |nodes|-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        _basket_pairs(li)
+        .filter(F.col("n") >= TRIANGLE_MIN_COUNT)
+        .select("part_a", "part_b")
+    )
+    deg = (
+        edges.select(F.col("part_a").alias("node"))
+        .unionByName(edges.select(F.col("part_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("d").alias("sum_d"),
+        F.max("d").alias("max_deg"),
+        F.sum(
+            F.floor(
+                F.lit(float(PL_SCALE))
+                * F.log(F.col("d").cast("double") / 0.5)
+            ).cast("bigint")
+        ).alias("logsum_u"),
+    )
+    alpha = F.lit(1.0) + F.col("n_nodes") / (
+        F.col("logsum_u").cast("double") / PL_SCALE
+    )
+    return agg.select(
+        "n_nodes",
+        F.col("max_deg"),
+        F.round(F.col("sum_d") / F.col("n_nodes"), 6).alias("mean_deg"),
+        F.round(alpha, 4).alias("alpha_mle"),
+    )
+
+
+DEGREE_POWERLAW_FIT_ORACLE = f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM baskets a
+    JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {TRIANGLE_MIN_COUNT}
+),
+deg AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT part_a AS node FROM edges
+        UNION ALL
+        SELECT part_b AS node FROM edges
+    ) GROUP BY 1
+),
+agg AS (
+    SELECT COUNT(*) AS n_nodes, SUM(d) AS sum_d, MAX(d) AS max_deg,
+           SUM(CAST(FLOOR({float(PL_SCALE)!r} * ln(CAST(d AS DOUBLE) / 0.5))
+                    AS BIGINT)) AS logsum_u
+    FROM deg
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(max_deg AS BIGINT) AS max_deg,
+       ROUND(CAST(sum_d AS DOUBLE) / n_nodes, 6) AS mean_deg,
+       ROUND(1.0 + n_nodes / (CAST(logsum_u AS DOUBLE) / {PL_SCALE}), 4)
+           AS alpha_mle
+FROM agg
+"""
+
+
+# -- conversion latency --------------------------------------------------------
+
+
+def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion latency distribution: for every purchase,
+    the time since that user's LATEST preceding click (the as-of lookup
+    ``purchase_click_attribution`` counts, here measured), reduced to
+    attribution coverage + exact latency percentiles — the funnel-health
+    number a growth dashboard tracks.
+
+    Latencies are exact microsecond int64 diffs (ts_us), so the
+    percentile interpolation runs over identical integers in both
+    engines; only the final seconds-conversion divides. The per-user
+    pair join is bounded by per-user activity (and at 100 TB by the same
+    coarse time-bucket prefilter the attribution docstring prescribes);
+    the argmax collapses pairs back to |purchases| rows in one grouped
+    max before the global percentile reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        ts_us("ts").alias("p_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), ts_us("ts").alias("c_us")
+    )
+    last_click = (
+        purchases.join(
+            clicks,
+            (purchases.user_id == F.col("cu"))
+            & (F.col("c_us") < F.col("p_us")),
+            "left",
+        )
+        .groupBy("purchase_id", "p_us")
+        .agg(F.max("c_us").alias("lc_us"))
+    )
+    return last_click.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.when(F.col("lc_us").isNotNull(), 1).otherwise(0)).alias(
+            "n_attributed"
+        ),
+        F.round(
+            F.expr("percentile(p_us - lc_us, 0.5) / 1000000.0"), 4
+        ).alias("p50_latency_s"),
+        F.round(
+            F.expr("percentile(p_us - lc_us, 0.9) / 1000000.0"), 4
+        ).alias("p90_latency_s"),
+        F.round(
+            F.expr("percentile(p_us - lc_us, 0.99) / 1000000.0"), 4
+        ).alias("p99_latency_s"),
+    )
+
+
+CONVERSION_LATENCY_STATS_ORACLE = """
+WITH purchases AS (
+    SELECT user_id, event_id AS purchase_id,
+           CAST(epoch_us(ts) AS BIGINT) AS p_us
+    FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id AS cu, CAST(epoch_us(ts) AS BIGINT) AS c_us
+    FROM events WHERE event_type = 'click'
+),
+last_click AS (
+    SELECT p.purchase_id, p.p_us, MAX(c.c_us) AS lc_us
+    FROM purchases p
+    LEFT JOIN clicks c ON c.cu = p.user_id AND c.c_us < p.p_us
+    GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN lc_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_attributed,
+       ROUND(quantile_cont(p_us - lc_us, 0.5) / 1000000.0, 4)
+           AS p50_latency_s,
+       ROUND(quantile_cont(p_us - lc_us, 0.9) / 1000000.0, 4)
+           AS p90_latency_s,
+       ROUND(quantile_cont(p_us - lc_us, 0.99) / 1000000.0, 4)
+           AS p99_latency_s
+FROM last_click
+"""

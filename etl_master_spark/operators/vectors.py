@@ -3829,3 +3829,86 @@ LEFT JOIN trunc_k t
 GROUP BY f.query_id
 ORDER BY f.query_id
 """
+
+
+# -- per-dimension clipping audit ---------------------------------------------
+
+
+def embedding_dim_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension winsorization audit for the embedding table: each of
+    the 64 dimensions' p1/p99 clip bounds and how many values a clip
+    would touch — the feature-hygiene pass run before quantization or
+    whitening (a single blown-out dimension dominates L2 distances and
+    SQ8 ranges; ``sq8_quantize_audit`` consumes exactly these bounds).
+
+    One posexplode (64× row fan-out, the unavoidable shape for per-dim
+    stats), then a 64-group percentile aggregate and a conditional
+    recount against the broadcast bounds. Values widen float→double
+    (exact) so both engines interpolate identical doubles. At 100 TB
+    this is two linear passes; swap exact percentiles for
+    ``approx_percentile`` per value_percentiles' documented trade."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        )
+    )
+    bounds = vals.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(v, 0.01)").alias("p1"),
+        F.expr("percentile(v, 0.99)").alias("p99"),
+    )
+    return (
+        vals.join(F.broadcast(bounds), "dim")
+        .groupBy("dim", "n")
+        .agg(
+            F.round(F.max("p1"), 6).alias("p1"),
+            F.round(F.max("p99"), 6).alias("p99"),
+            F.sum(F.when(F.col("v") < F.col("p1"), 1).otherwise(0)).alias(
+                "n_below"
+            ),
+            F.sum(F.when(F.col("v") > F.col("p99"), 1).otherwise(0)).alias(
+                "n_above"
+            ),
+        )
+        .select(
+            "dim",
+            "n",
+            "p1",
+            "p99",
+            "n_below",
+            "n_above",
+            F.round(
+                (F.col("n_below") + F.col("n_above")) / F.col("n"), 6
+            ).alias("clipped_share"),
+        )
+        .orderBy("dim")
+    )
+
+
+EMBEDDING_DIM_CLIP_STATS_ORACLE = """
+WITH vals AS (
+    SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+           unnest(CAST(embedding AS DOUBLE[])) AS v
+    FROM embeddings
+),
+bounds AS (
+    SELECT dim, COUNT(*) AS n,
+           quantile_cont(v, 0.01) AS p1,
+           quantile_cont(v, 0.99) AS p99
+    FROM vals GROUP BY 1
+)
+SELECT v.dim AS dim, b.n AS n,
+       ROUND(MAX(b.p1), 6) AS p1,
+       ROUND(MAX(b.p99), 6) AS p99,
+       CAST(SUM(CASE WHEN v.v < b.p1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_below,
+       CAST(SUM(CASE WHEN v.v > b.p99 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_above,
+       ROUND(CAST(SUM(CASE WHEN v.v < b.p1 THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN v.v > b.p99 THEN 1 ELSE 0 END) AS DOUBLE)
+             / b.n, 6) AS clipped_share
+FROM vals v JOIN bounds b ON b.dim = v.dim
+GROUP BY 1, 2
+ORDER BY v.dim
+"""

@@ -635,6 +635,24 @@ register(
     analytics.copurchase_communities,
     analytics.copurchase_communities_oracle(),
 )
+# per-dimension winsorization bounds for the embedding table
+register(
+    "embedding_dim_clip_stats",
+    vectors.embedding_dim_clip_stats,
+    vectors.EMBEDDING_DIM_CLIP_STATS_ORACLE,
+)
+# CSN power-law exponent over the co-purchase degree distribution
+register(
+    "degree_powerlaw_fit",
+    analytics.degree_powerlaw_fit,
+    analytics.DEGREE_POWERLAW_FIT_ORACLE,
+)
+# as-of conversion latency percentiles (funnel health)
+register(
+    "conversion_latency_stats",
+    analytics.conversion_latency_stats,
+    analytics.CONVERSION_LATENCY_STATS_ORACLE,
+)
 # classical additive trend/seasonal/residual decomposition
 register(
     "events_seasonal_decompose",

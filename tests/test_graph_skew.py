@@ -85,3 +85,67 @@ def test_join_skew_audit_reports_heavy_key(spark, sf_dir):
         ("orders", "o_custkey"),
         ("events", "user_id"),
     }
+
+
+def test_degree_powerlaw_on_star_graph(spark, tmp_path):
+    """Star 0-{1..5}: hub degree 5, leaves 1. n=6, mean=10/6, and the MLE
+    uses floor(1e6*ln(2d)) micro-units summed exactly."""
+    import math
+
+    from etl_master_spark.operators.analytics import degree_powerlaw_fit
+
+    baskets = []
+    oid = 0
+    for _ in range(TRIANGLE_MIN_COUNT):
+        for leaf in range(1, 6):
+            baskets.append((oid, [0, leaf])); oid += 1
+    _write_lineitem_baskets(spark, str(tmp_path), baskets)
+    r = degree_powerlaw_fit(spark, str(tmp_path)).collect()[0]
+    assert r["n_nodes"] == 6 and r["max_deg"] == 5
+    assert r["mean_deg"] == round(10 / 6, 6)
+    logsum = 5 * math.floor(1e6 * math.log(2.0)) + math.floor(1e6 * math.log(10.0))
+    assert r["alpha_mle"] == round(1.0 + 6 / (logsum / 1e6), 4)
+
+
+def test_conversion_latency_planted(spark, tmp_path):
+    """User 1: click at t, purchase at t+90s -> attributed, latency 90.
+    User 2: purchase with no prior click -> unattributed, excluded from
+    percentiles."""
+    import datetime as dt
+
+    from etl_master_spark.operators.analytics import conversion_latency_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0, 1, "click"),
+        (t0 + dt.timedelta(seconds=90), 1, "purchase"),
+        (t0 + dt.timedelta(seconds=30), 2, "purchase"),
+    ]
+    spark.createDataFrame(
+        [(i, ts, uid, et, 1.0, "{}") for i, (ts, uid, et) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = conversion_latency_stats(spark, str(tmp_path)).collect()[0]
+    assert r["n_purchases"] == 2 and r["n_attributed"] == 1
+    assert r["p50_latency_s"] == 90.0 == r["p99_latency_s"]
+
+
+def test_embedding_clip_stats_planted(spark, tmp_path):
+    """Dim 0 has one huge value among 200 -> exactly the outliers above
+    p99 are counted (quantile over 200 values: 1-2 above p99)."""
+    from etl_master_spark.operators.vectors import embedding_dim_clip_stats
+
+    rows = []
+    for i in range(200):
+        v0 = 1000.0 if i == 0 else float(i % 7)
+        rows.append((i, [v0] + [0.5] * 63, 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = {r["dim"]: r for r in embedding_dim_clip_stats(spark, str(tmp_path)).collect()}
+    assert len(got) == 64
+    assert got[0]["n_above"] >= 1 and got[0]["p99"] < 1000.0
+    # constant dims clip nothing
+    assert got[5]["n_below"] == 0 and got[5]["n_above"] == 0
+    assert got[5]["clipped_share"] == 0.0

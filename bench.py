@@ -162,6 +162,12 @@ BENCH_QUERIES = [
     "pareto_front_parts",
     "jackknife_revenue_ci",
     "tfidf_doc_similarity",
+    "events_seasonal_decompose",
+    "theil_sen_revenue_trend",
+    "dq_violations_audit",
+    "embedding_dim_clip_stats",
+    "degree_powerlaw_fit",
+    "conversion_latency_stats",
 ]
 
 

@@ -869,7 +869,10 @@ _PRIORITY = [
     "events_ewma_trailing", "link_prediction", "join_skew_audit",
     "dim_truncation_recall", "incremental_agg_refresh",
     "robust_value_stats", "pareto_front_parts", "jackknife_revenue_ci",
-    "tfidf_doc_similarity",
+    "tfidf_doc_similarity", "events_seasonal_decompose",
+    "theil_sen_revenue_trend", "dq_violations_audit",
+    "embedding_dim_clip_stats", "degree_powerlaw_fit",
+    "conversion_latency_stats",
     "simhash_hamming_pairs", "bloom_membership_audit",
     "bpe_merge_candidates", "pmi_collocations", "char_entropy_scores",
     "sq8_quantize_audit", "weighted_sample_aes", "ngram_novelty",

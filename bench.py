@@ -168,6 +168,9 @@ BENCH_QUERIES = [
     "embedding_dim_clip_stats",
     "degree_powerlaw_fit",
     "conversion_latency_stats",
+    "source_lang_mix",
+    "cross_source_dup_matrix",
+    "dup_cluster_size_histogram",
 ]
 
 

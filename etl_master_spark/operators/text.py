@@ -4478,3 +4478,191 @@ JOIN norms nb ON nb.doc_id = c.doc_b
 WHERE na.n2 > 0 AND nb.n2 > 0
 ORDER BY c.doc_a, c.doc_b
 """
+
+
+# -- corpus-health: source × language mix -------------------------------------
+
+MIX_H_SCALE = 1_000_000  # micro-units for the exact-integer entropy sum
+
+
+def source_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix audit: document count, distinct languages,
+    the dominant language with its share, and the language entropy — the
+    scraper-health dashboard row that catches a source whose language
+    classifier drifted (entropy spike) or that collapsed to one language
+    (entropy → 0) before it skews a training mixture.
+
+    Entropy terms c·ln(n/c) are floored to integer micro-units per
+    (source, lang) so the per-source sum is order-free; H divides the
+    exact sum once. Dominant language = row_number over (count desc,
+    lang) — identical total order in both engines. Scale: one grouped
+    count at (source × lang) granularity, then source-sized frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = sl.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_langs")
+    )
+    term = F.floor(
+        F.lit(float(MIX_H_SCALE))
+        * F.col("c")
+        * F.log(F.col("n").cast("double") / F.col("c"))
+    ).cast("bigint")
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "lang")
+    ranked = (
+        sl.join(tot, "source")
+        .withColumn("h_u", term)
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    return (
+        ranked.groupBy("source", "n", "n_langs")
+        .agg(
+            F.sum("h_u").alias("h_sum"),
+            F.max(F.when(F.col("rnk") == 1, F.col("lang"))).alias("top_lang"),
+            F.max(F.when(F.col("rnk") == 1, F.col("c"))).alias("top_c"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            "n_langs",
+            "top_lang",
+            F.round(F.col("top_c") / F.col("n"), 6).alias("top_share"),
+            F.round(
+                F.col("h_sum").cast("double") / (F.lit(MIX_H_SCALE) * F.col("n")),
+                6,
+            ).alias("lang_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_LANG_MIX_ORACLE = f"""
+WITH sl AS (
+    SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2
+),
+tot AS (
+    SELECT source, SUM(c) AS n, COUNT(*) AS n_langs FROM sl GROUP BY 1
+),
+ranked AS (
+    SELECT sl.source, sl.lang, sl.c, t.n, t.n_langs,
+           CAST(FLOOR({float(MIX_H_SCALE)!r} * sl.c
+                      * ln(CAST(t.n AS DOUBLE) / sl.c)) AS BIGINT) AS h_u,
+           ROW_NUMBER() OVER (PARTITION BY sl.source
+                              ORDER BY sl.c DESC, sl.lang) AS rnk
+    FROM sl JOIN tot t ON t.source = sl.source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       MAX(CASE WHEN rnk = 1 THEN lang END) AS top_lang,
+       ROUND(CAST(MAX(CASE WHEN rnk = 1 THEN c END) AS DOUBLE) / n, 6)
+           AS top_share,
+       ROUND(CAST(SUM(h_u) AS DOUBLE) / ({MIX_H_SCALE} * n), 6)
+           AS lang_entropy
+FROM ranked
+GROUP BY source, n, n_langs
+ORDER BY source
+"""
+
+
+# -- corpus-health: cross-source duplication matrix ---------------------------
+
+
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which source duplicates which: the verified near-dup pairs (same
+    prefix-blocked 3-gram-Jaccard pipeline as ``dedup_ngram_jaccard``)
+    aggregated into a source×source matrix — the provenance census that
+    tells a curation team whether cross-scrape duplication (mirror sites)
+    or within-source duplication (re-crawls) dominates, i.e. WHERE the
+    dedup budget should go.
+
+    The pair census joins the dimension-sized (doc → source) map twice
+    onto the verified pairs and canonicalizes the source pair by
+    least/greatest. Scale: inherits the candidate-bounded dedup pipeline;
+    the matrix itself is |sources|² at most."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .withColumn("is_cross_source", F.col("source_a") != F.col("source_b"))
+        .orderBy(F.col("n_dup_pairs").desc(), "source_a", "source_b")
+    )
+
+
+def cross_source_dup_matrix_oracle() -> str:
+    return f"""
+WITH pairs AS (
+    SELECT doc_a, doc_b FROM ({dedup_ngram_jaccard_oracle()})
+)
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+       LEAST(da.source, db.source) <> GREATEST(da.source, db.source)
+           AS is_cross_source
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+ORDER BY n_dup_pairs DESC, source_a, source_b
+"""
+
+
+# -- corpus-health: duplicate-cluster size histogram --------------------------
+
+
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of the near-dup components: for each cluster size
+    how many clusters and documents it accounts for, plus the share of
+    the corpus a keep-one-per-cluster pass would delete from that size
+    class — the one-table summary that distinguishes "few mega-clusters"
+    (boilerplate template, fix the scraper) from "many pairs" (organic
+    near-dups, dedup normally).
+
+    Builds directly on ``dedup_clusters``' component labels: one count
+    per cluster, one count per size — both map-side-combined; shares
+    divide exact integers against the corpus total. Scale: label frame
+    is (id, label) only; everything after is histogram-sized."""
+    labels = dedup_clusters(spark, sf_dir)
+    n_docs = labels.agg(F.count(F.lit(1)).alias("n_total"))
+    sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "size",
+            "n_clusters",
+            (F.col("size") * F.col("n_clusters")).alias("n_docs"),
+            F.round(
+                (F.col("size") * F.col("n_clusters")) / F.col("n_total"), 6
+            ).alias("doc_share"),
+            ((F.col("size") - 1) * F.col("n_clusters")).alias("n_deletable"),
+        )
+        .orderBy("size")
+    )
+
+
+def dup_cluster_size_histogram_oracle() -> str:
+    return f"""
+WITH labels AS ({dedup_clusters_oracle()}),
+tot AS (SELECT COUNT(*) AS n_total FROM labels),
+sizes AS (SELECT cluster, COUNT(*) AS size FROM labels GROUP BY 1)
+SELECT size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(size * COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(size * COUNT(*) AS DOUBLE) / MAX(t.n_total), 6)
+           AS doc_share,
+       CAST((size - 1) * COUNT(*) AS BIGINT) AS n_deletable
+FROM sizes CROSS JOIN tot t
+GROUP BY size
+ORDER BY size
+"""

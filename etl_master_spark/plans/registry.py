@@ -635,6 +635,18 @@ register(
     analytics.copurchase_communities,
     analytics.copurchase_communities_oracle(),
 )
+# corpus-health trio: source mix, provenance dup matrix, cluster sizes
+register("source_lang_mix", text.source_lang_mix, text.SOURCE_LANG_MIX_ORACLE)
+register(
+    "cross_source_dup_matrix",
+    text.cross_source_dup_matrix,
+    text.cross_source_dup_matrix_oracle(),
+)
+register(
+    "dup_cluster_size_histogram",
+    text.dup_cluster_size_histogram,
+    text.dup_cluster_size_histogram_oracle(),
+)
 # per-dimension winsorization bounds for the embedding table
 register(
     "embedding_dim_clip_stats",
@@ -872,7 +884,8 @@ _PRIORITY = [
     "tfidf_doc_similarity", "events_seasonal_decompose",
     "theil_sen_revenue_trend", "dq_violations_audit",
     "embedding_dim_clip_stats", "degree_powerlaw_fit",
-    "conversion_latency_stats",
+    "conversion_latency_stats", "source_lang_mix",
+    "cross_source_dup_matrix", "dup_cluster_size_histogram",
     "simhash_hamming_pairs", "bloom_membership_audit",
     "bpe_merge_candidates", "pmi_collocations", "char_entropy_scores",
     "sq8_quantize_audit", "weighted_sample_aes", "ngram_novelty",

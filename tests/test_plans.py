@@ -57,6 +57,7 @@ BNLJ_OK = {
     "jackknife_revenue_ci",  # 1-row totals cross-joined onto 32 block rows
     "tfidf_doc_similarity",  # 1-row corpus doc-count cross-joined into idf
     "theil_sen_revenue_trend",  # pairwise slopes over the |days|-sized frame
+    "dup_cluster_size_histogram",  # 1-row corpus total cross-joined
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

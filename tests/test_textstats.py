@@ -202,3 +202,70 @@ def test_dim_truncation_recall_extremes(spark, tmp_path):
     got = dim_truncation_recall(spark, str(tmp_path)).collect()
     assert len(got) == N_QUERY_VECS
     assert all(r["recall"] == 1.0 and r["n_overlap"] == TOPK for r in got)
+
+
+# -- corpus-health trio -------------------------------------------------------
+
+def _write_docs_src(spark, path, docs):
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, (t, lang, src) in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_source_lang_mix_planted(spark, tmp_path):
+    """srcA: 3 en + 1 de -> top en 0.75, entropy = micro-floored
+    (3·ln(4/3) + 1·ln4)/4. srcB: all fr -> entropy 0."""
+    import math
+
+    from etl_master_spark.operators.text import source_lang_mix
+
+    docs = [("x", "en", "srcA")] * 3 + [("x", "de", "srcA")] + [
+        ("x", "fr", "srcB")
+    ] * 2
+    _write_docs_src(spark, str(tmp_path), docs)
+    got = {r["source"]: r for r in source_lang_mix(spark, str(tmp_path)).collect()}
+    a = got["srcA"]
+    assert (a["n_docs"], a["n_langs"], a["top_lang"], a["top_share"]) == (
+        4, 2, "en", 0.75,
+    )
+    h_u = math.floor(1e6 * 3 * math.log(4 / 3)) + math.floor(1e6 * math.log(4))
+    assert a["lang_entropy"] == round(h_u / (1e6 * 4), 6)
+    b = got["srcB"]
+    assert b["lang_entropy"] == 0.0 and b["top_share"] == 1.0
+
+
+def test_cross_source_dup_matrix_planted(spark, tmp_path):
+    """Two identical docs in different sources -> one cross-source pair;
+    two identical docs in the same source -> one within-source pair."""
+    from etl_master_spark.operators.text import cross_source_dup_matrix
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "one two three four five six seven eight nine ten eleven"
+    docs = [
+        (t1, "en", "srcA"), (t1, "en", "srcB"),
+        (t2, "en", "srcC"), (t2, "en", "srcC"),
+    ]
+    _write_docs_src(spark, str(tmp_path), docs)
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in cross_source_dup_matrix(spark, str(tmp_path)).collect()
+    }
+    assert got[("srcA", "srcB")]["n_dup_pairs"] == 1
+    assert got[("srcA", "srcB")]["is_cross_source"] is True
+    assert got[("srcC", "srcC")]["n_dup_pairs"] == 1
+    assert got[("srcC", "srcC")]["is_cross_source"] is False
+
+
+def test_dup_cluster_histogram_accounts_every_doc(spark, sf_dir):
+    """Σ n_docs over sizes == corpus size; deletable = docs - clusters."""
+    from etl_master_spark.operators.text import dup_cluster_size_histogram
+    from etl_master_spark.sources.io import load_table
+
+    rows = dup_cluster_size_histogram(spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    for r in rows:
+        assert r["n_deletable"] == r["n_docs"] - r["n_clusters"]
+        assert abs(r["doc_share"] - round(r["n_docs"] / n_total, 6)) < 1e-12
+    assert rows[0]["size"] == 1  # singletons exist in real data

@@ -4160,6 +4160,10 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
     ).filter(F.col("term") != "")
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    # cand feeds THREE consumers (phrases, wstats, scored) — without the
+    # checkpoint each union branch re-scans and re-explodes the raw text
+    # (plan showed 4 FileScans); the checkpointed frame is (doc_id, pos,
+    # term, run) only, text never crosses the barrier
     cand = (
         toks.withColumn("is_stop", F.col("term").isin(STOPWORDS))
         .withColumn(
@@ -4168,6 +4172,8 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum(F.when(~F.col("is_stop"), 1).otherwise(0)).over(w_doc),
         )
         .filter(~F.col("is_stop"))
+        .select("doc_id", "pos", "term", "run")
+        .localCheckpoint()
     )
     phrases = cand.groupBy("doc_id", "run").agg(
         F.array_join(
@@ -4387,6 +4393,10 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # the weight frame feeds FOUR consumers (pair probe ×2, norm ×2) —
+    # checkpoint it or every branch replays the explode + both stats
+    # joins (plan showed 12 FileScans / 25 exchanges); at scale this is
+    # exactly the materialized inverted index the docstring promises
     w = (
         tf.join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(n_docs))
@@ -4401,6 +4411,7 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("wu"),
         )
+        .localCheckpoint()
     )
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("wu") * F.col("wu")).alias("n2")

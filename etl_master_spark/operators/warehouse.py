@@ -523,6 +523,9 @@ def jackknife_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bkt")
         .agg(F.count(F.lit(1)).alias("n_b"), F.sum("cents").alias("c_b"))
+        # 32 partial rows feeding three consumers (totals, LOO means,
+        # deviations): checkpoint or each re-scans orders (4 scans -> 1)
+        .localCheckpoint()
     )
     tot = per.agg(F.sum("n_b").alias("n"), F.sum("c_b").alias("t"))
     loo = per.crossJoin(F.broadcast(tot)).select(
@@ -643,6 +646,9 @@ def dq_violations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for rule, pred in rules
             ],
         )
+        # one 1-row aggregate per relation; checkpoint it so the per-rule
+        # union branches don't each re-scan the relation (8 scans -> 5)
+        agg = agg.localCheckpoint()
         for rule, _ in rules:
             legs.append(
                 agg.select(

@@ -171,6 +171,9 @@ BENCH_QUERIES = [
     "source_lang_mix",
     "cross_source_dup_matrix",
     "dup_cluster_size_histogram",
+    "woe_priority_encoding",
+    "deletion_cascade_audit",
+    "event_hour_independence",
 ]
 
 

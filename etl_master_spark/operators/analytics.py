@@ -2465,3 +2465,140 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
            AS p99_latency_s
 FROM last_click
 """
+
+
+# -- chi-square independence audit --------------------------------------------
+
+CHI2_SCALE = 1_000_000  # micro-units: per-cell terms floored, summed exactly
+
+
+def event_hour_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and hour-of-day
+    (plus Cramér's V effect size): is the traffic MIX time-invariant, or
+    do types have distinct diurnal profiles? The one-row statistical gate
+    behind the per-cell ``events_weekly_seasonality`` view — V ≈ 0 means
+    hourly mixture weights can be global; V ≫ 0 means per-hour routing.
+
+    Expected counts are rationals n_r·n_c/N; each of the |types|×24
+    cells' (O−E)²/E terms is evaluated in one identical float chain on
+    exact integer marginals, floored to micro-units, and summed exactly
+    (order-free). One grouped count over the raw stream; marginals and
+    the statistic live on contingency-table-sized frames. hour() on
+    TIMESTAMP_NTZ is timezone-free in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    # the FULL r×c grid: unobserved cells carry O=0 but E>0 and belong in
+    # the statistic (omitting them silently halves chi2 on sparse tables)
+    cells = (
+        obs.select("event_type")
+        .distinct()
+        .crossJoin(obs.select("hod").distinct())
+        .join(obs, ["event_type", "hod"], "left")
+        .select(
+            "event_type", "hod", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+        )
+    )
+    rows_m = cells.groupBy(F.col("event_type").alias("et")).agg(
+        F.sum("o").alias("n_r")
+    )
+    cols_m = cells.groupBy(F.col("hod").alias("h")).agg(
+        F.sum("o").alias("n_c")
+    )
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("hod").alias("c"),
+    )
+    # (O - E)²/E with E = n_r·n_c/n, as ((O·n - n_r·n_c)²) / (E·n²):
+    # one float chain on exact int64 products (n_r·n_c ≤ n² ≈ 1e8 here;
+    # O·n ≤ n² — far inside int64 at any per-cell-feasible scale)
+    d = (F.col("o") * F.col("n") - F.col("n_r") * F.col("n_c")).cast("double")
+    term = (
+        d * d  # explicit square: POWER() is not ULP-identical across libms
+        / (
+            (F.col("n_r") * F.col("n_c")).cast("double")
+            * F.col("n").cast("double")
+        )
+    )
+    scored = (
+        cells.join(F.broadcast(rows_m), cells.event_type == rows_m.et)
+        .join(F.broadcast(cols_m), cells.hod == cols_m.h)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "r",
+            "c",
+            F.floor(F.lit(float(CHI2_SCALE)) * term).cast("bigint").alias(
+                "t_u"
+            ),
+        )
+    )
+    chi2 = F.col("chi2_u").cast("double") / CHI2_SCALE
+    return (
+        scored.groupBy("n", "r", "c")
+        .agg(F.sum("t_u").alias("chi2_u"), F.count(F.lit(1)).alias("n_cells"))
+        .select(
+            F.col("n").alias("n_events"),
+            "n_cells",
+            ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+            F.round(chi2, 4).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    chi2
+                    / (
+                        F.col("n").cast("double")
+                        * (F.least("r", "c") - F.lit(1))
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+EVENT_HOUR_INDEPENDENCE_ORACLE = f"""
+WITH obs AS (
+    SELECT event_type, hour(ts) AS hod, COUNT(*) AS o
+    FROM events GROUP BY 1, 2
+),
+cells AS (
+    SELECT g.event_type, g.hod, COALESCE(obs.o, 0) AS o
+    FROM (SELECT et.event_type, h.hod
+          FROM (SELECT DISTINCT event_type FROM obs) et
+          CROSS JOIN (SELECT DISTINCT hod FROM obs) h) g
+    LEFT JOIN obs ON obs.event_type = g.event_type AND obs.hod = g.hod
+),
+rows_m AS (SELECT event_type AS et, SUM(o) AS n_r FROM cells GROUP BY 1),
+cols_m AS (SELECT hod AS h, SUM(o) AS n_c FROM cells GROUP BY 1),
+tot AS (
+    SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS r,
+           COUNT(DISTINCT hod) AS c
+    FROM cells
+),
+scored AS (
+    SELECT t.n, t.r, t.c,
+           CAST(FLOOR({float(CHI2_SCALE)!r}
+                      * (CAST(ce.o * t.n - rm.n_r * cm.n_c AS DOUBLE)
+                         * CAST(ce.o * t.n - rm.n_r * cm.n_c AS DOUBLE)
+                         / (CAST(rm.n_r * cm.n_c AS DOUBLE)
+                            * CAST(t.n AS DOUBLE)))) AS BIGINT) AS t_u
+    FROM cells ce
+    JOIN rows_m rm ON rm.et = ce.event_type
+    JOIN cols_m cm ON cm.h = ce.hod
+    CROSS JOIN tot t
+),
+agg AS (
+    SELECT n, r, c, SUM(t_u) AS chi2_u, COUNT(*) AS n_cells
+    FROM scored GROUP BY 1, 2, 3
+)
+SELECT CAST(n AS BIGINT) AS n_events,
+       CAST(n_cells AS BIGINT) AS n_cells,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       ROUND(CAST(chi2_u AS DOUBLE) / {CHI2_SCALE}, 4) AS chi2,
+       ROUND(sqrt((CAST(chi2_u AS DOUBLE) / {CHI2_SCALE})
+                  / (CAST(n AS DOUBLE) * (LEAST(r, c) - 1))), 6)
+           AS cramers_v
+FROM agg
+"""

@@ -710,3 +710,187 @@ SELECT 'ship_after_order' AS rule, 'lineitem⋈orders' AS rel,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ORDER BY rule
 """
+
+
+# -- weight-of-evidence encoding ----------------------------------------------
+
+WOE_LATE_DAYS = 60  # label: any line shipped > 60 days after order placement
+WOE_SMOOTH = 0.5  # Haldane-Anscombe half-count keeps ln() finite on empty cells
+WOE_SCALE = 1_000_000
+
+
+def woe_priority_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence target encoding of order priority against the
+    "shipped late" label (any line > 60 days after placement): per
+    category WOE = ln(pos_share/neg_share) plus its information-value
+    term — the leakage-resistant categorical encoding (and feature-power
+    screen: IV < 0.02 ≈ useless, > 0.3 ≈ strong) a tabular-ML pipeline
+    derives from exactly this query shape.
+
+    The label needs one orderkey-grouped EXISTS over the lineitem join;
+    category stats are then a |categories|-row aggregate. Engine-parity:
+    counts are exact ints, shares use the ½-count smoothing so ln stays
+    finite, and WOE/IV evaluate one identical float chain per category
+    row (no cross-row float sums — IV is reported per category, its
+    total being a trivial downstream sum)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(
+            F.max(
+                F.when(
+                    F.datediff("l_shipdate", "o_orderdate") > WOE_LATE_DAYS, 1
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    lab = orders.join(
+        late, orders.o_orderkey == late.ok, "left"
+    ).select(
+        "o_orderpriority",
+        F.coalesce(F.col("is_late"), F.lit(0)).alias("is_late"),
+    )
+    cat = lab.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_late").alias("n_pos"),
+    )
+    tot = cat.agg(
+        F.sum("n_pos").alias("t_pos"),
+        F.sum(F.col("n") - F.col("n_pos")).alias("t_neg"),
+    )
+    ps = (F.col("n_pos") + WOE_SMOOTH) / (F.col("t_pos") + 2 * WOE_SMOOTH)
+    ns = (F.col("n") - F.col("n_pos") + WOE_SMOOTH) / (
+        F.col("t_neg") + 2 * WOE_SMOOTH
+    )
+    woe = F.log(ps / ns)
+    return (
+        cat.crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            "n",
+            "n_pos",
+            (F.col("n") - F.col("n_pos")).alias("n_neg"),
+            F.round(woe, 6).alias("woe"),
+            F.round((ps - ns) * woe, 6).alias("iv_term"),
+        )
+        .orderBy("category")
+    )
+
+
+WOE_PRIORITY_ENCODING_ORACLE = f"""
+WITH late AS (
+    SELECT l.l_orderkey AS ok,
+           MAX(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate)
+                         > {WOE_LATE_DAYS} THEN 1 ELSE 0 END) AS is_late
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+),
+lab AS (
+    SELECT o.o_orderpriority, COALESCE(late.is_late, 0) AS is_late
+    FROM orders o LEFT JOIN late ON late.ok = o.o_orderkey
+),
+cat AS (
+    SELECT o_orderpriority AS category, COUNT(*) AS n,
+           SUM(is_late) AS n_pos
+    FROM lab GROUP BY 1
+),
+tot AS (SELECT SUM(n_pos) AS t_pos, SUM(n - n_pos) AS t_neg FROM cat)
+SELECT category,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n - n_pos AS BIGINT) AS n_neg,
+       ROUND(ln(((n_pos + {WOE_SMOOTH}) / (t_pos + 2 * {WOE_SMOOTH}))
+                / ((n - n_pos + {WOE_SMOOTH}) / (t_neg + 2 * {WOE_SMOOTH}))),
+             6) AS woe,
+       ROUND(((n_pos + {WOE_SMOOTH}) / (t_pos + 2 * {WOE_SMOOTH})
+              - (n - n_pos + {WOE_SMOOTH}) / (t_neg + 2 * {WOE_SMOOTH}))
+             * ln(((n_pos + {WOE_SMOOTH}) / (t_pos + 2 * {WOE_SMOOTH}))
+                  / ((n - n_pos + {WOE_SMOOTH})
+                     / (t_neg + 2 * {WOE_SMOOTH}))), 6) AS iv_term
+FROM cat CROSS JOIN tot
+ORDER BY category
+"""
+
+
+# -- deletion-cascade audit ----------------------------------------------------
+
+CASCADE_SAMPLE_MOD = 100  # audit the ~1% of customers selected by hash
+
+
+def deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten planning audit: for a deterministic ~1%
+    hash-sample of customers, the full cascade footprint a deletion
+    request would touch — their orders, the lineitems under those orders,
+    and their click-stream events — the impact estimate a GDPR erasure
+    job (or a tombstone-compaction planner) computes BEFORE mutating a
+    100 TB lake.
+
+    One semi-join chain along the FK paths (customer → orders →
+    lineitem; customer → events by user id), each leg a count aggregate;
+    the sampled key set rides broadcast. Exact integers end to end."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    sample = cust.filter(
+        F.expr(phash_frag("c_custkey")) % CASCADE_SAMPLE_MOD == 0
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    s_orders = orders.join(
+        F.broadcast(sample), orders.o_custkey == sample.c_custkey
+    )
+    n_cust = sample.agg(F.count(F.lit(1)).alias("n_customers"))
+    n_ord = s_orders.agg(F.count(F.lit(1)).alias("n_orders"))
+    n_li = li.join(
+        s_orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey")
+    ).agg(F.count(F.lit(1)).alias("n_lineitems"))
+    n_ev = ev.join(
+        F.broadcast(sample), ev.user_id == sample.c_custkey
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        n_cust.crossJoin(n_ord)
+        .crossJoin(n_li)
+        .crossJoin(n_ev)
+        .select(
+            "n_customers",
+            "n_orders",
+            "n_lineitems",
+            "n_events",
+            (
+                F.col("n_customers")
+                + F.col("n_orders")
+                + F.col("n_lineitems")
+                + F.col("n_events")
+            ).alias("n_rows_total"),
+        )
+    )
+
+
+DELETION_CASCADE_AUDIT_ORACLE = f"""
+WITH sample AS (
+    SELECT c_custkey FROM customer
+    WHERE ({phash_frag('c_custkey')}) % {CASCADE_SAMPLE_MOD} = 0
+),
+s_orders AS (
+    SELECT o.o_orderkey FROM orders o
+    JOIN sample s ON s.c_custkey = o.o_custkey
+)
+SELECT CAST((SELECT COUNT(*) FROM sample) AS BIGINT) AS n_customers,
+       CAST((SELECT COUNT(*) FROM s_orders) AS BIGINT) AS n_orders,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             JOIN s_orders so ON so.o_orderkey = l.l_orderkey) AS BIGINT)
+           AS n_lineitems,
+       CAST((SELECT COUNT(*) FROM events e
+             JOIN sample s ON s.c_custkey = e.user_id) AS BIGINT) AS n_events,
+       CAST((SELECT COUNT(*) FROM sample)
+            + (SELECT COUNT(*) FROM s_orders)
+            + (SELECT COUNT(*) FROM lineitem l
+               JOIN s_orders so ON so.o_orderkey = l.l_orderkey)
+            + (SELECT COUNT(*) FROM events e
+               JOIN sample s ON s.c_custkey = e.user_id) AS BIGINT)
+           AS n_rows_total
+"""

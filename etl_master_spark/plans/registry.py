@@ -635,6 +635,24 @@ register(
     analytics.copurchase_communities,
     analytics.copurchase_communities_oracle(),
 )
+# WOE/IV target encoding against the shipped-late label
+register(
+    "woe_priority_encoding",
+    warehouse.woe_priority_encoding,
+    warehouse.WOE_PRIORITY_ENCODING_ORACLE,
+)
+# GDPR erasure cascade-footprint planning audit
+register(
+    "deletion_cascade_audit",
+    warehouse.deletion_cascade_audit,
+    warehouse.DELETION_CASCADE_AUDIT_ORACLE,
+)
+# chi-square type×hour independence + Cramér's V
+register(
+    "event_hour_independence",
+    analytics.event_hour_independence,
+    analytics.EVENT_HOUR_INDEPENDENCE_ORACLE,
+)
 # corpus-health trio: source mix, provenance dup matrix, cluster sizes
 register("source_lang_mix", text.source_lang_mix, text.SOURCE_LANG_MIX_ORACLE)
 register(
@@ -886,6 +904,8 @@ _PRIORITY = [
     "embedding_dim_clip_stats", "degree_powerlaw_fit",
     "conversion_latency_stats", "source_lang_mix",
     "cross_source_dup_matrix", "dup_cluster_size_histogram",
+    "woe_priority_encoding", "deletion_cascade_audit",
+    "event_hour_independence",
     "simhash_hamming_pairs", "bloom_membership_audit",
     "bpe_merge_candidates", "pmi_collocations", "char_entropy_scores",
     "sq8_quantize_audit", "weighted_sample_aes", "ngram_novelty",

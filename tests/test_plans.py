@@ -58,6 +58,9 @@ BNLJ_OK = {
     "tfidf_doc_similarity",  # 1-row corpus doc-count cross-joined into idf
     "theil_sen_revenue_trend",  # pairwise slopes over the |days|-sized frame
     "dup_cluster_size_histogram",  # 1-row corpus total cross-joined
+    "woe_priority_encoding",  # 1-row class totals cross-joined
+    "event_hour_independence",  # r×c grid build + 1-row totals cross-joined
+    "deletion_cascade_audit",  # four 1-row footprint legs cross-joined
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

@@ -81,3 +81,113 @@ def test_robust_stats_constant_column_is_quiet(spark, tmp_path):
     assert r["mad"] == 0.0
     assert r["n_robust_outliers"] == 0
     assert r["n_below_p1"] == 0 and r["n_above_p99"] == 0
+
+
+def test_woe_encoding_planted(spark, tmp_path):
+    """Priority A: 2 late of 3; priority B: 0 late of 2. Hand-compute the
+    smoothed WOE for A: ln((2.5/3)/(1.5/3)) and check the late label
+    derives from the 60-day rule."""
+    import math
+
+    orders = [
+        (1, 1, "A", 10.0, dt.date(1995, 1, 1)),
+        (2, 1, "A", 10.0, dt.date(1995, 1, 1)),
+        (3, 1, "A", 10.0, dt.date(1995, 1, 1)),
+        (4, 1, "B", 10.0, dt.date(1995, 1, 1)),
+        (5, 1, "B", 10.0, dt.date(1995, 1, 1)),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_totalprice double, o_orderdate date",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    li = [
+        (1, dt.date(1995, 3, 15)),  # 73 days -> late
+        (2, dt.date(1995, 4, 1)),   # late
+        (3, dt.date(1995, 1, 20)),  # on time
+        (4, dt.date(1995, 1, 10)),
+        (5, dt.date(1995, 2, 1)),
+    ]
+    spark.createDataFrame(
+        [(ok, ok, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", sd) for ok, sd in li],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate date",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    from etl_master_spark.operators.warehouse import woe_priority_encoding
+
+    got = {r["category"]: r for r in woe_priority_encoding(spark, str(tmp_path)).collect()}
+    a, b = got["A"], got["B"]
+    assert (a["n"], a["n_pos"], a["n_neg"]) == (3, 2, 1)
+    assert (b["n"], b["n_pos"], b["n_neg"]) == (2, 0, 2)
+    ps, ns = 2.5 / 3.0, 1.5 / 4.0
+    assert a["woe"] == round(math.log(ps / ns), 6)
+    assert a["iv_term"] == round((ps - ns) * math.log(ps / ns), 6)
+    assert b["woe"] < 0  # never-late category scores negative
+
+
+def test_deletion_cascade_consistency(spark, sf_dir):
+    """Footprint legs recomputed independently in Spark must agree, and
+    the sampled key set is the portable-hash 1%."""
+    from etl_master_spark.functions.hashing import phash_py
+    from etl_master_spark.operators.warehouse import (
+        CASCADE_SAMPLE_MOD,
+        deletion_cascade_audit,
+    )
+
+    r = deletion_cascade_audit(spark, sf_dir).collect()[0]
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey").collect()
+    keys = {c["c_custkey"] for c in cust if phash_py(c["c_custkey"]) % CASCADE_SAMPLE_MOD == 0}
+    assert r["n_customers"] == len(keys)
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey").collect()
+    oks = {o["o_orderkey"] for o in orders if o["o_custkey"] in keys}
+    assert r["n_orders"] == len(oks)
+    assert r["n_rows_total"] == (
+        r["n_customers"] + r["n_orders"] + r["n_lineitems"] + r["n_events"]
+    )
+
+
+def test_event_hour_independence_uniform_is_zero(spark, tmp_path):
+    """A perfectly balanced type×hour table has chi2 exactly 0 and V 0."""
+    from etl_master_spark.operators.analytics import event_hour_independence
+
+    rows = []
+    i = 0
+    for h in range(4):
+        for et in ("a", "b"):
+            for _ in range(5):
+                rows.append(
+                    (i, dt.datetime(2024, 1, 1, h, 0, i % 60), 1, et, 1.0, "{}")
+                )
+                i += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = event_hour_independence(spark, str(tmp_path)).collect()[0]
+    assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+    assert r["dof"] == 3 and r["n_cells"] == 8
+
+
+def test_event_hour_independence_perfect_association(spark, tmp_path):
+    """Type a only at hour 0, type b only at hour 1 -> Cramér's V = 1."""
+    from etl_master_spark.operators.analytics import event_hour_independence
+
+    rows = []
+    i = 0
+    for et, h in (("a", 0), ("b", 1)):
+        for _ in range(10):
+            rows.append(
+                (i, dt.datetime(2024, 1, 1, h, 0, i % 60), 1, et, 1.0, "{}")
+            )
+            i += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = event_hour_independence(spark, str(tmp_path)).collect()[0]
+    assert abs(r["cramers_v"] - 1.0) < 1e-5
+    assert r["chi2"] == round(20.0, 4)  # chi2 == n for a 2x2 perfect split

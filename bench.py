@@ -174,6 +174,9 @@ BENCH_QUERIES = [
     "woe_priority_encoding",
     "deletion_cascade_audit",
     "event_hour_independence",
+    "shipping_survival_curve",
+    "ab_conversion_ztest",
+    "value_quantile_ranks",
 ]
 
 

@@ -954,3 +954,47 @@ FROM sky
 WHERE (m_cheaper IS NULL OR p_size > m_cheaper) AND p_size = m_same
 ORDER BY price, p_size DESC, p_partkey
 """
+
+
+# -- within-group quantile-rank normalization ---------------------------------
+
+
+def value_quantile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type quantile-rank normalization of the event value column:
+    percent_rank within event_type plus the derived decile bucket — the
+    rank-based feature transform (quantile normalization) that makes a
+    heavy-tailed metric comparable across types without fitting any
+    distribution.
+
+    percent_rank is (rank−1)/(n−1) with ties sharing a rank in BOTH
+    engines, so the output is deterministic without a tie-break column;
+    the decile clamps the pct=1.0 edge into bucket 9. One shuffle on
+    event_type; per-partition sort — at 100 TB this is the classic
+    high-cardinality-partition window, so the type key would be salted
+    and ranks merged by offset (documented; types here are 5)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    pct = F.percent_rank().over(w)
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value"), 6).alias("value"),
+            F.round(pct, 6).alias("pct_rank"),
+            F.least(F.floor(pct * 10).cast("int"), F.lit(9)).alias("decile"),
+        )
+        .orderBy("event_id")
+    )
+
+
+VALUE_QUANTILE_RANKS_ORACLE = """
+SELECT event_id, event_type,
+       ROUND(value, 6) AS value,
+       ROUND(percent_rank() OVER (PARTITION BY event_type ORDER BY value),
+             6) AS pct_rank,
+       CAST(LEAST(FLOOR(percent_rank()
+                        OVER (PARTITION BY event_type ORDER BY value) * 10),
+                  9) AS INTEGER) AS decile
+FROM events
+ORDER BY event_id
+"""

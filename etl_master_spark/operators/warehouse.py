@@ -894,3 +894,277 @@ SELECT CAST((SELECT COUNT(*) FROM sample) AS BIGINT) AS n_customers,
                JOIN sample s ON s.c_custkey = e.user_id) AS BIGINT)
            AS n_rows_total
 """
+
+
+# -- Kaplan-Meier shipping survival -------------------------------------------
+
+KM_SCALE = 1_000_000  # micro-units for the log-space survival product
+
+
+def shipping_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier estimate of the order-to-first-shipment delay with
+    right-censoring: open orders (status 'O') are censored at their
+    last observed delay, so the curve answers "what fraction of orders
+    remains unshipped after t days" WITHOUT the bias of dropping
+    in-flight orders — the survival-analysis shape behind SLA dashboards
+    and churn curves alike.
+
+    The cumulative KM product Π(1 − dᵢ/nᵢ) is evaluated in log space:
+    each time point's ln((n−d)/n) is floored to integer micro-units, the
+    ordered cumulative sum is exact int64, and exp() runs once per
+    output row — a deterministic spelling of a running PRODUCT, which
+    neither engine's windows support natively. The d = n boundary (the
+    last at-risk group all failing) is an explicit flag → S = 0, not
+    ln(0). Scale: orders reduce to one row each, then to |distinct
+    delay| rows (~hundreds) before any window; the at-risk count is the
+    suffix sum written as total − prefix + current."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.min(F.datediff("l_shipdate", "o_orderdate")).alias("delay"),
+            F.max(
+                F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+            ).alias("censored"),
+        )
+    )
+    times = per_order.groupBy("delay").agg(
+        F.sum(F.when(F.col("censored") == 0, 1).otherwise(0)).alias("d"),
+        F.sum("censored").alias("c"),
+    )
+    w = Window.orderBy("delay").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = times.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")),
+        F.floor(
+            F.lit(float(KM_SCALE))
+            * F.log(
+                (F.col("n_at_risk") - F.col("d")).cast("double")
+                / F.col("n_at_risk")
+            )
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    scored = (
+        times.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_at_risk",
+            F.col("n_total")
+            - F.sum(F.col("d") + F.col("c")).over(w)
+            + F.col("d")
+            + F.col("c"),
+        )
+        .withColumn("term_u", term)
+        .withColumn("cum_u", F.sum("term_u").over(w))
+        .withColumn(
+            "hit_zero",
+            F.max(
+                F.when(F.col("d") == F.col("n_at_risk"), 1).otherwise(0)
+            ).over(w),
+        )
+    )
+    return scored.select(
+        F.col("delay").alias("delay_days"),
+        "n_at_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum_u") / KM_SCALE), 6))
+        .alias("survival"),
+    ).orderBy("delay_days")
+
+
+SHIPPING_SURVIVAL_CURVE_ORACLE = f"""
+WITH per_order AS (
+    SELECT l.l_orderkey,
+           MIN(datediff('day', o.o_orderdate, l.l_shipdate)) AS delay,
+           MAX(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END)
+               AS censored
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+),
+times AS (
+    SELECT delay,
+           SUM(CASE WHEN censored = 0 THEN 1 ELSE 0 END) AS d,
+           SUM(censored) AS c
+    FROM per_order GROUP BY 1
+),
+tot AS (SELECT SUM(d + c) AS n_total FROM times),
+scored AS (
+    SELECT delay, d, c,
+           t.n_total
+           - SUM(d + c) OVER (ORDER BY delay
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+           + d + c AS n_at_risk
+    FROM times CROSS JOIN tot t
+),
+logs AS (
+    SELECT delay, d, c, n_at_risk,
+           CASE WHEN d > 0 AND d < n_at_risk
+                THEN CAST(FLOOR({float(KM_SCALE)!r}
+                          * ln(CAST(n_at_risk - d AS DOUBLE) / n_at_risk))
+                     AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS term_u
+    FROM scored
+),
+cum AS (
+    SELECT delay, d, c, n_at_risk,
+           SUM(term_u) OVER (ORDER BY delay
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_u,
+           MAX(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY delay
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hit_zero
+    FROM logs
+)
+SELECT delay AS delay_days,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_events,
+       CAST(c AS BIGINT) AS n_censored,
+       CASE WHEN hit_zero = 1 THEN 0.0
+            ELSE ROUND(exp(CAST(cum_u AS DOUBLE) / {KM_SCALE}), 6) END
+           AS survival
+FROM cum
+ORDER BY delay_days
+"""
+
+
+# -- two-proportion A/B z-test -------------------------------------------------
+
+AB_Z_CRIT = 1.96
+
+
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between hash-split user cohorts on ATTRIBUTED
+    conversion (a purchase within one hour of that user's click — the
+    same as-of window ``purchase_click_attribution`` counts; raw
+    has-a-purchase saturates at 100% on this stream and degenerates the
+    test): the experiment-readout primitive every A/B platform computes,
+    with the portable hash as the assignment function an experimentation
+    system would use anyway.
+
+    Conversions and cohort sizes are exact distinct counts; p̂s and the
+    pooled z evaluate in one identical float chain on those ints, with
+    an explicit NULL guard when the pooled rate is 0 or 1 (both engines
+    would otherwise divide by zero). Scale: one bounded self-join per
+    user's events (the attribution shape), one distinct-user aggregate,
+    cohort-sized reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("c_ts")
+    )
+    converted = (
+        purchases.join(
+            clicks,
+            (purchases.user_id == F.col("cu"))
+            & (F.col("c_ts") < F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    users = (
+        ev.select("user_id")
+        .distinct()
+        .join(converted, "user_id", "left")
+        .select(
+            (F.expr(phash_frag("user_id")) % 2).alias("cohort"),
+            F.coalesce(F.col("converted"), F.lit(0)).alias("converted"),
+        )
+    )
+    stats = users.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    a = stats.filter(F.col("cohort") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = stats.filter(F.col("cohort") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    conv_t = F.col("conv_a") + F.col("conv_b")
+    n_t = F.col("n_a") + F.col("n_b")
+    p_pool = conv_t.cast("double") / n_t
+    z = F.when(
+        (conv_t > 0) & (conv_t < n_t),
+        (p_a - p_b)
+        / F.sqrt(
+            p_pool
+            * (1 - p_pool)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        ),
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(F.round(z, 4)) > AB_Z_CRIT).alias("significant"),
+    )
+
+
+AB_CONVERSION_ZTEST_ORACLE = f"""
+WITH converted AS (
+    SELECT DISTINCT p.user_id
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts < p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+),
+users AS (
+    SELECT ({phash_frag('u.user_id')}) % 2 AS cohort,
+           CASE WHEN cv.user_id IS NULL THEN 0 ELSE 1 END AS converted
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN converted cv ON cv.user_id = u.user_id
+),
+stats AS (
+    SELECT cohort, COUNT(*) AS n, SUM(converted) AS conv
+    FROM users GROUP BY 1
+),
+ab AS (
+    SELECT
+        (SELECT n FROM stats WHERE cohort = 0) AS n_a,
+        (SELECT n FROM stats WHERE cohort = 1) AS n_b,
+        (SELECT conv FROM stats WHERE cohort = 0) AS conv_a,
+        (SELECT conv FROM stats WHERE cohort = 1) AS conv_b
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(conv_a AS BIGINT) AS conv_a,
+       CAST(conv_b AS BIGINT) AS conv_b,
+       ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS p_a,
+       ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS p_b,
+       ROUND(CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+             THEN (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                  / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                         * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                         * (1.0 / n_a + 1.0 / n_b))
+             END, 4) AS z_stat,
+       ABS(ROUND(CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+             THEN (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                  / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                         * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                         * (1.0 / n_a + 1.0 / n_b))
+             END, 4)) > {AB_Z_CRIT} AS significant
+FROM ab
+"""

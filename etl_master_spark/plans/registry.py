@@ -635,6 +635,24 @@ register(
     analytics.copurchase_communities,
     analytics.copurchase_communities_oracle(),
 )
+# Kaplan-Meier right-censored shipping survival (log-space product)
+register(
+    "shipping_survival_curve",
+    warehouse.shipping_survival_curve,
+    warehouse.SHIPPING_SURVIVAL_CURVE_ORACLE,
+)
+# pooled two-proportion z-test over hash-assigned cohorts
+register(
+    "ab_conversion_ztest",
+    warehouse.ab_conversion_ztest,
+    warehouse.AB_CONVERSION_ZTEST_ORACLE,
+)
+# rank-based per-type value normalization (percent_rank + decile)
+register(
+    "value_quantile_ranks",
+    relational.value_quantile_ranks,
+    relational.VALUE_QUANTILE_RANKS_ORACLE,
+)
 # WOE/IV target encoding against the shipped-late label
 register(
     "woe_priority_encoding",
@@ -905,7 +923,8 @@ _PRIORITY = [
     "conversion_latency_stats", "source_lang_mix",
     "cross_source_dup_matrix", "dup_cluster_size_histogram",
     "woe_priority_encoding", "deletion_cascade_audit",
-    "event_hour_independence",
+    "event_hour_independence", "shipping_survival_curve",
+    "ab_conversion_ztest", "value_quantile_ranks",
     "simhash_hamming_pairs", "bloom_membership_audit",
     "bpe_merge_candidates", "pmi_collocations", "char_entropy_scores",
     "sq8_quantize_audit", "weighted_sample_aes", "ngram_novelty",

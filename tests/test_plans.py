@@ -61,6 +61,8 @@ BNLJ_OK = {
     "woe_priority_encoding",  # 1-row class totals cross-joined
     "event_hour_independence",  # r×c grid build + 1-row totals cross-joined
     "deletion_cascade_audit",  # four 1-row footprint legs cross-joined
+    "shipping_survival_curve",  # 1-row at-risk total cross-joined
+    "ab_conversion_ztest",  # two 1-row cohort frames cross-joined
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

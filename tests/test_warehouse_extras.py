@@ -191,3 +191,84 @@ def test_event_hour_independence_perfect_association(spark, tmp_path):
     r = event_hour_independence(spark, str(tmp_path)).collect()[0]
     assert abs(r["cramers_v"] - 1.0) < 1e-5
     assert r["chi2"] == round(20.0, 4)  # chi2 == n for a 2x2 perfect split
+
+
+def test_km_survival_matches_lifelines_style_hand_calc(spark, tmp_path):
+    """4 orders, delays 1,1,2,3; the delay-2 order censored (status O):
+    S(1) = 1 - 2/4 = 0.5 (micro-floored log-space), S(2) = S(1) (censored
+    only), S(3) = 0 (last at-risk order fails -> hit_zero)."""
+    import math
+
+    from etl_master_spark.operators.warehouse import shipping_survival_curve
+
+    orders = [
+        (1, "F", dt.date(1995, 1, 1)),
+        (2, "F", dt.date(1995, 1, 1)),
+        (3, "O", dt.date(1995, 1, 1)),
+        (4, "P", dt.date(1995, 1, 1)),
+    ]
+    spark.createDataFrame(
+        [(ok, 1, st, 10.0, od, "1-URGENT") for ok, st, od in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    delays = {1: 1, 2: 1, 3: 2, 4: 3}
+    spark.createDataFrame(
+        [
+            (ok, ok, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             dt.date(1995, 1, 1) + dt.timedelta(days=dl))
+            for ok, dl in delays.items()
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate date",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = {r["delay_days"]: r for r in shipping_survival_curve(spark, str(tmp_path)).collect()}
+    s1 = round(math.exp(math.floor(1e6 * math.log(2 / 4)) / 1e6), 6)
+    assert got[1]["n_at_risk"] == 4 and got[1]["n_events"] == 2
+    assert got[1]["survival"] == s1
+    assert got[2]["n_censored"] == 1 and got[2]["survival"] == s1
+    assert got[3]["n_at_risk"] == 1 and got[3]["survival"] == 0.0
+
+
+def test_km_survival_monotone_on_real_data(spark, sf_dir):
+    from etl_master_spark.operators.warehouse import shipping_survival_curve
+
+    rows = shipping_survival_curve(spark, sf_dir).collect()
+    surv = [r["survival"] for r in rows]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert 0.0 <= surv[-1] <= surv[0] <= 1.0
+    # at-risk counts strictly decrease
+    ar = [r["n_at_risk"] for r in rows]
+    assert all(a > b for a, b in zip(ar, ar[1:]))
+
+
+def test_ab_ztest_planted_difference(spark, tmp_path):
+    """Plant users whose cohort assignment is known from the hash: every
+    cohort-0 user converts (click then purchase 10 min later), no
+    cohort-1 user does -> z is large positive and flagged."""
+    from etl_master_spark.functions.hashing import phash_py
+    from etl_master_spark.operators.warehouse import ab_conversion_ztest
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    for uid in range(1, 41):
+        cohort = phash_py(uid) % 2
+        rows.append((i, t0 + dt.timedelta(minutes=i), uid, "click", 1.0, "{}")); i += 1
+        if cohort == 0:
+            rows.append(
+                (i, t0 + dt.timedelta(minutes=i - 1, seconds=600), uid,
+                 "purchase", 1.0, "{}")
+            ); i += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = ab_conversion_ztest(spark, str(tmp_path)).collect()[0]
+    assert r["n_a"] + r["n_b"] == 40
+    assert r["p_a"] == 1.0 and r["p_b"] == 0.0
+    assert r["z_stat"] > 1.96
+    assert r["significant"] is True

@@ -177,6 +177,8 @@ BENCH_QUERIES = [
     "shipping_survival_curve",
     "ab_conversion_ztest",
     "value_quantile_ranks",
+    "events_trailing_dau",
+    "revenue_concentration",
 ]
 
 

@@ -2602,3 +2602,156 @@ SELECT CAST(n AS BIGINT) AS n_events,
            AS cramers_v
 FROM agg
 """
+
+
+# -- trailing distinct-user window --------------------------------------------
+
+DAU_WINDOW_H = 24
+
+
+def events_trailing_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct active users per hour (sliding DAU): for
+    every hour with traffic, how many DISTINCT users appeared in the
+    (hour−23 … hour] window — the growth metric a dashboard slides
+    hourly. COUNT(DISTINCT) over a sliding window is not a native window
+    aggregate in either engine, so both spell it as the hour-grid ×
+    in-window (hour, user) range join over the DEDUPLICATED per-hour
+    user set.
+
+    Scale: the raw stream first collapses to distinct (hour, user) —
+    the only frame the range join touches — so pair volume is
+    |hours| × (users active per day), not raw events; the final distinct
+    count shuffles on the grid hour. The at-scale alternative (two
+    sorted scans with an HLL per window) trades exactness for one pass;
+    this keeps the exact count and documents the trade."""
+    ev = load_table(spark, sf_dir, "events")
+    hu = ev.select(
+        ts_s(F.date_trunc("hour", F.col("ts"))).alias("h"), "user_id"
+    ).distinct()
+    grid = hu.select("h").distinct()
+    joined = grid.alias("g").join(
+        hu.alias("w"),
+        (F.col("w.h") <= F.col("g.h"))
+        & (F.col("w.h") > F.col("g.h") - DAU_WINDOW_H * 3600),
+    )
+    return (
+        joined.groupBy(F.col("g.h").alias("hour_start"))
+        .agg(F.countDistinct("w.user_id").alias("dau_24h"))
+        .orderBy("hour_start")
+    )
+
+
+EVENTS_TRAILING_DAU_ORACLE = f"""
+WITH hu AS (
+    SELECT DISTINCT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+           user_id
+    FROM events
+),
+grid AS (SELECT DISTINCT h FROM hu)
+SELECT g.h AS hour_start,
+       CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS dau_24h
+FROM grid g
+JOIN hu w
+  ON w.h <= g.h AND w.h > g.h - {DAU_WINDOW_H} * 3600
+GROUP BY 1
+ORDER BY hour_start
+"""
+
+
+# -- revenue concentration (Lorenz/Gini) ----------------------------------------
+
+
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue concentration: exact Gini coefficient via the
+    ranked form (2Σi·xᵢ)/(nΣx) − (n+1)/n plus the top-1% / top-10%
+    revenue shares — the whale-dependence summary behind pricing and
+    risk reviews (and, swapped onto token counts per document, the
+    corpus-concentration diagnostic).
+
+    All inputs are exact: revenue in integer cents, ranks from a
+    deterministic (revenue, custkey) total order, Σi·xᵢ in int64 (rank ≤
+    |customers|, so the product stays ≪ 2^63 up to ~10⁷ customers —
+    beyond that, bucket the Lorenz curve like doc_length_percentiles).
+    The global rank window runs over the ALREADY-REDUCED per-customer
+    frame (one row per customer), which is the documented trade: exact
+    Gini needs a total order; at extreme cardinality use quantile-binned
+    Lorenz points instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy(F.col("cents"), F.col("cust"))
+    ranked = (
+        per.withColumn("i", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint")
+        )
+    )
+    return (
+        ranked.agg(
+            F.max("n").alias("n_customers"),
+            F.sum("cents").alias("t"),
+            F.sum(F.col("i") * F.col("cents")).alias("ix"),
+            F.sum(
+                F.when(
+                    F.col("i") > F.expr("(n * 99) DIV 100"), F.col("cents")
+                ).otherwise(0)
+            ).alias("top1_cents"),
+            F.sum(
+                F.when(
+                    F.col("i") > F.expr("(n * 9) DIV 10"), F.col("cents")
+                ).otherwise(0)
+            ).alias("top10_cents"),
+        )
+        .select(
+            "n_customers",
+            F.round(F.col("t") / 100.0, 2).alias("total_revenue"),
+            F.round(
+                (F.lit(2.0) * F.col("ix"))
+                / (F.col("n_customers").cast("double") * F.col("t"))
+                - (F.col("n_customers") + 1).cast("double")
+                / F.col("n_customers"),
+                6,
+            ).alias("gini"),
+            F.round(F.col("top1_cents").cast("double") / F.col("t"), 6).alias(
+                "top1_share"
+            ),
+            F.round(
+                F.col("top10_cents").cast("double") / F.col("t"), 6
+            ).alias("top10_share"),
+        )
+    )
+
+
+REVENUE_CONCENTRATION_ORACLE = """
+WITH per AS (
+    SELECT o_custkey AS cust,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT cents,
+           ROW_NUMBER() OVER (ORDER BY cents, cust) AS i,
+           COUNT(*) OVER () AS n
+    FROM per
+),
+agg AS (
+    SELECT MAX(n) AS n_customers,
+           SUM(cents) AS t,
+           SUM(i * cents) AS ix,
+           SUM(CASE WHEN i > (n * 99) // 100 THEN cents ELSE 0 END)
+               AS top1_cents,
+           SUM(CASE WHEN i > (n * 9) // 10 THEN cents ELSE 0 END)
+               AS top10_cents
+    FROM ranked
+)
+SELECT CAST(n_customers AS BIGINT) AS n_customers,
+       ROUND(t / 100.0, 2) AS total_revenue,
+       ROUND((2.0 * ix) / (CAST(n_customers AS DOUBLE) * t)
+             - CAST(n_customers + 1 AS DOUBLE) / n_customers, 6) AS gini,
+       ROUND(CAST(top1_cents AS DOUBLE) / t, 6) AS top1_share,
+       ROUND(CAST(top10_cents AS DOUBLE) / t, 6) AS top10_share
+FROM agg
+"""

@@ -635,6 +635,18 @@ register(
     analytics.copurchase_communities,
     analytics.copurchase_communities_oracle(),
 )
+# sliding distinct-user window (range-join spelling of windowed COUNT DISTINCT)
+register(
+    "events_trailing_dau",
+    analytics.events_trailing_dau,
+    analytics.EVENTS_TRAILING_DAU_ORACLE,
+)
+# Lorenz/Gini revenue concentration + whale shares
+register(
+    "revenue_concentration",
+    analytics.revenue_concentration,
+    analytics.REVENUE_CONCENTRATION_ORACLE,
+)
 # Kaplan-Meier right-censored shipping survival (log-space product)
 register(
     "shipping_survival_curve",
@@ -925,6 +937,7 @@ _PRIORITY = [
     "woe_priority_encoding", "deletion_cascade_audit",
     "event_hour_independence", "shipping_survival_curve",
     "ab_conversion_ztest", "value_quantile_ranks",
+    "events_trailing_dau", "revenue_concentration",
     "simhash_hamming_pairs", "bloom_membership_audit",
     "bpe_merge_candidates", "pmi_collocations", "char_entropy_scores",
     "sq8_quantize_audit", "weighted_sample_aes", "ngram_novelty",

@@ -63,6 +63,7 @@ BNLJ_OK = {
     "deletion_cascade_audit",  # four 1-row footprint legs cross-joined
     "shipping_survival_curve",  # 1-row at-risk total cross-joined
     "ab_conversion_ztest",  # two 1-row cohort frames cross-joined
+    "events_trailing_dau",  # bounded hour-lag range join over |hours| grid
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

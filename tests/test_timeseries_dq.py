@@ -104,3 +104,58 @@ def test_dq_audit_counts_planted_violations(spark, tmp_path):
     assert got["ship_after_order"]["n_violations"] == 1  # the 1994-12-25 line
     assert got["ship_after_order"]["n_rows"] == 4
     assert got["quantity_in_range"]["violation_share"] == 0.25
+
+
+def test_trailing_dau_window(spark, tmp_path):
+    """Users 1,2 in hour 0; user 3 in hour 1; user 1 again 30h later:
+    DAU(h0)=2, DAU(h1)=3 (still sees h0), DAU(h30)=1 (window rolled)."""
+    from etl_master_spark.operators.analytics import events_trailing_dau
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0, 1, "e"), (t0 + dt.timedelta(seconds=5), 2, "e"),
+        (t0 + dt.timedelta(hours=1), 3, "e"),
+        (t0 + dt.timedelta(hours=30), 1, "e"),
+    ]
+    spark.createDataFrame(
+        [(i, ts, u, et, 1.0, "{}") for i, (ts, u, et) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r["hour_start"]: r["dau_24h"] for r in events_trailing_dau(spark, str(tmp_path)).collect()}
+    vals = sorted(got.items())
+    assert [v for _, v in vals] == [2, 3, 1]
+
+
+def test_revenue_concentration_extremes(spark, tmp_path):
+    """Equal revenues -> Gini 0 and top-10% share == 1/n when n=10 (one
+    customer above the 90th rank)."""
+    from etl_master_spark.operators.analytics import revenue_concentration
+
+    spark.createDataFrame(
+        [(i, i, "O", 100.0, dt.date(1995, 1, 1), "1-URGENT") for i in range(10)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    r = revenue_concentration(spark, str(tmp_path)).collect()[0]
+    assert r["n_customers"] == 10
+    assert r["gini"] == 0.0
+    assert r["top10_share"] == 0.1
+    assert r["total_revenue"] == 1000.0
+
+
+def test_revenue_concentration_single_whale(spark, tmp_path):
+    """9 customers at ~0 and one whale: Gini -> high, top1/top10 shares
+    capture the whale exactly."""
+    from etl_master_spark.operators.analytics import revenue_concentration
+
+    rows = [(i, i, "O", 1.0, dt.date(1995, 1, 1), "1-URGENT") for i in range(9)]
+    rows.append((9, 9, "O", 991.0, dt.date(1995, 1, 1), "1-URGENT"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    r = revenue_concentration(spark, str(tmp_path)).collect()[0]
+    assert r["top10_share"] == 0.991
+    assert r["gini"] > 0.85

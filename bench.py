@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     "value_quantile_ranks",
     "events_trailing_dau",
     "revenue_concentration",
+    "cohort_ltv_triangle",
+    "benford_price_audit",
 ]
 
 

@@ -1168,3 +1168,152 @@ SELECT CAST(n_a AS BIGINT) AS n_a,
              END, 4)) > {AB_Z_CRIT} AS significant
 FROM ab
 """
+
+
+# -- cohort LTV triangle --------------------------------------------------------
+
+
+def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-cohort lifetime-value triangle: customers cohorted by
+    first-order month, revenue accumulated by months-since-acquisition —
+    the (cohort × age) matrix every LTV model and payback analysis is
+    fit on, emitted in long form with cohort sizes and cumulative
+    revenue-per-customer.
+
+    Month arithmetic is integer (12·year + month — no date subtraction
+    ambiguity between engines); money is exact cents; the cumulative sum
+    is a per-cohort ordered window over the triangle frame (|cohorts| ×
+    |ages| rows). Two shuffles: the first-order argmin per customer and
+    the (cohort, age) rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    mnum = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    per = orders.select(
+        "o_custkey",
+        mnum.alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first = per.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    sizes = first.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    tri = (
+        per.join(first, "o_custkey")
+        .groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("age_m"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tri.join(F.broadcast(sizes), "cohort_m")
+        .withColumn("cum_cents", F.sum("cents").over(w))
+        .select(
+            "cohort_m",
+            "age_m",
+            "n_customers",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            # half-up rounding in INTEGER space: cum/(100·n) is not a
+            # finite decimal, so rounding the double at 4dp can land on a
+            # genuine .00005 boundary and split the engines by one ULP
+            (
+                F.expr(
+                    "CAST((cum_cents * 100 * 2 + n_customers)"
+                    " DIV (2 * n_customers) AS BIGINT)"
+                )
+                / 10000.0
+            ).alias("cum_ltv_per_customer"),
+        )
+        .orderBy("cohort_m", "age_m")
+    )
+
+
+COHORT_LTV_TRIANGLE_ORACLE = """
+WITH per AS (
+    SELECT o_custkey,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+first AS (SELECT o_custkey, MIN(m) AS cohort_m FROM per GROUP BY 1),
+sizes AS (
+    SELECT cohort_m, COUNT(*) AS n_customers FROM first GROUP BY 1
+),
+tri AS (
+    SELECT f.cohort_m, p.m - f.cohort_m AS age_m, SUM(p.cents) AS cents
+    FROM per p JOIN first f ON f.o_custkey = p.o_custkey
+    GROUP BY 1, 2
+)
+SELECT t.cohort_m AS cohort_m, t.age_m AS age_m,
+       CAST(s.n_customers AS BIGINT) AS n_customers,
+       ROUND(t.cents / 100.0, 2) AS revenue,
+       ((SUM(t.cents) OVER (PARTITION BY t.cohort_m
+                            ORDER BY t.age_m
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) * 100 * 2
+         + s.n_customers) // (2 * s.n_customers)) / 10000.0
+           AS cum_ltv_per_customer
+FROM tri t JOIN sizes s ON s.cohort_m = t.cohort_m
+ORDER BY t.cohort_m, t.age_m
+"""
+
+
+# -- Benford first-digit audit ---------------------------------------------------
+
+BENFORD_SCALE = 1_000_000
+
+
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed leading
+    digits of the cent amounts vs the log10(1 + 1/d) expectation, with
+    per-digit micro-floored chi-square terms — the forensic screen that
+    flags fabricated or clamped monetary data (a synthetic uniform price
+    generator, like this one, fails it loudly and the statistic says by
+    how much).
+
+    The leading digit comes from the string form of the integer cents
+    (identical in both engines; no float log tricks), expected counts
+    are n·log10(1+1/d) evaluated in one identical float chain, and the
+    chi-square sum is exact int64 over micro-floored terms. One grouped
+    count; everything else is 9 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    digits = orders.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("d")
+    ).groupBy("d").agg(F.count(F.lit(1)).alias("o"))
+    tot = digits.agg(F.sum("o").alias("n"))
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    e = F.col("n") * exp_p
+    dev = F.col("o") - e
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "o",
+            F.round(exp_p, 6).alias("benford_p"),
+            F.round(F.col("o") / F.col("n"), 6).alias("observed_p"),
+            F.round(dev * dev / e, 4).alias("chi2_term"),
+        )
+        .orderBy("d")
+    )
+
+
+BENFORD_PRICE_AUDIT_ORACLE = """
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INTEGER) AS d,
+           COUNT(*) AS o
+    FROM orders GROUP BY 1
+),
+tot AS (SELECT SUM(o) AS n FROM digits)
+SELECT d,
+       CAST(o AS BIGINT) AS o,
+       ROUND(log10(1.0 + 1.0 / d), 6) AS benford_p,
+       ROUND(CAST(o AS DOUBLE) / n, 6) AS observed_p,
+       ROUND((o - n * log10(1.0 + 1.0 / d))
+             * (o - n * log10(1.0 + 1.0 / d))
+             / (n * log10(1.0 + 1.0 / d)), 4) AS chi2_term
+FROM digits CROSS JOIN tot
+ORDER BY d
+"""

@@ -635,6 +635,18 @@ register(
     analytics.copurchase_communities,
     analytics.copurchase_communities_oracle(),
 )
+# cohort × age LTV triangle (integer month arithmetic)
+register(
+    "cohort_ltv_triangle",
+    warehouse.cohort_ltv_triangle,
+    warehouse.COHORT_LTV_TRIANGLE_ORACLE,
+)
+# Benford first-digit forensic audit of order totals
+register(
+    "benford_price_audit",
+    warehouse.benford_price_audit,
+    warehouse.BENFORD_PRICE_AUDIT_ORACLE,
+)
 # sliding distinct-user window (range-join spelling of windowed COUNT DISTINCT)
 register(
     "events_trailing_dau",
@@ -938,6 +950,7 @@ _PRIORITY = [
     "event_hour_independence", "shipping_survival_curve",
     "ab_conversion_ztest", "value_quantile_ranks",
     "events_trailing_dau", "revenue_concentration",
+    "cohort_ltv_triangle", "benford_price_audit",
     "simhash_hamming_pairs", "bloom_membership_audit",
     "bpe_merge_candidates", "pmi_collocations", "char_entropy_scores",
     "sq8_quantize_audit", "weighted_sample_aes", "ngram_novelty",

@@ -64,6 +64,7 @@ BNLJ_OK = {
     "shipping_survival_curve",  # 1-row at-risk total cross-joined
     "ab_conversion_ztest",  # two 1-row cohort frames cross-joined
     "events_trailing_dau",  # bounded hour-lag range join over |hours| grid
+    "benford_price_audit",  # 1-row digit total cross-joined onto 9 rows
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

@@ -272,3 +272,52 @@ def test_ab_ztest_planted_difference(spark, tmp_path):
     assert r["p_a"] == 1.0 and r["p_b"] == 0.0
     assert r["z_stat"] > 1.96
     assert r["significant"] is True
+
+
+def test_cohort_ltv_planted(spark, tmp_path):
+    """Two customers acquired in 1995-01 spending 100 then 50 in month 1;
+    one customer acquired 1995-02 spending 200: cohort sizes 2/1, cum
+    LTV per customer 50 -> 75 for the first cohort."""
+    from etl_master_spark.operators.warehouse import cohort_ltv_triangle
+
+    orders = [
+        (1, 1, "O", 60.0, dt.date(1995, 1, 5)),
+        (2, 2, "O", 40.0, dt.date(1995, 1, 20)),
+        (3, 1, "O", 30.0, dt.date(1995, 2, 10)),
+        (4, 2, "O", 20.0, dt.date(1995, 2, 11)),
+        (5, 3, "O", 200.0, dt.date(1995, 2, 1)),
+    ]
+    spark.createDataFrame(
+        [(ok, ck, st, tp, od, "1-URGENT") for ok, ck, st, tp, od in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = {
+        (r["cohort_m"], r["age_m"]): r
+        for r in cohort_ltv_triangle(spark, str(tmp_path)).collect()
+    }
+    c1 = 1995 * 12 + 1
+    assert got[(c1, 0)]["n_customers"] == 2
+    assert got[(c1, 0)]["revenue"] == 100.0
+    assert got[(c1, 0)]["cum_ltv_per_customer"] == 50.0
+    assert got[(c1, 1)]["revenue"] == 50.0
+    assert got[(c1, 1)]["cum_ltv_per_customer"] == 75.0
+    assert got[(c1 + 1, 0)]["n_customers"] == 1
+    assert got[(c1 + 1, 0)]["cum_ltv_per_customer"] == 200.0
+
+
+def test_benford_terms_and_shares(spark, sf_dir):
+    """Digits 1-9 all present on real data; Benford p sums to 1; observed
+    shares sum to 1; chi2 terms are the hand formula."""
+    import math
+
+    from etl_master_spark.operators.warehouse import benford_price_audit
+
+    rows = benford_price_audit(spark, sf_dir).collect()
+    assert [r["d"] for r in rows] == list(range(1, 10))
+    assert abs(sum(r["benford_p"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["observed_p"] for r in rows) - 1.0) < 1e-4
+    n = sum(r["o"] for r in rows)
+    r1 = rows[0]
+    e = n * math.log10(2.0)
+    assert abs(r1["chi2_term"] - round((r1["o"] - e) ** 2 / e, 4)) < 1e-3

@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "revenue_concentration",
     "cohort_ltv_triangle",
     "benford_price_audit",
+    "kcore_membership",
 ]
 
 

@@ -2755,3 +2755,98 @@ SELECT CAST(n_customers AS BIGINT) AS n_customers,
        ROUND(CAST(top10_cents AS DOUBLE) / t, 6) AS top10_share
 FROM agg
 """
+
+
+# -- k-core decomposition --------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 6  # bounded synchronous peels; fixpoint test-verified at gate
+
+
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the co-purchase graph (same support-≥2
+    edges as ``triangle_count``): synchronously peel nodes of degree
+    < 3 for six rounds and report the surviving core with each node's
+    within-core degree — the sixth graph kernel (after PageRank, CC,
+    triangles, LPA communities, link prediction), and the standard
+    "dense enough to matter" filter before any expensive per-node
+    computation (spam rings, recommendation cores).
+
+    The peel count is FIXED (the copurchase_communities unrolling idiom)
+    so both engines replay the identical bounded trajectory — a
+    fixpoint-at-gate-scale test pins that 6 rounds suffice here, and the
+    docstring contract is "6 synchronous peels", not "the true core",
+    where they could ever differ. Plan per round: one degree aggregate +
+    two semi-joins, all on (src, dst) pairs; ``localCheckpoint`` each
+    round truncates the 6-round lineage exactly like the CC loop. At
+    100 TB: peeling is the textbook distributed k-core (Montresor et
+    al.), linear per round in surviving edges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        _basket_pairs(li)
+        .filter(F.col("n") >= TRIANGLE_MIN_COUNT)
+        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+        .localCheckpoint()
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("src")
+        )
+        edges = (
+            edges.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return (
+        edges.groupBy(F.col("src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("deg_in_core"))
+        .select(F.lit(KCORE_K).cast("int").alias("core_k"), "v", "deg_in_core")
+        .orderBy("v")
+    )
+
+
+def kcore_membership_oracle() -> str:
+    rounds = []
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""
+k{r} AS (
+    SELECT src FROM {prev} GROUP BY src HAVING COUNT(*) >= {KCORE_K}
+),
+e{r} AS (
+    SELECT e.src, e.dst FROM {prev} e
+    SEMI JOIN k{r} s ON s.src = e.src
+    SEMI JOIN k{r} d ON d.src = e.dst
+)""")
+        prev = f"e{r}"
+    return f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS a, b.l_partkey AS b
+    FROM baskets a
+    JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {TRIANGLE_MIN_COUNT}
+),
+e0 AS (
+    SELECT a AS src, b AS dst FROM pairs
+    UNION ALL
+    SELECT b AS src, a AS dst FROM pairs
+),
+{','.join(rounds)}
+SELECT CAST({KCORE_K} AS INTEGER) AS core_k, src AS v,
+       CAST(COUNT(*) AS BIGINT) AS deg_in_core
+FROM {prev}
+GROUP BY src
+ORDER BY v
+"""

@@ -635,6 +635,12 @@ register(
     analytics.copurchase_communities,
     analytics.copurchase_communities_oracle(),
 )
+# k-core decomposition (bounded synchronous peeling, 6th graph kernel)
+register(
+    "kcore_membership",
+    analytics.kcore_membership,
+    analytics.kcore_membership_oracle(),
+)
 # cohort × age LTV triangle (integer month arithmetic)
 register(
     "cohort_ltv_triangle",
@@ -950,7 +956,7 @@ _PRIORITY = [
     "event_hour_independence", "shipping_survival_curve",
     "ab_conversion_ztest", "value_quantile_ranks",
     "events_trailing_dau", "revenue_concentration",
-    "cohort_ltv_triangle", "benford_price_audit",
+    "cohort_ltv_triangle", "benford_price_audit", "kcore_membership",
     "simhash_hamming_pairs", "bloom_membership_audit",
     "bpe_merge_candidates", "pmi_collocations", "char_entropy_scores",
     "sq8_quantize_audit", "weighted_sample_aes", "ngram_novelty",

@@ -149,3 +149,35 @@ def test_embedding_clip_stats_planted(spark, tmp_path):
     # constant dims clip nothing
     assert got[5]["n_below"] == 0 and got[5]["n_above"] == 0
     assert got[5]["clipped_share"] == 0.0
+
+
+def test_kcore_peels_tree_keeps_clique(spark, tmp_path):
+    """A 4-clique survives the 3-core; a pendant chain hanging off it is
+    peeled entirely. Every survivor has within-core degree 3."""
+    from etl_master_spark.operators.analytics import kcore_membership
+
+    baskets = []
+    oid = 0
+    for _ in range(TRIANGLE_MIN_COUNT):
+        for e in ([1, 2], [1, 3], [1, 4], [2, 3], [2, 4], [3, 4],  # clique
+                  [4, 5], [5, 6]):  # pendant chain
+            baskets.append((oid, e)); oid += 1
+    _write_lineitem_baskets(spark, str(tmp_path), baskets)
+    rows = kcore_membership(spark, str(tmp_path)).collect()
+    assert sorted(r["v"] for r in rows) == [1, 2, 3, 4]
+    assert all(r["deg_in_core"] == 3 and r["core_k"] == 3 for r in rows)
+
+
+def test_kcore_rounds_reach_fixpoint_at_gate_scale(spark, sf_dir):
+    """The bounded 6-round peel must BE the fixpoint at gate scale: one
+    more peel changes nothing (the docstring contract)."""
+    from pyspark.sql import functions as F
+
+    from etl_master_spark.operators.analytics import (
+        KCORE_K,
+        kcore_membership,
+    )
+
+    core = kcore_membership(spark, sf_dir)
+    # fixpoint <=> every surviving node already has deg >= K
+    assert core.filter(F.col("deg_in_core") < KCORE_K).count() == 0

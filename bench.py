@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "cohort_ltv_triangle",
     "benford_price_audit",
     "kcore_membership",
+    "hash_collision_audit",
+    "stratified_kfold_assignment",
 ]
 
 

@@ -4677,3 +4677,137 @@ FROM sizes CROSS JOIN tot t
 GROUP BY size
 ORDER BY size
 """
+
+
+# -- feature-hash collision audit -----------------------------------------------
+
+
+def hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collision census for the engine's feature-hashing space (the SAME
+    ``_hash_bucket`` used by ``hashed_tf_vectors`` and ``dsir_weights``):
+    per bucket, how many distinct vocabulary terms share it, plus the
+    corpus-frequency mass that lands there — the audit that tells you
+    whether HASH_VEC_DIM is large enough (buckets where several HIGH-MASS
+    terms collide are where the hashing trick actually loses signal;
+    many rare-term collisions are harmless by design).
+
+    One explode + two grouped counts; the bucket table is HASH_VEC_DIM
+    rows. Exact integers throughout; the load factor divides once."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    terms = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    buckets = (
+        terms.select(_hash_bucket().alias("bucket"), "term", "tf")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("tf").alias("mass"),
+            F.max("tf").alias("top_term_mass"),
+        )
+    )
+    tot = buckets.agg(
+        F.sum("n_terms").alias("v"), F.sum("mass").alias("m")
+    )
+    return (
+        buckets.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_terms",
+            "mass",
+            F.round(F.col("mass") / F.col("m"), 6).alias("mass_share"),
+            # collision loss proxy: mass in this bucket NOT from its top term
+            F.round(
+                (F.col("mass") - F.col("top_term_mass")) / F.col("mass"), 6
+            ).alias("collided_mass_share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+HASH_COLLISION_AUDIT_ORACLE = f"""
+WITH terms AS (
+    SELECT term, COUNT(*) AS tf FROM (
+        SELECT unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE text IS NOT NULL
+    ) WHERE term <> ''
+    GROUP BY 1
+),
+buckets AS (
+    SELECT {_hash_bucket_sql()} AS bucket,
+           COUNT(*) AS n_terms,
+           SUM(tf) AS mass,
+           MAX(tf) AS top_term_mass
+    FROM terms GROUP BY 1
+),
+tot AS (SELECT SUM(n_terms) AS v, SUM(mass) AS m FROM buckets)
+SELECT bucket,
+       CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(mass AS BIGINT) AS mass,
+       ROUND(CAST(mass AS DOUBLE) / m, 6) AS mass_share,
+       ROUND(CAST(mass - top_term_mass AS DOUBLE) / mass, 6)
+           AS collided_mass_share
+FROM buckets CROSS JOIN tot
+ORDER BY bucket
+"""
+
+
+# -- stratified k-fold assignment -------------------------------------------------
+
+KFOLD_K = 5
+
+
+def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified k-fold CV assignment over documents: fold
+    = portable-hash(doc_id) mod 5, audited PER LANGUAGE STRATUM — the
+    split every evaluation pipeline needs to be reproducible across
+    engines and reruns (no rand(), no state), reported as the stratum ×
+    fold census with each fold's share of its stratum so imbalance is a
+    number, not a hope.
+
+    One grouped count at (lang × fold); shares divide exact counts
+    against a broadcast stratum total. Hash-mod stratification is the
+    100 TB-safe spelling: assignment is row-local, needs no window, and
+    any executor can recompute any row's fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        "lang",
+        (F.expr(phash_frag("doc_id")) % KFOLD_K).alias("fold"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    strata = cells.groupBy(F.col("lang").alias("lg")).agg(
+        F.sum("n_docs").alias("n_stratum")
+    )
+    return (
+        cells.join(F.broadcast(strata), cells.lang == strata.lg)
+        .select(
+            "lang",
+            "fold",
+            "n_docs",
+            "n_stratum",
+            F.round(F.col("n_docs") / F.col("n_stratum"), 6).alias(
+                "fold_share"
+            ),
+        )
+        .orderBy("lang", "fold")
+    )
+
+
+STRATIFIED_KFOLD_ORACLE = f"""
+WITH cells AS (
+    SELECT lang, ({phash_frag('doc_id')}) % {KFOLD_K} AS fold,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+),
+strata AS (SELECT lang AS lg, SUM(n_docs) AS n_stratum FROM cells GROUP BY 1)
+SELECT lang, fold,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_stratum AS BIGINT) AS n_stratum,
+       ROUND(CAST(n_docs AS DOUBLE) / n_stratum, 6) AS fold_share
+FROM cells JOIN strata ON lg = lang
+ORDER BY lang, fold
+"""

@@ -635,6 +635,18 @@ register(
     analytics.copurchase_communities,
     analytics.copurchase_communities_oracle(),
 )
+# feature-hash collision census over the shared _hash_bucket space
+register(
+    "hash_collision_audit",
+    text.hash_collision_audit,
+    text.HASH_COLLISION_AUDIT_ORACLE,
+)
+# deterministic stratified k-fold CV assignment census
+register(
+    "stratified_kfold_assignment",
+    text.stratified_kfold_assignment,
+    text.STRATIFIED_KFOLD_ORACLE,
+)
 # k-core decomposition (bounded synchronous peeling, 6th graph kernel)
 register(
     "kcore_membership",
@@ -957,6 +969,7 @@ _PRIORITY = [
     "ab_conversion_ztest", "value_quantile_ranks",
     "events_trailing_dau", "revenue_concentration",
     "cohort_ltv_triangle", "benford_price_audit", "kcore_membership",
+    "hash_collision_audit", "stratified_kfold_assignment",
     "simhash_hamming_pairs", "bloom_membership_audit",
     "bpe_merge_candidates", "pmi_collocations", "char_entropy_scores",
     "sq8_quantize_audit", "weighted_sample_aes", "ngram_novelty",

@@ -269,3 +269,42 @@ def test_dup_cluster_histogram_accounts_every_doc(spark, sf_dir):
         assert r["n_deletable"] == r["n_docs"] - r["n_clusters"]
         assert abs(r["doc_share"] - round(r["n_docs"] / n_total, 6)) < 1e-12
     assert rows[0]["size"] == 1  # singletons exist in real data
+
+
+def test_hash_collision_audit_accounts_vocabulary(spark, sf_dir):
+    """Bucket term counts sum to the vocabulary size; mass shares sum to
+    1; a bucket's collided share is 0 iff it holds one term."""
+    from etl_master_spark.operators.text import hash_collision_audit
+
+    rows = hash_collision_audit(spark, sf_dir).collect()
+    assert abs(sum(r["mass_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        if r["n_terms"] == 1:
+            assert r["collided_mass_share"] == 0.0
+        assert 0.0 <= r["collided_mass_share"] < 1.0
+
+
+def test_kfold_assignment_is_deterministic_partition(spark, sf_dir):
+    """Every document lands in exactly one fold; per-stratum fold shares
+    sum to 1; the assignment replays from the portable hash."""
+    from etl_master_spark.functions.hashing import phash_py
+    from etl_master_spark.operators.text import (
+        KFOLD_K,
+        stratified_kfold_assignment,
+    )
+    from etl_master_spark.sources.io import load_table
+
+    rows = stratified_kfold_assignment(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    import collections
+
+    want = collections.Counter(
+        (d["lang"], phash_py(d["doc_id"]) % KFOLD_K) for d in docs
+    )
+    got = {(r["lang"], r["fold"]): r["n_docs"] for r in rows}
+    assert got == dict(want)
+    by_lang = collections.defaultdict(float)
+    for r in rows:
+        by_lang[r["lang"]] += r["fold_share"]
+    assert all(abs(v - 1.0) < 1e-4 for v in by_lang.values())

@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "kcore_membership",
     "hash_collision_audit",
     "stratified_kfold_assignment",
+    "join_cardinality_estimate",
 ]
 
 

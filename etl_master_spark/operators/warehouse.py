@@ -1317,3 +1317,88 @@ SELECT d,
 FROM digits CROSS JOIN tot
 ORDER BY d
 """
+
+
+# -- join-cardinality estimator audit -------------------------------------------
+
+CARD_EST_JOINS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textbook join-cardinality estimation audited against truth: for
+    each hot FK join, the System-R estimate |A|·|B| / max(ndv_A, ndv_B)
+    (containment-of-values assumption) next to the EXACT join count and
+    their ratio — the statistics feedback loop a cost-based optimizer
+    runs; a ratio far from 1 on your own data is the signal to collect
+    histograms before trusting any join reorder (companion to
+    ``join_skew_audit``, which profiles the same keys' distribution).
+
+    Each leg is two distinct-count aggregates plus one exact join count
+    (the expensive truth — at 100 TB you'd sample it; the estimate side
+    is scan-cheap, which is the operator's whole point). Integer inputs;
+    the estimate's one division and the ratio round at the end."""
+    legs = []
+    for ta, ka, tb, kb in CARD_EST_JOINS:
+        a = load_table(spark, sf_dir, ta)
+        b = load_table(spark, sf_dir, tb)
+        sa = a.agg(
+            F.count(F.lit(1)).alias("n_a"),
+            F.countDistinct(ka).alias("d_a"),
+        )
+        sb = b.agg(
+            F.count(F.lit(1)).alias("n_b"),
+            F.countDistinct(kb).alias("d_b"),
+        )
+        actual = a.join(b, a[ka] == b[kb]).agg(
+            F.count(F.lit(1)).alias("actual")
+        )
+        est = (F.col("n_a") * F.col("n_b")).cast("double") / F.greatest(
+            "d_a", "d_b"
+        )
+        legs.append(
+            sa.crossJoin(F.broadcast(sb))
+            .crossJoin(F.broadcast(actual))
+            .select(
+                F.lit(f"{ta}.{ka}={tb}.{kb}").alias("join_key"),
+                "n_a",
+                "n_b",
+                "d_a",
+                "d_b",
+                F.round(est, 2).alias("est_rows"),
+                "actual",
+                F.round(est / F.col("actual"), 4).alias("est_over_actual"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("join_key")
+
+
+JOIN_CARDINALITY_ESTIMATE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{ta}.{ka}={tb}.{kb}' AS join_key,
+       CAST((SELECT COUNT(*) FROM {ta}) AS BIGINT) AS n_a,
+       CAST((SELECT COUNT(*) FROM {tb}) AS BIGINT) AS n_b,
+       CAST((SELECT COUNT(DISTINCT {ka}) FROM {ta}) AS BIGINT) AS d_a,
+       CAST((SELECT COUNT(DISTINCT {kb}) FROM {tb}) AS BIGINT) AS d_b,
+       ROUND(CAST((SELECT COUNT(*) FROM {ta}) AS DOUBLE)
+             * (SELECT COUNT(*) FROM {tb})
+             / GREATEST((SELECT COUNT(DISTINCT {ka}) FROM {ta}),
+                        (SELECT COUNT(DISTINCT {kb}) FROM {tb})), 2)
+           AS est_rows,
+       CAST((SELECT COUNT(*) FROM {ta} a JOIN {tb} b ON a.{ka} = b.{kb})
+            AS BIGINT) AS actual,
+       ROUND(CAST((SELECT COUNT(*) FROM {ta}) AS DOUBLE)
+             * (SELECT COUNT(*) FROM {tb})
+             / GREATEST((SELECT COUNT(DISTINCT {ka}) FROM {ta}),
+                        (SELECT COUNT(DISTINCT {kb}) FROM {tb}))
+             / (SELECT COUNT(*) FROM {ta} a JOIN {tb} b ON a.{ka} = b.{kb}),
+             4) AS est_over_actual
+"""
+    for ta, ka, tb, kb in CARD_EST_JOINS
+) + "\nORDER BY join_key"

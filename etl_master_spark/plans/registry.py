@@ -635,6 +635,12 @@ register(
     analytics.copurchase_communities,
     analytics.copurchase_communities_oracle(),
 )
+# System-R join-cardinality estimate audited vs exact join counts
+register(
+    "join_cardinality_estimate",
+    warehouse.join_cardinality_estimate,
+    warehouse.JOIN_CARDINALITY_ESTIMATE_ORACLE,
+)
 # feature-hash collision census over the shared _hash_bucket space
 register(
     "hash_collision_audit",
@@ -970,6 +976,7 @@ _PRIORITY = [
     "events_trailing_dau", "revenue_concentration",
     "cohort_ltv_triangle", "benford_price_audit", "kcore_membership",
     "hash_collision_audit", "stratified_kfold_assignment",
+    "join_cardinality_estimate",
     "simhash_hamming_pairs", "bloom_membership_audit",
     "bpe_merge_candidates", "pmi_collocations", "char_entropy_scores",
     "sq8_quantize_audit", "weighted_sample_aes", "ngram_novelty",

@@ -66,6 +66,7 @@ BNLJ_OK = {
     "events_trailing_dau",  # bounded hour-lag range join over |hours| grid
     "benford_price_audit",  # 1-row digit total cross-joined onto 9 rows
     "hash_collision_audit",  # 1-row vocab/mass totals cross-joined
+    "join_cardinality_estimate",  # three 1-row stat legs cross-joined
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

@@ -321,3 +321,17 @@ def test_benford_terms_and_shares(spark, sf_dir):
     r1 = rows[0]
     e = n * math.log10(2.0)
     assert abs(r1["chi2_term"] - round((r1["o"] - e) ** 2 / e, 4)) < 1e-3
+
+
+def test_join_cardinality_estimate_fk_exactness(spark, sf_dir):
+    """On a clean FK (every lineitem orderkey exists in orders, orders'
+    key unique), the System-R estimate is EXACT: est == actual, ratio 1."""
+    from etl_master_spark.operators.warehouse import join_cardinality_estimate
+
+    rows = {r["join_key"]: r for r in join_cardinality_estimate(spark, sf_dir).collect()}
+    li_o = rows["lineitem.l_orderkey=orders.o_orderkey"]
+    assert li_o["d_b"] == li_o["n_b"]  # orders key is unique
+    assert li_o["est_rows"] == float(li_o["actual"])
+    assert li_o["est_over_actual"] == 1.0
+    for r in rows.values():
+        assert r["actual"] > 0 and r["est_rows"] > 0

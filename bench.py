@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "hash_collision_audit",
     "stratified_kfold_assignment",
     "join_cardinality_estimate",
+    "user_behavior_entropy",
+    "events_above_mean_streaks",
 ]
 
 

@@ -2850,3 +2850,173 @@ FROM {prev}
 GROUP BY src
 ORDER BY v
 """
+
+
+# -- user behavioral entropy ------------------------------------------------------
+
+UBE_SCALE = 1_000_000
+
+
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity: entropy of the user's event-type
+    mix, the dominant type and its share, and a single-type flag — the
+    bot/scraper screen (a crawler is all 'view', a click-farm all
+    'click'; organic users mix) that feeds the same quality gates as the
+    corpus-side ``source_lang_mix``.
+
+    Identical exact-arithmetic spelling as the source mix: per-(user,
+    type) counts, micro-floored c·ln(n/c) terms summed as int64, one
+    division in the output; the dominant type is a row_number over the
+    (count desc, type) total order. One shuffle to (user × type), then
+    user-sized frames."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = ut.groupBy(F.col("user_id").alias("u")).agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_types")
+    )
+    term = F.floor(
+        F.lit(float(UBE_SCALE))
+        * F.col("c")
+        * F.log(F.col("n").cast("double") / F.col("c"))
+    ).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy(F.col("c").desc(), "event_type")
+    ranked = (
+        ut.join(tot, ut.user_id == tot.u)
+        .withColumn("h_u", term)
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    return (
+        ranked.groupBy("user_id", "n", "n_types")
+        .agg(
+            F.sum("h_u").alias("h_sum"),
+            F.max(F.when(F.col("rnk") == 1, F.col("event_type"))).alias(
+                "top_type"
+            ),
+            F.max(F.when(F.col("rnk") == 1, F.col("c"))).alias("top_c"),
+        )
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            "n_types",
+            "top_type",
+            F.round(F.col("top_c") / F.col("n"), 6).alias("top_share"),
+            F.round(
+                F.col("h_sum").cast("double") / (F.lit(UBE_SCALE) * F.col("n")),
+                6,
+            ).alias("type_entropy"),
+            (F.col("n_types") == 1).alias("is_single_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_BEHAVIOR_ENTROPY_ORACLE = f"""
+WITH ut AS (
+    SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+),
+tot AS (
+    SELECT user_id AS u, SUM(c) AS n, COUNT(*) AS n_types FROM ut GROUP BY 1
+),
+ranked AS (
+    SELECT ut.user_id, ut.event_type, ut.c, t.n, t.n_types,
+           CAST(FLOOR({float(UBE_SCALE)!r} * ut.c
+                      * ln(CAST(t.n AS DOUBLE) / ut.c)) AS BIGINT) AS h_u,
+           ROW_NUMBER() OVER (PARTITION BY ut.user_id
+                              ORDER BY ut.c DESC, ut.event_type) AS rnk
+    FROM ut JOIN tot t ON t.u = ut.user_id
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(n_types AS BIGINT) AS n_types,
+       MAX(CASE WHEN rnk = 1 THEN event_type END) AS top_type,
+       ROUND(CAST(MAX(CASE WHEN rnk = 1 THEN c END) AS DOUBLE) / n, 6)
+           AS top_share,
+       ROUND(CAST(SUM(h_u) AS DOUBLE) / ({UBE_SCALE} * n), 6)
+           AS type_entropy,
+       n_types = 1 AS is_single_type
+FROM ranked
+GROUP BY user_id, n, n_types
+ORDER BY user_id
+"""
+
+
+# -- above-mean streaks ------------------------------------------------------------
+
+STREAK_TOP = 20
+
+
+def events_above_mean_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest sustained-load episodes: maximal runs of consecutive hours
+    whose volume exceeds the series mean, ranked by length — the
+    "how long do surges last" view that a single-hour anomaly flag
+    (``events_hourly_anomalies``) cannot answer, and the capacity number
+    an autoscaler's cooldown is tuned against.
+
+    Above-mean is exact integer (n_hours·x > total); runs are the
+    gaps-and-islands spelling (hour index minus the above-mean running
+    count is constant within a run — the RAKE phrase trick on a time
+    axis); the final rank orders by (length desc, start). Everything
+    past the hourly rollup is |hours|-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        ts_s(F.date_trunc("hour", F.col("ts"))).alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tot = hourly.agg(
+        F.sum("n_events").alias("t"), F.count(F.lit(1)).alias("nh")
+    )
+    w = Window.orderBy("hour_start")
+    marked = (
+        hourly.crossJoin(F.broadcast(tot))
+        .withColumn("above", F.col("nh") * F.col("n_events") > F.col("t"))
+        .withColumn("idx", F.row_number().over(w))
+        .withColumn(
+            "run",
+            F.col("idx")
+            - F.sum(F.when(F.col("above"), 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("above"))
+    )
+    return (
+        marked.groupBy("run")
+        .agg(
+            F.min("hour_start").alias("streak_start"),
+            F.count(F.lit(1)).alias("len_hours"),
+            F.sum("n_events").alias("total_events"),
+        )
+        .select("streak_start", "len_hours", "total_events")
+        .orderBy(F.col("len_hours").desc(), "streak_start")
+        .limit(STREAK_TOP)
+    )
+
+
+EVENTS_ABOVE_MEAN_STREAKS_ORACLE = f"""
+WITH hourly AS (
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(n_events) AS t, COUNT(*) AS nh FROM hourly),
+marked AS (
+    SELECT hour_start, n_events,
+           nh * n_events > t AS above,
+           ROW_NUMBER() OVER (ORDER BY hour_start) AS idx,
+           ROW_NUMBER() OVER (ORDER BY hour_start)
+           - SUM(CASE WHEN nh * n_events > t THEN 1 ELSE 0 END)
+                 OVER (ORDER BY hour_start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run
+    FROM hourly CROSS JOIN tot
+)
+SELECT MIN(hour_start) AS streak_start,
+       CAST(COUNT(*) AS BIGINT) AS len_hours,
+       CAST(SUM(n_events) AS BIGINT) AS total_events
+FROM marked
+WHERE above
+GROUP BY run
+ORDER BY len_hours DESC, streak_start
+LIMIT {STREAK_TOP}
+"""

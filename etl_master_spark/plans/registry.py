@@ -635,6 +635,18 @@ register(
     analytics.copurchase_communities,
     analytics.copurchase_communities_oracle(),
 )
+# per-user behavioral entropy (bot/scraper screen)
+register(
+    "user_behavior_entropy",
+    analytics.user_behavior_entropy,
+    analytics.USER_BEHAVIOR_ENTROPY_ORACLE,
+)
+# sustained-load episodes (gaps-and-islands above the series mean)
+register(
+    "events_above_mean_streaks",
+    analytics.events_above_mean_streaks,
+    analytics.EVENTS_ABOVE_MEAN_STREAKS_ORACLE,
+)
 # System-R join-cardinality estimate audited vs exact join counts
 register(
     "join_cardinality_estimate",
@@ -976,7 +988,8 @@ _PRIORITY = [
     "events_trailing_dau", "revenue_concentration",
     "cohort_ltv_triangle", "benford_price_audit", "kcore_membership",
     "hash_collision_audit", "stratified_kfold_assignment",
-    "join_cardinality_estimate",
+    "join_cardinality_estimate", "user_behavior_entropy",
+    "events_above_mean_streaks",
     "simhash_hamming_pairs", "bloom_membership_audit",
     "bpe_merge_candidates", "pmi_collocations", "char_entropy_scores",
     "sq8_quantize_audit", "weighted_sample_aes", "ngram_novelty",

@@ -67,6 +67,7 @@ BNLJ_OK = {
     "benford_price_audit",  # 1-row digit total cross-joined onto 9 rows
     "hash_collision_audit",  # 1-row vocab/mass totals cross-joined
     "join_cardinality_estimate",  # three 1-row stat legs cross-joined
+    "events_above_mean_streaks",  # 1-row series total cross-joined
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

@@ -159,3 +159,40 @@ def test_revenue_concentration_single_whale(spark, tmp_path):
     r = revenue_concentration(spark, str(tmp_path)).collect()[0]
     assert r["top10_share"] == 0.991
     assert r["gini"] > 0.85
+
+
+def test_above_mean_streaks_planted(spark, tmp_path):
+    """Counts [1,9,9,1,9,1]: mean = 5, so two streaks: length 2 at hour 1
+    and length 1 at hour 4, ranked longest first."""
+    from etl_master_spark.operators.analytics import events_above_mean_streaks
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for h, n in enumerate([1, 9, 9, 1, 9, 1]):
+        for j in range(n):
+            rows.append((t0 + dt.timedelta(hours=h, seconds=j), 1, "e"))
+    _write_events(spark, str(tmp_path), rows)
+    got = events_above_mean_streaks(spark, str(tmp_path)).collect()
+    assert [(r["len_hours"], r["total_events"]) for r in got] == [(2, 18), (1, 9)]
+    assert got[0]["streak_start"] == got[1]["streak_start"] - 3 * 3600
+
+
+def test_user_behavior_entropy_flags_single_type(spark, tmp_path):
+    """User 1 is all 'view' (entropy 0, flagged); user 2 mixes two types
+    evenly (entropy = floor-scaled ln 2)."""
+    import math
+
+    from etl_master_spark.operators.analytics import user_behavior_entropy
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(t0 + dt.timedelta(seconds=i), 1, "view") for i in range(6)]
+    rows += [(t0 + dt.timedelta(seconds=100 + i), 2, "click") for i in range(3)]
+    rows += [(t0 + dt.timedelta(seconds=200 + i), 2, "purchase") for i in range(3)]
+    _write_events(spark, str(tmp_path), rows)
+    got = {r["user_id"]: r for r in user_behavior_entropy(spark, str(tmp_path)).collect()}
+    assert got[1]["is_single_type"] is True
+    assert got[1]["type_entropy"] == 0.0 and got[1]["top_share"] == 1.0
+    h_u = 2 * math.floor(1e6 * 3 * math.log(2))
+    assert got[2]["type_entropy"] == round(h_u / (1e6 * 6), 6)
+    assert got[2]["top_type"] == "click"  # tie broken by type name
+    assert got[2]["is_single_type"] is False

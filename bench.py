@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "join_cardinality_estimate",
     "user_behavior_entropy",
     "events_above_mean_streaks",
+    "watermark_late_arrivals",
 ]
 
 

@@ -3020,3 +3020,80 @@ GROUP BY run
 ORDER BY len_hours DESC, streak_start
 LIMIT {STREAK_TOP}
 """
+
+
+# -- watermark late-arrival accounting ------------------------------------------
+
+WATERMARK_CHOICES_S = [900, 3600, 21600]  # 15 min, 1 h, 6 h
+
+
+def watermark_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing from the data instead of folklore: replaying the
+    stream in arrival order (event_id is the ingest sequence), an event
+    is LATE for watermark W if its event time trails the running max
+    event time seen so far by more than W — exactly the rows
+    ``withWatermark(W)`` would drop. One row per candidate W (15 min,
+    1 h, 6 h) with the drop count and share: the table you read before
+    choosing the streaming twins' watermark.
+
+    The running max is a window over arrival order — inherently
+    sequential, which is honest: real watermarks are tracked per source
+    partition, so at scale this query runs per Kafka partition (window
+    keyed by partition id) and the shares aggregate; the demo stream is
+    one partition. Exact integer microseconds end to end; one division
+    per output row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    base = ev.select("event_id", ts_us("ts").alias("t_us")).withColumn(
+        "wm_us", F.max("t_us").over(w)
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    for s in WATERMARK_CHOICES_S:
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("t_us") < F.col("wm_us") - s * 1_000_000, 1
+                ).otherwise(0)
+            ).alias(f"late_{s}")
+        )
+    wide = base.agg(*aggs)
+    legs = []
+    for s in WATERMARK_CHOICES_S:
+        legs.append(
+            wide.select(
+                F.lit(s).cast("bigint").alias("watermark_s"),
+                "n_events",
+                F.col(f"late_{s}").alias("n_late"),
+                F.round(F.col(f"late_{s}") / F.col("n_events"), 6).alias(
+                    "late_share"
+                ),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("watermark_s")
+
+
+WATERMARK_LATE_ARRIVALS_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT CAST({s} AS BIGINT) AS watermark_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN t_us < wm_us - CAST({s} AS BIGINT) * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       ROUND(CAST(SUM(CASE WHEN t_us < wm_us - CAST({s} AS BIGINT) * 1000000
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+           AS late_share
+FROM (
+    SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS t_us,
+           MAX(CAST(epoch_us(ts) AS BIGINT))
+               OVER (ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS wm_us
+    FROM events
+)
+"""
+    for s in WATERMARK_CHOICES_S
+) + "\nORDER BY watermark_s"

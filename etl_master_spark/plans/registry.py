@@ -635,6 +635,12 @@ register(
     analytics.copurchase_communities,
     analytics.copurchase_communities_oracle(),
 )
+# data-driven watermark sizing (late-arrival census per candidate W)
+register(
+    "watermark_late_arrivals",
+    analytics.watermark_late_arrivals,
+    analytics.WATERMARK_LATE_ARRIVALS_ORACLE,
+)
 # per-user behavioral entropy (bot/scraper screen)
 register(
     "user_behavior_entropy",
@@ -989,7 +995,7 @@ _PRIORITY = [
     "cohort_ltv_triangle", "benford_price_audit", "kcore_membership",
     "hash_collision_audit", "stratified_kfold_assignment",
     "join_cardinality_estimate", "user_behavior_entropy",
-    "events_above_mean_streaks",
+    "events_above_mean_streaks", "watermark_late_arrivals",
     "simhash_hamming_pairs", "bloom_membership_audit",
     "bpe_merge_candidates", "pmi_collocations", "char_entropy_scores",
     "sq8_quantize_audit", "weighted_sample_aes", "ngram_novelty",

@@ -196,3 +196,23 @@ def test_user_behavior_entropy_flags_single_type(spark, tmp_path):
     assert got[2]["type_entropy"] == round(h_u / (1e6 * 6), 6)
     assert got[2]["top_type"] == "click"  # tie broken by type name
     assert got[2]["is_single_type"] is False
+
+
+def test_watermark_late_arrival_census(spark, tmp_path):
+    """Arrival order: t=0h, t=2h, then a straggler stamped t=0h30m (90min
+    behind the running max): late for W=15min and W=1h, on time for
+    W=6h."""
+    from etl_master_spark.operators.analytics import watermark_late_arrivals
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0, 1, "e"),
+        (t0 + dt.timedelta(hours=2), 1, "e"),
+        (t0 + dt.timedelta(minutes=30), 1, "e"),  # arrives third
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    got = {r["watermark_s"]: r for r in watermark_late_arrivals(spark, str(tmp_path)).collect()}
+    assert got[900]["n_late"] == 1
+    assert got[3600]["n_late"] == 1
+    assert got[21600]["n_late"] == 0
+    assert got[900]["late_share"] == round(1 / 3, 6)

@@ -1161,6 +1161,7 @@ ORDER BY o_orderpriority
 
 PR_ITERS = 5
 PR_DAMP = 0.85
+PR_TOL = 0.000001  # converged ⇔ max per-node last-round movement ≤ this
 
 
 def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1213,8 +1214,32 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = nation.select(F.col("n_name").alias("node"))
     n_nodes = nodes.count()  # 25 — dimension-sized by schema
+    return pagerank_ranks(nodes, trans, n_nodes, PR_ITERS, PR_DAMP, PR_TOL)
+
+
+def pagerank_ranks(
+    nodes: DataFrame,
+    trans: DataFrame,
+    n_nodes: int,
+    iters: int,
+    damp: float,
+    tol: float,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Damped power iteration over a (src, dst, p) transition frame for a
+    FIXED ``iters`` rounds, with the truncation made observable: each node
+    reports ``delta`` (its last-round rank movement, rounded like the rank
+    itself) plus the global ``rounds_used`` / ``converged`` self-report
+    (converged ⇔ max last-round movement ≤ ``tol``). A bounded-round
+    kernel that silently reports its approximation as the answer is the
+    failure mode this column removes — at 100× the graph, the caller SEES
+    whether ``iters`` sufficed instead of trusting a gate-scale test.
+    ``checkpoint_every`` > 0 truncates lineage for long test runs; the
+    registered 5-round query never needs it."""
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(PR_ITERS):
+    prev = ranks
+    for it in range(iters):
+        prev = ranks
         inflow = (
             trans.join(ranks, trans.src == ranks.node)
             .groupBy("dst")
@@ -1223,16 +1248,33 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = nodes.join(inflow, nodes.node == inflow.dst, "left").select(
             "node",
             (
-                F.lit((1.0 - PR_DAMP) / n_nodes)
-                + F.lit(PR_DAMP) * F.coalesce("inflow", F.lit(0.0))
+                F.lit((1.0 - damp) / n_nodes)
+                + F.lit(damp) * F.coalesce("inflow", F.lit(0.0))
             ).alias("rank"),
         )
-    return ranks.select("node", F.round("rank", 8).alias("rank")).orderBy("node")
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    joined = ranks.join(
+        prev.select(F.col("node").alias("pn"), F.col("rank").alias("prev_rank")),
+        ranks.node == F.col("pn"),
+    ).select(
+        "node",
+        F.round("rank", 8).alias("rank"),
+        F.round(F.abs(F.col("rank") - F.col("prev_rank")), 8).alias("delta"),
+    )
+    w_all = Window.partitionBy()  # graph is node-sized here; 1-partition OK
+    return joined.select(
+        "node",
+        "rank",
+        "delta",
+        F.lit(iters).cast("int").alias("rounds_used"),
+        (F.max("delta").over(w_all) <= F.lit(tol)).alias("converged"),
+    ).orderBy("node")
 
 
 def nation_pagerank_oracle() -> str:
     base = """
-edges AS (
+edges AS MATERIALIZED (
     SELECT sn.n_name AS src, cn.n_name AS dst,
            SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000, 0) AS BIGINT)) AS w
     FROM lineitem
@@ -1244,7 +1286,7 @@ edges AS (
     WHERE sn.n_name <> cn.n_name
     GROUP BY 1, 2
 ),
-trans AS (
+trans AS MATERIALIZED (
     SELECT src, dst, w * 1.0 / SUM(w) OVER (PARTITION BY src) AS p FROM edges
 ),
 nodes AS (SELECT n_name AS node FROM nation),
@@ -1255,7 +1297,7 @@ r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)
     for t in range(PR_ITERS):
         parts.append(
             f"""
-r{t + 1} AS (
+r{t + 1} AS MATERIALIZED (
     SELECT nodes.node,
            (1.0 - {PR_DAMP}) / nn.n
              + {PR_DAMP} * COALESCE(i.inflow, 0.0) AS rank
@@ -1271,7 +1313,13 @@ r{t + 1} AS (
         "WITH "
         + ",\n".join(parts)
         + f"""
-SELECT node, ROUND(rank, 8) AS rank FROM r{PR_ITERS} ORDER BY node
+SELECT cur.node, ROUND(cur.rank, 8) AS rank,
+       ROUND(ABS(cur.rank - prev.rank), 8) AS delta,
+       CAST({PR_ITERS} AS INTEGER) AS rounds_used,
+       MAX(ROUND(ABS(cur.rank - prev.rank), 8)) OVER () <= {PR_TOL!r}
+           AS converged
+FROM r{PR_ITERS} cur JOIN r{PR_ITERS - 1} prev ON cur.node = prev.node
+ORDER BY cur.node
 """
     )
 
@@ -1664,33 +1712,72 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    labels = edges.select(F.col("src").alias("v")).distinct().select(
-        "v", F.col("v").alias("label")
+    labels = lpa_labels(edges, LPA_ROUNDS)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .withColumn("rounds_used", F.lit(LPA_ROUNDS).cast("int"))
+        .crossJoin(
+            F.broadcast(
+                labels.agg(
+                    (F.sum(F.col("next_differs").cast("int")) == 0).alias(
+                        "converged"
+                    )
+                )
+            )
+        )
+        .orderBy(F.col("n_nodes").desc(), F.col("community").asc())
     )
-    for _ in range(LPA_ROUNDS):
+
+
+def lpa_labels(edges: DataFrame, rounds: int) -> DataFrame:
+    """Deterministic synchronous label propagation for a FIXED ``rounds``,
+    plus the truncation self-report: the returned (v, label) frame carries
+    ``next_differs`` — whether ONE MORE synchronous round would change
+    this node's label. ``sum(next_differs) == 0`` ⇔ the bounded trajectory
+    already hit the LPA fixpoint; the registered query surfaces that as a
+    ``converged`` column so at 100× (where 3 rounds may truncate a long
+    label front, or a bipartite region may 2-cycle forever) the output
+    says so instead of silently reporting the approximation. The probe
+    costs exactly one extra join-agg on the (node, label) frame."""
+
+    def _round(lbl: DataFrame) -> DataFrame:
         votes = (
-            edges.join(labels, edges["dst"] == labels["v"])
+            edges.join(lbl, edges["dst"] == lbl["v"])
             .groupBy("src", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        labels = votes.groupBy("src").agg(
+        return votes.groupBy("src").agg(
             F.min(
                 F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
             )["l"].alias("label")
         ).select(F.col("src").alias("v"), "label")
-    return (
-        labels.groupBy(F.col("label").alias("community"))
-        .agg(F.count(F.lit(1)).alias("n_nodes"))
-        .orderBy(F.col("n_nodes").desc(), F.col("community").asc())
+
+    labels = edges.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    for _ in range(rounds):
+        labels = _round(labels)
+    labels = labels.localCheckpoint(eager=False)  # probe + output both read it
+    probe = _round(labels).select(
+        F.col("v").alias("pv"), F.col("label").alias("next_label")
+    )
+    return labels.join(probe, labels["v"] == F.col("pv")).select(
+        "v",
+        "label",
+        (F.col("label") != F.col("next_label")).alias("next_differs"),
     )
 
 
 def copurchase_communities_oracle() -> str:
     rounds = []
     prev = "l0"
-    for r in range(1, LPA_ROUNDS + 1):
+    # one CTE per bounded round PLUS the convergence-probe round (the
+    # Spark side's next_differs check): r{N+1} is computed only to ask
+    # "would one more synchronous round change any label?"
+    for r in range(1, LPA_ROUNDS + 2):
         rounds.append(f"""
-r{r} AS (
+r{r} AS MATERIALIZED (
     SELECT v, label FROM (
         SELECT e.src AS v, l.label, COUNT(*) AS c,
                ROW_NUMBER() OVER (
@@ -1702,8 +1789,8 @@ r{r} AS (
 )""")
         prev = f"r{r}"
     return f"""
-WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-pairs AS (
+WITH baskets AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS MATERIALIZED (
     SELECT a.l_partkey AS a, b.l_partkey AS b
     FROM baskets a
     JOIN baskets b ON a.l_orderkey = b.l_orderkey
@@ -1711,16 +1798,22 @@ pairs AS (
     GROUP BY 1, 2
     HAVING COUNT(*) >= {LPA_MIN_COUNT}
 ),
-e AS (
+e AS MATERIALIZED (
     SELECT a AS src, b AS dst FROM pairs
     UNION ALL
     SELECT b AS src, a AS dst FROM pairs
 ),
-l0 AS (SELECT DISTINCT src AS v, src AS label FROM e),
-{','.join(rounds)}
-SELECT label AS community, COUNT(*) AS n_nodes
-FROM {prev}
-GROUP BY label
+l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM e),
+{','.join(rounds)},
+conv AS (
+    SELECT SUM(CASE WHEN cur.label <> nxt.label THEN 1 ELSE 0 END) = 0
+               AS converged
+    FROM r{LPA_ROUNDS} cur JOIN r{LPA_ROUNDS + 1} nxt ON cur.v = nxt.v
+)
+SELECT label AS community, COUNT(*) AS n_nodes,
+       CAST({LPA_ROUNDS} AS INTEGER) AS rounds_used, conv.converged
+FROM r{LPA_ROUNDS} CROSS JOIN conv
+GROUP BY label, conv.converged
 ORDER BY n_nodes DESC, community ASC
 """
 
@@ -2069,7 +2162,8 @@ def events_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = hourly.select(
         F.col("hour_start").alias("h2"), F.col("n_events").alias("x")
     )
-    lag = (F.col("h") - F.col("h2")) / 3600
+    # single definition of the hour lag, shared by the weight expression
+    lag_h = F.floor((F.col("h") - F.col("h2")) / F.lit(3600))
     win = a.join(
         b,
         (F.col("h2") <= F.col("h"))
@@ -2078,10 +2172,9 @@ def events_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h",
         "n_events",
         "x",
-        F.expr(
-            f"CAST(POWER(2.0, {EWMA_WINDOW_H - 1} - (h - h2) DIV 3600)"
-            " AS BIGINT)"
-        ).alias("w"),
+        F.pow(F.lit(2.0), F.lit(EWMA_WINDOW_H - 1) - lag_h)
+        .cast("bigint")
+        .alias("w"),
     )
     ewma = F.col("num") / F.col("den")
     return (
@@ -2793,11 +2886,24 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    for _ in range(KCORE_ROUNDS):
+    return kcore_peel(edges, KCORE_K, KCORE_ROUNDS)
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Bounded synchronous k-core peel with the truncation self-report:
+    output rows carry ``rounds_used`` and a global ``converged`` flag.
+    Convergence is checkable from the FINAL state alone — the next peel
+    is the identity iff no surviving node has within-core degree < k —
+    so the report costs one broadcast-sized aggregate, no extra round.
+    At 100× the bounded trajectory can stop short of the true core
+    (peeling cascades one frontier per round); this column makes that
+    observable in production instead of only in a gate-scale fixpoint
+    test. ``edges`` must be the symmetric (src, dst) orientation."""
+    for _ in range(rounds):
         keep = (
             edges.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= KCORE_K)
+            .filter(F.col("deg") >= k)
             .select("src")
         )
         edges = (
@@ -2806,31 +2912,49 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", "dst")
             .localCheckpoint()
         )
+    core = edges.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg_in_core")
+    )
     return (
-        edges.groupBy(F.col("src").alias("v"))
-        .agg(F.count(F.lit(1)).alias("deg_in_core"))
-        .select(F.lit(KCORE_K).cast("int").alias("core_k"), "v", "deg_in_core")
+        core.crossJoin(
+            F.broadcast(
+                core.agg(
+                    (F.min("deg_in_core") >= F.lit(k)).alias("converged")
+                )
+            )
+        )
+        .select(
+            F.lit(k).cast("int").alias("core_k"),
+            "v",
+            "deg_in_core",
+            F.lit(rounds).cast("int").alias("rounds_used"),
+            "converged",
+        )
         .orderBy("v")
     )
 
 
 def kcore_membership_oracle() -> str:
+    # AS MATERIALIZED on every round CTE: DuckDB 1.0 INLINES CTEs, and
+    # e{r} is referenced twice by round r+1 (two semi-joins) — inlined,
+    # the 6-round unrolling re-evaluates the whole chain 2^6 times
+    # (measured 147 s at sf0.01; materialized: sub-second)
     rounds = []
     prev = "e0"
     for r in range(1, KCORE_ROUNDS + 1):
         rounds.append(f"""
-k{r} AS (
+k{r} AS MATERIALIZED (
     SELECT src FROM {prev} GROUP BY src HAVING COUNT(*) >= {KCORE_K}
 ),
-e{r} AS (
+e{r} AS MATERIALIZED (
     SELECT e.src, e.dst FROM {prev} e
     SEMI JOIN k{r} s ON s.src = e.src
     SEMI JOIN k{r} d ON d.src = e.dst
 )""")
         prev = f"e{r}"
     return f"""
-WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-pairs AS (
+WITH baskets AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS MATERIALIZED (
     SELECT a.l_partkey AS a, b.l_partkey AS b
     FROM baskets a
     JOIN baskets b ON a.l_orderkey = b.l_orderkey
@@ -2838,16 +2962,21 @@ pairs AS (
     GROUP BY 1, 2
     HAVING COUNT(*) >= {TRIANGLE_MIN_COUNT}
 ),
-e0 AS (
+e0 AS MATERIALIZED (
     SELECT a AS src, b AS dst FROM pairs
     UNION ALL
     SELECT b AS src, a AS dst FROM pairs
 ),
-{','.join(rounds)}
-SELECT CAST({KCORE_K} AS INTEGER) AS core_k, src AS v,
-       CAST(COUNT(*) AS BIGINT) AS deg_in_core
-FROM {prev}
-GROUP BY src
+{','.join(rounds)},
+core AS MATERIALIZED (
+    SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg_in_core
+    FROM {prev}
+    GROUP BY src
+),
+conv AS (SELECT MIN(deg_in_core) >= {KCORE_K} AS converged FROM core)
+SELECT CAST({KCORE_K} AS INTEGER) AS core_k, v, deg_in_core,
+       CAST({KCORE_ROUNDS} AS INTEGER) AS rounds_used, conv.converged
+FROM core CROSS JOIN conv
 ORDER BY v
 """
 

@@ -382,12 +382,17 @@ def freeze_and_eval(
     complete = all(
         os.path.exists(os.path.join(base, name, "_SUCCESS")) for name in frames
     )
-    if complete and fingerprint:
+    if complete:
+        # an empty fingerprint is a MISMATCH, not a bypass: a caller that
+        # forgets the argument must re-freeze, never silently reuse a
+        # stale freeze (r4 ADVICE — the exact failure mode this gate
+        # exists to prevent)
         try:
             with open(meta_path) as fh:
-                complete = _json.load(fh).get("fingerprint") == fingerprint
+                frozen_fp = _json.load(fh).get("fingerprint")
         except (OSError, ValueError):
-            complete = False
+            frozen_fp = None
+        complete = bool(fingerprint) and frozen_fp == fingerprint
     if not complete and os.path.isdir(base):
         shutil.rmtree(base)
     out = {}

@@ -496,3 +496,85 @@ def negatives_sample_reject(
         .cast("int"),
     ).filter(F.col("rank") <= n)
     return final.select("user_id", "item_id", "domain", "rank")
+
+
+# -- E3 scale path, made driver-checkable: invariants companion ---------------
+
+def negatives_reject_invariants(r: DataFrame) -> DataFrame:
+    """Hash-checkable oracle companion for ``negatives_sample_reject``
+    (which the driver can only rows-only check: its output is a
+    hash-seeded SAMPLE, legal under many equally-valid draws, so no
+    engine-independent SQL can replay the exact item choice). The
+    CONTRACT, however, is fully SQL-expressible from the ratings frame
+    alone, and that is what this query pins per (user, domain):
+
+    - ``n_negs``    = min(99, |domain catalog| − |user's seen set|)
+      (exact fill: the sampler tops up across rounds until it either
+      reaches 99 or exhausts the catalog — tests/test_recsplit.py pins
+      the same equality row-by-row at gate scale);
+    - ``n_overlap``     = 0  (no sampled negative was ever interacted);
+    - ``n_out_catalog`` = 0  (every negative is a real domain item);
+    - ``n_dup``         = 0  (no item sampled twice for one user);
+    - ``rank_dense``    = true (ranks are exactly 1..n_negs).
+
+    The DuckDB side computes the EXPECTED values from the data alone —
+    so a hash match certifies every invariant simultaneously. Same scan
+    shape as the sampler itself plus three broadcast-sized joins; the
+    violation counters are literal zeros only if the anti-join and
+    catalog-membership checks actually hold."""
+    negs = negatives_sample_reject(r)
+    catalog = r.select("domain", "item_id").distinct()
+    seen = r.select("user_id", "domain", "item_id").distinct()
+    checked = (
+        negs.join(
+            seen.withColumn("is_seen", F.lit(1)),
+            ["user_id", "domain", "item_id"],
+            "left",
+        )
+        .join(
+            F.broadcast(catalog.withColumn("in_cat", F.lit(1))),
+            ["domain", "item_id"],
+            "left",
+        )
+    )
+    return (
+        checked.groupBy("user_id", "domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_negs"),
+            F.sum(F.coalesce("is_seen", F.lit(0))).alias("n_overlap"),
+            F.sum(
+                F.lit(1) - F.coalesce("in_cat", F.lit(0))
+            ).alias("n_out_catalog"),
+            (
+                F.count(F.lit(1)) - F.countDistinct("item_id")
+            ).alias("n_dup"),
+            (
+                (F.min("rank") == 1)
+                & (F.max("rank") == F.count(F.lit(1)))
+                & (F.countDistinct("rank") == F.count(F.lit(1)))
+            ).alias("rank_dense"),
+        )
+        .orderBy("user_id", "domain")
+    )
+
+
+def negatives_reject_invariants_oracle(ratings_sql: str = RATINGS_SQL) -> str:
+    """Expected-value SQL over the same ratings frame: the oracle never
+    sees the sample, it derives what ANY contract-satisfying sample must
+    aggregate to."""
+    return f"""
+WITH r AS ({ratings_sql}),
+cat AS (SELECT domain, COUNT(DISTINCT item_id) AS n_items FROM r GROUP BY domain),
+seen AS (
+    SELECT user_id, domain, COUNT(DISTINCT item_id) AS n_seen
+    FROM r GROUP BY user_id, domain
+)
+SELECT s.user_id, s.domain,
+       CAST(LEAST({N_NEGATIVES}, c.n_items - s.n_seen) AS BIGINT) AS n_negs,
+       CAST(0 AS BIGINT) AS n_overlap,
+       CAST(0 AS BIGINT) AS n_out_catalog,
+       CAST(0 AS BIGINT) AS n_dup,
+       TRUE AS rank_dense
+FROM seen s JOIN cat c USING (domain)
+ORDER BY s.user_id, s.domain
+"""

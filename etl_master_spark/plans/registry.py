@@ -63,6 +63,23 @@ def _negatives_sample_reject(spark: SparkSession, sf: str) -> DataFrame:
 # test-verified (tests/test_recsplit.py), driver checks rows-only
 register("negatives_sample_reject", _negatives_sample_reject, None)
 
+
+def _negatives_reject_invariants(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.io import ratings
+
+    return recsplit.negatives_reject_invariants(ratings(spark, sf))
+
+
+# the sampler's CONTRACT as a hash-checked oracle query: the sample itself
+# is one of many valid draws (rows-only above), but fill count, seen-
+# disjointness, catalog membership, and rank density are all derivable
+# from the ratings frame alone — so the driver can hash-certify them
+register(
+    "negatives_reject_invariants",
+    _negatives_reject_invariants,
+    recsplit.negatives_reject_invariants_oracle(),
+)
+
 # -- ranking / evaluation (R1-R7) -------------------------------------------
 register(
     "topk_per_user",
@@ -964,74 +981,45 @@ register("gan_eval_test", _gan_eval, _frozen_oracle("gan_test"))
 # tools/strict_check.py's full 129-query sweep). Everything not named keeps
 # its registration order after the spread.
 _PRIORITY = [
-    # ROUND-4 ROTATION. The driver caps its sweep at the first ~50
-    # entries; rounds 1-3 produced driver-green rows for 129 distinct
-    # queries. This round FRONT-LOADS (a) the 10 queries that have never
-    # had a driver row (strict-sweep evidence only), then (b) everything
-    # whose plan changed this round (PQ/codebook rework, frozen-scores
-    # model oracles, localCheckpoint conversions, bm25 NULL guard, CC
-    # broadcast gate), then (c) one representative per family to keep the
-    # window covering every operator family. Everything not named keeps
-    # its registration order after the spread and retains r01-r03 green
-    # rows plus the full strict sweep.
-    # (a) never driver-checked, newest continuation first: the TWELVE
-    # third-continuation operators (RAKE, readability, CUSUM, EWMA,
-    # link prediction, skew audit, Matryoshka recall, IVM refresh,
-    # robust stats, skyline, jackknife CI, tf-idf pair cosine), then the
-    # earlier continuations' additions in reverse-recency order.
-    "rake_keywords", "readability_scores", "events_cusum_changepoint",
-    "events_ewma_trailing", "link_prediction", "join_skew_audit",
-    "dim_truncation_recall", "incremental_agg_refresh",
-    "robust_value_stats", "pareto_front_parts", "jackknife_revenue_ci",
-    "tfidf_doc_similarity", "events_seasonal_decompose",
-    "theil_sen_revenue_trend", "dq_violations_audit",
-    "embedding_dim_clip_stats", "degree_powerlaw_fit",
-    "conversion_latency_stats", "source_lang_mix",
-    "cross_source_dup_matrix", "dup_cluster_size_histogram",
-    "woe_priority_encoding", "deletion_cascade_audit",
-    "event_hour_independence", "shipping_survival_curve",
-    "ab_conversion_ztest", "value_quantile_ranks",
-    "events_trailing_dau", "revenue_concentration",
-    "cohort_ltv_triangle", "benford_price_audit", "kcore_membership",
-    "hash_collision_audit", "stratified_kfold_assignment",
-    "join_cardinality_estimate", "user_behavior_entropy",
-    "events_above_mean_streaks", "watermark_late_arrivals",
-    "simhash_hamming_pairs", "bloom_membership_audit",
-    "bpe_merge_candidates", "pmi_collocations", "char_entropy_scores",
-    "sq8_quantize_audit", "weighted_sample_aes", "ngram_novelty",
-    "dedup_levenshtein", "mahalanobis_outliers", "jl_project_audit",
-    "association_rules", "knn_label_audit", "hard_negatives_mine",
-    "tokenizer_fertility", "corpus_drift_psi", "copurchase_communities",
-    "cluster_label_purity", "cms_word_counts_audit",
+    # ROUND-5 ROTATION — close the evidence-process gap (r4 verdict item
+    # 1). The driver samples EXACTLY the first 50 registry entries per
+    # round; rounds 1-4 produced green rows for 175 of 222 queries. This
+    # window is exactly the names that still need a driver row: (a) the
+    # queries added or schema-changed THIS round (the new invariants
+    # oracle; the three bounded-round graph kernels that now self-report
+    # rounds_used/converged — their old green rows describe the old
+    # schema), (b) the four stale non-green rows (line_status_priority's
+    # r1 hash-fail, since fixed; the three no_oracle rows that gained
+    # hash oracles in r4), (c) the never-sampled remainder of the r4
+    # additions, and (d) the four permanently rows-only-by-design
+    # queries, last, so their weaker check never displaces a hash check.
+    # The registry is otherwise FROZEN this round: nothing new beyond
+    # the invariants companion until every registered query has a
+    # driver-green row (union of CORRECTNESS_r01..r05).
+    # (a) new or schema-changed this round
+    "negatives_reject_invariants", "kcore_membership",
+    "copurchase_communities", "nation_pagerank",
+    # (b) stale non-green driver rows
+    "line_status_priority", "als_eval_test", "cdae_eval_test",
+    "gan_eval_test", "mmd_rbf_fast",
+    # (c) never driver-sampled (r4 window overflow), registration order
+    "knn_label_audit", "hard_negatives_mine", "tokenizer_fertility",
+    "corpus_drift_psi", "cluster_label_purity", "cms_word_counts_audit",
     "hll_cardinality_audit", "dp_lang_counts", "prf_query_expansion",
     "embedding_drift_audit", "distinctive_terms_llr", "containment_pairs",
-    "events_weekly_seasonality",
-    "training_shards", "centroid_classify", "kcenter_coreset",
-    "ann_ivfpq_topk", "mmr_rerank", "pq_index_append", "winnow_matches",
-    "stratified_sample_threshold", "embedding_covariance", "pca_whiten",
-    "zipf_fit", "heaps_fit", "corpus_entropy", "minhash_band_calibration",
-    "ann_pq_topk", "dedup_representatives", "lm_perplexity_scores",
-    "simhash64", "approx_profiles", "media_features", "media_resize",
-    "media_frames", "media_resize_hex", "media_frames_hex",
-    "als_eval_test", "cdae_eval_test",
-    # (b) changed this round
-    "gan_eval_test", "bm25_search", "dedup_clusters", "dedup_incremental",
-    "minhash_lsh_pairs", "embedding_dedup_clusters",
-    "dedup_embedding_cosine_lsh_p99", "dedup_embedding_cosine_lsh",
-    "dedup_embedding_cosine", "triangle_count", "kmeans_embeddings",
-    "semantic_dedup", "dsir_weights", "mmd_rbf_fast", "mmd_rbf_multiscale", "mmd_rbf", "duplicate_passages",
-    "dedup_exact", "dedup_ngram_jaccard",
-    "prior_family_stats",
-    # (c) family representatives
-    "eval_metrics_test", "eval_metrics_vali", "splits_leave_two_out",
-    "negatives_sample", "topk_per_user", "best_epoch", "best_epoch_reeval",
-    "user_item_vectors", "prior_sample_stats", "pricing_summary",
-    "shipping_priority", "asof_latest_event", "events_hourly",
-    "user_sessions_native", "contamination_screen", "pii_redact",
-    "pack_sequences", "curated_corpus", "stratified_sample",
-    "corpus_mixture_weights", "ann_cosine_topk", "ann_ivf_topk",
-    "ann_recall_audit", "lsh_buckets", "simhash64_jvm",
-    "hashed_tf_vectors", "tfidf_top_terms", "media_stats",
+    "events_weekly_seasonality", "training_shards", "centroid_classify",
+    "kcenter_coreset", "ann_ivfpq_topk", "mmr_rerank", "pq_index_append",
+    "winnow_matches", "stratified_sample_threshold",
+    "embedding_covariance", "zipf_fit", "heaps_fit", "corpus_entropy",
+    "minhash_band_calibration", "ann_pq_topk", "dedup_representatives",
+    "lm_perplexity_scores", "simhash64", "media_features",
+    "media_resize_hex", "media_frames_hex", "semantic_dedup",
+    "dsir_weights", "prior_family_stats",
+    # flagship stays freshly green every round
+    "eval_metrics_test",
+    # (d) rows-only by design (sample/sketch/eigh/binary outputs; each
+    # has an oracle twin or invariant companion covering its math)
+    "pca_whiten", "approx_profiles", "media_resize", "media_frames",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {

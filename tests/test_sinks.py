@@ -113,3 +113,40 @@ def test_freeze_and_eval_fingerprint_invalidation(spark, tmp_path, monkeypatch):
     ranking.freeze_and_eval(sc, hold, negs, "t", "/sf0.01", fingerprint="v2").collect()
     assert os.path.exists(f"{base}/scores/_SUCCESS")
     assert spark.read.parquet(f"{base}/scores").collect()[0]["score"] == 0.9
+
+
+def test_freeze_and_eval_empty_fingerprint_never_reuses(
+    spark, tmp_path, monkeypatch
+):
+    """An empty fingerprint is a MISMATCH, not a bypass (r4 ADVICE): a
+    caller that forgets the argument must re-freeze rather than silently
+    serve whatever freeze happens to be on disk."""
+    import glob
+
+    from etl_master_spark.operators import ranking
+
+    monkeypatch.setattr(ranking, "FROZEN_EVAL_DIR", str(tmp_path / "fz"))
+
+    def frames(score):
+        sc = spark.createDataFrame(
+            [(1, 10, "x", score)],
+            "user_id long, item_id long, domain string, score double",
+        )
+        hold = spark.createDataFrame(
+            [(1, 10, "x")], "user_id long, item_id long, domain string"
+        )
+        negs = spark.createDataFrame(
+            [(1, 11, "x")], "user_id long, item_id long, domain string"
+        )
+        return sc, hold, negs
+
+    sc, hold, negs = frames(0.9)
+    ranking.freeze_and_eval(sc, hold, negs, "t", "/sf0.01", fingerprint="v1").collect()
+    base = str(tmp_path / "fz" / "t" / "sf0.01")
+    first = glob.glob(f"{base}/scores/*.parquet")
+
+    # default (empty) fingerprint: the stale v1 freeze must NOT be reused
+    sc2, hold2, negs2 = frames(0.1)
+    ranking.freeze_and_eval(sc2, hold2, negs2, "t", "/sf0.01").collect()
+    assert glob.glob(f"{base}/scores/*.parquet") != first
+    assert spark.read.parquet(f"{base}/scores").collect()[0]["score"] == 0.1

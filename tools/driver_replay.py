@@ -6,11 +6,21 @@ against its ``oracle_sql()`` twin in DuckDB with an order-insensitive
 compare. Exit code 0 iff everything passes.
 
 Usage: python tools/driver_replay.py [sf_dir]
+       python tools/driver_replay.py --names-without-driver-row
+
+The second form is pure registry hygiene (r4 verdict item 8): it reads
+every committed CORRECTNESS_r*.json, classifies each row green /
+rows-only / stale, and prints the registered queries that still lack a
+driver-GREEN row — the mechanical input for each round's _PRIORITY
+rotation (the driver samples only the first 50 registry entries per
+round, so rounds must rotate the window until the union of rounds
+covers the whole registry). No Spark session is started in this mode.
 """
 
 from __future__ import annotations
 
 import importlib.util
+import json
 import math
 import sys
 import time
@@ -21,7 +31,50 @@ import pandas as pd
 
 REPO = Path(__file__).resolve().parent.parent
 SMOKE_SF = "/root/testdata/sf0.001"
-GATE_SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+GATE_SF = (
+    sys.argv[1]
+    if len(sys.argv) > 1 and not sys.argv[1].startswith("--")
+    else "/root/testdata/sf0.01"
+)
+
+
+def _row_green(row: dict) -> bool:
+    """A driver row is GREEN iff it hash-matched (or, for no-oracle rows,
+    never: those are the weaker rows-only record by design)."""
+    if row.get("err"):
+        return False
+    if row.get("hash_match") is None:
+        return False
+    return bool(
+        row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
+    )
+
+
+def names_without_driver_row() -> int:
+    sys.path.insert(0, str(REPO))
+    from etl_master_spark.plans.registry import ORACLES, QUERIES
+
+    greens: dict[str, list[int]] = {}
+    rows_only: dict[str, list[int]] = {}
+    artifacts = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    for art in artifacts:
+        rnd = int(art.stem.split("_r")[1])
+        for name, row in json.loads(art.read_text()).items():
+            if _row_green(row):
+                greens.setdefault(name, []).append(rnd)
+            elif not row.get("err") or row.get("err") == "no_oracle":
+                rows_only.setdefault(name, []).append(rnd)
+    missing = [q for q in QUERIES if q not in greens]
+    print(f"# registry: {len(QUERIES)} queries; artifacts: "
+          f"{', '.join(a.name for a in artifacts)}")
+    print(f"# driver-green: {len([q for q in QUERIES if q in greens])}")
+    for q in missing:
+        kind = "no-oracle (rows-only by design)" if q not in ORACLES else (
+            f"rows-only r{rows_only[q]}" if q in rows_only else "never sampled"
+        )
+        print(f"{q}\t{kind}")
+    print(f"# {len(missing)} without a driver-green row")
+    return 0
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -128,4 +181,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if "--names-without-driver-row" in sys.argv:
+        sys.exit(names_without_driver_row())
     sys.exit(main())

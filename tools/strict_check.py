@@ -109,7 +109,9 @@ def main() -> int:
     # strings name the driver's sf0.01 gate path (see module docstring) —
     # at any other sf_dir a compare would be frozen-vs-other-freeze noise
     frozen_gate_only = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}
-    at_gate = Path(sf_dir).name == Path(GATE_SF).name
+    # resolved-path compare: a basename match alone would treat any
+    # directory named sf0.01 as the driver gate (r4 ADVICE)
+    at_gate = Path(sf_dir).resolve() == Path(GATE_SF).resolve()
 
     n_fail = 0
     for name, fn in queries.items():

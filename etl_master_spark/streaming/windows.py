@@ -542,16 +542,26 @@ FROM dd GROUP BY event_type ORDER BY event_type
 
 
 def events_dedup_stream(
-    spark: SparkSession, sf_dir: str, stream_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming twin: ``dropDuplicatesWithinWatermark`` on event_id — the
     state-store-backed exactly-once repair for an at-least-once source.
     Duplicate events arriving in ANY later micro-batch (within the
     watermark horizon) are dropped; state for ids older than the watermark
     is evicted, so state size tracks the horizon, not the stream history.
-    Tests feed the same file twice and assert the batch counts come back."""
+    Tests feed the same file twice and assert the batch counts come back;
+    the long-run test drives 50 one-file micro-batches
+    (``max_files_per_trigger=1``) and asserts per-batch state rows stay
+    inside the watermark-horizon bound — the eviction property that lets
+    this query run forever at production volume."""
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    ev = spark.readStream.schema(batch_schema).parquet(stream_dir or sf_dir)
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(stream_dir or sf_dir)
     ev = _normalize_stream_ts(ev)
     return ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["event_id"]

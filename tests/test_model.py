@@ -454,3 +454,70 @@ def test_gan_trains_with_alternative_prior(spark, sf_dir):
     model = gan.train_gan(spark, sf_dir, passes=6, prior="laplace")
     assert all(np.isfinite(v) for v in model["g_losses"] + model["d_losses"])
     assert model["g_losses"][-1] < model["g_losses"][0]
+
+
+def test_media_decode_native_ppm_pgm():
+    """PPM/PGM (binary P6/P5) decode natively — real pixel math with zero
+    codec dependencies, in any environment (r4 verdict item 6). Verified
+    against hand-computed BT.601 luminance box averages."""
+    from etl_master_spark.operators import multimodal
+
+    D = multimodal.FEATURE_DIM
+    # P5 grayscale, D×2: column k is gray 10k in both rows → bucket k
+    # averages to exactly 10k/255 (buckets align with columns: row-major
+    # sequence has 2D pixels, bucket k = pixels {k, k+D} after chunking —
+    # actually contiguous chunks of 2: pixels (2k, 2k+1) = grays
+    # (10·(2k%D)…)); use a flat-per-bucket image instead: D pixels, 1 row.
+    raster = bytes(10 * k for k in range(D))
+    p5 = b"P5\n# comment\n%d 1\n255\n" % D + raster
+    out = multimodal.decode_image(p5)
+    assert out == [10 * k / 255.0 for k in range(D)]
+
+    # P6 RGB, one pure-red and one pure-green pixel per bucket pair
+    px = bytes([255, 0, 0] * D)  # D red pixels
+    p6 = b"P6 %d 1 255\n" % D + px
+    out = multimodal.decode_image(p6)
+    assert all(v == pytest.approx(0.299, abs=1e-9) for v in out)
+
+    # maxval scaling: 4-bit-deep P5 (maxval 15) scales to full range
+    p5lo = b"P5\n%d 1\n15\n" % D + bytes([15] * D)
+    assert multimodal.decode_image(p5lo) == [1.0] * D
+
+    # truncated raster is not silently decoded
+    assert multimodal._decode_uncompressed(b"P5\n8 1\n255\n\x00\x01") is None
+
+
+def test_media_decode_native_bmp():
+    """Uncompressed 24-bit BMP decodes natively: BGR byte order, 4-byte
+    row padding, bottom-up storage flipped to top-down."""
+    import struct
+
+    from etl_master_spark.operators import multimodal
+
+    D = multimodal.FEATURE_DIM
+    width, height, bypp = D, 2, 3
+    stride = (width * bypp + 3) & ~3
+    # bottom-up: file row 0 is the IMAGE's bottom row. Make bottom row
+    # black and top row white → decoded (top-down) sequence is D whites
+    # then D blacks → first half buckets 1.0, second half 0.0.
+    rows = [bytes([0, 0, 0] * width).ljust(stride, b"\0"),
+            bytes([255, 255, 255] * width).ljust(stride, b"\0")]
+    pixel_data = rows[0] + rows[1]  # file order: bottom, then top
+    data_off = 14 + 40
+    payload = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(pixel_data), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(pixel_data), 2835, 2835, 0, 0)
+        + pixel_data
+    )
+    out = multimodal.decode_image(payload)
+    assert len(out) == D
+    assert all(v == pytest.approx(1.0) for v in out[: D // 2])
+    assert all(v == pytest.approx(0.0) for v in out[D // 2:])
+
+    # compressed (BI_RLE8 etc.) falls through to the stub contract
+    bad = bytearray(payload)
+    struct.pack_into("<I", bad, 30, 1)  # compression = BI_RLE8
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(bytes(bad))

@@ -292,3 +292,86 @@ def test_stream_drift_histogram_equals_batch(spark, sf_dir, tmp_path):
         if r["n_batch"] > 0
     }
     assert got == want
+
+
+def test_stream_dedup_state_stays_bounded_over_50_batches(
+    spark, sf_dir, tmp_path
+):
+    """Production-shape long run (r4 verdict item 5): 50 one-file
+    micro-batches, each one hour of new events PLUS a full redelivery of
+    the previous hour (at-least-once). The state store must hold only the
+    watermark horizon — per-batch state rows bounded by a constant few
+    hours' worth of ids — while the stream processes 50 hours of data.
+    Unbounded state is the thing that actually kills streaming jobs at
+    scale; this pins the eviction, not just the dedup output."""
+    import datetime
+
+    from etl_master_spark.streaming.windows import events_dedup_stream
+
+    per_hour = 40
+    base = datetime.datetime(2024, 1, 1)
+    stream_dir = tmp_path / "hours"
+    stream_dir.mkdir()
+
+    def hour_rows(h):
+        return [
+            (
+                h * per_hour + i,
+                base + datetime.timedelta(hours=h, minutes=i % 60),
+                i % 7,
+                "click",
+                1.0,
+                "p",
+            )
+            for i in range(per_hour)
+        ]
+
+    # NTZ to match the stream schema (sources/io gotcha), and FLAT files:
+    # the file-stream source lists plain files, not nested write dirs
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    n_hours = 50
+    scratch = tmp_path / "scratch"
+    for h in range(n_hours):
+        rows = hour_rows(h) + (hour_rows(h - 1) if h else [])  # redelivery
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(scratch))
+        part = next(scratch.glob("part-*.parquet"))
+        part.rename(stream_dir / f"hour-{h:02d}.parquet")
+
+    q = (
+        events_dedup_stream(
+            spark, sf_dir, str(stream_dir), max_files_per_trigger=1
+        )
+        .writeStream.format("memory")
+        .queryName("dedup_state_bound_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bound"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # exactly-once repair held across all 50 hours
+    out = spark.sql("SELECT * FROM dedup_state_bound_test")
+    assert out.count() == n_hours * per_hour
+    assert out.select("event_id").distinct().count() == n_hours * per_hour
+
+    # per-batch state bound: watermark delay is 2 h and each batch spans
+    # ≤1 h, so live state can never exceed ~4 h of ids; assert a hard
+    # ceiling far below the 50-hour history (the unbounded-state failure)
+    progresses = [
+        p for p in q.recentProgress if p and p.get("stateOperators")
+    ]
+    assert len(progresses) >= 40  # one progress per micro-batch, ~50 files
+    bound = 5 * per_hour
+    for p in progresses:
+        n_state = p["stateOperators"][0]["numRowsTotal"]
+        assert n_state <= bound, (p["batchId"], n_state)
+    # and the state actually FILLED (the bound isn't vacuous)
+    assert max(
+        p["stateOperators"][0]["numRowsTotal"] for p in progresses
+    ) >= 2 * per_hour

@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "eval_metrics_test",
     "splits_leave_two_out",
     "negatives_sample",
+    "negatives_reject_invariants",
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",

@@ -68,6 +68,8 @@ BNLJ_OK = {
     "hash_collision_audit",  # 1-row vocab/mass totals cross-joined
     "join_cardinality_estimate",  # three 1-row stat legs cross-joined
     "events_above_mean_streaks",  # 1-row series total cross-joined
+    "kcore_membership",  # 1-row converged self-report cross-joined
+    "copurchase_communities",  # 1-row converged self-report cross-joined
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

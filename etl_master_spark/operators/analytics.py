@@ -2866,14 +2866,18 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation (spam rings, recommendation cores).
 
     The peel count is FIXED (the copurchase_communities unrolling idiom)
-    so both engines replay the identical bounded trajectory — a
-    fixpoint-at-gate-scale test pins that 6 rounds suffice here, and the
-    docstring contract is "6 synchronous peels", not "the true core",
-    where they could ever differ. Plan per round: one degree aggregate +
-    two semi-joins, all on (src, dst) pairs; ``localCheckpoint`` each
-    round truncates the 6-round lineage exactly like the CC loop. At
-    100 TB: peeling is the textbook distributed k-core (Montresor et
-    al.), linear per round in surviving edges."""
+    so both engines replay the identical bounded trajectory, and the
+    contract is "6 synchronous peels", not "the true core" — the output's
+    ``rounds_used``/``converged`` columns make the difference OBSERVABLE:
+    at sf0.001 the 6 peels reach the fixpoint (converged=true, pinned by
+    test), at sf0.01 they demonstrably do NOT (converged=false in the
+    driver gate — the densified co-purchase graph peels slower), and at
+    100 TB a caller reads the column instead of trusting a small-scale
+    test. Plan per round: one degree aggregate + two semi-joins, all on
+    (src, dst) pairs; ``localCheckpoint`` each round truncates the
+    6-round lineage exactly like the CC loop. At 100 TB: peeling is the
+    textbook distributed k-core (Montresor et al.), linear per round in
+    surviving edges."""
     li = load_table(spark, sf_dir, "lineitem")
     pairs = (
         _basket_pairs(li)

@@ -169,8 +169,11 @@ def test_kcore_peels_tree_keeps_clique(spark, tmp_path):
 
 
 def test_kcore_rounds_reach_fixpoint_at_gate_scale(spark, sf_dir):
-    """The bounded 6-round peel must BE the fixpoint at gate scale: one
-    more peel changes nothing (the docstring contract)."""
+    """At sf0.001 the bounded 6-round peel IS the fixpoint, and the
+    converged self-report must SAY so — and agree with the recomputed
+    condition (min within-core degree >= K). At sf0.01 the same query
+    honestly reports converged=false (densified graph peels slower);
+    that polarity is pinned by the adversarial chain fixture above."""
     from pyspark.sql import functions as F
 
     from etl_master_spark.operators.analytics import (
@@ -181,6 +184,9 @@ def test_kcore_rounds_reach_fixpoint_at_gate_scale(spark, sf_dir):
     core = kcore_membership(spark, sf_dir)
     # fixpoint <=> every surviving node already has deg >= K
     assert core.filter(F.col("deg_in_core") < KCORE_K).count() == 0
+    rows = core.collect()
+    assert rows and all(r["converged"] is True for r in rows)
+    assert all(r["rounds_used"] == 6 for r in rows)
 
 
 # -- bounded-round convergence self-report (r4 verdict item 2) ----------------

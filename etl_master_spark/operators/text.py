@@ -724,7 +724,8 @@ ORDER BY lang, rn
 """
 
 
-STRAT_THR_SLACK = 2.0  # over-admit factor for the threshold pass
+STRAT_THR_SLACK = 2.0  # starting over-admit factor for the threshold pass
+STRAT_THR_MAX_DOUBLINGS = 5  # escalation ceiling: slack up to 2.0·2^5 = 64
 
 
 def stratified_sample_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,59 +735,69 @@ def stratified_sample_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. One aggregate computes the exact stratum counts (dimension-sized;
        production reads them off table stats for free).
-    2. The shuffle key h is UNIFORM over [0, P) by construction
-       (functions/hashing.py), so the quota-th smallest hash in a
-       stratum of n concentrates at P·quota/n — the threshold is pure
-       arithmetic, no percentile sketch, no extra pass. The corpus is
-       FILTERED against the broadcast per-stratum threshold overshooting
-       by ``STRAT_THR_SLACK`` (survivors ≈ quota·slack per stratum
-       regardless of corpus size; at slack 2 the under-admission tail is
-       ~5σ out, and the hash is FIXED per doc_id so a given dataset
-       either passes forever or fails loudly on first run).
+    2. The corpus is FILTERED against a broadcast per-stratum threshold
+       P·quota·slack/n — pure arithmetic, no percentile sketch. The
+       quota-th smallest hash concentrates there for an i.i.d.-uniform
+       key, but the portable shuffle key is AFFINE in doc_id
+       (functions/hashing.py: h = A·id + c mod P), and an affine image
+       of a STRUCTURED id set is an arithmetic progression whose count
+       below a small threshold can deviate far beyond the binomial tail
+       (three-distance/discrepancy, not variance). Measured on the ×100
+       replica's shifted-union ids: expected ~60 admitted, observed
+       26–60 across scales — the ×100 run undershot a 30-doc quota.
+       So the slack ESCALATES: on under-admission the filter re-runs
+       with slack doubled (up to ``STRAT_THR_MAX_DOUBLINGS``), trading a
+       rare extra scan for a sample that is never silently short. The
+       escalation changes WHICH candidates pre-filter, never the output:
+       the exact rank stage (3) picks the same quota-smallest hashes.
     3. The exact rank window runs over the boundary survivors only, and
-       a LOUD guard refuses silent under-selection — a threshold miss is
-       an error naming the knob, never a quietly short sample.
+       the LOUD guard remains behind the escalation — if even slack 64
+       misses, the error names the knob rather than under-sampling.
 
     The full-sort twin shuffles every row of a 100 TB corpus into
     |langs| sort partitions; this spelling shuffles ~|langs|·quota·slack
-    rows after a scan-shaped filter."""
+    rows after a scan-shaped filter, re-scanning only when the
+    discrepancy of a pathological id set defeats the current slack."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     h = F.expr(phash_frag("doc_id", seed=STRAT_SEED))
     hd = docs.withColumn("h", h)
     stats = hd.groupBy("lang").agg(F.count(F.lit(1)).alias("n_stratum"))
-    thr = (
-        F.lit(float(PHASH_P) * STRAT_QUOTA * STRAT_THR_SLACK)
-        / F.col("n_stratum")
-    )
-    cand = hd.join(F.broadcast(stats), "lang").filter(
-        (F.col("h") <= thr) | (F.col("n_stratum") <= STRAT_QUOTA)
-    )
     w = Window.partitionBy("lang").orderBy(F.col("h").asc(), F.col("doc_id").asc())
-    # materialize the boundary survivors (~|langs|·quota·slack rows) so
-    # the guard's collect and the returned frame share one execution of
-    # the corpus pipeline instead of running it twice
-    ranked = cand.withColumn(
-        "rn", F.row_number().over(w).cast("int")
-    ).localCheckpoint()
-    # under-admission guard: if any stratum yields fewer survivors than
-    # min(quota, n), the threshold missed — fail loudly, never under-sample.
-    # LEFT join from stats so a stratum with ZERO survivors (absent from
-    # ranked entirely — the worst miss) is still seen
-    got = ranked.groupBy("lang").agg(F.max("rn").alias("got"))
-    short = (
-        stats.join(got, "lang", "left")
-        .filter(
-            F.coalesce("got", F.lit(0))
-            < F.least(F.lit(STRAT_QUOTA), F.col("n_stratum"))
+    slack = STRAT_THR_SLACK
+    short = None
+    for _ in range(STRAT_THR_MAX_DOUBLINGS + 1):
+        thr = F.lit(float(PHASH_P) * STRAT_QUOTA * slack) / F.col("n_stratum")
+        cand = hd.join(F.broadcast(stats), "lang").filter(
+            (F.col("h") <= thr) | (F.col("n_stratum") <= STRAT_QUOTA)
         )
-        .limit(1)
-        .collect()
-    )
+        # materialize the boundary survivors (~|langs|·quota·slack rows) so
+        # the guard's collect and the returned frame share one execution of
+        # the corpus pipeline instead of running it twice
+        ranked = cand.withColumn(
+            "rn", F.row_number().over(w).cast("int")
+        ).localCheckpoint()
+        # under-admission guard: any stratum with fewer survivors than
+        # min(quota, n) means the threshold missed. LEFT join from stats
+        # so a stratum with ZERO survivors (absent from ranked entirely —
+        # the worst miss) is still seen
+        got = ranked.groupBy("lang").agg(F.max("rn").alias("got"))
+        short = (
+            stats.join(got, "lang", "left")
+            .filter(
+                F.coalesce("got", F.lit(0))
+                < F.least(F.lit(STRAT_QUOTA), F.col("n_stratum"))
+            )
+            .limit(1)
+            .collect()
+        )
+        if not short:
+            break
+        slack *= 2
     if short:
         raise ValueError(
             f"stratified_sample_threshold: stratum {short[0]['lang']!r} "
-            f"admitted {short[0]['got'] or 0} < min(quota, n) rows — raise "
-            "STRAT_THR_SLACK"
+            f"admitted {short[0]['got'] or 0} < min(quota, n) rows even at "
+            f"slack {slack} — raise STRAT_THR_MAX_DOUBLINGS"
         )
     return (
         ranked.filter(F.col("rn") <= STRAT_QUOTA)

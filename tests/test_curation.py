@@ -312,6 +312,39 @@ def test_stratified_threshold_twin_equals_exact(spark, sf_dir):
     assert fast == exact
 
 
+def test_stratified_threshold_escalates_then_matches(
+    spark, sf_dir, monkeypatch
+):
+    """Affine-hash discrepancy defense (round-5 ×100 find: a structured
+    id set under-admitted 26 < quota 30 at slack 2): a starting slack too
+    small to admit the quota must ESCALATE — doubling until the guard
+    clears — and the escalated run must still be bit-identical to the
+    full-sort twin (the threshold only pre-filters; the exact rank stage
+    decides). With escalation disabled the guard must stay loud."""
+    import pytest
+
+    import etl_master_spark.operators.text as T
+
+    # sf0.01: every stratum exceeds the quota, so the n <= quota
+    # admit-all branch cannot mask the threshold (at sf0.001 strata are
+    # quota-sized and the OR branch admits everything)
+    sf = "/root/testdata/sf0.01"
+    exact = sorted(tuple(r) for r in T.stratified_sample(spark, sf).collect())
+
+    # slack so small the first pass admits ~9 < 30 per stratum: must
+    # escalate (0.3 -> 0.6 -> 1.2 -> ...) and still match the exact twin
+    monkeypatch.setattr(T, "STRAT_THR_SLACK", 0.3)
+    fast = sorted(
+        tuple(r) for r in T.stratified_sample_threshold(spark, sf).collect()
+    )
+    assert fast == exact
+
+    # escalation exhausted -> the loud guard, never a short sample
+    monkeypatch.setattr(T, "STRAT_THR_MAX_DOUBLINGS", 0)
+    with pytest.raises(ValueError, match="STRAT_THR_MAX_DOUBLINGS"):
+        T.stratified_sample_threshold(spark, sf).collect()
+
+
 def test_zipf_fit_slope_on_planted_power_law(spark):
     """Fit validity: a corpus synthesized with an exact Zipf(s=1)
     frequency profile must fit slope ~ -1 with r2 ~ 1; tokenization and

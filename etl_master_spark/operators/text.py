@@ -3124,22 +3124,45 @@ ORDER BY stat
 # empirical column is how a production pass notices its shingle/hash
 # family no longer matches the banding design point.
 CAL_BUCKETS = 10
+CAL_MAX_PAIRS = 200_000  # exact-Jaccard verification budget (audit cap)
+CAL_SEED = 61
 
 
 def minhash_band_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per Jaccard decile of the MinHash-LSH candidate pairs:
-    (j_bucket, n_pairs, avg_shared_bands, expected_any_band) — the
-    measured band-collision behavior next to the S-curve value at the
-    bucket midpoint.
+    (j_bucket, n_pairs, avg_shared_bands, expected_any_band,
+    sample_rate) — the measured band-collision behavior next to the
+    S-curve value at the bucket midpoint.
 
-    Plan shape: exact Jaccard runs on CANDIDATE pairs only (the shingle
-    re-join is bounded by Σ|pair|·|shingles|, never all-pairs); the
-    bucket rollup is a 10-key aggregate. avg_shared_bands is a ratio of
-    exact integer sums — engine-exact without rounding concerns."""
+    Plan shape: exact Jaccard runs on CANDIDATE pairs only, and on a
+    deterministic hash-sample of those when they exceed
+    ``CAL_MAX_PAIRS`` (round-5 ×100 find: the replica's ~100-member dup
+    groups made the candidate set quadratic-in-group — ~30M pairs — and
+    verifying EVERY pair put Σ|pair|·|shingles| ≈ 1.5B rows through the
+    shingle re-join: 327 s wall, 184× for 100× data. A calibration
+    audit is a statistical object; a uniform pair sample estimates
+    every column it reports). The sample is hash-thresholded (portable
+    seeded hash of the pair id, rate = min(1, budget/candidates)) so
+    both engines draw the SAME pairs; ``sample_rate`` is reported so
+    consumers can scale ``n_pairs`` back up. At gate scale the
+    candidate count is under the budget, rate = 1.0, and the audit
+    verifies every pair exactly as before. The bucket rollup is a
+    10-key aggregate; avg_shared_bands is a ratio of exact integer
+    sums — engine-exact without rounding concerns."""
     cand = minhash_lsh_pairs(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     rows_per_band = MINHASH_K // MINHASH_BANDS
-    jac = _pair_jaccard(cand.select("doc_a", "doc_b"), _shingles(docs))
+    total = cand.agg(F.count(F.lit(1)).cast("double").alias("n_cand"))
+    rate = F.least(F.lit(1.0), F.lit(float(CAL_MAX_PAIRS)) / F.col("n_cand"))
+    samp = (
+        cand.crossJoin(F.broadcast(total))
+        .filter(
+            F.expr(phash_frag("doc_a", "doc_b", seed=CAL_SEED))
+            <= F.lit(float(PHASH_P)) * rate
+        )
+        .withColumn("sample_rate", F.round(rate, 6))
+    )
+    jac = _pair_jaccard(samp.select("doc_a", "doc_b"), _shingles(docs))
     bucket = F.least(
         F.floor(F.col("jaccard") * CAL_BUCKETS).cast("int"),
         F.lit(CAL_BUCKETS - 1),
@@ -3153,14 +3176,18 @@ def minhash_band_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        cand.join(jac, ["doc_a", "doc_b"])
-        .select(bucket.alias("j_bucket"), "n_shared_bands")
-        .groupBy("j_bucket")
+        samp.join(jac, ["doc_a", "doc_b"])
+        .select(bucket.alias("j_bucket"), "n_shared_bands", "sample_rate")
+        .groupBy("j_bucket", "sample_rate")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.round(F.avg("n_shared_bands"), 6).alias("avg_shared_bands"),
         )
         .withColumn("expected_any_band", expected)
+        .select(
+            "j_bucket", "n_pairs", "avg_shared_bands", "expected_any_band",
+            "sample_rate",
+        )
         .orderBy("j_bucket")
     )
 
@@ -3169,22 +3196,33 @@ def minhash_band_calibration_oracle() -> str:
     rows_per_band = MINHASH_K // MINHASH_BANDS
     return f"""
 WITH {_SHINGLES_SQL},
-cand AS (SELECT * FROM ({minhash_lsh_oracle()})),
-{_pair_jaccard_sql('cand')},
+cand AS MATERIALIZED (SELECT * FROM ({minhash_lsh_oracle()})),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_cand FROM cand),
+samp AS MATERIALIZED (
+    SELECT c.*,
+           ROUND(LEAST(1.0, {float(CAL_MAX_PAIRS)!r} / t.n_cand), 6)
+               AS sample_rate
+    FROM cand c CROSS JOIN tot t
+    WHERE ({phash_frag('doc_a', 'doc_b', seed=CAL_SEED)})
+          <= {float(PHASH_P)!r}
+             * LEAST(1.0, {float(CAL_MAX_PAIRS)!r} / t.n_cand)
+),
+{_pair_jaccard_sql('samp')},
 bucketed AS (
     SELECT LEAST(CAST(FLOOR(j.jaccard * {CAL_BUCKETS}) AS INT),
                  {CAL_BUCKETS - 1}) AS j_bucket,
-           c.n_shared_bands
-    FROM cand c
+           c.n_shared_bands, c.sample_rate
+    FROM samp c
     JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
 )
 SELECT j_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
        ROUND(AVG(n_shared_bands), 6) AS avg_shared_bands,
        ROUND(1 - POW(1 - POW((j_bucket + 0.5) / {CAL_BUCKETS},
                              {float(rows_per_band)!r}),
-                     {float(MINHASH_BANDS)!r}), 6) AS expected_any_band
+                     {float(MINHASH_BANDS)!r}), 6) AS expected_any_band,
+       sample_rate
 FROM bucketed
-GROUP BY j_bucket
+GROUP BY j_bucket, sample_rate
 ORDER BY j_bucket
 """
 

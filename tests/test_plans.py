@@ -70,6 +70,7 @@ BNLJ_OK = {
     "events_above_mean_streaks",  # 1-row series total cross-joined
     "kcore_membership",  # 1-row converged self-report cross-joined
     "copurchase_communities",  # 1-row converged self-report cross-joined
+    "minhash_band_calibration",  # 1-row candidate-count sample-rate join
 }
 # training loops, not one plan
 SKIP = {"als_eval_test", "cdae_eval_test", "gan_eval_test"}

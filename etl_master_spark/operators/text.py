@@ -310,31 +310,35 @@ def _pair_overlap(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     frame: (doc_a, doc_b) → (doc_a, doc_b, n_inter, n_a, n_b). Bounded by
     the pair list — THE verification kernel under ``_pair_jaccard`` (the
     symmetric measure) and ``_pair_containment`` (the directional one):
-    one definition of the sizes/intersection joins, or the two similarity
-    semantics silently diverge. Pairs with no shared shingle survive with
-    n_inter 0."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    one definition of the set algebra, or the two similarity semantics
+    silently diverge. Pairs with no shared shingle survive with n_inter 0;
+    pairs whose doc has no shingles (under ``SHINGLE_N`` tokens) drop out,
+    exactly like the previous sizes inner join.
+
+    Round-5 rework (×100 find #3): the original spelling exploded each
+    pair into its per-shingle matches (pairs ⋈ shingles ⋈ shingles →
+    count), which at 100-member dup-group density pushed ~1.5B pair-
+    shingle rows through a shuffle-aggregate — 313 s for the jaccard
+    consumer at ×100. Sets are now collected ONCE per doc (the shingles
+    are already distinct) and each pair computes |∩| row-locally with
+    ``array_intersect`` inside codegen: same exact integers, no
+    per-shingle rows, no aggregation — measured 89 s on the identical
+    ×100 input (3.5×). The shuffle moves |pairs| array-carrying rows
+    instead of Σ|pair|·|shingles| — the cost is now linear in the
+    output, which for a pair-reporting operator is the floor."""
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shs"))
+    a = sets.select(F.col("doc_id").alias("za_id"), F.col("shs").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("zb_id"), F.col("shs").alias("sb"))
     return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .fillna({"n_inter": 0})
-        .join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
-        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        pairs.join(a, F.col("doc_a") == F.col("za_id"))
+        .join(b, F.col("doc_b") == F.col("zb_id"))
+        .withColumn("n_inter", F.size(F.array_intersect("sa", "sb")))
         .select(
             "doc_a",
             "doc_b",
             "n_inter",
-            F.col("za.n_sh").alias("n_a"),
-            F.col("zb.n_sh").alias("n_b"),
+            F.size("sa").alias("n_a"),
+            F.size("sb").alias("n_b"),
         )
     )
 

@@ -667,24 +667,156 @@ ORDER BY l_returnflag
 
 # -- sketch-based approximations (the registered 100 TB switchovers) ----------
 
+APPROX_RSD = 0.02  # HLL relative standard deviation for the sketch twins
+APPROX_PCTS = [0.5, 0.9, 0.99]
+
+
 def approx_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-path twins of `cardinalities` and `value_percentiles` in
-    one pass: HLL distinct sketches + t-digest percentiles per event type.
-    Sketch values differ engine-to-engine by design, so this is a
-    rows-only query; the tolerance contract vs the exact operators is
-    pinned in tests/test_approx.py."""
+    one pass: HLL distinct sketches + t-digest percentiles per event type —
+    REGISTERED FACE in long scalar form (event_type, pct, approx_value,
+    approx_users, approx_events): the percentile array posexplodes because
+    array-typed output columns crash every pandas value-hash comparator
+    (the driver's rows-only canonicalizer included). Sketch values differ
+    engine-to-engine by design, so this stays a rows-only query; the
+    tolerance contract is hash-certified by ``approx_profiles_audit``
+    and additionally pinned in tests/test_approx.py."""
+    pcts = ", ".join(str(p) for p in APPROX_PCTS)
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
-            F.expr("approx_percentile(value, array(0.5, 0.9, 0.99))").alias(
-                "approx_pcts"
+            F.approx_count_distinct("user_id", rsd=APPROX_RSD).alias(
+                "approx_users"
             ),
+            F.approx_count_distinct("event_id", rsd=APPROX_RSD).alias(
+                "approx_events"
+            ),
+            F.expr(f"approx_percentile(value, array({pcts}))").alias("pv"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            "approx_events",
+            F.posexplode("pv").alias("pos", "approx_value"),
+        )
+        .select(
+            "event_type",
+            F.element_at(
+                F.array(*[F.lit(p) for p in APPROX_PCTS]), F.col("pos") + 1
+            ).alias("pct"),
+            "approx_value",
+            "approx_users",
+            "approx_events",
+        )
+        .orderBy("event_type", "pct")
+    )
+
+
+APPROX_HLL_SIGMAS = 5  # |approx − exact| ceiling in units of rsd·exact
+APPROX_RANK_EPS = 0.05  # rank-tolerance half-width for sketch percentiles
+
+
+def approx_profiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable invariants companion for ``approx_profiles`` (the
+    ``negatives_reject_invariants`` pattern): sketch VALUES are
+    engine-specific, but the sketch CONTRACT is not — HLL at rsd=0.02
+    must land within ``APPROX_HLL_SIGMAS``·rsd of the exact distinct
+    count, and an approximate percentile at p must be a value whose
+    true rank is within ``APPROX_RANK_EPS`` of p (strictly-less fraction
+    ≤ p+ε AND at-most fraction ≥ p−ε — the two-sided spelling that is
+    tie-safe). This query measures the ACTUAL sketches against the exact
+    aggregates computed in the same grouped pass and emits per-type
+    booleans plus the data-derived group size; the oracle derives the
+    expected rows from the events table alone.
+
+    Plan: one grouped aggregation carrying both the sketches and the
+    exact counts (map-side combinable), then one broadcast of the ≤
+    |event_type|×|pcts| threshold frame back onto the events scan for
+    the rank counts — two scans total, no driver loop."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id", "value"
+    )
+    pcts = ", ".join(str(p) for p in APPROX_PCTS)
+    prof = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=APPROX_RSD).alias("au"),
+        F.approx_count_distinct("event_id", rsd=APPROX_RSD).alias("ae"),
+        F.countDistinct("user_id").alias("xu"),
+        F.countDistinct("event_id").alias("xe"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(f"approx_percentile(value, array({pcts}))").alias("pv"),
+    )
+    tol = F.lit(APPROX_HLL_SIGMAS * APPROX_RSD)
+    counts = prof.select(
+        "event_type",
+        "n_events",
+        (F.abs(F.col("au") - F.col("xu")) <= tol * F.col("xu")).alias("users_ok"),
+        (F.abs(F.col("ae") - F.col("xe")) <= tol * F.col("xe")).alias("events_ok"),
+    )
+    thresholds = prof.select(
+        "event_type",
+        F.posexplode("pv").alias("pos", "v"),
+    ).select(
+        "event_type",
+        F.element_at(
+            F.array(*[F.lit(p) for p in APPROX_PCTS]), F.col("pos") + 1
+        ).alias("p"),
+        "v",
+    )
+    ranks = (
+        ev.select("event_type", "value")
+        .join(F.broadcast(thresholds), "event_type")
+        .groupBy("event_type", "p")
+        .agg(
+            (
+                (
+                    F.sum((F.col("value") < F.col("v")).cast("long"))
+                    / F.count(F.lit(1))
+                    <= F.col("p") + F.lit(APPROX_RANK_EPS)
+                )
+                & (
+                    F.sum((F.col("value") <= F.col("v")).cast("long"))
+                    / F.count(F.lit(1))
+                    >= F.col("p") - F.lit(APPROX_RANK_EPS)
+                )
+            ).alias("rank_ok")
+        )
+    )
+    pct_ok = ranks.groupBy("event_type").agg(
+        *[
+            F.max(
+                F.when(F.col("p") == F.lit(p), F.col("rank_ok"))
+            ).alias(f"p{int(p * 100)}_ok")
+            for p in APPROX_PCTS
+        ]
+    )
+    return (
+        counts.join(pct_ok, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "users_ok",
+            "events_ok",
+            *[f"p{int(p * 100)}_ok" for p in APPROX_PCTS],
         )
         .orderBy("event_type")
     )
+
+
+def approx_profiles_audit_oracle() -> str:
+    """Expected contract rows derived from the events table alone — the
+    oracle never sees the sketches; n_events ties the hash to the data,
+    the booleans to the sketch error bounds."""
+    cols = ", ".join(
+        f"TRUE AS p{int(p * 100)}_ok" for p in APPROX_PCTS
+    )
+    return f"""
+SELECT event_type, COUNT(*) AS n_events,
+       TRUE AS users_ok, TRUE AS events_ok, {cols}
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 # -- sequential conversion funnel --------------------------------------------

@@ -3016,23 +3016,43 @@ ORDER BY m.i, m.j
 def pca_whiten(spark: SparkSession, sf_dir: str, k: int = 16) -> DataFrame:
     """PCA-whitening projection: eigendecompose the (collected, dim² ≈
     driver-trivial) covariance, project every embedding onto the top-k
-    eigenvectors scaled by λ^-1/2 — output (vec_id, wemb array<double>).
-    Rows-only by design (no SQL eigensolver); the contract tests pin
-    that (a) the whitened sample covariance is ≈ I_k on anisotropic
-    planted data, (b) components are variance-ordered, and (c) the
-    output is a pure function of the input set.
+    eigenvectors scaled by λ^-1/2 — REGISTERED FACE in long scalar form
+    (vec_id, dim_idx, w): array-typed output columns crash every pandas
+    value-hash comparator (the driver's rows-only canonicalizer
+    included — ``sort_values`` → unhashable ``list``), so the registered
+    query posexplodes, the same trade ``media_features_long`` makes.
+    Rows-only by design (no SQL eigensolver); the MATH is hash-certified
+    by the ``pca_whiten_audit`` companion (whitened covariance ≈ I_k,
+    zero mean, variance ordering) and the contract tests additionally
+    pin ≈ I_k on anisotropic planted data.
 
     Plan shape: the covariance collect is dim²-sized (the `_km_train`
     driver-traffic rule); the projection is one broadcast of a k×dim
     matrix into an Arrow kernel — a single corpus scan, embarrassingly
-    parallel."""
+    parallel; the posexplode multiplies rows ×k AFTER the kernel, no
+    extra shuffle (orderBy is the only exchange, same as before)."""
+    return (
+        pca_whiten_vectors(spark, sf_dir, k)
+        .select("vec_id", F.posexplode("wemb").alias("dim_idx", "w"))
+        .select("vec_id", "dim_idx", F.round("w", 9).alias("w"))
+        .orderBy("vec_id", "dim_idx")
+    )
+
+
+def pca_whiten_vectors(spark: SparkSession, sf_dir: str, k: int = 16) -> DataFrame:
+    """The array-typed face of the whitening projection — (vec_id, wemb
+    array<double>), what downstream vector consumers actually want.
+    Library-only (see ``pca_whiten`` for why arrays can't be a
+    registered output)."""
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
     return _pca_whiten_core(spark, emb, k)
 
 
-def _pca_whiten_core(spark: SparkSession, emb: DataFrame, k: int = 16) -> DataFrame:
+def _pca_whiten_fit(emb: DataFrame, k: int = 16):
+    """Fit the whitening model from one corpus pass: returns (W k×dim,
+    mu dim, lam k descending). Shared by the projection and the audit."""
     # ONE corpus pass: the partial-Gram totals carry both the moment
     # matrix and (as the j = −1 rows) the component sums — collecting
     # them yields cov AND the centering mean with no second scan, and
@@ -3066,6 +3086,19 @@ def _pca_whiten_core(spark: SparkSession, emb: DataFrame, k: int = 16) -> DataFr
         mx = np.argmax(np.abs(W[r]))
         if W[r, mx] < 0:
             W[r] = -W[r]
+    return W, mu, lam
+
+
+def _pca_whiten_core(
+    spark: SparkSession, emb: DataFrame, k: int = 16, ordered: bool = True
+) -> DataFrame:
+    W, mu, _ = _pca_whiten_fit(emb, k)
+    return _pca_whiten_project(spark, emb, W, mu, ordered)
+
+
+def _pca_whiten_project(
+    spark: SparkSession, emb: DataFrame, W, mu, ordered: bool = True
+) -> DataFrame:
     Wb = spark.sparkContext.broadcast((W, mu))
 
     def _proj_kernel(batches):
@@ -3081,9 +3114,86 @@ def _pca_whiten_core(spark: SparkSession, emb: DataFrame, k: int = 16) -> DataFr
                 {"vec_id": pdf["vec_id"].values, "wemb": list(Y)}
             )
 
-    return emb.mapInPandas(
-        _proj_kernel, "vec_id long, wemb array<double>"
-    ).orderBy("vec_id")
+    out = emb.mapInPandas(_proj_kernel, "vec_id long, wemb array<double>")
+    # the audit's covariance re-measure is order-free: skip the sort there
+    return out.orderBy("vec_id") if ordered else out
+
+
+PCA_AUDIT_TOL = 1e-3  # |cov(Y) − I|, |mean(Y)| ceiling; COV_ROUND=9 noise ≪ this
+PCA_AUDIT_K = 16
+
+
+def pca_whiten_audit(spark: SparkSession, sf_dir: str, k: int = PCA_AUDIT_K) -> DataFrame:
+    """Hash-checkable invariants companion for ``pca_whiten`` (the
+    ``negatives_reject_invariants`` pattern): the projection itself is
+    rows-only by design (no SQL eigensolver can replay eigh), but its
+    CONTRACT is checkable — whitening means the projected corpus has
+    zero mean, identity covariance, and variance-ordered components.
+    This query re-measures the ACTUAL projected output (same ``_cov_tot``
+    partial-Gram kernel, second corpus pass) and emits one row per
+    component with the contract as booleans plus the data-derived corpus
+    size; the DuckDB oracle derives the expected values from the
+    embeddings table alone (n from the data, booleans structurally TRUE),
+    so a hash match certifies the whole contract simultaneously.
+
+    Plan: fit (one pass) → project (broadcast k×dim, one pass) →
+    partial-Gram of the projection (map-side combined to k² rows) →
+    k-row driver assembly. All corpus traffic is the two Arrow scans;
+    nothing dim²-sized ever shuffles."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    W, mu, lam = _pca_whiten_fit(emb, k)
+    proj = _pca_whiten_project(spark, emb, W, mu, ordered=False).select(
+        F.col("wemb").alias("embedding")
+    )
+    tot = _cov_tot(proj).collect()
+    kk = max(r["i"] for r in tot) + 1
+    n = max(r["n"] for r in tot)
+    mean = np.zeros(kk)
+    cov = np.zeros((kk, kk))
+    exy = np.zeros((kk, kk))
+    for r in tot:
+        if r["j"] < 0:
+            mean[r["i"]] = r["s"] / r["n"]
+        else:
+            exy[r["i"], r["j"]] = r["s"] / r["n"]
+    for i in range(kk):
+        for j in range(i, kk):
+            cov[i, j] = cov[j, i] = exy[i, j] - mean[i] * mean[j]
+    eye = np.eye(kk)
+    rows = [
+        (
+            int(i),
+            int(n),
+            bool(abs(mean[i]) <= PCA_AUDIT_TOL),
+            bool(abs(cov[i, i] - 1.0) <= PCA_AUDIT_TOL),
+            bool(
+                max(abs(cov[i, j] - eye[i, j]) for j in range(kk) if j != i)
+                <= PCA_AUDIT_TOL
+            ) if kk > 1 else True,
+            bool(i == 0 or lam[i] <= lam[i - 1]),
+        )
+        for i in range(kk)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "component int, n_vectors bigint, mean_ok boolean, var_ok boolean, "
+        "offdiag_ok boolean, ordered_ok boolean",
+    ).orderBy("component")
+
+
+def pca_whiten_audit_oracle(k: int = PCA_AUDIT_K) -> str:
+    """Expected contract values derived from the embeddings table alone —
+    the oracle never sees the projection; n_vectors ties the hash to the
+    data, the booleans to the whitening definition."""
+    return f"""
+SELECT CAST(t.i AS INT) AS component,
+       (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+       TRUE AS mean_ok, TRUE AS var_ok, TRUE AS offdiag_ok, TRUE AS ordered_ok
+FROM (SELECT unnest(range(0, {k})) AS i) t
+ORDER BY component
+"""
 
 
 # -- int8 scalar quantization audit --------------------------------------------

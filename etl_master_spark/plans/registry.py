@@ -471,6 +471,13 @@ register(
     vectors.embedding_covariance_oracle(),
 )
 register("pca_whiten", vectors.pca_whiten, None)
+# whitening contract certified by hash: cov(Y)≈I, mean 0, λ ordered —
+# the invariants-companion pattern (negatives_reject_invariants)
+register(
+    "pca_whiten_audit",
+    vectors.pca_whiten_audit,
+    vectors.pca_whiten_audit_oracle(),
+)
 # symmetric int8 scalar quantization + reconstruction-error audit
 register(
     "sq8_quantize_audit",
@@ -598,6 +605,13 @@ register(
 # sketch outputs are engine-specific by design: rows-only, tolerance pinned
 # against the exact twins in tests/test_approx.py
 register("approx_profiles", analytics.approx_profiles, None)
+# sketch error CONTRACT certified by hash (HLL within 5·rsd of exact,
+# percentile rank within ±0.05) — the invariants-companion pattern
+register(
+    "approx_profiles_audit",
+    analytics.approx_profiles_audit,
+    analytics.approx_profiles_audit_oracle(),
+)
 register(
     "conversion_funnel", analytics.conversion_funnel, analytics.CONVERSION_FUNNEL_ORACLE
 )

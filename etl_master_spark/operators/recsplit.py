@@ -408,6 +408,19 @@ def negatives_sample_reject(
     hash-uniform. Heavy users that exhaust their trials re-round with a
     shifted seed (driver loop, geometrically unlikely past round 1 when
     catalog ≫ interactions-per-user).
+
+    FILL GUARANTEE: hash trials alone cannot promise the contract's
+    ``min(n, |catalog| − |seen|)`` fill — a user whose unseen remainder
+    is a sliver of a huge catalog needs trials to hash-hit those exact
+    items. So after the bounded rounds, any still-underfilled (user,
+    domain) pairs take one EXACT top-up: their full candidate set via a
+    plain anti-join against the items frame (never a catalog array),
+    hash-ranked with a fresh seed shift, appended after every trial
+    pick. The top-up stage joins |underfilled users| × |domain catalog|
+    rows — underfilled users are geometrically rare, so this is the
+    exact path's cost confined to a vanishing fraction; when nobody is
+    underfilled (the common case, checked with one count on the
+    checkpointed picks) the stage is skipped entirely.
     """
     spark = r.sparkSession
     # dense per-domain item index: idx in [0, n_items) — tiny, broadcastable
@@ -489,6 +502,47 @@ def negatives_sample_reject(
             )
             seen = seen.unionByName(out.select("user_id", "domain", "item_id"))
     assert out is not None
+    # exact top-up: contract-complete the rare pairs the hash trials missed
+    have = out.groupBy("user_id", "domain").agg(
+        F.count(F.lit(1)).alias("n_have")
+    )
+    under = (
+        users.join(have, ["user_id", "domain"], "left")
+        .filter(F.coalesce("n_have", F.lit(0)) < n)
+        .select("user_id", "domain")
+    )
+    if not under.isEmpty():
+        topup = (
+            under.join(items.select("domain", "item_id"), "domain")
+            .join(seen, ["user_id", "domain", "item_id"], "left_anti")
+            .join(
+                out.select("user_id", "domain", "item_id"),
+                ["user_id", "domain", "item_id"],
+                "left_anti",
+            )
+            .withColumn(
+                "t",
+                F.lit((max_rounds + 1) * 10**9)
+                + F.row_number().over(
+                    Window.partitionBy("user_id", "domain").orderBy(
+                        F.expr(
+                            phash_frag(
+                                "user_id", "item_id",
+                                seed=SPLIT_SEED + 7 * max_rounds,
+                            )
+                        ).asc(),
+                        F.col("item_id").asc(),
+                    )
+                ),
+            )
+            # n candidates per user always suffice (existing picks only
+            # push top-ups out, never in) — trim before the union so a
+            # pathological wide-unseen user never ships their whole
+            # candidate set through the final ranking
+            .filter(F.col("t") <= F.lit((max_rounds + 1) * 10**9 + n))
+            .select("user_id", "domain", "item_id", "t")
+        )
+        out = out.unionByName(topup)
     final = out.withColumn(
         "rank",
         F.row_number()
@@ -498,9 +552,37 @@ def negatives_sample_reject(
     return final.select("user_id", "item_id", "domain", "rank")
 
 
+_REJECT_CACHE: dict[tuple, DataFrame] = {}
+
+
+def negatives_sample_reject_cached(
+    spark: SparkSession, sf_dir: str, n: int = N_NEGATIVES, max_rounds: int = 4
+) -> DataFrame:
+    """Per-session memo over ``negatives_sample_reject``: the sampler is
+    deterministic for (sf_dir, n, max_rounds), and BOTH its registered
+    face and the ``negatives_reject_invariants`` audit need it in the
+    same bench/driver run — without the memo each pays the full
+    multi-round loop (~6.6 s of a 134 s bench). The cached frame is the
+    final ≤ n-per-(user, domain) picks, localCheckpoint'd so reuse costs
+    a block read, not a recompute; keyed by applicationId so a new
+    session never sees another session's lineage."""
+    from ..sources.io import ratings
+
+    key = (spark.sparkContext.applicationId, sf_dir, n, max_rounds)
+    got = _REJECT_CACHE.get(key)
+    if got is None:
+        got = negatives_sample_reject(
+            ratings(spark, sf_dir), n, max_rounds
+        ).localCheckpoint(eager=False)
+        _REJECT_CACHE[key] = got
+    return got
+
+
 # -- E3 scale path, made driver-checkable: invariants companion ---------------
 
-def negatives_reject_invariants(r: DataFrame) -> DataFrame:
+def negatives_reject_invariants(
+    r: DataFrame, negs: DataFrame | None = None
+) -> DataFrame:
     """Hash-checkable oracle companion for ``negatives_sample_reject``
     (which the driver can only rows-only check: its output is a
     hash-seeded SAMPLE, legal under many equally-valid draws, so no
@@ -509,9 +591,11 @@ def negatives_reject_invariants(r: DataFrame) -> DataFrame:
     alone, and that is what this query pins per (user, domain):
 
     - ``n_negs``    = min(99, |domain catalog| − |user's seen set|)
-      (exact fill: the sampler tops up across rounds until it either
-      reaches 99 or exhausts the catalog — tests/test_recsplit.py pins
-      the same equality row-by-row at gate scale);
+      (exact fill — a GUARANTEE, not a hope: the hash-trial rounds top
+      up and any still-underfilled pair takes the sampler's exact
+      anti-join top-up stage, so the equality holds on every input,
+      including a fully-exhausted (user, domain) which contributes an
+      n_negs = 0 row on both sides);
     - ``n_overlap``     = 0  (no sampled negative was ever interacted);
     - ``n_out_catalog`` = 0  (every negative is a real domain item);
     - ``n_dup``         = 0  (no item sampled twice for one user);
@@ -521,8 +605,11 @@ def negatives_reject_invariants(r: DataFrame) -> DataFrame:
     so a hash match certifies every invariant simultaneously. Same scan
     shape as the sampler itself plus three broadcast-sized joins; the
     violation counters are literal zeros only if the anti-join and
-    catalog-membership checks actually hold."""
-    negs = negatives_sample_reject(r)
+    catalog-membership checks actually hold. Pass ``negs`` to audit a
+    precomputed (e.g. memo-cached) sample instead of re-running the
+    multi-round loop."""
+    if negs is None:
+        negs = negatives_sample_reject(r)
     catalog = r.select("domain", "item_id").distinct()
     seen = r.select("user_id", "domain", "item_id").distinct()
     checked = (
@@ -537,22 +624,36 @@ def negatives_reject_invariants(r: DataFrame) -> DataFrame:
             "left",
         )
     )
+    agg = checked.groupBy("user_id", "domain").agg(
+        F.count(F.lit(1)).alias("n_negs"),
+        F.sum(F.coalesce("is_seen", F.lit(0))).alias("n_overlap"),
+        F.sum(
+            F.lit(1) - F.coalesce("in_cat", F.lit(0))
+        ).alias("n_out_catalog"),
+        (
+            F.count(F.lit(1)) - F.countDistinct("item_id")
+        ).alias("n_dup"),
+        (
+            (F.min("rank") == 1)
+            & (F.max("rank") == F.count(F.lit(1)))
+            & (F.countDistinct("rank") == F.count(F.lit(1)))
+        ).alias("rank_dense"),
+    )
+    # a fully-exhausted (user, domain) legally samples ZERO negatives and
+    # so has no rows to aggregate — left-join from the user frame keeps
+    # its n_negs = 0 row (the oracle emits one; dropping it was the
+    # round-5 asymmetry)
+    pairs = r.select("user_id", "domain").distinct()
     return (
-        checked.groupBy("user_id", "domain")
-        .agg(
-            F.count(F.lit(1)).alias("n_negs"),
-            F.sum(F.coalesce("is_seen", F.lit(0))).alias("n_overlap"),
-            F.sum(
-                F.lit(1) - F.coalesce("in_cat", F.lit(0))
-            ).alias("n_out_catalog"),
-            (
-                F.count(F.lit(1)) - F.countDistinct("item_id")
-            ).alias("n_dup"),
-            (
-                (F.min("rank") == 1)
-                & (F.max("rank") == F.count(F.lit(1)))
-                & (F.countDistinct("rank") == F.count(F.lit(1)))
-            ).alias("rank_dense"),
+        pairs.join(agg, ["user_id", "domain"], "left")
+        .select(
+            "user_id",
+            "domain",
+            F.coalesce("n_negs", F.lit(0)).alias("n_negs"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.coalesce("n_out_catalog", F.lit(0)).alias("n_out_catalog"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.coalesce("rank_dense", F.lit(True)).alias("rank_dense"),
         )
         .orderBy("user_id", "domain")
     )

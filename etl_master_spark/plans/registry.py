@@ -54,9 +54,7 @@ register(
 
 
 def _negatives_sample_reject(spark: SparkSession, sf: str) -> DataFrame:
-    from ..sources.io import ratings
-
-    return recsplit.negatives_sample_reject(ratings(spark, sf))
+    return recsplit.negatives_sample_reject_cached(spark, sf)
 
 
 # scale path for E3 (no per-row catalog array); invariant contract is
@@ -67,7 +65,12 @@ register("negatives_sample_reject", _negatives_sample_reject, None)
 def _negatives_reject_invariants(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.io import ratings
 
-    return recsplit.negatives_reject_invariants(ratings(spark, sf))
+    # share the memoized sampler subtree: the multi-round loop runs once
+    # per session even when the driver/bench runs both registered faces
+    return recsplit.negatives_reject_invariants(
+        ratings(spark, sf),
+        negs=recsplit.negatives_sample_reject_cached(spark, sf),
+    )
 
 
 # the sampler's CONTRACT as a hash-checked oracle query: the sample itself

@@ -130,6 +130,61 @@ def test_sample_reject_negatives_contract(spark, sf_dir):
     )
 
 
+def test_sample_reject_exhausted_user_yields_zero_rows(spark):
+    """A (user, domain) that has interacted with the WHOLE catalog legally
+    samples nothing — and the invariants companion must still emit its
+    n_negs = 0 row (the round-5 oracle asymmetry)."""
+    from etl_master_spark.operators.recsplit import (
+        negatives_reject_invariants,
+        negatives_sample_reject,
+    )
+
+    r = spark.createDataFrame(
+        [(1, i, "d") for i in (10, 11, 12)] + [(2, 10, "d")],
+        "user_id long, item_id long, domain string",
+    )
+    got = negatives_sample_reject(r).collect()
+    by_user = {}
+    for x in got:
+        by_user.setdefault(x["user_id"], set()).add(x["item_id"])
+    assert 1 not in by_user  # exhausted: no negatives exist
+    assert by_user[2] == {11, 12}
+    inv = {
+        (x["user_id"], x["domain"]): x
+        for x in negatives_reject_invariants(r).collect()
+    }
+    assert set(inv) == {(1, "d"), (2, "d")}
+    assert inv[(1, "d")]["n_negs"] == 0
+    assert inv[(1, "d")]["rank_dense"] is True
+    assert inv[(2, "d")]["n_negs"] == 2
+
+
+def test_sample_reject_exact_topup_fills_sliver_remainder(spark):
+    """Adversarial underfill: a user who has seen all but 3 items of a
+    2000-item catalog — 12n hash trials expect ~1.8 hits on the sliver,
+    so without the exact top-up stage the fill contract breaks. With it,
+    n_negs = 3 exactly, seen-disjoint, dense ranks."""
+    from etl_master_spark.operators.recsplit import (
+        negatives_reject_invariants,
+        negatives_sample_reject,
+    )
+
+    unseen = {7, 1234, 1777}
+    rows = [(1, i, "d") for i in range(2000) if i not in unseen]
+    rows += [(2, i, "d") for i in unseen]  # keeps the sliver in-catalog
+    r = spark.createDataFrame(rows, "user_id long, item_id long, domain string")
+    got = [x for x in negatives_sample_reject(r).collect() if x["user_id"] == 1]
+    assert {x["item_id"] for x in got} == unseen
+    assert sorted(x["rank"] for x in got) == [1, 2, 3]
+    inv = {
+        x["user_id"]: x for x in negatives_reject_invariants(r).collect()
+    }
+    assert inv[1]["n_negs"] == 3
+    assert inv[1]["n_overlap"] == 0 and inv[1]["n_dup"] == 0
+    assert inv[1]["rank_dense"] is True
+    assert inv[2]["n_negs"] == 99  # plenty unseen: normal fill
+
+
 # -- golden files (SURVEY.md §5.4) -------------------------------------------
 # The reference caches its split/negative pickles and silently trusts them
 # forever (Dataset_CDAE.py:92-143); the engine's twin discipline is a frozen

@@ -16,6 +16,7 @@ across engines.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -118,18 +119,123 @@ def _parse_pnm_header(payload: bytes) -> tuple[str, int, int, int, int] | None:
         return None
     if not (0 < maxval <= 255 and width > 0 and height > 0):
         return None
-    pos += 1  # the single post-maxval whitespace byte
+    # the raster follows EXACTLY one whitespace byte after maxval; a '#'
+    # here (comment jammed against maxval) would put the offset inside
+    # the comment text — undecodable, not off-by-N garbage
+    if not payload[pos : pos + 1].isspace():
+        return None
+    pos += 1
     return magic, width, height, maxval, pos
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (8-bit depth only; 3 = palette needs PLTE
+# indirection and stays on the PIL tier)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(payload: bytes) -> list[float] | None:
+    """Pure-stdlib PNG decode for the formats stdlib can actually reach:
+    zlib-inflated IDAT + the five scanline filters (None/Sub/Up/Average/
+    Paeth, RFC 2083 §6) for 8-bit gray / gray+alpha / RGB / RGBA,
+    non-interlaced. Returns the row-major BT.601 luminance sequence, or
+    None for anything else (palette, 16-bit, interlaced, truncated) —
+    which falls through to the PIL tier. Alpha is ignored (luminance of
+    the stored channels), matching PIL's ``convert("L")`` on opaque
+    images — the only kind the pipeline's deterministic doubles emit."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos, width = len(_PNG_SIG), -1
+    height = bit_depth = color_type = interlace = -1
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            return None  # truncated chunk
+        if ctype == b"IHDR":
+            if length < 13:
+                return None
+            width, height = struct.unpack_from(">II", data, 0)
+            bit_depth, color_type = data[8], data[9]
+            interlace = data[12]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if (
+        width <= 0
+        or height <= 0
+        or bit_depth != 8
+        or interlace != 0
+        or color_type not in _PNG_CHANNELS
+        or not idat
+    ):
+        return None
+    ch = _PNG_CHANNELS[color_type]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * ch
+    if len(raw) < height * (stride + 1):
+        return None
+    prev = bytearray(stride)
+    lum: list[float] = []
+    for y in range(height):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                line[i] = (line[i] + pr) & 0xFF
+        elif ftype != 0:
+            return None  # not a legal filter type
+        prev = line
+        if ch >= 3:
+            lum.extend(
+                0.299 * line[i] + 0.587 * line[i + 1] + 0.114 * line[i + 2]
+                for i in range(0, stride, ch)
+            )
+        else:  # gray / gray+alpha: first sample IS the luminance
+            lum.extend(float(line[i]) for i in range(0, stride, ch))
+    return lum
+
+
 def _decode_uncompressed(payload: bytes) -> list[float] | None:
-    """Real byte→pixel decode for codec-free container formats — PPM/PGM
-    (binary P6/P5) and uncompressed 24/32-bit BMP — so ``decode_image``
-    does genuine pixel math in ANY environment (r4 verdict item 6). Pure
+    """Real byte→pixel decode for the formats stdlib can reach — PPM/PGM
+    (binary P6/P5), uncompressed 24/32-bit BMP, and 8-bit non-interlaced
+    PNG (zlib inflate + scanline defilter, ``_decode_png``) — so
+    ``decode_image`` does genuine pixel math in ANY environment. Pure
     stdlib: header parse → luminance (ITU-R BT.601) → FEATURE_DIM box
     buckets over the row-major pixel sequence, each averaged and
-    normalized to [0, 1]. Returns None for anything else (JPEG/PNG/…),
-    which falls through to the PIL escape hatch."""
+    normalized to [0, 1]. Returns None for anything else (JPEG/16-bit or
+    palette PNG/…), which falls through to the PIL escape hatch."""
     lum: list[float] | None = None
     hdr = _parse_pnm_header(payload)
     if hdr is not None:
@@ -154,9 +260,9 @@ def _decode_uncompressed(payload: bytes) -> list[float] | None:
                 / maxval
                 for i in range(0, 3 * n, 3)
             ]
+    elif payload.startswith(_PNG_SIG):
+        lum = _decode_png(payload)
     elif payload[:2] == b"BM" and len(payload) >= 54:
-        import struct
-
         data_off = struct.unpack_from("<I", payload, 10)[0]
         hdr_size = struct.unpack_from("<I", payload, 14)[0]
         if hdr_size < 40:  # BITMAPCOREHEADER etc. — not worth supporting
@@ -164,7 +270,9 @@ def _decode_uncompressed(payload: bytes) -> list[float] | None:
         width, height = struct.unpack_from("<ii", payload, 18)
         planes, bpp = struct.unpack_from("<HH", payload, 26)
         compression = struct.unpack_from("<I", payload, 30)[0]
-        if compression != 0 or bpp not in (24, 32) or width <= 0:
+        # height == 0 is a degenerate header, not an empty image: fall
+        # through to PIL/stub rather than fabricating an all-zero vector
+        if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
             return None
         bottom_up = height > 0
         height = abs(height)
@@ -203,12 +311,12 @@ def _decode_uncompressed(payload: bytes) -> list[float] | None:
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     """Decode a media payload into pixel features.
 
-    Three tiers, most portable first: (1) NATIVE — PPM/PGM and
-    uncompressed BMP decode in pure stdlib (``_decode_uncompressed``),
-    real pixel math with zero codec dependencies, so the decode stage is
-    no longer a stub for uncompressed formats anywhere; (2) PIL escape
-    hatch — if PIL is importable at CALL time, compressed formats
-    (JPEG/PNG/…) decode for real (open → grayscale → FEATURE_DIM×1
+    Three tiers, most portable first: (1) NATIVE — PPM/PGM, uncompressed
+    BMP, and 8-bit non-interlaced PNG decode in pure stdlib
+    (``_decode_uncompressed``; PNG via zlib inflate + the five scanline
+    filters), real pixel math with zero codec dependencies; (2) PIL
+    escape hatch — if PIL is importable at CALL time, the remaining
+    compressed formats (JPEG, exotic PNGs, …) decode for real (open → grayscale → FEATURE_DIM×1
     thumbnail → normalized pixel vector); (3) otherwise an
     environment-blocked STUB: with ``fake=True`` it returns a
     deterministic FEATURE_DIM-vector derived from the payload digest —
@@ -229,9 +337,9 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
         img = pil.open(io.BytesIO(payload)).convert("L").resize((FEATURE_DIM, 1))
         return [b / 255.0 for b in img.tobytes()[:FEATURE_DIM]]
     raise NotImplementedError(
-        "compressed-format decode requires image libraries not present "
-        "here; PPM/PGM/BMP decode natively, or pass fake=True for the "
-        "deterministic test double"
+        "this format's decode requires image libraries not present "
+        "here; PPM/PGM/BMP/8-bit PNG decode natively, or pass fake=True "
+        "for the deterministic test double"
     )
 
 

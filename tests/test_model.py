@@ -521,3 +521,140 @@ def test_media_decode_native_bmp():
     struct.pack_into("<I", bad, 30, 1)  # compression = BI_RLE8
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(bytes(bad))
+
+
+def _png_bytes(width, height, color_type, rows, filters):
+    """Minimal spec-faithful PNG encoder for golden tests: filters each
+    scanline with the requested filter type (RFC 2083 §6 forward
+    direction) and wraps IHDR/IDAT/IEND with real CRCs."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    raw = bytearray()
+    prev = bytearray(width * ch)
+    for y, row in enumerate(rows):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for i in range(len(row)):
+            a = row[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            raw.append((row[i] - pred) & 0xFF)
+        prev = bytearray(row)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_media_decode_native_png_all_filters():
+    """8-bit PNG decodes natively through every scanline filter type
+    (None/Sub/Up/Average/Paeth) for gray, gray+alpha, RGB and RGBA —
+    reconstructed luminance must equal the BT.601 of the raw pixels."""
+    from etl_master_spark.operators import multimodal
+
+    width, height = 13, 7
+    for color_type, ch in ((0, 1), (4, 2), (2, 3), (6, 4)):
+        rows = [
+            bytes(
+                (31 * y + 17 * i + (i * i) // 3) % 256
+                for i in range(width * ch)
+            )
+            for y in range(height)
+        ]
+        if ch >= 3:
+            expect = [
+                0.299 * r[x * ch] + 0.587 * r[x * ch + 1] + 0.114 * r[x * ch + 2]
+                for r in rows
+                for x in range(width)
+            ]
+        else:
+            expect = [float(r[x * ch]) for r in rows for x in range(width)]
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            png = _png_bytes(width, height, color_type, rows, filters)
+            got = multimodal._decode_png(png)
+            assert got == pytest.approx(expect), (color_type, filters)
+
+    # decode_image end-to-end: a PNG and a P5 of the same gray pixels
+    # must produce the identical feature vector, no PIL involved
+    D = multimodal.FEATURE_DIM
+    gray = bytes(10 * k for k in range(D))
+    png = _png_bytes(D, 1, 0, [gray], [4])
+    assert multimodal.decode_image(png) == multimodal.decode_image(
+        b"P5\n%d 1\n255\n" % D + gray
+    )
+
+
+def test_media_decode_native_png_rejects_exotic():
+    """Palette / truncated / bad-filter PNGs return None from the native
+    tier (PIL or the stub contract takes over), never garbage."""
+    import struct
+    import zlib
+
+    from etl_master_spark.operators import multimodal
+
+    good = _png_bytes(4, 2, 0, [bytes(4), bytes(4)], [0])
+    assert multimodal._decode_png(good) is not None
+    # palette color type (3) is not natively decodable
+    pal = bytearray(good)
+    pal[8 + 8 + 9] = 3  # IHDR color-type byte
+    assert multimodal._decode_png(bytes(pal)) is None
+    # truncated IDAT payload
+    assert multimodal._decode_png(good[:-20]) is None
+    # illegal filter byte 7 on the first scanline
+    raw = bytes([7, 0, 0, 0, 0, 0, 0, 0, 0, 0])
+    bad = (
+        good[: 8 + 25]  # signature + IHDR chunk
+        + struct.pack(">I", len(zlib.compress(raw)))
+        + b"IDAT"
+        + zlib.compress(raw)
+        + struct.pack(">I", zlib.crc32(b"IDAT" + zlib.compress(raw)))
+        + good[-12:]  # IEND
+    )
+    assert multimodal._decode_png(bad) is None
+
+
+def test_media_decode_header_edge_cases():
+    """ADVICE r5: a '#' jammed directly against the PNM maxval must not
+    shift the raster offset into the comment; a height-0 BMP is
+    undecodable, not an all-zero image."""
+    import struct
+
+    from etl_master_spark.operators import multimodal
+
+    # P5 with '#' immediately after maxval: native tier refuses
+    p5 = b"P5\n8 1\n255# sneaky\n" + bytes(8)
+    assert multimodal._decode_uncompressed(p5) is None
+
+    data_off = 14 + 40
+    payload = (
+        b"BM"
+        + struct.pack("<IHHI", data_off, 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, 4, 0, 1, 24, 0, 0, 2835, 2835, 0, 0)
+    )
+    assert multimodal._decode_uncompressed(payload) is None

@@ -1,7 +1,9 @@
 """BENCH harness: runs the engine's headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+results as JSON: a <200-char headline line (first and last — the driver
+tail-captures stdout), the full {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: sec}, "sf": ...} map in between, and the
+same untruncated map written to BENCH_DETAIL.json.
 
 Execution is forced with a count() over the final plan (no driver-side
 materialization of wide results — we time the engine, not pandas transfer).
@@ -189,6 +191,10 @@ BENCH_QUERIES = [
     "user_behavior_entropy",
     "events_above_mean_streaks",
     "watermark_late_arrivals",
+    # round-6 additions: the invariant companions for the two reshaped
+    # rows-only queries (each runs its full underlying pipeline)
+    "pca_whiten_audit",
+    "approx_profiles_audit",
 ]
 
 
@@ -251,7 +257,27 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # The round driver captures only a 2000-char TAIL of stdout and tries
+    # to parse a JSON line out of it; the full per-query map (~170 queries)
+    # overflows that, which left BENCH_r04/r05 with parsed=null. Emit a
+    # <200-char headline line FIRST (human/head readers), the full map in
+    # the middle, and the SAME compact line LAST so the tail always ends
+    # with one complete parseable JSON line whichever line the driver
+    # picks. The untruncated detail also lands in BENCH_DETAIL.json.
+    headline = {
+        "metric": "headline_queries_total_sec",
+        "value": out["value"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "flagship_sec": timings.get("eval_metrics_test"),
+        "sf": sf_val,
+        "detail": "BENCH_DETAIL.json",
+    }
+    Path(REPO, "BENCH_DETAIL.json").write_text(json.dumps(out, indent=1))
+    print(json.dumps(headline))
     print(json.dumps(out))
+    print(json.dumps(headline))
     spark.stop()
 
 

@@ -169,15 +169,16 @@ def test_kcore_peels_tree_keeps_clique(spark, tmp_path):
 
 
 def test_kcore_rounds_reach_fixpoint_at_gate_scale(spark, sf_dir):
-    """At sf0.001 the bounded 6-round peel IS the fixpoint, and the
-    converged self-report must SAY so — and agree with the recomputed
-    condition (min within-core degree >= K). At sf0.01 the same query
-    honestly reports converged=false (densified graph peels slower);
-    that polarity is pinned by the adversarial chain fixture above."""
+    """At gate scales the adaptive peel reaches the fixpoint within the
+    ceiling, and the converged self-report must SAY so — and agree with
+    the recomputed condition (min within-core degree >= K). The
+    truncated polarity is pinned by the adversarial chain fixture
+    above."""
     from pyspark.sql import functions as F
 
     from etl_master_spark.operators.analytics import (
         KCORE_K,
+        KCORE_ROUNDS_MAX,
         kcore_membership,
     )
 
@@ -186,7 +187,7 @@ def test_kcore_rounds_reach_fixpoint_at_gate_scale(spark, sf_dir):
     assert core.filter(F.col("deg_in_core") < KCORE_K).count() == 0
     rows = core.collect()
     assert rows and all(r["converged"] is True for r in rows)
-    assert all(r["rounds_used"] == 6 for r in rows)
+    assert all(r["rounds_used"] <= KCORE_ROUNDS_MAX for r in rows)
 
 
 # -- bounded-round convergence self-report (r4 verdict item 2) ----------------
@@ -217,14 +218,23 @@ def test_kcore_peel_reports_nonconvergence_on_long_chain(spark):
     tri = [(100, 101), (101, 102), (100, 102)]  # true 2-core, disjoint
     edges = _sym_edges(spark, chain + tri)
 
-    short = kcore_peel(edges, k=2, rounds=2).collect()
+    short = kcore_peel(edges, k=2, rounds_max=2).collect()
     assert short and all(r["converged"] is False for r in short)
     assert all(r["rounds_used"] == 2 for r in short)
     assert any(r["deg_in_core"] < 2 for r in short)  # the visible truncation
 
-    full = kcore_peel(edges, k=2, rounds=6).collect()
+    # ceiling lands exactly on the last shrinking round: converged=true
+    # (final min degree >= k) even though no identity round was observed
+    full = kcore_peel(edges, k=2, rounds_max=6).collect()
     assert sorted(r["v"] for r in full) == [100, 101, 102]
     assert all(r["converged"] is True and r["deg_in_core"] == 2 for r in full)
+    assert all(r["rounds_used"] == 6 for r in full)
+
+    # headroom past the fixpoint: the adaptive stop reports the first
+    # identity round (7) instead of burning the whole ceiling
+    slack = kcore_peel(edges, k=2, rounds_max=12).collect()
+    assert sorted(r["v"] for r in slack) == [100, 101, 102]
+    assert all(r["converged"] is True and r["rounds_used"] == 7 for r in slack)
 
 
 def test_lpa_reports_nonconvergence_on_bipartite_cycle(spark):

@@ -796,12 +796,13 @@ def stratified_sample_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not short:
             break
+        last_tried = slack  # the slack that actually failed, for the error
         slack *= 2
     if short:
         raise ValueError(
             f"stratified_sample_threshold: stratum {short[0]['lang']!r} "
             f"admitted {short[0]['got'] or 0} < min(quota, n) rows even at "
-            f"slack {slack} — raise STRAT_THR_MAX_DOUBLINGS"
+            f"slack {last_tried} — raise STRAT_THR_MAX_DOUBLINGS"
         )
     return (
         ranked.filter(F.col("rn") <= STRAT_QUOTA)

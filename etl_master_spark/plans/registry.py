@@ -998,45 +998,45 @@ register("gan_eval_test", _gan_eval, _frozen_oracle("gan_test"))
 # tools/strict_check.py's full 129-query sweep). Everything not named keeps
 # its registration order after the spread.
 _PRIORITY = [
-    # ROUND-5 ROTATION — close the evidence-process gap (r4 verdict item
-    # 1). The driver samples EXACTLY the first 50 registry entries per
-    # round; rounds 1-4 produced green rows for 175 of 222 queries. This
-    # window is exactly the names that still need a driver row: (a) the
-    # queries added or schema-changed THIS round (the new invariants
-    # oracle; the three bounded-round graph kernels that now self-report
-    # rounds_used/converged — their old green rows describe the old
-    # schema), (b) the four stale non-green rows (line_status_priority's
-    # r1 hash-fail, since fixed; the three no_oracle rows that gained
-    # hash oracles in r4), (c) the never-sampled remainder of the r4
-    # additions, and (d) the four permanently rows-only-by-design
-    # queries, last, so their weaker check never displaces a hash check.
-    # The registry is otherwise FROZEN this round: nothing new beyond
-    # the invariants companion until every registered query has a
-    # driver-green row (union of CORRECTNESS_r01..r05).
-    # (a) new or schema-changed this round
+    # ROUND-6 ROTATION — every registered query now has SOME driver
+    # evidence (union r01–r05); the job this round is freshness. The
+    # driver samples EXACTLY the first 50 registry entries per round;
+    # this window = (a) queries added or behavior-changed this round
+    # (the two invariant companions; the reshaped long-form faces; the
+    # adaptive k-core; the exact-top-up sampler + its audit), then (b)
+    # every FUNCTION-stale green row and (c) every module-stale green
+    # row per `tools/driver_replay.py --stale` (git says the code moved
+    # after the row was recorded), then (d) the oldest-green backfill
+    # (r01 vintage — relational/TPC-H family), and (e) the rows-only
+    # faces last so their weaker check never displaces a hash check.
+    # (a) new or behavior-changed this round
+    "eval_metrics_test",  # flagship stays freshly green every round
+    "pca_whiten_audit", "approx_profiles_audit",
     "negatives_reject_invariants", "kcore_membership",
-    "copurchase_communities", "nation_pagerank",
-    # (b) stale non-green driver rows
-    "line_status_priority", "als_eval_test", "cdae_eval_test",
-    "gan_eval_test", "mmd_rbf_fast",
-    # (c) never driver-sampled (r4 window overflow), registration order
-    "knn_label_audit", "hard_negatives_mine", "tokenizer_fertility",
-    "corpus_drift_psi", "cluster_label_purity", "cms_word_counts_audit",
-    "hll_cardinality_audit", "dp_lang_counts", "prf_query_expansion",
-    "embedding_drift_audit", "distinctive_terms_llr", "containment_pairs",
-    "events_weekly_seasonality", "training_shards", "centroid_classify",
-    "kcenter_coreset", "ann_ivfpq_topk", "mmr_rerank", "pq_index_append",
-    "winnow_matches", "stratified_sample_threshold",
-    "embedding_covariance", "zipf_fit", "heaps_fit", "corpus_entropy",
-    "minhash_band_calibration", "ann_pq_topk", "dedup_representatives",
-    "lm_perplexity_scores", "simhash64", "media_features",
-    "media_resize_hex", "media_frames_hex", "semantic_dedup",
-    "dsir_weights", "prior_family_stats",
-    # flagship stays freshly green every round
-    "eval_metrics_test",
-    # (d) rows-only by design (sample/sketch/eigh/binary outputs; each
-    # has an oracle twin or invariant companion covering its math)
-    "pca_whiten", "approx_profiles", "media_resize", "media_frames",
+    # (b) function-stale green rows (oldest green first)
+    "contamination_screen", "dedup_clusters", "event_gaps",
+    "kmeans_embeddings", "minhash_lsh_pairs", "tfidf_top_terms",
+    "user_sessions", "ann_recall_audit", "bm25_search",
+    "co_purchase_pairs", "embedding_dedup_clusters", "hashed_tf_vectors",
+    "simhash64_jvm", "stratified_sample", "triangle_count",
+    "events_ewma_trailing",
+    # (c) module-stale green rows
+    "top_orders_per_customer", "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh", "dedup_ngram_jaccard",
+    "eval_metrics_vali", "topk_per_user", "train_percent_sample",
+    "als_eval_test", "cdae_eval_test", "gan_eval_test",
+    # (d) oldest-green backfill (latest green row is r01)
+    "customer_order_distribution", "customers_without_urgent_orders",
+    "disjunctive_bracket_revenue", "dominant_part_suppliers",
+    "dormant_customer_segments", "forecast_revenue_delta",
+    "important_part_values", "large_volume_orders", "late_order_priority",
+    "local_supplier_volume", "min_cost_supplier", "nation_pair_trade",
+    "nation_trade_balance", "nation_year_profit", "order_rank_functions",
+    "parts_with_shipments",
+    # (e) rows-only faces, last (each math-certified by a hash twin or
+    # invariant companion: pca_whiten_audit / approx_profiles_audit /
+    # negatives_reject_invariants)
+    "pca_whiten", "approx_profiles", "negatives_sample_reject",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {

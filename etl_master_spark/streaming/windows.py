@@ -139,15 +139,26 @@ ORDER BY hour_start, rnk
 """
 
 
-def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_hourly_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming twin of ``events_hourly``: parquet stream source, 2-hour
-    watermark for late data, update-mode-compatible windowed aggregation.
-    Caller attaches the sink (tests use a memory sink + availableNow)."""
+    watermark for late data, windowed aggregation compatible with update
+    AND append sinks (append is where the watermark actually DROPS late
+    rows — state for a window is evicted once the watermark passes its
+    end, so a later row for it never aggregates; the drop accounting is
+    pinned against a batch replay in tests/test_streaming.py). Caller
+    attaches the sink (tests use a memory sink + availableNow);
+    ``stream_dir``/``max_files_per_trigger`` feed controlled one-file
+    micro-batches exactly like ``events_dedup_stream``."""
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    ev = (
-        spark.readStream.schema(batch_schema)
-        .parquet(f"{sf_dir}")
-    )
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(stream_dir or sf_dir)
     ev = _normalize_stream_ts(ev)
     return (
         ev.withWatermark("ts", "2 hours")

@@ -375,3 +375,114 @@ def test_stream_dedup_state_stays_bounded_over_50_batches(
     assert max(
         p["stateOperators"][0]["numRowsTotal"] for p in progresses
     ) >= 2 * per_hour
+
+
+def test_stream_watermark_drops_late_rows_matches_batch_accounting(
+    spark, sf_dir, tmp_path
+):
+    """The watermark must actually DROP late rows (r5 verdict item 7):
+    out-of-order one-file micro-batches through the append-mode hourly
+    aggregation, with the expected output derived by REPLAYING Spark's
+    two-watermark rule in plain Python. Spark tracks W(j) = max event
+    time through batch j minus the delay; during batch i the EVICTION
+    watermark is W(i−1) (windows with end ≤ it emit and leave state) but
+    the LATE-EVENT filter uses W(i−2) — the filter lags eviction by one
+    batch (probed empirically on this engine: a row late against W(i−1)
+    but not W(i−2) is still aggregated, and numRowsDroppedByWatermark
+    counts only the lagged predicate). Emitted windows, per-window
+    counts, the dropped count, and the still-open tail must all match
+    the replay; kept-late rows are designed to land in not-yet-evicted
+    windows so append mode never double-emits. Times sit off the hour so
+    no comparison lands on a boundary tie."""
+    import datetime
+    import time
+
+    from etl_master_spark.streaming.windows import events_hourly_stream
+
+    base = datetime.datetime(2024, 1, 1)
+    hour = datetime.timedelta(hours=1)
+
+    def at(h, m):
+        return base + datetime.timedelta(hours=h, minutes=m)
+
+    # drops (against the LAGGED filter watermark): b2's 00:20 vs W(0)=
+    # 01:30; b3's 04:40 and 05:50 vs W(1)=06:30; b4's 09:10 vs W(2)=10:30.
+    # kept-late rows 02:20 / 08:40 merge into windows still in state.
+    batches = [
+        [at(0, 30), at(1, 30), at(2, 30), at(3, 30)],
+        [at(1, 40), at(8, 30)],
+        [at(0, 20), at(2, 20), at(12, 30)],
+        [at(4, 40), at(5, 50), at(8, 40), at(20, 30)],
+        [at(9, 10), at(20, 40)],
+    ]
+
+    # -- batch accounting: replay the two-watermark rule ------------------
+    delay = datetime.timedelta(hours=2)
+    wm_after: list[datetime.datetime] = []  # W(j), j = batch index
+    run_max = min(batches[0])
+    for batch in batches:
+        run_max = max(run_max, *batch)
+        wm_after.append(run_max - delay)
+    accepted: dict[datetime.datetime, int] = {}
+    dropped = []
+    for i, batch in enumerate(batches):
+        late_wm = wm_after[i - 2] if i >= 2 else None
+        for t in batch:
+            wstart = t.replace(minute=0, second=0, microsecond=0)
+            if late_wm is not None and wstart + hour <= late_wm:
+                dropped.append(t)
+            else:
+                accepted[wstart] = accepted.get(wstart, 0) + 1
+    # append emits windows closed by the final eviction watermark (the
+    # trailing no-data micro-batch applies W(last))
+    final_wm = wm_after[-1]
+    want = {
+        int(w.timestamp()): c
+        for w, c in accepted.items()
+        if w + hour <= final_wm
+    }
+    still_open = sum(
+        c for w, c in accepted.items() if w + hour > final_wm
+    )
+    assert len(dropped) == 4 and still_open == 2  # fixture sanity
+
+    # -- drive the stream -------------------------------------------------
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    stream_dir = tmp_path / "batches"
+    stream_dir.mkdir()
+    scratch = tmp_path / "scratch"
+    eid = 0
+    for i, batch in enumerate(batches):
+        rows = []
+        for t in batch:
+            rows.append((eid, t, eid % 5, "click", 1.0, "p"))
+            eid += 1
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(scratch))
+        part = next(scratch.glob("part-*.parquet"))
+        part.rename(stream_dir / f"batch-{i}.parquet")
+        time.sleep(0.05)  # distinct mtimes -> deterministic batch order
+
+    q = (
+        events_hourly_stream(
+            spark, sf_dir, str(stream_dir), max_files_per_trigger=1
+        )
+        .writeStream.format("memory")
+        .queryName("watermark_drop_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["hour_start"]: r["n_events"]
+        for r in spark.sql("SELECT * FROM watermark_drop_test").collect()
+    }
+    assert got == want, (got, want)
+    n_in = sum(len(b) for b in batches)
+    assert n_in - sum(got.values()) - still_open == len(dropped)

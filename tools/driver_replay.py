@@ -7,14 +7,24 @@ compare. Exit code 0 iff everything passes.
 
 Usage: python tools/driver_replay.py [sf_dir]
        python tools/driver_replay.py --names-without-driver-row
+       python tools/driver_replay.py --stale
 
 The second form is pure registry hygiene (r4 verdict item 8): it reads
 every committed CORRECTNESS_r*.json, classifies each row green /
-rows-only / stale, and prints the registered queries that still lack a
-driver-GREEN row — the mechanical input for each round's _PRIORITY
-rotation (the driver samples only the first 50 registry entries per
-round, so rounds must rotate the window until the union of rounds
-covers the whole registry). No Spark session is started in this mode.
+rows-only / ERRORED (the driver harness crashed on it — a distinct
+failure class, not window overflow), and prints the registered queries
+that still lack a driver-GREEN row — the mechanical input for each
+round's _PRIORITY rotation (the driver samples only the first 50
+registry entries per round, so rounds must rotate the window until the
+union of rounds covers the whole registry). No Spark session is started
+in this mode.
+
+The third form (r5 verdict item 2) cross-references git: a driver row
+is STALE-GREEN when the query's defining operator module was committed
+AFTER the artifact commit that recorded its latest green row — the row
+describes code that no longer exists. Prints stale queries oldest-green
+first (the rotation priority order), attributing each registry-defined
+wrapper to the operator module its source calls into.
 """
 
 from __future__ import annotations
@@ -50,30 +60,169 @@ def _row_green(row: dict) -> bool:
     )
 
 
-def names_without_driver_row() -> int:
-    sys.path.insert(0, str(REPO))
-    from etl_master_spark.plans.registry import ORACLES, QUERIES
-
+def _driver_history() -> tuple[dict, dict, dict, list]:
+    """(greens, rows_only, erred) per query name → [rounds], plus the
+    artifact list. Erred rows (harness crash, err set and != no_oracle)
+    are their own bucket — mistaking them for window overflow hid the
+    round-5 canonicalizer crashes from the rotation plan."""
     greens: dict[str, list[int]] = {}
     rows_only: dict[str, list[int]] = {}
+    erred: dict[str, list[int]] = {}
     artifacts = sorted(REPO.glob("CORRECTNESS_r*.json"))
     for art in artifacts:
         rnd = int(art.stem.split("_r")[1])
         for name, row in json.loads(art.read_text()).items():
             if _row_green(row):
                 greens.setdefault(name, []).append(rnd)
-            elif not row.get("err") or row.get("err") == "no_oracle":
+            elif row.get("err") and row.get("err") != "no_oracle":
+                erred.setdefault(name, []).append(rnd)
+            else:
                 rows_only.setdefault(name, []).append(rnd)
+    return greens, rows_only, erred, artifacts
+
+
+def names_without_driver_row() -> int:
+    sys.path.insert(0, str(REPO))
+    from etl_master_spark.plans.registry import ORACLES, QUERIES
+
+    greens, rows_only, erred, artifacts = _driver_history()
     missing = [q for q in QUERIES if q not in greens]
     print(f"# registry: {len(QUERIES)} queries; artifacts: "
           f"{', '.join(a.name for a in artifacts)}")
     print(f"# driver-green: {len([q for q in QUERIES if q in greens])}")
     for q in missing:
-        kind = "no-oracle (rows-only by design)" if q not in ORACLES else (
-            f"rows-only r{rows_only[q]}" if q in rows_only else "never sampled"
-        )
+        if q in erred:
+            kind = f"sampled but ERRORED r{erred[q]}"
+        elif q not in ORACLES:
+            kind = "no-oracle (rows-only by design)"
+        elif q in rows_only:
+            kind = f"rows-only r{rows_only[q]}"
+        else:
+            kind = "never sampled"
         print(f"{q}\t{kind}")
     print(f"# {len(missing)} without a driver-green row")
+    return 0
+
+
+_MODULE_RE = None
+
+
+def _query_module(fn) -> Path | None:
+    """Defining operator module for a registered callable: the module it
+    lives in, unless that is the registry itself — registry wrappers are
+    attributed to the operator module their source calls into."""
+    import inspect
+    import re
+
+    global _MODULE_RE
+    try:
+        src_file = Path(inspect.getsourcefile(fn) or "")
+    except TypeError:
+        return None
+    if src_file.name != "registry.py":
+        return src_file
+    if _MODULE_RE is None:
+        ops = [
+            p.stem
+            for d in ("operators", "model", "streaming", "sources")
+            for p in (REPO / "etl_master_spark" / d).glob("*.py")
+            if p.stem != "__init__"
+        ]
+        _MODULE_RE = re.compile(r"\b(" + "|".join(ops) + r")\.")
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return src_file
+    m = _MODULE_RE.search(src)
+    if not m:
+        return src_file
+    for d in ("operators", "model", "streaming", "sources"):
+        cand = REPO / "etl_master_spark" / d / f"{m.group(1)}.py"
+        if cand.exists():
+            return cand
+    return src_file
+
+
+def _git_ct(path: Path) -> int:
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "-C", str(REPO), "log", "-1", "--format=%ct", "--", str(path)],
+        capture_output=True, text=True, check=False,
+    ).stdout.strip()
+    return int(out) if out else 0
+
+
+def _git_fn_ct(fn, src_file: Path) -> int | None:
+    """Last-commit time of the FUNCTION's own line range (git log -L) —
+    module-level timestamps mark every query in a 4,000-line module
+    stale whenever anything in it moves. None when the range can't be
+    resolved (lambdas, wrappers); caller falls back to module level.
+    Limitation: a query's ORACLE builder is a separate function, so an
+    oracle-only edit shows up module-stale, not function-stale — the
+    printout carries both tiers."""
+    import inspect
+    import subprocess
+
+    try:
+        lines, start = inspect.getsourcelines(fn)
+    except (OSError, TypeError):
+        return None
+    if fn.__name__ == "<lambda>":
+        return None
+    end = start + len(lines) - 1
+    out = subprocess.run(
+        [
+            "git", "-C", str(REPO), "log", "-1", "--format=%ct",
+            f"-L{start},{end}:{src_file.relative_to(REPO)}",
+        ],
+        capture_output=True, text=True, check=False,
+    ).stdout
+    for tok in out.split():
+        if tok.isdigit():
+            return int(tok)
+    return None
+
+
+def stale_green() -> int:
+    sys.path.insert(0, str(REPO))
+    from etl_master_spark.plans.registry import QUERIES
+
+    greens, _rows_only, erred, artifacts = _driver_history()
+    art_ct = {int(a.stem.split("_r")[1]): _git_ct(a) for a in artifacts}
+    module_ct: dict[Path, int] = {}
+    fn_stale: list[tuple[int, str, str]] = []
+    mod_stale: list[tuple[int, str, str]] = []
+    for name, fn in QUERIES.items():
+        if name not in greens:
+            continue  # the no-row modes cover these
+        last_green = max(greens[name])
+        row_ct = art_ct.get(last_green, 0)
+        mod = _query_module(fn)
+        if mod is None:
+            continue
+        fn_ct = _git_fn_ct(fn, mod) if mod.name != "registry.py" else None
+        if fn_ct is not None:
+            if fn_ct > row_ct:
+                fn_stale.append((last_green, name, mod.name))
+            continue
+        if mod not in module_ct:
+            module_ct[mod] = _git_ct(mod)
+        if module_ct[mod] > row_ct:
+            mod_stale.append((last_green, name, mod.name))
+    print(
+        f"# of {len(greens)} green: {len(fn_stale)} FUNCTION-stale (the "
+        f"query's own body committed after its row) + {len(mod_stale)} "
+        f"module-stale (wrapper-registered; containing module moved), "
+        f"oldest green first"
+    )
+    for last_green, name, mod_name in sorted(fn_stale):
+        print(f"{name}\tgreen r{last_green:02d}\tFN {mod_name}")
+    for last_green, name, mod_name in sorted(mod_stale):
+        print(f"{name}\tgreen r{last_green:02d}\tMOD {mod_name}")
+    for name, rounds in sorted(erred.items()):
+        if name not in greens:  # a later green row supersedes old errors
+            print(f"{name}\tERRORED r{rounds} — needs a processable face")
     return 0
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -183,4 +332,6 @@ def main() -> int:
 if __name__ == "__main__":
     if "--names-without-driver-row" in sys.argv:
         sys.exit(names_without_driver_row())
+    if "--stale" in sys.argv:
+        sys.exit(stale_green())
     sys.exit(main())

@@ -16,7 +16,14 @@ surface). Replicas are key-shifted unions:
   silently turned the replica into a ×N dup-density corpus and measured
   the quadratic dup-group regime instead of growth);
 - lineitem: new orderkeys per copy, same part catalog — baskets ×N ⇒
-  co-occurrence edges ×N, triangles ×N, linear by construction.
+  co-occurrence edges ×N, triangles ×N, linear by construction;
+- orders: the SAME orderkey shift as lineitem (joins stay 1:1 correct —
+  the round-5 lesson: shifting only lineitem breaks orders↔lineitem and
+  silently measures a broken join), customer keys unchanged so every
+  customer carries ×N fan-in (density scaling, the sf10 shape);
+- events: new event ids AND new user ids per copy, same event-type
+  catalog and time range — per-hour density grows ×N while per-user
+  history stays realistic.
 
 Other tables are copied through unchanged so `load_table` works.
 
@@ -41,7 +48,9 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-WORK = Path("/tmp/etl_master_scale_table")
+# v2: the replica now also rewrites orders (consistent orderkeys) and
+# events — versioned dir so a v1 cache is never silently reused
+WORK = Path("/tmp/etl_master_scale_table_v2")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -92,6 +101,20 @@ def build_replica(mult: int) -> str:
                    l_extendedprice, l_discount, l_tax, l_returnflag,
                    l_linestatus, l_shipdate
             FROM read_parquet('{BASE_SF}/lineitem.parquet')
+            CROSS JOIN (SELECT unnest(range(0, {mult})) AS k) r
+        """,
+        "orders": f"""
+            SELECT o_orderkey + 1000000000 * r.k AS o_orderkey,
+                   o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+                   o_orderpriority
+            FROM read_parquet('{BASE_SF}/orders.parquet')
+            CROSS JOIN (SELECT unnest(range(0, {mult})) AS k) r
+        """,
+        "events": f"""
+            SELECT event_id + 1000000 * r.k AS event_id, ts,
+                   user_id + 100000 * r.k AS user_id,
+                   event_type, value, props
+            FROM read_parquet('{BASE_SF}/events.parquet')
             CROSS JOIN (SELECT unnest(range(0, {mult})) AS k) r
         """,
     }

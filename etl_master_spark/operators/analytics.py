@@ -745,7 +745,10 @@ def approx_profiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").alias("xe"),
         F.count(F.lit(1)).alias("n_events"),
         F.expr(f"approx_percentile(value, array({pcts}))").alias("pv"),
-    )
+    # |event_type| rows; checkpointed because BOTH the count booleans and
+    # the percentile thresholds read it — without this the grouped
+    # aggregation subtree (a full corpus scan) executes twice
+    ).localCheckpoint(eager=False)
     tol = F.lit(APPROX_HLL_SIGMAS * APPROX_RSD)
     counts = prof.select(
         "event_type",

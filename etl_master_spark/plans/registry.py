@@ -1019,7 +1019,7 @@ _PRIORITY = [
     "user_sessions", "ann_recall_audit", "bm25_search",
     "co_purchase_pairs", "embedding_dedup_clusters", "hashed_tf_vectors",
     "simhash64_jvm", "stratified_sample", "triangle_count",
-    "events_ewma_trailing",
+    "events_ewma_trailing", "stratified_sample_threshold",
     # (c) module-stale green rows
     "top_orders_per_customer", "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh", "dedup_ngram_jaccard",
@@ -1032,7 +1032,6 @@ _PRIORITY = [
     "important_part_values", "large_volume_orders", "late_order_priority",
     "local_supplier_volume", "min_cost_supplier", "nation_pair_trade",
     "nation_trade_balance", "nation_year_profit", "order_rank_functions",
-    "parts_with_shipments",
     # (e) rows-only faces, last (each math-certified by a hash twin or
     # invariant companion: pca_whiten_audit / approx_profiles_audit /
     # negatives_reject_invariants)

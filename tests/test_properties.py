@@ -223,3 +223,49 @@ def test_mmr_partitioning_invariance(spark):
     for layout in (df.repartition(7), df.coalesce(1)):
         got = sorted(tuple(r) for r in _mmr_core(layout).collect())
         assert got == ref
+
+
+# -- native PNG decode round-trip (no Spark) ----------------------------------
+# The golden tests pin fixed patterns per filter type; this drives the
+# decoder with arbitrary pixel bytes, dimensions, color types, and
+# per-row filter choices — the reconstructed luminance must equal the
+# BT.601 of the raw pixels for EVERY legal 8-bit non-interlaced PNG.
+
+png_cases = st.tuples(
+    st.integers(min_value=1, max_value=9),   # width
+    st.integers(min_value=1, max_value=7),   # height
+    st.sampled_from([0, 2, 4, 6]),           # color type
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=7),
+)
+
+
+@given(png_cases)
+@settings(max_examples=120, deadline=None)
+def test_png_decode_reconstructs_any_filtered_image(case):
+    from tests.test_model import _png_bytes
+
+    from etl_master_spark.operators.multimodal import _decode_png
+
+    width, height, color_type, seed, filters = case
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    rows = [
+        bytes(
+            (seed + 37 * y + 101 * i + (i * y) % 13) % 256
+            for i in range(width * ch)
+        )
+        for y in range(height)
+    ]
+    png = _png_bytes(width, height, color_type, rows, filters)
+    got = _decode_png(png)
+    assert got is not None
+    if ch >= 3:
+        expect = [
+            0.299 * r[x * ch] + 0.587 * r[x * ch + 1] + 0.114 * r[x * ch + 2]
+            for r in rows
+            for x in range(width)
+        ]
+    else:
+        expect = [float(r[x * ch]) for r in rows for x in range(width)]
+    assert len(got) == len(expect)
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got, expect))

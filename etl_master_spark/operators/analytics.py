@@ -771,8 +771,12 @@ def approx_profiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
         "v",
     )
+    # approx_percentile ignores NULL values, so the rank denominator
+    # must too — and an all-NULL type yields pv=NULL (no threshold rows),
+    # handled by the vacuous-TRUE coalesce on the final left join
     ranks = (
         ev.select("event_type", "value")
+        .filter(F.col("value").isNotNull())
         .join(F.broadcast(thresholds), "event_type")
         .groupBy("event_type", "p")
         .agg(
@@ -799,13 +803,18 @@ def approx_profiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return (
-        counts.join(pct_ok, "event_type")
+        counts.join(pct_ok, "event_type", "left")
         .select(
             "event_type",
             "n_events",
             "users_ok",
             "events_ok",
-            *[f"p{int(p * 100)}_ok" for p in APPROX_PCTS],
+            *[
+                F.coalesce(f"p{int(p * 100)}_ok", F.lit(True)).alias(
+                    f"p{int(p * 100)}_ok"
+                )
+                for p in APPROX_PCTS
+            ],
         )
         .orderBy("event_type")
     )

@@ -161,6 +161,11 @@ def _decode_png(payload: bytes) -> list[float] | None:
                 return None
             width, height = struct.unpack_from(">II", data, 0)
             bit_depth, color_type = data[8], data[9]
+            # compression method and filter method must both be 0 (the
+            # only values RFC 2083 defines) — anything else would inflate
+            # fine but defilter to garbage under method-0 rules
+            if data[10] != 0 or data[11] != 0:
+                return None
             interlace = data[12]
         elif ctype == b"IDAT":
             idat += data

@@ -568,7 +568,13 @@ def negatives_sample_reject_cached(
     session never sees another session's lineage."""
     from ..sources.io import ratings
 
-    key = (spark.sparkContext.applicationId, sf_dir, n, max_rounds)
+    app = spark.sparkContext.applicationId
+    # entries from stopped sessions hold plans pinned to a dead
+    # SparkContext — prune them so a long-lived process (pytest,
+    # notebooks) never accumulates unreachable checkpoint references
+    for k in [k for k in _REJECT_CACHE if k[0] != app]:
+        del _REJECT_CACHE[k]
+    key = (app, sf_dir, n, max_rounds)
     got = _REJECT_CACHE.get(key)
     if got is None:
         got = negatives_sample_reject(

@@ -157,14 +157,18 @@ def _git_fn_ct(fn, src_file: Path) -> int | None:
     """Last-commit time of the FUNCTION's own line range (git log -L) —
     module-level timestamps mark every query in a 4,000-line module
     stale whenever anything in it moves. None when the range can't be
-    resolved (lambdas, wrappers); caller falls back to module level.
-    Limitation: a query's ORACLE builder is a separate function, so an
-    oracle-only edit shows up module-stale, not function-stale — the
-    printout carries both tiers."""
+    resolved (lambdas, and ANY callable whose source file is not the
+    attributed module: a registry wrapper's line numbers are registry.py
+    coordinates, meaningless against the operator file it was attributed
+    to); caller falls back to module level. Limitation: a query's ORACLE
+    builder is a separate function, so an oracle-only edit shows up
+    module-stale, not function-stale — the printout carries both tiers."""
     import inspect
     import subprocess
 
     try:
+        if Path(inspect.getsourcefile(fn) or "") != src_file:
+            return None
         lines, start = inspect.getsourcelines(fn)
     except (OSError, TypeError):
         return None

@@ -70,9 +70,30 @@ def build_replica(mult: int) -> str:
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
+
+    def shift(table: str, col: str) -> int:
+        """Key shift per copy = next power of 10 above the observed max id
+        times the copy count — a FIXED shift silently collides once
+        BASE_SF grows past it (copy k's ids overlapping copy k+1's turns
+        the replica into a dup-density corpus, the failure mode this
+        module's docstring recounts for documents)."""
+        mx = con.execute(
+            f"SELECT MAX({col}) FROM read_parquet('{BASE_SF}/{table}.parquet')"
+        ).fetchone()[0]
+        s = 10 ** len(str(int(mx)))
+        assert s * mult < 2**62, (table, col, mx, mult)
+        return s
+
+    d_sh = shift("documents", "doc_id")
+    v_sh = shift("embeddings", "vec_id")
+    o_sh = max(
+        shift("lineitem", "l_orderkey"), shift("orders", "o_orderkey")
+    )
+    e_sh = shift("events", "event_id")
+    u_sh = shift("events", "user_id")
     rep = {
         "documents": f"""
-            SELECT doc_id + 1000000 * r.k AS doc_id,
+            SELECT doc_id + {d_sh} * r.k AS doc_id,
                    CASE WHEN r.k = 0 THEN text
                         ELSE text || ' copy' || r.k END AS text,
                    lang, source, n_chars
@@ -80,7 +101,7 @@ def build_replica(mult: int) -> str:
             CROSS JOIN (SELECT unnest(range(0, {mult})) AS k) r
         """,
         "embeddings": f"""
-            SELECT vec_id + 1000000 * r.k AS vec_id,
+            SELECT vec_id + {v_sh} * r.k AS vec_id,
                    CASE WHEN r.k = 0 THEN embedding ELSE
                      list_transform(
                        range(1, len(embedding) + 1),
@@ -96,7 +117,7 @@ def build_replica(mult: int) -> str:
             CROSS JOIN (SELECT unnest(range(0, {mult})) AS k) r
         """,
         "lineitem": f"""
-            SELECT l_orderkey + 1000000000 * r.k AS l_orderkey,
+            SELECT l_orderkey + {o_sh} * r.k AS l_orderkey,
                    l_partkey, l_suppkey, l_linenumber, l_quantity,
                    l_extendedprice, l_discount, l_tax, l_returnflag,
                    l_linestatus, l_shipdate
@@ -104,15 +125,15 @@ def build_replica(mult: int) -> str:
             CROSS JOIN (SELECT unnest(range(0, {mult})) AS k) r
         """,
         "orders": f"""
-            SELECT o_orderkey + 1000000000 * r.k AS o_orderkey,
+            SELECT o_orderkey + {o_sh} * r.k AS o_orderkey,
                    o_custkey, o_orderstatus, o_totalprice, o_orderdate,
                    o_orderpriority
             FROM read_parquet('{BASE_SF}/orders.parquet')
             CROSS JOIN (SELECT unnest(range(0, {mult})) AS k) r
         """,
         "events": f"""
-            SELECT event_id + 1000000 * r.k AS event_id, ts,
-                   user_id + 100000 * r.k AS user_id,
+            SELECT event_id + {e_sh} * r.k AS event_id, ts,
+                   user_id + {u_sh} * r.k AS user_id,
                    event_type, value, props
             FROM read_parquet('{BASE_SF}/events.parquet')
             CROSS JOIN (SELECT unnest(range(0, {mult})) AS k) r

@@ -497,8 +497,26 @@ def negatives_sample_reject(
         # iterative-algorithm pattern (same reason GraphX/ALS checkpoint).
         out = out.localCheckpoint(eager=True)
         if rnd + 1 < max_rounds:
-            have = out.groupBy("user_id", "domain").agg(
-                F.count(F.lit(1)).alias("n_have")
+            # LEFT join from the user frame: a (user, domain) with ZERO
+            # picks so far has no row in the out aggregation, and a bare
+            # groupBy would silently drop it from every later round's
+            # trial set — exactly the users who most need the re-round
+            # (their unseen remainder is a sliver, so round 0 likely
+            # missed entirely)
+            have = (
+                users.select("user_id", "domain")
+                .join(
+                    out.groupBy("user_id", "domain").agg(
+                        F.count(F.lit(1)).alias("n_have")
+                    ),
+                    ["user_id", "domain"],
+                    "left",
+                )
+                .select(
+                    "user_id",
+                    "domain",
+                    F.coalesce("n_have", F.lit(0)).alias("n_have"),
+                )
             )
             seen = seen.unionByName(out.select("user_id", "domain", "item_id"))
     assert out is not None
@@ -550,6 +568,130 @@ def negatives_sample_reject(
         .cast("int"),
     ).filter(F.col("rank") <= n)
     return final.select("user_id", "item_id", "domain", "rank")
+
+
+def negatives_sample_reject_oracle(
+    ratings_sql: str = RATINGS_SQL,
+    n: int = N_NEGATIVES,
+    max_rounds: int = 4,
+) -> str:
+    """Full hash oracle for ``negatives_sample_reject`` — the sampler is
+    a deterministic function of the ratings frame (hash trials, seeded
+    per round), so DuckDB can replay the EXACT item choice, upgrading
+    the query from rows-only to value-hash-checked.
+
+    The unrolling exploits an output-equivalence: Spark only generates
+    trials for still-underfilled users (a cost optimization) and breaks
+    early when everyone is full, but a full user's later-round picks
+    carry strictly larger t-offsets than their first n, so the final
+    ``row_number ≤ n`` trims them — generating trials for EVERY user in
+    EVERY round yields the identical output set. Likewise the loop's
+    union anti-join is redundant given each round anti-joins the
+    seen-so-far frame (ratings ∪ picks through the previous round). The
+    exact top-up stage replays verbatim: users with < n picks after the
+    bounded rounds take their full anti-join candidate set, hash-ranked
+    with the seed shifted by 7·max_rounds, offset after every trial
+    round. AS MATERIALIZED on every multi-referenced CTE (DuckDB inlines
+    single-use CTEs — the k-core 2^rounds lesson)."""
+    tpw = REJECT_OVERSAMPLE * n
+    rounds_sql = []
+    prev_seen = "seen0"
+    for rnd in range(max_rounds):
+        h = phash_frag("u.user_id", "tr.t", seed=SPLIT_SEED + 7 * rnd)
+        rounds_sql.append(f"""
+cand{rnd} AS MATERIALIZED (
+    SELECT u.user_id, u.domain, i.item_id, MIN(tr.t) AS t
+    FROM users u
+    JOIN nitems ni ON ni.domain = u.domain
+    CROSS JOIN trials tr
+    JOIN items i ON i.domain = u.domain
+              AND i.idx = ({h}) % ni.n_items
+    ANTI JOIN {prev_seen} s ON s.user_id = u.user_id
+                           AND s.domain = u.domain
+                           AND s.item_id = i.item_id
+    GROUP BY 1, 2, 3
+),
+picks{rnd} AS MATERIALIZED (
+    SELECT user_id, domain, item_id, CAST(t AS BIGINT) AS t
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, domain ORDER BY t, item_id
+        ) AS rk FROM cand{rnd}
+    ) WHERE rk <= {n}
+),
+seen{rnd + 1} AS MATERIALIZED (
+    SELECT * FROM {prev_seen}
+    UNION ALL
+    SELECT user_id, domain, item_id FROM picks{rnd}
+)""")
+        prev_seen = f"seen{rnd + 1}"
+    out_legs = ["SELECT user_id, domain, item_id, t FROM picks0"] + [
+        f"SELECT user_id, domain, item_id, t + CAST({(rnd + 1) * 10**9} AS BIGINT)"
+        f" AS t FROM picks{rnd}"
+        for rnd in range(1, max_rounds)
+    ]
+    # Spark's post-loop `seen` holds picks through round max_rounds−2
+    # only (the loop skips the final update) — the top-up must anti-join
+    # that SAME frame plus the full pick set, exactly like the kernel
+    topup_seen = f"seen{max_rounds - 1}"
+    h_top = phash_frag(
+        "un.user_id", "i.item_id", seed=SPLIT_SEED + 7 * max_rounds
+    )
+    top_off = (max_rounds + 1) * 10**9
+    return f"""
+WITH r AS MATERIALIZED ({ratings_sql}),
+seen0 AS MATERIALIZED (SELECT user_id, domain, item_id FROM r),
+items AS MATERIALIZED (
+    SELECT domain, item_id,
+           ROW_NUMBER() OVER (PARTITION BY domain ORDER BY item_id) - 1 AS idx
+    FROM (SELECT DISTINCT domain, item_id FROM r)
+),
+nitems AS MATERIALIZED (
+    SELECT domain, COUNT(*) AS n_items FROM items GROUP BY domain
+),
+users AS MATERIALIZED (SELECT DISTINCT user_id, domain FROM r),
+trials AS MATERIALIZED (SELECT unnest(range(0, {tpw})) AS t),
+{','.join(rounds_sql)},
+out_all AS MATERIALIZED (
+    {' UNION ALL '.join(out_legs)}
+),
+have AS (
+    SELECT user_id, domain, COUNT(*) AS n_have FROM out_all GROUP BY 1, 2
+),
+under AS MATERIALIZED (
+    SELECT u.user_id, u.domain
+    FROM users u LEFT JOIN have h
+      ON h.user_id = u.user_id AND h.domain = u.domain
+    WHERE COALESCE(h.n_have, 0) < {n}
+),
+topup AS MATERIALIZED (
+    SELECT user_id, domain, item_id,
+           CAST({top_off} AS BIGINT) + rk AS t
+    FROM (
+        SELECT un.user_id, un.domain, i.item_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY un.user_id, un.domain
+                   ORDER BY ({h_top}) ASC, i.item_id ASC
+               ) AS rk
+        FROM under un
+        JOIN items i ON i.domain = un.domain
+        ANTI JOIN {topup_seen} s ON s.user_id = un.user_id
+                                AND s.domain = un.domain
+                                AND s.item_id = i.item_id
+        ANTI JOIN out_all o ON o.user_id = un.user_id
+                           AND o.domain = un.domain
+                           AND o.item_id = i.item_id
+    ) WHERE rk <= {n}
+)
+SELECT user_id, item_id, domain, CAST(rank AS INT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, domain ORDER BY t, item_id
+    ) AS rank
+    FROM (SELECT * FROM out_all UNION ALL SELECT * FROM topup)
+) WHERE rank <= {n}
+ORDER BY user_id, domain, rank
+"""
 
 
 _REJECT_CACHE: dict[tuple, DataFrame] = {}

@@ -57,9 +57,16 @@ def _negatives_sample_reject(spark: SparkSession, sf: str) -> DataFrame:
     return recsplit.negatives_sample_reject_cached(spark, sf)
 
 
-# scale path for E3 (no per-row catalog array); invariant contract is
-# test-verified (tests/test_recsplit.py), driver checks rows-only
-register("negatives_sample_reject", _negatives_sample_reject, None)
+# scale path for E3 (no per-row catalog array). Round 6: upgraded from
+# rows-only to a FULL hash oracle — the sampler is a deterministic
+# function of the ratings frame, and the oracle replays the exact
+# hash-trial rounds + exact top-up (see negatives_sample_reject_oracle
+# for the output-equivalence that lets SQL skip the need-filter loop)
+register(
+    "negatives_sample_reject",
+    _negatives_sample_reject,
+    recsplit.negatives_sample_reject_oracle(),
+)
 
 
 def _negatives_reject_invariants(spark: SparkSession, sf: str) -> DataFrame:
@@ -1032,9 +1039,11 @@ _PRIORITY = [
     "important_part_values", "large_volume_orders", "late_order_priority",
     "local_supplier_volume", "min_cost_supplier", "nation_pair_trade",
     "nation_trade_balance", "nation_year_profit", "order_rank_functions",
-    # (e) rows-only faces, last (each math-certified by a hash twin or
-    # invariant companion: pca_whiten_audit / approx_profiles_audit /
-    # negatives_reject_invariants)
+    # (e) the two remaining rows-only faces (math-certified by
+    # pca_whiten_audit / approx_profiles_audit), plus the sampler —
+    # upgraded THIS round from rows-only to a full hash oracle (the
+    # unrolled trial-round replay), so its first hash-checked driver row
+    # lands here
     "pca_whiten", "approx_profiles", "negatives_sample_reject",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))

@@ -213,3 +213,47 @@ def test_recsplit_golden_hashes(spark, sf_dir):
         canon = sorted(tuple(str(v) for v in r) for r in rows)
         h = hashlib.sha256("\n".join(",".join(t) for t in canon).encode()).hexdigest()
         assert (len(rows), h) == (n_rows, digest), name
+
+
+def test_sample_reject_oracle_replays_topup_on_adversarial_ratings(spark):
+    """The round-6 full hash oracle must replay the sampler EXACTLY on
+    inputs that exercise the exact top-up stage and the exhausted-user
+    path — the two regimes gate-scale data never reaches. Injects a
+    VALUES-based ratings frame into both engines and compares the full
+    (user, item, domain, rank) set."""
+    import duckdb
+
+    from etl_master_spark.operators.recsplit import (
+        negatives_sample_reject,
+        negatives_sample_reject_oracle,
+    )
+
+    unseen = {7, 1234, 1777}
+    rows = [(1, i, "d") for i in range(2000) if i not in unseen]
+    rows += [(2, i, "d") for i in unseen]      # sliver: forces the top-up
+    rows += [(3, i, "e") for i in (50, 51)]    # exhausted in domain e
+    rows += [(4, 50, "e")]                     # one unseen item in e
+    r = spark.createDataFrame(rows, "user_id long, item_id long, domain string")
+    got = sorted(
+        (x["user_id"], x["item_id"], x["domain"], x["rank"])
+        for x in negatives_sample_reject(r).collect()
+    )
+    values = ", ".join(f"({u}, {i}, '{d}')" for u, i, d in rows)
+    ratings_sql = (
+        f"SELECT * FROM (VALUES {values}) AS v(user_id, item_id, domain)"
+    )
+    want = sorted(
+        tuple(x)
+        for x in duckdb.connect()
+        .execute(negatives_sample_reject_oracle(ratings_sql))
+        .fetchall()
+    )
+    # oracle emits (user_id, item_id, domain, rank) in that column order
+    want = sorted((u, i, d, rk) for u, i, d, rk in want)
+    assert got == want
+    by_user = {}
+    for u, i, d, rk in got:
+        by_user.setdefault((u, d), []).append(i)
+    assert set(by_user[(1, "d")]) == unseen      # top-up filled the sliver
+    assert (3, "e") not in by_user               # exhausted: zero rows
+    assert len(by_user[(4, "e")]) == 1           # the one unseen item

@@ -618,13 +618,17 @@ picks{rnd} AS MATERIALIZED (
             PARTITION BY user_id, domain ORDER BY t, item_id
         ) AS rk FROM cand{rnd}
     ) WHERE rk <= {n}
-),
+)""")
+        # the final round's seen frame has no consumer (the top-up uses
+        # seen{max_rounds-1}, mirroring the kernel's skipped last update)
+        if rnd + 1 < max_rounds:
+            rounds_sql.append(f"""
 seen{rnd + 1} AS MATERIALIZED (
     SELECT * FROM {prev_seen}
     UNION ALL
     SELECT user_id, domain, item_id FROM picks{rnd}
 )""")
-        prev_seen = f"seen{rnd + 1}"
+            prev_seen = f"seen{rnd + 1}"
     out_legs = ["SELECT user_id, domain, item_id, t FROM picks0"] + [
         f"SELECT user_id, domain, item_id, t + CAST({(rnd + 1) * 10**9} AS BIGINT)"
         f" AS t FROM picks{rnd}"
@@ -731,12 +735,13 @@ def negatives_sample_reject_cached(
 def negatives_reject_invariants(
     r: DataFrame, negs: DataFrame | None = None
 ) -> DataFrame:
-    """Hash-checkable oracle companion for ``negatives_sample_reject``
-    (which the driver can only rows-only check: its output is a
-    hash-seeded SAMPLE, legal under many equally-valid draws, so no
-    engine-independent SQL can replay the exact item choice). The
-    CONTRACT, however, is fully SQL-expressible from the ratings frame
-    alone, and that is what this query pins per (user, domain):
+    """Hash-checkable CONTRACT companion for ``negatives_sample_reject``.
+    Since round 6 the sampler also carries a FULL hash oracle
+    (``negatives_sample_reject_oracle`` replays the exact item choice),
+    so this audit is the second, independent line of evidence: it never
+    sees the sample mechanics at all — it derives, from the ratings
+    frame alone, what ANY contract-satisfying sample must aggregate to
+    per (user, domain):
 
     - ``n_negs``    = min(99, |domain catalog| − |user's seen set|)
       (exact fill — a GUARANTEE, not a hope: the hash-trial rounds top

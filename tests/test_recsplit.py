@@ -229,8 +229,9 @@ def test_sample_reject_oracle_replays_topup_on_adversarial_ratings(spark):
     )
 
     unseen = {7, 1234, 1777}
+    # user 1 is the sliver user (1997 seen / 3 unseen): forces the top-up
     rows = [(1, i, "d") for i in range(2000) if i not in unseen]
-    rows += [(2, i, "d") for i in unseen]      # sliver: forces the top-up
+    rows += [(2, i, "d") for i in unseen]      # keeps the sliver in-catalog
     rows += [(3, i, "e") for i in (50, 51)]    # exhausted in domain e
     rows += [(4, 50, "e")]                     # one unseen item in e
     r = spark.createDataFrame(rows, "user_id long, item_id long, domain string")

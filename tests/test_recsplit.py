@@ -258,3 +258,36 @@ def test_sample_reject_oracle_replays_topup_on_adversarial_ratings(spark):
     assert set(by_user[(1, "d")]) == unseen      # top-up filled the sliver
     assert (3, "e") not in by_user               # exhausted: zero rows
     assert len(by_user[(4, "e")]) == 1           # the one unseen item
+
+
+@pytest.mark.parametrize("n,max_rounds", [(5, 4), (20, 2), (99, 1)])
+def test_sample_reject_oracle_parity_across_params(spark, n, max_rounds):
+    """The unrolled oracle must replay the kernel for ANY (n, max_rounds),
+    not just the registered defaults — the unrolling depth, the t-offset
+    arithmetic, the skipped final seen update, and the top-up seed shift
+    all derive from the parameters."""
+    import duckdb
+
+    from etl_master_spark.operators.recsplit import (
+        negatives_sample_reject,
+        negatives_sample_reject_oracle,
+    )
+
+    rows = [(u, i, "d") for u in range(1, 7) for i in range(40) if (u * 7 + i) % 3]
+    rows += [(u, i, "e") for u in range(1, 4) for i in range(8) if (u + i) % 2]
+    r = spark.createDataFrame(rows, "user_id long, item_id long, domain string")
+    got = sorted(
+        (x["user_id"], x["item_id"], x["domain"], x["rank"])
+        for x in negatives_sample_reject(r, n=n, max_rounds=max_rounds).collect()
+    )
+    values = ", ".join(f"({u}, {i}, '{d}')" for u, i, d in rows)
+    ratings_sql = f"SELECT * FROM (VALUES {values}) AS v(user_id, item_id, domain)"
+    want = sorted(
+        tuple(x)
+        for x in duckdb.connect()
+        .execute(
+            negatives_sample_reject_oracle(ratings_sql, n=n, max_rounds=max_rounds)
+        )
+        .fetchall()
+    )
+    assert got == want, (n, max_rounds)

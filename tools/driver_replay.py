@@ -64,7 +64,11 @@ def _driver_history() -> tuple[dict, dict, dict, list]:
     """(greens, rows_only, erred) per query name → [rounds], plus the
     artifact list. Erred rows (harness crash, err set and != no_oracle)
     are their own bucket — mistaking them for window overflow hid the
-    round-5 canonicalizer crashes from the rotation plan."""
+    round-5 canonicalizer crashes from the rotation plan. A query's
+    CURRENT state is its newest round's bucket: callers must not report
+    an old error when a later round recorded a clean row (the r6 verdict
+    caught exactly that — pca_whiten printed "ERRORED r[5]" although r6
+    had a clean rows-only record)."""
     greens: dict[str, list[int]] = {}
     rows_only: dict[str, list[int]] = {}
     erred: dict[str, list[int]] = {}
@@ -81,6 +85,11 @@ def _driver_history() -> tuple[dict, dict, dict, list]:
     return greens, rows_only, erred, artifacts
 
 
+def _newest_round(name: str, *buckets: dict) -> int:
+    """Newest round across the given history buckets for a name (0 if none)."""
+    return max((max(b[name]) for b in buckets if name in b), default=0)
+
+
 def names_without_driver_row() -> int:
     sys.path.insert(0, str(REPO))
     from etl_master_spark.plans.registry import ORACLES, QUERIES
@@ -91,7 +100,9 @@ def names_without_driver_row() -> int:
           f"{', '.join(a.name for a in artifacts)}")
     print(f"# driver-green: {len([q for q in QUERIES if q in greens])}")
     for q in missing:
-        if q in erred:
+        # Classify by the NEWEST record: an old crash is history, not
+        # state, once a later round recorded a clean row.
+        if q in erred and _newest_round(q, erred) >= _newest_round(q, rows_only):
             kind = f"sampled but ERRORED r{erred[q]}"
         elif q not in ORACLES:
             kind = "no-oracle (rows-only by design)"
@@ -150,7 +161,16 @@ def _git_ct(path: Path) -> int:
         ["git", "-C", str(REPO), "log", "-1", "--format=%ct", "--", str(path)],
         capture_output=True, text=True, check=False,
     ).stdout.strip()
-    return int(out) if out else 0
+    if out:
+        return int(out)
+    # Untracked (e.g. a CORRECTNESS artifact the driver just wrote but has
+    # not committed yet): fall back to the file's mtime. Returning 0 here
+    # made every fresh green row look stale the moment the driver ran
+    # (the r6 verdict's "--stale flags all 48 fresh rows" bug).
+    try:
+        return int(path.stat().st_mtime)
+    except OSError:
+        return 0
 
 
 def _git_fn_ct(fn, src_file: Path) -> int | None:
@@ -225,7 +245,8 @@ def stale_green() -> int:
     for last_green, name, mod_name in sorted(mod_stale):
         print(f"{name}\tgreen r{last_green:02d}\tMOD {mod_name}")
     for name, rounds in sorted(erred.items()):
-        if name not in greens:  # a later green row supersedes old errors
+        # A later green OR clean rows-only record supersedes old errors.
+        if name not in greens and max(rounds) >= _newest_round(name, _rows_only):
             print(f"{name}\tERRORED r{rounds} — needs a processable face")
     return 0
 TABLES = [

@@ -680,7 +680,13 @@ def approx_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the driver's rows-only canonicalizer included). Sketch values differ
     engine-to-engine by design, so this stays a rows-only query; the
     tolerance contract is hash-certified by ``approx_profiles_audit``
-    and additionally pinned in tests/test_approx.py."""
+    and additionally pinned in tests/test_approx.py.
+
+    posexplode_OUTER, not posexplode: a group whose ``value`` is entirely
+    NULL has a NULL percentile array, and the inner explode would drop
+    that event type's row entirely — losing its HLL distinct counts,
+    which are well-defined regardless of ``value``. The outer explode
+    keeps the group with NULL pct/approx_value alongside its sketches."""
     pcts = ", ".join(str(p) for p in APPROX_PCTS)
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -698,12 +704,18 @@ def approx_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "approx_users",
             "approx_events",
-            F.posexplode("pv").alias("pos", "approx_value"),
+            F.posexplode_outer("pv").alias("pos", "approx_value"),
         )
         .select(
             "event_type",
-            F.element_at(
-                F.array(*[F.lit(p) for p in APPROX_PCTS]), F.col("pos") + 1
+            # F.get, NOT element_at: with the NULL pos an outer explode
+            # emits, Spark 4.1.2's element_at ignores the index's null
+            # flag and reads the garbage value slot (measured: returns
+            # the LAST element after a generate, 0 after a VALUES scan).
+            # get() is 0-based and genuinely null-safe; pinned in
+            # tests/test_approx.py::test_element_at_null_index_quirk.
+            F.get(
+                F.array(*[F.lit(p) for p in APPROX_PCTS]), F.col("pos")
             ).alias("pct"),
             "approx_value",
             "approx_users",
@@ -1824,28 +1836,44 @@ LIMIT {RULES_TOP}
 
 # -- label-propagation communities over the co-purchase graph ---------------------
 
-LPA_ROUNDS = 3
+# Full-round CEILING for the semi-synchronous schedule, not a fixed
+# count: the kernel stops at the first full round that changes no label
+# (the fixpoint). The old fixed-3 SYNCHRONOUS schedule honestly reported
+# converged=false at every round budget — measured r6: ~1700/4900 nodes
+# flip every extra round, the classic bipartite-ish min-label 2-cycle
+# that no round count fixes (r6 verdict item 5 / nit 2).
+LPA_ROUNDS_MAX = 12
 LPA_MIN_COUNT = TRIANGLE_MIN_COUNT  # the SAME graph as triangle_count
 
 
 def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection on the item co-purchase graph by synchronous
-    label propagation (Raghavan et al. 2007), made deterministic: every
-    node starts as its own label and, for 3 synchronous rounds, adopts
-    the most frequent label among its neighbors with ties broken toward
-    the SMALLEST label — no randomized update order, so the trajectory
-    is engine-replayable. Output: community sizes. The fourth graph
-    kernel beside PageRank, connected components, and the triangle
-    census — communities are basket-affinity clusters where components
-    only prove reachability.
+    """Community detection on the item co-purchase graph by SEMI-
+    synchronous label propagation (Raghavan et al. 2007; half-round
+    schedule after Cordasco & Gargano 2011): every node starts as its
+    own label and each full round updates first the even-id half, then
+    the odd-id half, each node adopting the most frequent label among
+    its neighbors-plus-itself (the self-vote / label-retention variant)
+    with ties broken toward the SMALLEST label. The staggered halves
+    break the cross-parity 2-cycle (each half sees the other half's
+    fresh labels) and the self-vote settles same-parity pairwise swaps
+    (both sides see the same tie and pick the same min), so real graphs
+    actually reach the fixpoint — measured at sf0.01/sf0.1: 5/4 rounds
+    where the r6 synchronous schedule never converged; the update rule
+    stays deterministic, so the trajectory is engine-replayable. Output:
+    community sizes. The fourth graph kernel beside PageRank, connected
+    components, and the triangle census — communities are
+    basket-affinity clusters where components only prove reachability.
 
-    Plan shape per round: one (edge ⋈ label) hash join + two map-side-
-    combined aggregates — label frames are (node, label) pairs only,
-    never adjacency materialization; the round count is fixed (LPA's own
-    convergence idiom), so the lineage stays 3 joins deep and needs no
-    checkpoint. Skew = hub nodes fan into the per-node vote aggregate,
-    which partial aggregation absorbs. The oracle replays the identical
-    3 rounds as unrolled CTEs."""
+    Plan shape per half-round: one (edge ⋈ label) hash join + two
+    map-side-combined aggregates on (node, label) pairs only — never
+    adjacency materialization; rounds are data-adaptive under
+    ``LPA_ROUNDS_MAX`` with a localCheckpoint per full round truncating
+    the lineage (the CC-loop idiom), and the fixpoint check is a count
+    on the already-checkpointed frame. Skew = hub nodes fan into the
+    per-node vote aggregate, which partial aggregation absorbs. The
+    oracle replays the identical trajectory by unrolling all
+    ROUNDS_MAX full rounds (identity past the fixpoint) and re-deriving
+    rounds_used/converged from the first no-change round."""
     li = load_table(spark, sf_dir, "lineitem")
     # checkpoint the PAIRS (before the two-orientation union), not the
     # union: each union branch is a separate consumer, so a post-union
@@ -1861,82 +1889,133 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    labels = lpa_labels(edges, LPA_ROUNDS)
+    labels = lpa_labels(edges, LPA_ROUNDS_MAX)
     return (
-        labels.groupBy(F.col("label").alias("community"))
-        .agg(F.count(F.lit(1)).alias("n_nodes"))
-        .withColumn("rounds_used", F.lit(LPA_ROUNDS).cast("int"))
-        .crossJoin(
-            F.broadcast(
-                labels.agg(
-                    (F.sum(F.col("next_differs").cast("int")) == 0).alias(
-                        "converged"
-                    )
-                )
-            )
+        labels.groupBy(
+            F.col("label").alias("community"), "rounds_used", "converged"
         )
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select("community", "n_nodes", "rounds_used", "converged")
         .orderBy(F.col("n_nodes").desc(), F.col("community").asc())
     )
 
 
-def lpa_labels(edges: DataFrame, rounds: int) -> DataFrame:
-    """Deterministic synchronous label propagation for a FIXED ``rounds``,
-    plus the truncation self-report: the returned (v, label) frame carries
-    ``next_differs`` — whether ONE MORE synchronous round would change
-    this node's label. ``sum(next_differs) == 0`` ⇔ the bounded trajectory
-    already hit the LPA fixpoint; the registered query surfaces that as a
-    ``converged`` column so at 100× (where 3 rounds may truncate a long
-    label front, or a bipartite region may 2-cycle forever) the output
-    says so instead of silently reporting the approximation. The probe
-    costs exactly one extra join-agg on the (node, label) frame."""
-
-    def _round(lbl: DataFrame) -> DataFrame:
-        votes = (
-            edges.join(lbl, edges["dst"] == lbl["v"])
-            .groupBy("src", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        return votes.groupBy("src").agg(
+def _lpa_half_round(edges: DataFrame, lbl: DataFrame, parity: int) -> DataFrame:
+    """One semi-synchronous half-round: nodes with id-parity ``parity``
+    adopt their neighbor-majority label (ties → smallest) from the
+    CURRENT frame; the other half passes through unchanged. Every node
+    has ≥1 neighbor (nodes come from the symmetric edge set), so the
+    vote side covers the whole updating half."""
+    votes = (
+        edges.filter(F.col("src") % 2 == parity)
+        .join(lbl.select(F.col("v").alias("dst"), "label"), "dst")
+        .groupBy("src", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    updated = (
+        votes.groupBy("src")
+        .agg(
             F.min(
                 F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
             )["l"].alias("label")
-        ).select(F.col("src").alias("v"), "label")
+        )
+        .select(F.col("src").alias("v"), "label")
+    )
+    return lbl.filter(F.col("v") % 2 != parity).unionByName(updated)
 
-    labels = edges.select(F.col("src").alias("v")).distinct().select(
-        "v", F.col("v").alias("label")
+
+def lpa_labels(edges: DataFrame, rounds_max: int) -> DataFrame:
+    """Adaptive semi-synchronous label propagation with the truncation
+    self-report: run full rounds (even half-round then odd half-round)
+    until one changes no label or ``rounds_max`` rounds, whichever
+    first. The returned (v, label) frame carries ``rounds_used`` (the
+    first no-change round, or the ceiling) and ``converged`` (whether
+    the fixpoint was observed) — at a 100 TB density that outruns the
+    ceiling a caller reads converged=false instead of trusting a
+    small-scale test. ``edges`` must be the symmetric (src, dst)
+    orientation. Cost per round: two half-round join-aggs plus one
+    change count on the checkpointed frame.
+
+    The vote is SELF-INCLUSIVE (label retention): every node counts
+    itself as one supporter of its current label, implemented as a
+    self-loop per node. The half-round schedule alone still lets two
+    ADJACENT SAME-PARITY nodes swap labels forever (measured at sf0.01:
+    the change count fell 1721 → 9 and then 9 held steady for 10+
+    rounds); the self-vote turns a pairwise swap into a tie that the
+    smallest-label rule settles identically on both sides, and the
+    measured trajectory then actually hits zero."""
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+        .localCheckpoint()
     )
-    for _ in range(rounds):
-        labels = _round(labels)
-    labels = labels.localCheckpoint(eager=False)  # probe + output both read it
-    probe = _round(labels).select(
-        F.col("v").alias("pv"), F.col("label").alias("next_label")
+    edges = edges.unionByName(
+        labels.select(F.col("v").alias("src"), F.col("v").alias("dst"))
     )
-    return labels.join(probe, labels["v"] == F.col("pv")).select(
+    rounds_used, converged = rounds_max, False
+    for r in range(1, rounds_max + 1):
+        new = labels
+        for parity in (0, 1):
+            new = _lpa_half_round(edges, new, parity)
+        new = new.localCheckpoint()
+        changed = (
+            new.join(
+                labels.select(
+                    F.col("v").alias("pv"), F.col("label").alias("prev_label")
+                ),
+                new["v"] == F.col("pv"),
+            )
+            .filter(F.col("label") != F.col("prev_label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:  # a full round changed nothing: fixpoint reached
+            rounds_used, converged = r, True
+            break
+    return labels.select(
         "v",
         "label",
-        (F.col("label") != F.col("next_label")).alias("next_differs"),
+        F.lit(rounds_used).cast("int").alias("rounds_used"),
+        F.lit(converged).alias("converged"),
     )
 
 
 def copurchase_communities_oracle() -> str:
+    # Two CTEs per full round (even half, odd half) — AS MATERIALIZED
+    # because each is referenced twice (pass-through + vote side) and
+    # DuckDB 1.0 inlines single-use CTEs (the k-core 147 s lesson).
+    # Rounds past the fixpoint are the identity, so unrolling all
+    # ROUNDS_MAX rounds yields EXACTLY the adaptive kernel's final
+    # state; rounds_used is re-derived as the first full round whose
+    # label frame matches its predecessor — the same observation the
+    # kernel's early-stop makes.
     rounds = []
-    prev = "l0"
-    # one CTE per bounded round PLUS the convergence-probe round (the
-    # Spark side's next_differs check): r{N+1} is computed only to ask
-    # "would one more synchronous round change any label?"
-    for r in range(1, LPA_ROUNDS + 2):
-        rounds.append(f"""
-r{r} AS MATERIALIZED (
+    prev = "s0"
+    for r in range(1, LPA_ROUNDS_MAX + 1):
+        for parity, tag in ((0, "a"), (1, "s")):
+            cur = f"{tag}{r}"
+            rounds.append(f"""
+{cur} AS MATERIALIZED (
+    SELECT v, label FROM {prev} WHERE v % 2 <> {parity}
+    UNION ALL
     SELECT v, label FROM (
-        SELECT e.src AS v, l.label, COUNT(*) AS c,
+        SELECT e.src AS v, l.label,
                ROW_NUMBER() OVER (
                    PARTITION BY e.src ORDER BY COUNT(*) DESC, l.label ASC
                ) AS rn
         FROM e JOIN {prev} l ON l.v = e.dst
+        WHERE e.src % 2 = {parity}
         GROUP BY e.src, l.label
     ) WHERE rn = 1
 )""")
-        prev = f"r{r}"
+            prev = cur
+    changes = "\nUNION ALL\n".join(
+        f"SELECT {r} AS r, (SELECT COUNT(*) FROM s{r} cur "
+        f"JOIN s{r - 1} prv ON cur.v = prv.v "
+        f"WHERE cur.label <> prv.label) AS ch"
+        for r in range(1, LPA_ROUNDS_MAX + 1)
+    )
     return f"""
 WITH baskets AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS MATERIALIZED (
@@ -1947,22 +2026,30 @@ pairs AS MATERIALIZED (
     GROUP BY 1, 2
     HAVING COUNT(*) >= {LPA_MIN_COUNT}
 ),
-e AS MATERIALIZED (
+esym AS MATERIALIZED (
     SELECT a AS src, b AS dst FROM pairs
     UNION ALL
     SELECT b AS src, a AS dst FROM pairs
 ),
-l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM e),
+-- self-loop per node = the kernel's self-inclusive vote (label retention)
+e AS MATERIALIZED (
+    SELECT src, dst FROM esym
+    UNION ALL
+    SELECT DISTINCT src, src FROM esym
+),
+s0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM esym),
 {','.join(rounds)},
-conv AS (
-    SELECT SUM(CASE WHEN cur.label <> nxt.label THEN 1 ELSE 0 END) = 0
-               AS converged
-    FROM r{LPA_ROUNDS} cur JOIN r{LPA_ROUNDS + 1} nxt ON cur.v = nxt.v
+chg AS ({changes}),
+ru AS (
+    SELECT CAST(COALESCE(MIN(CASE WHEN ch = 0 THEN r END),
+                         {LPA_ROUNDS_MAX}) AS INTEGER) AS rounds_used,
+           COUNT(CASE WHEN ch = 0 THEN 1 END) > 0 AS converged
+    FROM chg
 )
 SELECT label AS community, COUNT(*) AS n_nodes,
-       CAST({LPA_ROUNDS} AS INTEGER) AS rounds_used, conv.converged
-FROM r{LPA_ROUNDS} CROSS JOIN conv
-GROUP BY label, conv.converged
+       ru.rounds_used, ru.converged
+FROM s{LPA_ROUNDS_MAX} CROSS JOIN ru
+GROUP BY label, ru.rounds_used, ru.converged
 ORDER BY n_nodes DESC, community ASC
 """
 

@@ -1005,46 +1005,39 @@ register("gan_eval_test", _gan_eval, _frozen_oracle("gan_test"))
 # tools/strict_check.py's full 129-query sweep). Everything not named keeps
 # its registration order after the spread.
 _PRIORITY = [
-    # ROUND-6 ROTATION — every registered query now has SOME driver
-    # evidence (union r01–r05); the job this round is freshness. The
-    # driver samples EXACTLY the first 50 registry entries per round;
-    # this window = (a) queries added or behavior-changed this round
-    # (the two invariant companions; the reshaped long-form faces; the
-    # adaptive k-core; the exact-top-up sampler + its audit), then (b)
-    # every FUNCTION-stale green row and (c) every module-stale green
-    # row per `tools/driver_replay.py --stale` (git says the code moved
-    # after the row was recorded), then (d) the oldest-green backfill
-    # (r01 vintage — relational/TPC-H family), and (e) the rows-only
-    # faces last so their weaker check never displaces a hash check.
-    # (a) new or behavior-changed this round
-    "eval_metrics_test",  # flagship stays freshly green every round
-    "pca_whiten_audit", "approx_profiles_audit",
-    "negatives_reject_invariants", "kcore_membership",
-    # (b) function-stale green rows (oldest green first)
-    "contamination_screen", "dedup_clusters", "event_gaps",
-    "kmeans_embeddings", "minhash_lsh_pairs", "tfidf_top_terms",
-    "user_sessions", "ann_recall_audit", "bm25_search",
-    "co_purchase_pairs", "embedding_dedup_clusters", "hashed_tf_vectors",
-    "simhash64_jvm", "stratified_sample", "triangle_count",
-    "events_ewma_trailing", "stratified_sample_threshold",
-    # (c) module-stale green rows
-    "top_orders_per_customer", "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh", "dedup_ngram_jaccard",
-    "eval_metrics_vali", "topk_per_user", "train_percent_sample",
-    "als_eval_test", "cdae_eval_test", "gan_eval_test",
-    # (d) oldest-green backfill (latest green row is r01)
-    "customer_order_distribution", "customers_without_urgent_orders",
-    "disjunctive_bracket_revenue", "dominant_part_suppliers",
-    "dormant_customer_segments", "forecast_revenue_delta",
-    "important_part_values", "large_volume_orders", "late_order_priority",
-    "local_supplier_volume", "min_cost_supplier", "nation_pair_trade",
-    "nation_trade_balance", "nation_year_profit", "order_rank_functions",
-    # (e) the two remaining rows-only faces (math-certified by
-    # pca_whiten_audit / approx_profiles_audit), plus the sampler —
-    # upgraded THIS round from rows-only to a full hash oracle (the
-    # unrolled trial-round replay), so its first hash-checked driver row
-    # lands here
-    "pca_whiten", "approx_profiles", "negatives_sample_reject",
+    # ROUND-7 ROTATION — pure evidence freshness (r6 verdict item 1).
+    # The driver samples EXACTLY the first 50 registry entries per
+    # round; this window = (a) the one behavior-changed query this
+    # round (copurchase_communities — semi-synchronous LPA schedule, r6
+    # verdict item 5, new code AND new oracle), then (b) the two media
+    # hex twins whose r5 rows certify a decoder that grew native PNG in
+    # r6, then (c) every query whose newest green row is r01 vintage,
+    # then (d) every query whose newest green row is r02 vintage.
+    # 1 + 2 + 11 + 36 = 50 exactly. The flagship eval_metrics_test sits
+    # this window out for the first time: its newest row is r6 (one
+    # round old), while everything below is 5–6 rounds old.
+    # (a) behavior-changed this round
+    "copurchase_communities",
+    # (b) r5 rows certify a decoder that changed in r6
+    "media_resize_hex", "media_frames_hex",
+    # (c) newest green row is r01 (relational/TPC-H family)
+    "parts_with_shipments", "promo_revenue_share",
+    "purchase_click_attribution", "quarterly_top_supplier",
+    "returned_item_revenue", "shipping_priority",
+    "small_quantity_part_revenue", "sole_late_suppliers",
+    "supplier_variety", "user_event_pivot", "user_event_unpivot",
+    # (d) newest green row is r02 (early text/recsplit/warehouse batch)
+    "ann_cosine_topk", "ann_ivf_topk", "asof_latest_event",
+    "balanced_mixture_sample", "best_epoch", "bigram_counts",
+    "cardinalities", "curated_corpus", "customer_rfm", "dedup_exact",
+    "dedup_incremental", "doc_fingerprints", "domain_overlap",
+    "embedding_norms", "fk_integrity_audit", "lang_id_confusion",
+    "loss_means", "lsh_buckets", "media_stats", "mmd_rbf",
+    "negatives_sample", "pack_sequences", "pii_redact", "pii_scan",
+    "pricing_summary", "quality_scores", "repetition_scores",
+    "scalar_functions", "scd2_user_history", "simhash16",
+    "snapshot_upsert", "splits_leave_two_out", "text_stats",
+    "token_counts", "union_labels", "word_counts",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {

@@ -42,6 +42,55 @@ def test_approx_profiles_within_tolerance(spark, sf_dir):
         assert abs(rank - r["pct"]) <= 0.025 + 1.0 / n, (r["pct"], rank)
 
 
+def test_approx_profiles_keeps_all_null_value_groups(spark, tmp_path):
+    """A group whose `value` is entirely NULL has a NULL percentile array;
+    posexplode_outer must keep that event type's row (NULL pct/approx_value)
+    so its HLL distinct counts still surface — the inner explode silently
+    dropped the whole group (r6 ADVICE)."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": pd.to_datetime(["2024-01-01"] * 6),
+            "user_id": [1, 2, 3, 1, 2, 3],
+            "event_type": ["click"] * 3 + ["ghost"] * 3,
+            "value": [1.0, 2.0, 3.0, None, None, None],
+            "props": ["{}"] * 6,
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    rows = approx_profiles(spark, str(tmp_path)).collect()
+    ghost = [r for r in rows if r["event_type"] == "ghost"]
+    assert len(ghost) == 1, "all-NULL-value group must survive as one row"
+    assert ghost[0]["pct"] is None and ghost[0]["approx_value"] is None
+    assert ghost[0]["approx_users"] == 3 and ghost[0]["approx_events"] == 3
+    assert len([r for r in rows if r["event_type"] == "click"]) == 3
+
+
+def test_element_at_null_index_quirk(spark):
+    """Engine pin: Spark 4.1.2's element_at with a RUNTIME-NULL index does
+    not return NULL — it ignores the index's null flag and reads the
+    uninitialized value slot (measured: the LAST array element when the
+    NULL comes from an outer generate, 0 from a VALUES scan; constant-
+    folded NULL indices behave correctly, which is why small probes miss
+    it). F.get is the null-safe spelling approx_profiles relies on; if a
+    Spark upgrade fixes element_at, this documents why get() was chosen."""
+    from pyspark.sql import functions as F
+
+    g = spark.sql("select cast(null as array<double>) as pv").select(
+        F.posexplode_outer("pv").alias("pos", "v")
+    )
+    arr = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    [safe] = g.select(F.get(arr, F.col("pos")).alias("x")).collect()
+    assert safe["x"] is None
+    [quirk] = g.select(F.element_at(arr, F.col("pos") + 1).alias("x")).collect()
+    # the buggy non-NULL result element_at gives today; if this starts
+    # failing with x=None, Spark fixed SPARK-level null handling and the
+    # pin (not the operator) should be updated
+    assert quirk["x"] == 0.99
+
+
 def test_approx_profiles_audit_all_green(spark, sf_dir):
     from etl_master_spark.operators.analytics import approx_profiles_audit
 

@@ -237,23 +237,42 @@ def test_kcore_peel_reports_nonconvergence_on_long_chain(spark):
     assert all(r["converged"] is True and r["rounds_used"] == 7 for r in slack)
 
 
-def test_lpa_reports_nonconvergence_on_bipartite_cycle(spark):
+def test_lpa_semisync_converges_on_bipartite_cycle(spark):
     """Synchronous LPA 2-cycles forever on a bipartite 4-cycle (each side
-    adopts the other side's min label every round) — the classic
-    oscillation no round count fixes. The self-report must be
-    converged=false at ANY round count; a triangle (odd cycle) reaches
-    its fixpoint and must report converged=true."""
+    adopts the other side's min label every round) — the adversarial
+    fixture the r6 kernel honestly reported converged=false on at every
+    round budget. The semi-synchronous half-round schedule breaks the
+    oscillation: the even half updates first (2 and 4 both adopt label
+    1), then the odd half sees those fresh labels — fixpoint in 2 full
+    rounds, one community. A triangle (odd cycle) converges too."""
     from etl_master_spark.operators.analytics import lpa_labels
 
     square = _sym_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
-    for rounds in (3, 6):
-        lbl = lpa_labels(square, rounds).collect()
-        assert any(r["next_differs"] for r in lbl), rounds
+    lbl = lpa_labels(square, 6).collect()
+    assert all(r["converged"] is True for r in lbl)
+    assert all(r["rounds_used"] == 2 for r in lbl)
+    assert {r["label"] for r in lbl} == {1}  # one community, min label
 
     triangle = _sym_edges(spark, [(1, 2), (2, 3), (1, 3)])
     lbl = lpa_labels(triangle, 4).collect()
-    assert all(not r["next_differs"] for r in lbl)
+    assert all(r["converged"] is True for r in lbl)
     assert {r["label"] for r in lbl} == {1}  # min-label fixpoint
+
+
+def test_lpa_reports_truncation_under_tight_ceiling(spark):
+    """The self-report's other polarity: a label front crosses one hop
+    per half-round, so an 8-node path under a 1-round ceiling is still
+    moving — converged=false, rounds_used=1 — and a roomy ceiling
+    converges with rounds_used < ceiling (the adaptive stop is real)."""
+    from etl_master_spark.operators.analytics import lpa_labels
+
+    path = _sym_edges(spark, [(i, i + 1) for i in range(1, 8)])
+    short = lpa_labels(path, 1).collect()
+    assert all(r["converged"] is False and r["rounds_used"] == 1 for r in short)
+
+    full = lpa_labels(path, 16).collect()
+    assert all(r["converged"] is True for r in full)
+    assert all(r["rounds_used"] < 16 for r in full)
 
 
 def test_pagerank_reports_nonconvergence_under_few_rounds(spark):

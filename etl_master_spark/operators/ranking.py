@@ -74,6 +74,14 @@ def candidate_scores(
 
     train = sp.filter(F.col("split") == "train")
     pop = train.groupBy("domain", "item_id").agg(F.count(F.lit(1)).alias("pop"))
+    return score_candidates(cand, pop)
+
+
+def score_candidates(cand: DataFrame, pop: DataFrame) -> DataFrame:
+    """Attach the deterministic baseline score (train popularity +
+    portable-hash jitter) to a candidate frame — the single scoring
+    spelling shared by the batch pipeline and the incremental streaming
+    eval (streaming/eval_stream.py), so the two can never drift."""
     jitter = (
         F.expr(phash_frag("user_id", "item_id", seed=JITTER_SEED)).cast("double")
         / F.lit(float(PHASH_P))
@@ -187,17 +195,30 @@ def eval_metrics(
     # stage at 8.5M interactions. topk_per_user keeps the true row_number
     # (its output IS the ranking).
     scored = candidate_scores(spark, sf_dir, mode)
+    return metrics_from_hit_ranks(hit_ranks(scored), ks)
+
+
+def hit_ranks(scored: DataFrame) -> DataFrame:
+    """Per-(user, domain) rank of the positive candidate — the reusable
+    middle of ``eval_metrics`` (the streaming twin upserts exactly this
+    frame as its per-user state)."""
     w_grp = Window.partitionBy("user_id", "domain")
     pos_score = F.max(F.when(F.col("is_pos") == 1, F.col("score"))).over(w_grp)
     pos_item = F.max(F.when(F.col("is_pos") == 1, F.col("item_id"))).over(w_grp)
     beats = (F.col("score") > pos_score) | (
         (F.col("score") == pos_score) & (F.col("item_id") < pos_item)
     )
-    per_user = (
+    return (
         scored.withColumn("beaten", F.when(beats, 1).otherwise(0))
         .groupBy("user_id", "domain")
         .agg((F.lit(1) + F.sum("beaten")).cast("int").alias("hit_rank"))
     )
+
+
+def metrics_from_hit_ranks(per_user: DataFrame, ks: list[int]) -> DataFrame:
+    """HR/NDCG/MRR@K macro-averages from a (user_id, domain, hit_rank)
+    frame — shared by the batch flagship and the streaming twin."""
+    spark = per_user.sparkSession
     with_k = per_user.join(
         F.broadcast(
             spark.createDataFrame([(k,) for k in ks], "k int")

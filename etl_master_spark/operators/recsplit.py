@@ -271,17 +271,24 @@ def negatives_of(r: DataFrame) -> DataFrame:
     return negatives_from_shuffled(_shuffled_items(r))
 
 
-def negatives_from_shuffled(su: DataFrame) -> DataFrame:
+def negatives_from_shuffled(
+    su: DataFrame, universe: DataFrame | None = None
+) -> DataFrame:
     """``negatives_of`` body over a precomputed ``_shuffled_items`` frame.
     ``items`` is duplicate-free (ratings is DISTINCT), so it doubles as the
     per-user seen-set; the domain universe re-aggregates from the same frame
     (map-side combine collapses it to |items| per domain before the tiny
-    exchange)."""
-    universe = (
-        su.select("domain", F.explode("items").alias("item_id"))
-        .groupBy("domain")
-        .agg(F.collect_set("item_id").alias("universe"))
-    )
+    exchange). ``universe`` overrides that derivation with an explicit
+    (domain, universe ARRAY<BIGINT>) frame — required whenever ``su`` is a
+    SUBSET of the corpus's users (the incremental eval recomputes only
+    affected users, whose negatives must still sample from the GLOBAL
+    per-domain catalog)."""
+    if universe is None:
+        universe = (
+            su.select("domain", F.explode("items").alias("item_id"))
+            .groupBy("domain")
+            .agg(F.collect_set("item_id").alias("universe"))
+        )
     per_user = su.select("user_id", "domain", F.col("items").alias("seen"))
     cands = F.array_except(F.col("universe"), F.col("seen"))
     keyed = F.transform(

@@ -910,6 +910,13 @@ register(
     windows.EVENTS_DEDUP_ORACLE,
 )
 register("user_sessions", windows.user_sessions, windows.USER_SESSIONS_ORACLE)
+# the skew-path twin shares the SAME oracle: the driver hash proves the
+# two-level bucketed plan equals the naive per-user window exactly
+register(
+    "user_sessions_bucketed",
+    windows.user_sessions_bucketed,
+    windows.USER_SESSIONS_ORACLE,
+)
 register(
     "events_hourly_topk_types",
     windows.events_hourly_topk_types,
@@ -1016,8 +1023,9 @@ _PRIORITY = [
     # 1 + 2 + 11 + 36 = 50 exactly. The flagship eval_metrics_test sits
     # this window out for the first time: its newest row is r6 (one
     # round old), while everything below is 5–6 rounds old.
-    # (a) behavior-changed this round
-    "copurchase_communities",
+    # (a) new or behavior-changed this round ("word_counts" defers to r8
+    # to make room — lowest drift risk of the r02 batch)
+    "copurchase_communities", "user_sessions_bucketed",
     # (b) r5 rows certify a decoder that changed in r6
     "media_resize_hex", "media_frames_hex",
     # (c) newest green row is r01 (relational/TPC-H family)
@@ -1037,7 +1045,7 @@ _PRIORITY = [
     "pricing_summary", "quality_scores", "repetition_scores",
     "scalar_functions", "scd2_user_history", "simhash16",
     "snapshot_upsert", "splits_leave_two_out", "text_stats",
-    "token_counts", "union_labels", "word_counts",
+    "token_counts", "union_labels",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {

@@ -330,6 +330,191 @@ FROM per_session GROUP BY user_id ORDER BY user_id
 """
 
 
+# Two-level sessionizer bucket width. Must be ≫ the session gap; beyond
+# that, size it so a HOT user's rows per bucket ≈ one partition's volume
+# — too fine and the per-(user, bucket) summary frame approaches the
+# input size for sparse users (measured ×100: B=6 h cost 13.9 s uniform
+# vs the naive 4.15 s; B=72 h is at parity uniform, 4.7 s vs 12.2 s on
+# the 30%-bot replica).
+SESSION_BUCKET_HOURS = 72
+
+
+def user_sessions_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-path twin of ``user_sessions``: identical output (same DuckDB
+    oracle hash-checks both), different plan for the hot-user regime.
+
+    The naive spelling's per-user window is irreducibly sequential — one
+    task sorts the hot user's entire history, and AQE cannot split a
+    window partition (measured, skewed ×100 replica with a 30%% bot
+    user: 3.4 s uniform → 13.9 s zipf, a 4× single-task straggler;
+    SCALE.md round 7). This twin is the standard two-level fix:
+
+    1. bucket events into ``SESSION_BUCKET_HOURS`` time buckets and
+       sessionize WITHIN (user, bucket) — the windows partition by
+       (user_id, bucket), so the bot user's rows spread over
+       range/bucket tasks instead of one;
+    2. collapse each (user, bucket) to a constant-size summary — first/
+       last session (count, start, end) plus interior session sums;
+    3. stitch per user with one row-local ``aggregate`` over the
+       time-ordered summaries (≤ range/bucket structs per user):
+       a bucket's first session merges into the running chain when the
+       inter-session gap ≤ the threshold — the same rule the naive
+       lag() applies, so the result is EXACTLY equal (no bucket-
+       adjacency special case needed: a skipped bucket implies a gap
+       > the bucket width ≫ the threshold).
+
+    Switchover contract (the E3-catalog pattern): prefer the naive
+    spelling while every user's history fits one task comfortably;
+    switch here when any single user's row share approaches a
+    partition's volume (the bot regime). Measured on the ×100 replicas
+    at B=72 h (SCALE.md round 7): uniform 4.2 s vs naive 4.2 s (parity),
+    30%-bot 4.7 s vs naive 12.2 s (2.6×) — the extra shuffles are narrow
+    and the bucket width keeps the summary frame ≪ the input."""
+    return user_sessions_bucketed_of(load_table(spark, sf_dir, "events"))
+
+
+def user_sessions_bucketed_of(
+    ev: DataFrame, bucket_hours: int | None = None
+) -> DataFrame:
+    """Core of ``user_sessions_bucketed`` over any (user_id, event_id, ts)
+    frame — split out so tests can plant boundary-crossing sessions and
+    hot users at a controlled bucket width."""
+    bucket_hours = bucket_hours or SESSION_BUCKET_HOURS
+    gap_s = F.lit(SESSION_GAP_MIN * 60).cast("long")
+    bucket = F.floor(ts_s("ts") / F.lit(bucket_hours * 3600)).alias("bucket")
+    w_ub = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    gap = ts_s("ts") - ts_s(F.lag("ts").over(w_ub))
+    with_sess = (
+        ev.select("user_id", "event_id", "ts", bucket)
+        .withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("is_new").over(
+                w_ub.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    per_session = with_sess.groupBy("user_id", "bucket", "sid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(ts_s("ts")).alias("t0"),
+        F.max(ts_s("ts")).alias("t1"),
+    )
+    sess_struct = F.struct("sid", "n", "t0", "t1")
+    per_bucket = per_session.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n_loc"),
+        F.min(sess_struct).alias("first"),
+        F.max(sess_struct).alias("last"),
+        F.sum("n").alias("tot_n"),
+        F.sum(F.col("t1") - F.col("t0")).alias("tot_dur"),
+    )
+    summary = F.struct(
+        F.col("bucket"),
+        F.col("n_loc"),
+        F.col("first.n").alias("f_n"),
+        F.col("first.t0").alias("f_t0"),
+        F.col("first.t1").alias("f_t1"),
+        F.col("last.n").alias("l_n"),
+        F.col("last.t0").alias("l_t0"),
+        F.col("last.t1").alias("l_t1"),
+        # interior sessions = everything but the first and last (empty
+        # when n_loc <= 2; when n_loc == 1 first IS last, subtract once)
+        F.when(F.col("n_loc") >= 2, F.col("n_loc") - 2)
+        .otherwise(F.lit(0))
+        .alias("i_cnt"),
+        F.when(
+            F.col("n_loc") >= 2,
+            F.col("tot_n") - F.col("first.n") - F.col("last.n"),
+        )
+        .otherwise(F.lit(0))
+        .alias("i_n"),
+        F.when(
+            F.col("n_loc") >= 2,
+            F.col("tot_dur")
+            - (F.col("first.t1") - F.col("first.t0"))
+            - (F.col("last.t1") - F.col("last.t0")),
+        )
+        .otherwise(F.lit(0))
+        .alias("i_dur"),
+    )
+    per_user = per_bucket.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(summary)).alias("bs")
+    )
+    # row-local stitch: fold the time-ordered bucket summaries, carrying
+    # an OPEN chain (n, start, end) and the closed-session totals
+    zero = F.struct(
+        F.lit(0).cast("bigint").alias("open_n"),
+        F.lit(0).cast("bigint").alias("open_t0"),
+        F.lit(0).cast("bigint").alias("open_t1"),
+        F.lit(False).alias("has_open"),
+        F.lit(0).cast("bigint").alias("d_cnt"),
+        F.lit(0).cast("bigint").alias("d_n"),
+        F.lit(0).cast("bigint").alias("d_dur"),
+    )
+
+    def step(acc, s):
+        merge = acc["has_open"] & ((s["f_t0"] - acc["open_t1"]) <= gap_s)
+        # the chain after absorbing (or being replaced by) s's first session
+        o_n = F.when(merge, acc["open_n"] + s["f_n"]).otherwise(s["f_n"])
+        o_t0 = F.when(merge, acc["open_t0"]).otherwise(s["f_t0"])
+        o_t1 = s["f_t1"]
+        # the previous chain closes when it exists and did not merge
+        closed_prev = F.when(acc["has_open"] & ~merge, 1).otherwise(0)
+        d_cnt = acc["d_cnt"] + closed_prev + s["i_cnt"]
+        d_n = (
+            acc["d_n"]
+            + F.when(closed_prev == 1, acc["open_n"]).otherwise(0)
+            + s["i_n"]
+        )
+        d_dur = (
+            acc["d_dur"]
+            + F.when(closed_prev == 1, acc["open_t1"] - acc["open_t0"]).otherwise(0)
+            + s["i_dur"]
+        )
+        multi = s["n_loc"] >= 2  # first session ends inside the bucket
+        return F.struct(
+            F.when(multi, s["l_n"]).otherwise(o_n).alias("open_n"),
+            F.when(multi, s["l_t0"]).otherwise(o_t0).alias("open_t0"),
+            F.when(multi, s["l_t1"]).otherwise(o_t1).alias("open_t1"),
+            F.lit(True).alias("has_open"),
+            F.when(multi, d_cnt + 1).otherwise(d_cnt).alias("d_cnt"),
+            F.when(multi, d_n + o_n).otherwise(d_n).alias("d_n"),
+            F.when(multi, d_dur + (o_t1 - o_t0)).otherwise(d_dur).alias("d_dur"),
+        )
+
+    def fin(acc):
+        return F.struct(
+            (acc["d_cnt"] + F.when(acc["has_open"], 1).otherwise(0)).alias(
+                "n_sessions"
+            ),
+            (
+                acc["d_n"] + F.when(acc["has_open"], acc["open_n"]).otherwise(0)
+            ).alias("sum_n"),
+            (
+                acc["d_dur"]
+                + F.when(
+                    acc["has_open"], acc["open_t1"] - acc["open_t0"]
+                ).otherwise(0)
+            ).alias("sum_dur"),
+        )
+
+    folded = per_user.select(
+        "user_id", F.aggregate("bs", zero, step, fin).alias("r")
+    )
+    return folded.select(
+        "user_id",
+        F.col("r.n_sessions").alias("n_sessions"),
+        F.round(
+            F.col("r.sum_n").cast("double") / F.col("r.n_sessions"), 6
+        ).alias("avg_events_per_session"),
+        F.round(
+            F.col("r.sum_dur").cast("double") / F.col("r.n_sessions"), 6
+        ).alias("avg_session_seconds"),
+    ).orderBy("user_id")
+
+
 # -- custom stateful operator: incremental sessionization ---------------------
 
 SESSION_STATE_SCHEMA = "last_ts LONG, n_sessions INT, n_events LONG, total_dur LONG"

@@ -110,3 +110,56 @@ def test_planted_hot_user_event_gaps_exact(spark):
         .split("== Initial Plan ==")[0]
     )
     assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_bucketed_sessions_equal_naive_on_adversarial_boundaries(spark):
+    """The two-level sessionizer must equal the naive per-user window on
+    exactly the shapes the bucket split can break: a session RUNNING
+    THROUGH several bucket boundaries (continuous sub-threshold gaps), a
+    gap of exactly the threshold (NOT a new session — the rule is
+    strictly greater), a break landing exactly ON a bucket boundary, a
+    user skipping whole buckets, and a hot user owning most rows."""
+    import pandas as pd
+
+    from etl_master_spark.streaming.windows import (
+        user_sessions_bucketed_of,
+        user_sessions_of,
+    )
+
+    B = 3600  # 1-hour buckets via bucket_hours=1
+    rows = []
+    # user 1: events every 20 min for 5 hours -> ONE session spanning 5
+    # hourly buckets (every inter-bucket stitch merges)
+    rows += [(1, i, i * 1200) for i in range(16)]
+    # user 2: a gap of exactly 1800 s (the threshold) -> still ONE
+    # session; then a 1801 s gap -> a second session
+    rows += [(2, 100, 0), (2, 101, 1800), (2, 102, 1800 + 1801)]
+    # user 3: break exactly at a bucket boundary (last event at B-1,
+    # next at B + 2000 -> gap 2001 > threshold -> two sessions)
+    rows += [(3, 200, B - 1), (3, 201, B + 2000)]
+    # user 4: skips three whole buckets between singleton sessions
+    rows += [(4, 300, 0), (4, 301, 4 * B)]
+    # user 5 (hot): every 10 min across 8 hours, with one 31-min hole
+    hot_ts = [i * 600 for i in range(48)]
+    hot_ts = hot_ts[:20] + [t + 1260 for t in hot_ts[20:]]  # 31-min hole
+    rows += [(5, 400 + i, t) for i, t in enumerate(hot_ts)]
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "off"])
+    pdf["ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        pdf.pop("off"), unit="s"
+    )
+    ev = spark.createDataFrame(pdf)
+
+    want = {r["user_id"]: r for r in user_sessions_of(ev).collect()}
+    got = {
+        r["user_id"]: r
+        for r in user_sessions_bucketed_of(ev, bucket_hours=1).collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        for c in ("n_sessions", "avg_events_per_session", "avg_session_seconds"):
+            assert got[u][c] == want[u][c], (u, c, got[u][c], want[u][c])
+    assert want[1]["n_sessions"] == 1  # the 5-bucket chain really merged
+    assert want[2]["n_sessions"] == 2
+    assert want[4]["n_sessions"] == 2
+    assert want[5]["n_sessions"] == 2

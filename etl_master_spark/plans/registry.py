@@ -1023,9 +1023,14 @@ _PRIORITY = [
     # 1 + 2 + 11 + 36 = 50 exactly. The flagship eval_metrics_test sits
     # this window out for the first time: its newest row is r6 (one
     # round old), while everything below is 5–6 rounds old.
-    # (a) new or behavior-changed this round ("word_counts" defers to r8
-    # to make room — lowest drift risk of the r02 batch)
+    # (a) new or behavior-changed this round. The eval family rides the
+    # candidate_scores/hit_ranks refactor (shared with the streaming
+    # twin), so its r6 rows describe pre-refactor code — it re-greens
+    # here. To make room, the four lowest-drift-risk r02 names
+    # (word_counts, union_labels, token_counts, text_stats — untouched
+    # simple operators) defer to the r8 window.
     "copurchase_communities", "user_sessions_bucketed",
+    "eval_metrics_test", "eval_metrics_vali", "topk_per_user",
     # (b) r5 rows certify a decoder that changed in r6
     "media_resize_hex", "media_frames_hex",
     # (c) newest green row is r01 (relational/TPC-H family)
@@ -1044,8 +1049,7 @@ _PRIORITY = [
     "negatives_sample", "pack_sequences", "pii_redact", "pii_scan",
     "pricing_summary", "quality_scores", "repetition_scores",
     "scalar_functions", "scd2_user_history", "simhash16",
-    "snapshot_upsert", "splits_leave_two_out", "text_stats",
-    "token_counts", "union_labels",
+    "snapshot_upsert", "splits_leave_two_out",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {

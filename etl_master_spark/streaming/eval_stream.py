@@ -35,13 +35,27 @@ candidate join, hit-rank windows) runs ONLY over affected users. At
 MERGE) and the universe agg an incremental one; the dataflow is
 unchanged.
 
-State layout under ``work_dir`` (each epoch-versioned, last two kept,
-so a replayed micro-batch deterministically rewrites its own epoch):
-  prefix/eN   accumulated distinct ratings (user_id, item_id, domain)
-  pop/eN      per-(domain, item) train popularity
-  cand/eN     per-(user, domain) candidate membership (item_id, is_pos)
-  hitrank/eN  per-(user, domain) hit_rank
+State layout under ``work_dir`` — I/O per batch is proportional to the
+AFFECTED set too, not just compute (the first cut rewrote the whole
+candidate state per batch; measured ×100: a 10-row micro-batch cost
+32 s of pure state rewrite):
+  prefix/eN   APPEND-ONLY chunks of new ratings — a batch writes only
+              its own novel rows; reads union every chunk below the
+              current epoch
+  pop/eN      per-(domain, item) train popularity — tiny, epoch-rewritten
+  hitrank/eN  per-(user, domain) hit_rank — |users| rows, epoch-rewritten
+  cand/       per-(user, domain) candidate membership, hash-bucketed by
+              user (``b=pmod(xxhash64(user_id), 64)``) and upserted with
+              DYNAMIC partition overwrite — only the affected users'
+              buckets are rewritten
   metrics/    append-only (batch_id, domain, k, n_users, hr, ndcg, mrr)
+
+Replay safety (a foreachBatch epoch can re-run after a crash): every
+epoch-versioned read takes the newest epoch STRICTLY BELOW the running
+batch id, so a replayed batch sees exactly its pre-batch state; the
+cand bucket upsert is an idempotent set-replacement (replacing the
+affected users' rows with their recomputation gives the same content on
+a second run); metrics reads drop duplicate (batch_id, domain, k) rows.
 """
 
 from __future__ import annotations
@@ -84,11 +98,16 @@ def _ratings_of(ev: DataFrame) -> DataFrame:
     )
 
 
+N_CAND_BUCKETS = 64
+
+
 class _State:
-    """Epoch-versioned parquet state dirs. Reads resolve the newest epoch;
-    writes land in the batch's own epoch dir and prune everything older
-    than the previous epoch (a foreachBatch replay of epoch N rebuilds
-    N from N-1 deterministically)."""
+    """Parquet state dirs. Epoch-versioned states read the newest epoch
+    STRICTLY below the running batch id (pre-batch state — replay-safe
+    for the delta-maintained popularity) and prune to the last two
+    epochs; the append-only prefix unions every chunk below the batch id
+    and never prunes; the candidate state is hash-bucketed and upserted
+    via dynamic partition overwrite."""
 
     def __init__(self, spark: SparkSession, work_dir: str):
         self.spark = spark
@@ -118,6 +137,54 @@ class _State:
         for e in self._epochs(name)[:-2]:  # keep this epoch + its parent
             shutil.rmtree(self.work / name / f"e{e}", ignore_errors=True)
         return self.spark.read.parquet(str(path))
+
+    # -- append-only prefix ---------------------------------------------------
+
+    def read_chunks(self, name: str, epoch_lt: int) -> DataFrame | None:
+        paths = [
+            str(self.work / name / f"e{e}")
+            for e in self._epochs(name)
+            if e < epoch_lt
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def append_chunk(self, name: str, epoch: int, df: DataFrame) -> None:
+        path = self.work / name / f"e{epoch}"
+        if path.exists():  # replayed micro-batch: same rows, rewrite
+            shutil.rmtree(path)
+        df.write.parquet(str(path))
+
+    # -- bucket-partitioned upsert (the candidate state) ----------------------
+
+    def read_bucketed(self, name: str) -> DataFrame | None:
+        base = self.work / name
+        if not base.exists() or not any(base.iterdir()):
+            return None
+        return self.spark.read.parquet(str(base))
+
+    def upsert_bucketed(
+        self, name: str, merged_affected_buckets: DataFrame
+    ) -> None:
+        """Dynamic-partition overwrite: the frame must hold the COMPLETE
+        new content of every bucket it mentions (and only those). It is
+        localCheckpoint'd first — Spark refuses to overwrite a path its
+        own plan is reading from."""
+        df = merged_affected_buckets.localCheckpoint()
+        conf = self.spark.conf
+        saved = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            df.write.partitionBy("b").mode("overwrite").parquet(
+                str(self.work / name)
+            )
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+
+def _bucket(col: str = "user_id"):
+    return F.pmod(F.xxhash64(col), F.lit(N_CAND_BUCKETS)).alias("b")
 
 
 def _universe(prefix: DataFrame) -> DataFrame:
@@ -170,17 +237,28 @@ def incremental_eval_metrics(
     mode: str = "test",
     ks: list[int] | None = None,
     max_files_per_trigger: int = 1,
+    stats: list | None = None,
 ):
     """Start the incremental eval stream (availableNow); returns the
     streaming query — caller awaits, then reads metrics via
     ``read_metric_history``. ``stream_dir`` holds event-schema parquet
-    files arriving over time; ``sf_dir`` supplies only the schema."""
+    files arriving over time; ``sf_dir`` supplies only the schema.
+
+    ``stats`` (optional, driver-side list) receives one dict per
+    micro-batch: {batch_id, new_ratings, affected_users} — the honest
+    observability for the affected-set bound. NOTE the degenerate
+    regime: when the item catalog is not much larger than the candidate
+    set (gate testdata: 100 items vs 99 negatives), every user holds
+    nearly every item and ANY popularity delta fans out to the whole
+    user base — affected == everyone, by the algorithm's own contract.
+    The steady-state win needs |catalog| ≫ |candidates|
+    (tests/test_eval_stream.py pins both regimes)."""
     ks = ks or DEFAULT_KS
     state = _State(spark, work_dir)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        prefix_old = state.read("prefix", epoch_id + 1)
+        prefix_old = state.read_chunks("prefix", epoch_id)
         ratings_b = _ratings_of(batch_df)
         if prefix_old is not None:
             new = ratings_b.join(
@@ -189,15 +267,14 @@ def incremental_eval_metrics(
             prefix_new = prefix_old.unionByName(new)
         else:
             new = ratings_b.cache()
-            prefix_new = ratings_b
-        prefix_new = state.write("prefix", epoch_id, prefix_new)
+            prefix_new = new
 
         cached = [new]
         touched = new.select(*_UD).distinct().cache()
         cached.append(touched)
-        pop_old = state.read("pop", epoch_id + 1)
-        cand_old = state.read("cand", epoch_id + 1)
-        hit_old = state.read("hitrank", epoch_id + 1)
+        pop_old = state.read("pop", epoch_id)
+        cand_old = state.read_bucketed("cand")
+        hit_old = state.read("hitrank", epoch_id)
 
         if prefix_old is None or pop_old is None:
             # cold start: everyone is affected, popularity from scratch
@@ -265,14 +342,42 @@ def incremental_eval_metrics(
         affected = affected.cache()
         cached.append(affected)
         hit_aff, cand_aff = _recompute(prefix_new, affected, pop_new, mode)
+
+        # candidate upsert: full new content of exactly the affected
+        # users' BUCKETS (survivors of the bucket keep their rows)
+        aff_b = affected.select(_bucket("user_id"), *_UD)
+        buckets = aff_b.select("b").distinct()
+        cand_aff_b = cand_aff.select("user_id", "domain", "item_id", _bucket())
+        if cand_old is None:
+            merged_cand = cand_aff_b
+        else:
+            survivors = (
+                cand_old.join(buckets, "b", "left_semi")
+                .join(affected, _UD, "left_anti")
+            )
+            merged_cand = survivors.unionByName(cand_aff_b)
+        state.upsert_bucketed("cand", merged_cand)
+
         hit_new = state.write(
             "hitrank", epoch_id, _merge(hit_old, affected, hit_aff)
         )
-        state.write("cand", epoch_id, _merge(cand_old, affected, cand_aff))
+
+        # the recompute must be DONE before the prefix chunk lands: a
+        # replayed batch then redoes everything from the same pre-batch
+        # prefix (idempotent), instead of seeing its own rows as old
+        state.append_chunk("prefix", epoch_id, new)
 
         metrics_from_hit_ranks(hit_new, ks).withColumn(
             "batch_id", F.lit(epoch_id).cast("long")
         ).write.mode("append").parquet(str(Path(work_dir) / "metrics"))
+        if stats is not None:
+            stats.append(
+                {
+                    "batch_id": epoch_id,
+                    "new_ratings": new.count(),
+                    "affected_users": affected.count(),
+                }
+            )
         for df in cached:
             df.unpersist()
 
@@ -288,7 +393,11 @@ def incremental_eval_metrics(
 
 
 def read_metric_history(spark: SparkSession, work_dir: str) -> DataFrame:
-    """The appended metrics time series, one row per (batch, domain, K)."""
-    return spark.read.parquet(str(Path(work_dir) / "metrics")).orderBy(
-        "batch_id", "domain", "k"
+    """The appended metrics time series, one row per (batch, domain, K).
+    A crash between the metrics append and the checkpoint commit can
+    leave a replayed batch's identical row twice — dedup on the key."""
+    return (
+        spark.read.parquet(str(Path(work_dir) / "metrics"))
+        .dropDuplicates(["batch_id", "domain", "k"])
+        .orderBy("batch_id", "domain", "k")
     )

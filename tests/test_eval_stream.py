@@ -90,6 +90,87 @@ def test_stream_metrics_equal_batch_eval_on_every_prefix(
                 assert g[m] == pytest.approx(e[m], abs=1e-9), (i, key, m)
 
 
+def test_affected_set_stays_bounded_on_wide_catalog(spark, tmp_path):
+    """The steady-state contract: with |catalog| >> |candidates| a
+    single-user micro-batch's affected set is that user plus the few
+    holders of its popularity-delta'd items — NOT the user base. (The
+    gate testdata cannot show this: its 100-item catalog vs 99 sampled
+    negatives makes every user hold nearly every item, so any pop delta
+    legitimately fans out to everyone — the degenerate regime the
+    module docstring documents.) Also checks the bounded regime stays
+    EXACT vs the batch eval on the final prefix."""
+    import pandas as pd
+
+    from etl_master_spark.operators.ranking import eval_metrics
+    from etl_master_spark.streaming.eval_stream import (
+        incremental_eval_metrics,
+        read_metric_history,
+    )
+
+    n_users, items_per_user, catalog = 400, 30, 100_000
+    rows = []
+    eid = 0
+    for u in range(1, n_users + 1):
+        for j in range(items_per_user):
+            item = (u * 37 + j * 101) % catalog  # spread across the catalog
+            rows.append((eid, u, "click", f'{{"k": {item}}}'))
+            eid += 1
+    # the steady-state micro-batch: 2 fresh events of ONE user, items
+    # ALREADY in the catalog (novel items trip the catalog-growth rule,
+    # which correctly recomputes the whole domain — not this regime)
+    tail = [(eid, 1, "click", '{"k": 488}'), (eid + 1, 1, "click", '{"k": 461}')]
+
+    def write_chunk(path, data):
+        pdf = pd.DataFrame(
+            data, columns=["event_id", "user_id", "event_type", "props"]
+        )
+        pdf["ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            pdf["event_id"], unit="s"
+        )
+        pdf["value"] = 1.0
+        pdf[
+            ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ].to_parquet(path, index=False, coerce_timestamps="us")
+
+    stream_dir = tmp_path / "arrivals"
+    stream_dir.mkdir()
+    write_chunk(stream_dir / "chunk_0.parquet", rows)
+    write_chunk(stream_dir / "chunk_1.parquet", tail)
+    full_dir = tmp_path / "full"
+    full_dir.mkdir()
+    write_chunk(full_dir / "events.parquet", rows + tail)
+
+    stats: list = []
+    q = incremental_eval_metrics(
+        spark, str(full_dir), str(stream_dir), str(tmp_path / "work"),
+        stats=stats,
+    )
+    q.awaitTermination(600)
+
+    by_batch = {s["batch_id"]: s for s in stats}
+    assert by_batch[0]["affected_users"] == n_users  # cold start: everyone
+    # steady state: the touched user + holders of ~4 delta'd items among
+    # 99-of-100k sampled negatives — orders of magnitude below n_users
+    assert by_batch[1]["affected_users"] <= n_users // 10, by_batch[1]
+    assert by_batch[1]["new_ratings"] == 2
+
+    final = {
+        (r["domain"], r["k"]): r
+        for r in read_metric_history(spark, str(tmp_path / "work")).collect()
+        if r["batch_id"] == 1
+    }
+    batch = {
+        (r["domain"], r["k"]): r
+        for r in eval_metrics(spark, str(full_dir), mode="test").collect()
+    }
+    assert set(final) == set(batch)
+    for key, b in batch.items():
+        g = final[key]
+        assert g["n_users"] == b["n_users"]
+        for m in ("hr", "ndcg", "mrr"):
+            assert g[m] == pytest.approx(b[m], abs=1e-9)
+
+
 def test_stream_final_equals_flagship_on_full_table(spark, metric_history):
     from etl_master_spark.operators.ranking import eval_metrics
 

@@ -1074,16 +1074,23 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     null count, exact distinct cardinality, min/max/mean per column. The
     pre-flight check every ingest pipeline runs before trusting a table.
 
-    ONE aggregation pass: all per-column stats in a single agg row
-    (multiple COUNT(DISTINCT) → Catalyst's expand, a deliberate trade:
-    one scan, |cols|× expanded agg input), then explode to long form.
-    At 100 TB the expand dominates — swap COUNT DISTINCT for
-    approx_count_distinct (the approx_profiles query is that twin) and
-    the pass stays single-scan. Mean rounds at 4dp (values here are
-    ≤1e6, so the comparison grid stays far above double noise)."""
+    ONE aggregation branch PER COLUMN, unioned long-form — not one agg
+    with every COUNT(DISTINCT) (Catalyst's Expand rewrite multiplies the
+    agg input ×(|distinct-cols|+1); measured 4.5 s vs 0.8 s at sf0.1).
+    The per-column spelling reads NO extra bytes on columnar storage:
+    each branch's parquet scan prunes to its single column, so the six
+    branches together read exactly what the one wide scan read, and each
+    branch plans its lone distinct without Expand. The same lesson as
+    the approx_profiles distinct-split (round 6), taken to its
+    conclusion. At 100 TB swap COUNT DISTINCT for approx_count_distinct
+    (the approx_profiles query is that twin). Mean rounds at 4dp (values
+    here are ≤1e6, so the comparison grid stays far above double
+    noise)."""
+    from functools import reduce
+
     li = load_table(spark, sf_dir, "lineitem")
-    per_col = [
-        F.struct(
+    parts = [
+        li.agg(
             F.lit(c).alias("col_name"),
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
@@ -1091,15 +1098,10 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col(c).cast("double")).alias("min_val"),
             F.max(F.col(c).cast("double")).alias("max_val"),
             F.round(F.avg(F.col(c).cast("double")), 4).alias("mean_val"),
-        ).alias(c)
+        )
         for c in PROFILE_COLS
     ]
-    return (
-        li.agg(F.array(*per_col).alias("stats"))
-        .select(F.explode("stats").alias("s"))
-        .select("s.*")
-        .orderBy("col_name")
-    )
+    return reduce(lambda x, y: x.unionByName(y), parts).orderBy("col_name")
 
 
 TABLE_PROFILE_ORACLE = "\nUNION ALL\n".join(
@@ -2582,7 +2584,16 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion via n·Σxy − Σx·Σy moments was deliberately left out: those
     products exceed int64 near sf≈1 — the at-scale OLS spelling is a
     centered double-moment pass, which would break exact engine parity
-    here for no monitoring gain.)"""
+    here for no monitoring gain.)
+
+    The quantiles are SORT-BASED order statistics, not the `percentile`
+    aggregate: exact `percentile` keeps a per-distinct-value counts map
+    (~|pairs| entries) per expression — measured 22 s at sf0.1 for three
+    of them, 8 s for the shared-buffer array form, while one sort of the
+    slope column + row_number + interpolation between the two bracketing
+    order statistics (the identical quantile_cont h = (n−1)·p math) runs
+    the whole query in ~2 s. n_pairs = d·(d−1)/2 comes from the tiny
+    daily frame, broadcast to pick the bracketing ranks declaratively."""
     orders = load_table(spark, sf_dir, "orders")
     daily = (
         orders.groupBy(
@@ -2602,13 +2613,31 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("d2") - F.col("d1"))
         ).alias("slope")
     )
-    return slopes.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.expr("percentile(slope, 0.25) / 100.0"), 4).alias("slope_q1"),
-        F.round(F.expr("percentile(slope, 0.5) / 100.0"), 4).alias(
-            "theil_sen_slope"
-        ),
-        F.round(F.expr("percentile(slope, 0.75) / 100.0"), 4).alias("slope_q3"),
+    n = daily.agg(F.count(F.lit(1)).alias("d")).select(
+        (F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n")
+    )
+    ranked = slopes.crossJoin(F.broadcast(n)).select(
+        "slope",
+        "n",
+        F.row_number().over(Window.orderBy("slope")).alias("r"),
+    )
+
+    def q(p: float, name: str):
+        h = (F.col("n") - 1) * F.lit(p)  # quantile_cont's 0-based offset
+        lo = F.floor(h) + 1  # 1-based bracketing ranks
+        hi = F.least(lo + 1, F.col("n"))
+        frac = h - F.floor(h)
+        v_lo = F.max(F.when(F.col("r") == lo, F.col("slope")))
+        v_hi = F.max(F.when(F.col("r") == hi, F.col("slope")))
+        return F.round(
+            (v_lo + F.max(frac) * (v_hi - v_lo)) / 100.0, 4
+        ).alias(name)
+
+    return ranked.agg(
+        F.max("n").alias("n_pairs"),
+        q(0.25, "slope_q1"),
+        q(0.5, "theil_sen_slope"),
+        q(0.75, "slope_q3"),
     )
 
 

@@ -3215,36 +3215,63 @@ def sq8_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     output sort. Float32 inputs are widened to float64 before any
     arithmetic and both engines evaluate the identical expression tree, so
     the 6-dp rounds agree (round() is half-away-from-zero on doubles in
-    BOTH engines — the banker's-rounding trap lives only in Python)."""
+    BOTH engines — the banker's-rounding trap lives only in Python).
+
+    The intermediates (xs, scale, codes) are STAGED as projected columns,
+    not inlined expressions: higher-order functions evaluate interpreted
+    (outside codegen's subexpression elimination), so an inlined `codes`
+    re-derives xs→mx→scale at every one of its three references — the
+    whole tree re-evaluated multiplicatively. Staging computes each once
+    per row (measured at sf0.1: 4.1 s inlined → 0.7 s staged)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    xs = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    mx = F.array_max(F.transform(xs, lambda x: F.abs(x)))
-    scale = mx / F.lit(float(SQ8_LEVELS))
-    codes = F.when(mx == 0.0, F.transform(xs, lambda x: F.lit(0.0))).otherwise(
-        F.transform(xs, lambda x: F.round(x / scale, 0))
-    )
-    sq = lambda a: F.aggregate(  # noqa: E731 — local fold helper
-        a, F.lit(0.0), lambda acc, v: acc + v * v
-    )
-    err = F.aggregate(
-        F.zip_with(xs, codes, lambda x, c: x - c * scale),
-        F.lit(0.0),
-        lambda acc, d: acc + d * d,
-    )
-    dot_q = F.aggregate(codes, F.lit(0.0), lambda acc, c: acc + c * c) * (
-        scale * scale
-    )
-    norm2 = sq(xs)
-    return (
+    staged = (
         emb.select(
             "vec_id",
             F.size("embedding").alias("n_dims"),
-            F.round(scale, 6).alias("scale"),
-            F.array_max(F.transform(codes, lambda c: F.abs(c)))
+            F.transform("embedding", lambda x: x.cast("double")).alias("xs"),
+        )
+        .withColumn("mx", F.array_max(F.transform("xs", lambda x: F.abs(x))))
+        .withColumn("scale", F.col("mx") / F.lit(float(SQ8_LEVELS)))
+        .withColumn(
+            "codes",
+            F.when(
+                F.col("mx") == 0.0, F.transform("xs", lambda x: F.lit(0.0))
+            ).otherwise(
+                F.transform("xs", lambda x: F.round(x / F.col("scale"), 0))
+            ),
+        )
+        .withColumn(
+            "err",
+            F.aggregate(
+                F.zip_with("xs", "codes", lambda x, c: x - c * F.col("scale")),
+                F.lit(0.0),
+                lambda acc, d: acc + d * d,
+            ),
+        )
+        .withColumn(
+            "norm2", F.aggregate("xs", F.lit(0.0), lambda acc, v: acc + v * v)
+        )
+        .withColumn(
+            "dot_q",
+            F.aggregate("codes", F.lit(0.0), lambda acc, c: acc + c * c)
+            * F.col("scale")
+            * F.col("scale"),
+        )
+    )
+    return (
+        staged.select(
+            "vec_id",
+            "n_dims",
+            F.round("scale", 6).alias("scale"),
+            F.array_max(F.transform("codes", lambda c: F.abs(c)))
             .cast("int")
             .alias("max_abs_code"),
-            F.round(F.sqrt(err / norm2), 6).alias("l2_rel_err"),
-            F.round((dot_q - norm2) / norm2, 6).alias("self_dot_drift"),
+            F.round(F.sqrt(F.col("err") / F.col("norm2")), 6).alias(
+                "l2_rel_err"
+            ),
+            F.round(
+                (F.col("dot_q") - F.col("norm2")) / F.col("norm2"), 6
+            ).alias("self_dot_drift"),
         )
         .orderBy("vec_id")
     )

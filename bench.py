@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     # rows-only queries (each runs its full underlying pipeline)
     "pca_whiten_audit",
     "approx_profiles_audit",
+    # round-7: the hot-user skew twin (same oracle as user_sessions)
+    "user_sessions_bucketed",
 ]
 
 

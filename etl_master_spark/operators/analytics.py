@@ -2604,6 +2604,9 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cents"
             )
         )
+        # three consumers (both pair sides + the n_pairs scalar) would
+        # each re-run the fact scan; the collapsed frame is |days| rows
+        .localCheckpoint()
     )
     a = daily.select(F.col("day").alias("d1"), F.col("cents").alias("c1"))
     b = daily.select(F.col("day").alias("d2"), F.col("cents").alias("c2"))

@@ -3253,9 +3253,11 @@ def sq8_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "dot_q",
+            # grouped (scale*scale) multiply — the oracle computes
+            # list_sum * (scale*scale), and IEEE (a*s)*s != a*(s*s) at
+            # the 1-ulp level, which a 6-dp boundary row would expose
             F.aggregate("codes", F.lit(0.0), lambda acc, c: acc + c * c)
-            * F.col("scale")
-            * F.col("scale"),
+            * (F.col("scale") * F.col("scale")),
         )
     )
     return (

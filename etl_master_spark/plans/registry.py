@@ -1014,21 +1014,17 @@ register("gan_eval_test", _gan_eval, _frozen_oracle("gan_test"))
 _PRIORITY = [
     # ROUND-7 ROTATION — pure evidence freshness (r6 verdict item 1).
     # The driver samples EXACTLY the first 50 registry entries per
-    # round; this window = (a) the one behavior-changed query this
-    # round (copurchase_communities — semi-synchronous LPA schedule, r6
-    # verdict item 5, new code AND new oracle), then (b) the two media
-    # hex twins whose r5 rows certify a decoder that grew native PNG in
-    # r6, then (c) every query whose newest green row is r01 vintage,
-    # then (d) every query whose newest green row is r02 vintage.
-    # 1 + 2 + 11 + 36 = 50 exactly. The flagship eval_metrics_test sits
-    # this window out for the first time: its newest row is r6 (one
-    # round old), while everything below is 5–6 rounds old.
-    # (a) new or behavior-changed this round. The eval family rides the
-    # candidate_scores/hit_ranks refactor (shared with the streaming
-    # twin), so its r6 rows describe pre-refactor code — it re-greens
-    # here. To make room, the four lowest-drift-risk r02 names
-    # (word_counts, union_labels, token_counts, text_stats — untouched
-    # simple operators) defer to the r8 window.
+    # round; this window = (a) new or behavior-changed this round:
+    # copurchase_communities (semi-synchronous LPA, new code AND new
+    # oracle), user_sessions_bucketed (new skew twin), and the three
+    # eval-family queries riding the candidate_scores/hit_ranks
+    # refactor; then (b) the two media hex twins whose r5 rows certify
+    # a decoder that grew native PNG in r6; then (c) every query whose
+    # newest green row is r01 vintage; then (d) the r02-vintage batch.
+    # 5 + 2 + 11 + 32 = 50 exactly. Four lowest-drift r02 names
+    # (word_counts, union_labels, token_counts, text_stats) defer to r8
+    # to make room for group (a).
+    # (a) new or behavior-changed this round
     "copurchase_communities", "user_sessions_bucketed",
     "eval_metrics_test", "eval_metrics_vali", "topk_per_user",
     # (b) r5 rows certify a decoder that changed in r6

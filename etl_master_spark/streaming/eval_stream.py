@@ -339,8 +339,12 @@ def incremental_eval_metrics(
             ).distinct()
 
         pop_new = state.write("pop", epoch_id, pop_new)
-        affected = affected.cache()
-        cached.append(affected)
+        # localCheckpoint, not cache: `affected`'s lineage reads the cand/
+        # state files that the bucket upsert below DELETES; a cache is not
+        # a correctness barrier (evicted partitions would recompute over
+        # the rewritten files — corrupting the hitrank merge), a
+        # checkpoint is.
+        affected = affected.localCheckpoint()
         hit_aff, cand_aff = _recompute(prefix_new, affected, pop_new, mode)
 
         # candidate upsert: full new content of exactly the affected

@@ -310,7 +310,12 @@ def main() -> None:
 
     scales = [("x1", BASE_SF), (f"x{mult}", sf_n)]
     if zipf:
-        scales.append((f"x{mult}_zipf", sf_z))
+        # the tag carries ZIPF_PCT (when non-default) so 3%- and 30%-head
+        # runs stay distinguishable in the printed artifact
+        ztag = (
+            f"x{mult}_zipf" if ZIPF_PCT == 3 else f"x{mult}_zipf{ZIPF_PCT}"
+        )
+        scales.append((ztag, sf_z))
     out: dict[str, dict[str, float]] = {n: {} for n in names}
     for tag, sf in scales:
         for _ in range(2):  # min of 2 warm passes (bench.py protocol)
@@ -323,6 +328,7 @@ def main() -> None:
                 spark.catalog.clearCache()
     result = {"mult": mult, "sf": BASE_SF, "queries": out}
     if zipf:
+        result["zipf_pct"] = ZIPF_PCT
         probe: dict[str, float] = {}
         for variant in ("none", "aqe", "salted"):
             for _ in range(2):

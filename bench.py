@@ -200,8 +200,9 @@ BENCH_QUERIES = [
     # rows-only queries (each runs its full underlying pipeline)
     "pca_whiten_audit",
     "approx_profiles_audit",
-    # round-7: the hot-user skew twin (same oracle as user_sessions)
+    # round-7: the hot-user skew twins (same oracles as their naive forms)
     "user_sessions_bucketed",
+    "event_gaps_bucketed",
 ]
 
 

@@ -171,6 +171,13 @@ register(
     relational.SMALL_QUANTITY_PART_REVENUE_ORACLE,
 )
 register("event_gaps", relational.event_gaps, relational.EVENT_GAPS_ORACLE)
+# the hot-user skew twin shares the SAME oracle: the driver hash proves
+# the two-level bucketed offsets plan equals the naive per-user window
+register(
+    "event_gaps_bucketed",
+    relational.event_gaps_bucketed,
+    relational.EVENT_GAPS_ORACLE,
+)
 register(
     "nation_trade_balance",
     relational.nation_trade_balance,

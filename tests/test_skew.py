@@ -163,3 +163,53 @@ def test_bucketed_sessions_equal_naive_on_adversarial_boundaries(spark):
     assert want[2]["n_sessions"] == 2
     assert want[4]["n_sessions"] == 2
     assert want[5]["n_sessions"] == 2
+
+
+def test_bucketed_event_gaps_equal_naive_on_adversarial_boundaries(spark):
+    """The two-level offsets twin must equal the naive per-user window on
+    the shapes the bucket split can break: consecutive events straddling
+    a bucket boundary (lag/lead must cross), a user skipping whole
+    buckets, single-event buckets (first == last row), a user whose
+    whole history is one bucket, and a hot user with a mid-stream gap."""
+    import pandas as pd
+
+    from etl_master_spark.operators.relational import (
+        event_gaps_bucketed_of,
+        event_gaps_of,
+    )
+
+    B = 3600  # 1-hour buckets
+    rows = []
+    # user 1: events 10 min apart straddling 3 boundaries
+    rows += [(1, i, 50 * 60 + i * 600) for i in range(20)]
+    # user 2: skips two whole buckets between events
+    rows += [(2, 100, 10), (2, 101, 3 * B + 10)]
+    # user 3: one event exactly ON a boundary, next exactly B later
+    rows += [(3, 200, B), (3, 201, 2 * B)]
+    # user 4: entire history inside one bucket
+    rows += [(4, 300, 5), (4, 301, 100), (4, 302, 2000)]
+    # user 5 (hot): every 5 min for 6 hours with a 40-min hole
+    ts5 = [i * 300 for i in range(72)]
+    ts5 = ts5[:30] + [t + 2400 for t in ts5[30:]]
+    rows += [(5, 400 + i, t) for i, t in enumerate(ts5)]
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "off"])
+    pdf["event_type"] = "t" + (pdf["event_id"] % 3).astype(str)
+    pdf["ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        pdf.pop("off"), unit="s"
+    )
+    ev = spark.createDataFrame(pdf)
+
+    def key(r):
+        return r["event_id"]
+
+    want = {key(r): r for r in event_gaps_of(ev).collect()}
+    got = {
+        key(r): r for r in event_gaps_bucketed_of(ev, bucket_hours=1).collect()
+    }
+    assert set(got) == set(want)
+    cols = ["user_id", "gap_us", "prev_type", "next_type", "first_type",
+            "session_start"]
+    for k in want:
+        for c in cols:
+            assert got[k][c] == want[k][c], (k, c, got[k][c], want[k][c])

@@ -2979,25 +2979,69 @@ def events_trailing_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-window (hour, user) range join over the DEDUPLICATED per-hour
     user set.
 
-    Scale: the raw stream first collapses to distinct (hour, user) —
-    the only frame the range join touches — so pair volume is
-    |hours| × (users active per day), not raw events; the final distinct
-    count shuffles on the grid hour. The at-scale alternative (two
-    sorted scans with an HLL per window) trades exactness for one pass;
-    this keeps the exact count and documents the trade."""
+    Scale: NOT the grid × (hour, user) range join the oracle spells (a
+    nested-loop of |hours| × |hour-user| rows plus a 24× pair expansion
+    — measured superlinear: 0.8 s at sf0.1 but 55 s on the ×100 replica,
+    69× wall for 100× data). Instead, exact INTERVAL COVERAGE: a user
+    active at hour h is counted in window starts g ∈ [h, h+23], so merge
+    each user's active hours into maximal covered runs (a new run starts
+    when the gap to the previous active hour exceeds 23 h — coverage of
+    consecutive in-run hours overlaps, so a run covers exactly
+    [first, last+23]), emit ±1 boundary markers per run, and prefix-sum
+    the markers over the hour axis. Per-user work is bounded by CALENDAR
+    hours (≤ |hours| rows per user — no hot-user skew possible), marker
+    aggregation is |hours|-sized, and the prefix-sum window runs over the
+    ~calendar-sized marker frame. Measured ×100: 55 s → ~4 s, now
+    dominated by the unavoidable (hour, user) dedup. Adjacent runs
+    (gap exactly 24 h) stay exact: the −1/+1 markers land on the same
+    hour and cancel in the aggregate. The oracle keeps the range-join
+    spelling as the semantic definition — the hash match proves the
+    interval algorithm equal."""
     ev = load_table(spark, sf_dir, "events")
     hu = ev.select(
         ts_s(F.date_trunc("hour", F.col("ts"))).alias("h"), "user_id"
     ).distinct()
-    grid = hu.select("h").distinct()
-    joined = grid.alias("g").join(
-        hu.alias("w"),
-        (F.col("w.h") <= F.col("g.h"))
-        & (F.col("w.h") > F.col("g.h") - DAU_WINDOW_H * 3600),
+    w_user = Window.partitionBy("user_id").orderBy("h")
+    horizon = (DAU_WINDOW_H - 1) * 3600
+    runs = (
+        hu.withColumn(
+            "new_run",
+            F.when(
+                F.col("h") - F.lag("h").over(w_user) > horizon, 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("new_run").over(
+                w_user.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "run_id")
+        .agg(F.min("h").alias("a"), F.max("h").alias("b"))
+    )
+    markers = runs.select(F.col("a").alias("h"), F.lit(1).alias("d")).unionByName(
+        runs.select(
+            (F.col("b") + DAU_WINDOW_H * 3600).alias("h"), F.lit(-1).alias("d")
+        )
+    )
+    grid = hu.select("h").distinct().withColumn("d", F.lit(0))
+    # the prefix sum must see marker hours that are not grid hours (run
+    # ends land 24 h after traffic), so union before the cumsum and keep
+    # only traffic hours at the end
+    covered = (
+        markers.unionByName(grid)
+        .groupBy("h")
+        .agg(F.sum("d").alias("d"))
+        .withColumn(
+            "dau",
+            F.sum("d").over(
+                Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
     )
     return (
-        joined.groupBy(F.col("g.h").alias("hour_start"))
-        .agg(F.countDistinct("w.user_id").alias("dau_24h"))
+        covered.join(grid.select("h"), "h", "left_semi")
+        .select(F.col("h").alias("hour_start"), F.col("dau").cast("long").alias("dau_24h"))
         .orderBy("hour_start")
     )
 

@@ -3520,18 +3520,45 @@ def watermark_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 h, 6 h) with the drop count and share: the table you read before
     choosing the streaming twins' watermark.
 
-    The running max is a window over arrival order — inherently
-    sequential, which is honest: real watermarks are tracked per source
-    partition, so at scale this query runs per Kafka partition (window
-    keyed by partition id) and the shares aggregate; the demo stream is
-    one partition. Exact integer microseconds end to end; one division
-    per output row."""
+    The running max over arrival order is a prefix maximum — associative,
+    so it is computed TWO-LEVEL instead of as one global-order window
+    (which is a single task sorting and scanning the whole stream;
+    measured ×100: 15.5 s for 10 M rows): range-partition by event_id,
+    take each partition's local running max, then lift it by the maximum
+    over all EARLIER partitions (an exclusive prefix max over the
+    |partitions|-sized summary, broadcast back). Every row's watermark is
+    exact regardless of where the partition boundaries fall, so the
+    result is identical to the sequential spelling the oracle keeps. The
+    partitioned frame is localCheckpoint'd because spark_partition_id
+    over a sampled range partitioner re-samples per execution (the
+    value_quantile_ranks lesson) — the local-window branch and the
+    summary branch must see the SAME assignment. Exact integer
+    microseconds end to end; one division per output row."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parted = (
+        ev.select("event_id", ts_us("ts").alias("t_us"))
+        .repartitionByRange(n_parts, "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = Window.partitionBy("pid").orderBy("event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    base = ev.select("event_id", ts_us("ts").alias("t_us")).withColumn(
-        "wm_us", F.max("t_us").over(w)
+    w_prefix = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pmax = (
+        parted.groupBy("pid")
+        .agg(F.max("t_us").alias("pm"))
+        .withColumn("pre", F.max("pm").over(w_prefix))
+    )
+    base = (
+        parted.withColumn("lwm", F.max("t_us").over(w_local))
+        .join(F.broadcast(pmax.select("pid", "pre")), "pid")
+        # greatest() skips NULLs, so partition 0 (no earlier partitions)
+        # keeps its local running max unchanged
+        .withColumn("wm_us", F.greatest(F.col("lwm"), F.col("pre")))
     )
     aggs = [F.count(F.lit(1)).alias("n_events")]
     for s in WATERMARK_CHOICES_S:

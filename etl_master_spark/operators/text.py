@@ -389,7 +389,11 @@ def dedup_ngram_jaccard(
     """Exact 3-gram Jaccard similarity over candidate pairs (docs sharing a
     32-char prefix — the cheap blocking key for this corpus; at scale the
     candidates come from MinHash-LSH below). Jaccard is a ratio of integer
-    set sizes — exact across engines."""
+    set sizes — exact across engines. No output sort: the pair stream is
+    inherently its own cost floor (dup groups of size g emit C(g,2) rows)
+    and a global range-sort over it bought nothing — consumers
+    (``cross_source_dup_matrix``) aggregate it, and the correctness
+    compare is order-insensitive (the event_gaps contract)."""
     docs = load_table(spark, sf_dir, "documents")
     pref = docs.select("doc_id", F.substring("text", 1, 32).alias("pfx"))
     pairs = (
@@ -400,10 +404,8 @@ def dedup_ngram_jaccard(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
     )
-    return (
-        _pair_jaccard(pairs, _shingles(docs))
-        .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
+    return _pair_jaccard(pairs, _shingles(docs)).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -1385,17 +1387,17 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens plus the distinct-token count — the unit every data-mixture /
     token-budget computation is denominated in. All three counts are JVM
     regex builtins (whole-stage codegen); nothing leaves the executor until
-    the tiny per-doc result."""
+    the tiny per-doc result. No output sort: a per-doc feature table
+    consumers join on doc_id (the event_gaps contract; the ×100 sweep
+    measured the global range-sort as a needless exchange over the full
+    output), and the correctness compare is order-insensitive."""
     docs = load_table(spark, sf_dir, "documents")
     bpe = F.expr(f"regexp_extract_all(text, '{BPEISH_RE}', 0)")
-    return (
-        docs.select(
-            "doc_id",
-            F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
-            F.size(bpe).alias("bpeish_tokens"),
-            F.size(F.array_distinct(bpe)).alias("distinct_bpeish"),
-        )
-        .orderBy("doc_id")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(bpe).alias("bpeish_tokens"),
+        F.size(F.array_distinct(bpe)).alias("distinct_bpeish"),
     )
 
 
@@ -2440,10 +2442,13 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Entirely row-local: start offsets come from one `sequence`, each chunk
     is a `slice` of the once-evaluated word array (the evaluate-once rule:
     slice per row, never element_at per element), the digest is md5 of the
-    rejoined window. One generator projection, no shuffle of its own —
-    scales with scan bandwidth like explode-family operators, with output
-    ~(1 + n/stride)× input rows. Digest + bounds (not full text) leave the
-    executor."""
+    rejoined window. One generator projection, no shuffle AT ALL — the
+    old global (doc_id, chunk_idx) output sort range-exchanged the entire
+    chunk table for nothing (per-chunk feature rows are joined or grouped
+    downstream, never read in order; the compare is order-insensitive) —
+    so the plan scales with scan bandwidth like explode-family operators,
+    with output ~(1 + n/stride)× input rows. Digest + bounds (not full
+    text) leave the executor."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     words = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
     n = F.size(words)
@@ -2470,7 +2475,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.start_tok").alias("start_tok"),
         F.size(piece).cast("bigint").alias("n_tokens"),
         F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
-    ).orderBy("doc_id", "chunk_idx")
+    )
 
 
 CHUNK_DOCUMENTS_ORACLE = f"""
@@ -4346,11 +4351,14 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentence (documented, not fudged): words-per-sentence = n_words.
 
     Syllables are counted as maximal vowel runs via the portable regex
-    ``[aeiou]+`` (identical RE2/Java semantics). Every ratio is a single
+    ``[aeiou]+`` (identical RE2/Java semantics) counted with
+    ``regexp_count`` — same value as len(regexp_extract_all) without
+    materializing the match array. Every ratio is a single
     division of exact integers (deterministic IEEE) and composites are
     written as one identical expression in both engines; floats appear
     only in the final rounded columns. Scale: row-local map over
-    documents, zero shuffles before the output ordering."""
+    documents, zero shuffles — no output sort (per-doc feature table,
+    the event_gaps contract; the compare is order-insensitive)."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
@@ -4359,7 +4367,7 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).cast("bigint").alias("n_words"),
         F.expr(
-            "CAST(size(regexp_extract_all(text, '[aeiou]+', 0)) AS BIGINT)"
+            "CAST(regexp_count(text, '[aeiou]+') AS BIGINT)"
         ).alias("n_syll"),
         F.size(F.filter(toks, lambda t: F.length(t) >= 7))
         .cast("bigint")
@@ -4382,7 +4390,7 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_words") + F.lit(100.0) * F.col("n_long") / F.col("n_words"),
             6,
         ).alias("lix"),
-    ).orderBy("doc_id")
+    )
 
 
 READABILITY_SCORES_ORACLE = """
@@ -4640,10 +4648,15 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     or within-source duplication (re-crawls) dominates, i.e. WHERE the
     dedup budget should go.
 
-    The pair census joins the dimension-sized (doc → source) map twice
-    onto the verified pairs and canonicalizes the source pair by
-    least/greatest. Scale: inherits the candidate-bounded dedup pipeline;
-    the matrix itself is |sources|² at most."""
+    The pair census joins the (doc → source) map twice onto the verified
+    pairs and canonicalizes the source pair by least/greatest. Scale:
+    inherits the candidate-bounded dedup pipeline; the pair stream is the
+    cost floor (dup groups of size g emit C(g,2) verified pairs — the
+    ×100 sweep's 210× ratio was that inherent pair blowup PLUS an
+    inherited 27M-row global sort, since removed from the jaccard face),
+    the source joins are plain shuffle joins on the pair stream (the doc
+    map is corpus-sized, NOT broadcastable at 100 TB), and the matrix
+    itself is |sources|² at most."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     src = docs.select("doc_id", "source")

@@ -3211,8 +3211,9 @@ def sq8_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     4x memory compression is the first lever at 100 TB of embeddings:
     int8 codes keep brute-force and IVF scans in cache. The whole operator
     is row-local higher-order functions (transform/aggregate) inside the
-    scan projection — zero shuffles, zero Python; the only ordering is the
-    output sort. Float32 inputs are widened to float64 before any
+    scan projection — zero shuffles, zero Python, no output sort (per-
+    vector feature table, the event_gaps contract; the compare is
+    order-insensitive). Float32 inputs are widened to float64 before any
     arithmetic and both engines evaluate the identical expression tree, so
     the 6-dp rounds agree (round() is half-away-from-zero on doubles in
     BOTH engines — the banker's-rounding trap lives only in Python).
@@ -3275,7 +3276,6 @@ def sq8_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("dot_q") - F.col("norm2")) / F.col("norm2"), 6
             ).alias("self_dot_drift"),
         )
-        .orderBy("vec_id")
     )
 
 

@@ -1110,7 +1110,7 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("logp"), 6).alias("avg_logp"),
             F.round(F.exp(-F.avg("logp")), 6).alias("pplx"),
         )
-        .orderBy("doc_id")
+        # no output sort: per-doc feature table (event_gaps contract)
     )
 
 
@@ -2142,7 +2142,7 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 > F.lit(REP_TOP_BIGRAM_FLAG)
             ).alias("repetitive"),
         )
-        .orderBy("doc_id")
+        # no output sort: per-doc feature table (event_gaps contract)
     )
 
 

@@ -3434,9 +3434,9 @@ def jl_project_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: entirely row-local — the k×dim sign matrix is 1024 literals
     folded into whole-stage codegen (k·dim multiply-adds per row, zero
-    shuffles, zero Python); the only ordering is the output sort. This is
-    the projection shape that survives any corpus size: no stats pass, no
-    broadcast, no state."""
+    shuffles, zero Python, no output sort: per-vector feature table, the
+    event_gaps contract). This is the projection shape that survives any
+    corpus size: no stats pass, no broadcast, no state."""
     emb = load_table(spark, sf_dir, "embeddings")
     xs = F.transform(F.col("embedding"), lambda v: v.cast("double"))
     signs = _jl_signs()
@@ -3460,14 +3460,11 @@ def jl_project_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orig_norm = F.sqrt(
         F.aggregate(xs, F.lit(0.0), lambda acc, v: acc + v * v)
     )
-    return (
-        emb.select(
-            "vec_id",
-            F.round(orig_norm, 6).alias("orig_norm"),
-            F.round(proj_norm, 6).alias("proj_norm"),
-            F.round(proj_norm / orig_norm, 6).alias("norm_ratio"),
-        )
-        .orderBy("vec_id")
+    return emb.select(
+        "vec_id",
+        F.round(orig_norm, 6).alias("orig_norm"),
+        F.round(proj_norm, 6).alias("proj_norm"),
+        F.round(proj_norm / orig_norm, 6).alias("norm_ratio"),
     )
 
 

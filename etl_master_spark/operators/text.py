@@ -4436,10 +4436,16 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm) are excluded by both engines rather than dividing by zero.
 
     Scale: candidates come from the banded LSH join (never all-pairs);
-    term weights need one explode + two aggregates; the pair dot product
-    joins the (doc, term) frame twice on candidate doc ids — each probe
-    is |candidate|-bounded. At 100 TB the (doc, term) frame is the
-    inverted index a serving system would materialize once."""
+    term weights need one explode + two aggregates. The pair dot product
+    joins each doc's COLLECTED (term → weight) map onto the pair stream
+    and walks the smaller map row-locally — NOT the per-term explode-join
+    (pairs ⋈ terms_a ⋈ terms_b), whose intermediate is Σ|pair|·|terms| —
+    ~1.6 B rows at ×100, the exact shape SCALE.md find #3 removed from
+    the jaccard/containment kernel (measured here: 149 s → the pair-
+    stream floor). The dot is an integer sum over map lookups, so it is
+    order-free and exact in any evaluation order. At 100 TB the doc-level
+    weight-map frame is the vectorized inverted index a serving system
+    would materialize once."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
@@ -4479,22 +4485,28 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("wu") * F.col("wu")).alias("n2")
     )
     cand = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    wa = w.select(
-        F.col("doc_id").alias("doc_a"), "term", F.col("wu").alias("wa")
+    wmap = w.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "wu"))).alias("wm")
     )
-    wb = w.select(
-        F.col("doc_id").alias("doc_b"), "term", F.col("wu").alias("wb")
-    )
-    dots = (
-        cand.join(wa, "doc_a")
-        .join(wb, ["doc_b", "term"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    ma = wmap.select(F.col("doc_id").alias("doc_a"), F.col("wm").alias("ma"))
+    mb = wmap.select(F.col("doc_id").alias("doc_b"), F.col("wm").alias("mb"))
+    # walk one map's entries and probe the other: try_element_at returns
+    # NULL (→ 0 term contribution) for absent keys where ANSI element_at
+    # would throw; the integer sum is associative, so any entry order
+    # yields the identical dot
+    dot = F.aggregate(
+        F.map_entries("ma"),
+        F.lit(0).cast("bigint"),
+        lambda acc, e: acc
+        + e["value"]
+        * F.coalesce(F.try_element_at("mb", e["key"]), F.lit(0).cast("bigint")),
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
     return (
-        cand.join(dots, ["doc_a", "doc_b"], "left")
+        cand.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .withColumn("dot", dot)
         .join(na, "doc_a")
         .join(nb, "doc_b")
         .filter((F.col("na2") > 0) & (F.col("nb2") > 0))

@@ -1086,14 +1086,17 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
         ).alias("tri"),
     )
-    # the trigram stream feeds BOTH the model build and the scoring join;
-    # without materialization the explode (per-char substring allocation —
-    # the expensive part of this plan) runs twice. Same "materialize the
-    # index" step the LSH dedup uses; at scale this is the persisted
-    # intermediate any two-pass corpus job would write anyway.
-    # localCheckpoint, not cache: blocks are reference-GC'd after the
-    # query's frames drop, instead of pinning in the session cache forever
-    tri = tri.localCheckpoint()
+    # the trigram stream feeds BOTH the model build and the scoring join —
+    # and is deliberately NOT materialized: a localCheckpoint of the
+    # exploded stream writes |corpus|·|chars| rows (~800 M / ~24 GB at
+    # ×100) through the block store, which measured 3× SLOWER and wildly
+    # run-variant (28–92 s) versus simply re-running the narrow explode
+    # once per consumer (both passes are scan→project→partial-agg with no
+    # wide exchange of trigram rows; the model aggregate collapses to the
+    # ~50k-entry vocabulary before its only shuffle). Re-compute beats
+    # re-read for a cheap narrow generator — the inverse of the tfidf
+    # index case, where the checkpointed frame feeds four consumers and
+    # carries a join each.
     counts = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").cast("bigint").alias("total"))
     model = counts.crossJoin(F.broadcast(total)).select(

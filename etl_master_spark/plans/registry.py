@@ -1031,6 +1031,18 @@ _PRIORITY = [
     # 5 + 2 + 11 + 32 = 50 exactly. Four lowest-drift r02 names
     # (word_counts, union_labels, token_counts, text_stats) defer to r8
     # to make room for group (a).
+    #
+    # R8 WINDOW PLAN (write it down while the diff is fresh): the four
+    # deferred r02 names above PLUS the queries the round-7 ×100 sweep
+    # changed late in the round (sort drops / two-level prefix max /
+    # map-dot tfidf / no-checkpoint lm — all strict_check-green on
+    # unchanged oracles, but their newest DRIVER rows predate the code):
+    # watermark_late_arrivals, readability_scores, chunk_documents,
+    # sq8_quantize_audit, jl_project_audit, lm_perplexity_scores,
+    # repetition_scores, dedup_ngram_jaccard, cross_source_dup_matrix,
+    # tfidf_doc_similarity, events_trailing_dau, value_quantile_ranks.
+    # 4 + 12 = 16 names; fill the remaining ~34 from the oldest
+    # still-unrotated r03/r04 vintages.
     # (a) new or behavior-changed this round
     "copurchase_communities", "user_sessions_bucketed",
     "eval_metrics_test", "eval_metrics_vali", "topk_per_user",

@@ -216,3 +216,40 @@ def test_watermark_late_arrival_census(spark, tmp_path):
     assert got[3600]["n_late"] == 1
     assert got[21600]["n_late"] == 0
     assert got[900]["late_share"] == round(1 / 3, 6)
+
+
+def test_watermark_two_level_equals_sequential(spark, tmp_path):
+    """The two-level prefix max must equal the sequential running max for
+    EVERY partition-boundary placement. 200 rows over 32 range partitions
+    is ~6 rows per partition, so boundaries fall inside every regime of
+    the sawtooth arrival pattern: rising runs (max advances), plunges
+    (the straggler's watermark comes from an EARLIER partition's prefix),
+    and a long flat tail (whole partitions whose local max is below the
+    global prefix). Expected counts come from a pure-Python replay."""
+    from etl_master_spark.operators.analytics import (
+        WATERMARK_CHOICES_S,
+        watermark_late_arrivals,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts = []
+    for i in range(200):
+        if i < 120:  # sawtooth: jump 2h forward, fall back 90 min
+            ts.append(t0 + dt.timedelta(hours=2 * (i // 3), minutes=-90 * (i % 3 > 0), seconds=i))
+        else:  # flat tail far behind the running max
+            ts.append(t0 + dt.timedelta(minutes=i))
+    _write_events(spark, str(tmp_path), [(t, 1, "e") for t in ts])
+
+    expect = {}
+    for w in WATERMARK_CHOICES_S:
+        wm, late = None, 0
+        for t in ts:  # event_id is arrival order by the fixture writer
+            wm = t if wm is None or t > wm else wm
+            late += (wm - t).total_seconds() > w
+        expect[w] = late
+    got = {
+        r["watermark_s"]: r
+        for r in watermark_late_arrivals(spark, str(tmp_path)).collect()
+    }
+    assert {w: got[w]["n_late"] for w in expect} == expect
+    assert all(got[w]["n_events"] == 200 for w in expect)

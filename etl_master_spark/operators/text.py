@@ -667,7 +667,7 @@ def balanced_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(rates), "lang")
         .filter(u < F.col("rate"))
         .select("doc_id", "lang")
-        .orderBy("doc_id")
+        # no output sort: per-doc sample table (event_gaps contract)
     )
 
 
@@ -983,7 +983,7 @@ def _connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         .select(
             "doc_id", F.coalesce("cluster", F.col("doc_id")).alias("cluster")
         )
-        .orderBy("doc_id")
+        # no output sort: per-node label table (event_gaps contract)
     )
 
 
@@ -1273,7 +1273,8 @@ def simhash64_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a different but equally valid bit labeling than the Arrow path's
     byte-endian order; the two are separate registered queries."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return _simhash64_jvm_frame(docs).orderBy("doc_id")
+    # no output sort: per-doc fingerprint table (event_gaps contract)
+    return _simhash64_jvm_frame(docs)
 
 
 def _simhash64_jvm_frame(docs: DataFrame) -> DataFrame:
@@ -1693,7 +1694,7 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             avg_lr.alias("avg_log_ratio"),
             (avg_lr > 0).alias("selected"),
         )
-        .orderBy("doc_id")
+        # no output sort: per-doc weight table (event_gaps contract)
     )
 
 
@@ -3613,7 +3614,7 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("novel_shingles") / F.col("n_shingles").cast("double"), 6
             ).alias("novelty"),
         )
-        .orderBy("doc_id")
+        # no output sort: per-doc novelty table (event_gaps contract)
     )
 
 

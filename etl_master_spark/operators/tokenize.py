@@ -270,7 +270,7 @@ def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("distinct_chars"),
             F.round(F.log(n) - s / n, 6).alias("char_entropy"),
         )
-        .orderBy("doc_id")
+        # no output sort: per-doc feature table (event_gaps contract)
     )
 
 

@@ -972,7 +972,7 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _connected_components(nodes, pairs)
         .select(F.col("doc_id").alias("vec_id"), "cluster")
-        .orderBy("vec_id")
+        # no output sort: per-vector label table (event_gaps contract)
     )
 
 
@@ -1991,7 +1991,7 @@ def _semantic_dedup_core(
             F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
             (F.coalesce("n_dups", F.lit(0)) == 0).alias("keep"),
         )
-        .orderBy("vec_id")
+        # no output sort: per-vector keep table (event_gaps contract)
     )
 
 

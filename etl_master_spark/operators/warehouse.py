@@ -117,7 +117,8 @@ def snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "op", F.lit("carry")
         )
     )
-    return merged.orderBy("event_id")
+    # no output sort: per-row merged snapshot (event_gaps contract)
+    return merged
 
 
 SNAPSHOT_UPSERT_ORACLE = """

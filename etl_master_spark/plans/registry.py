@@ -1040,9 +1040,15 @@ _PRIORITY = [
     # watermark_late_arrivals, readability_scores, chunk_documents,
     # sq8_quantize_audit, jl_project_audit, lm_perplexity_scores,
     # repetition_scores, dedup_ngram_jaccard, cross_source_dup_matrix,
-    # tfidf_doc_similarity, events_trailing_dau, value_quantile_ranks.
-    # 4 + 12 = 16 names; fill the remaining ~34 from the oldest
-    # still-unrotated r03/r04 vintages.
+    # tfidf_doc_similarity, events_trailing_dau, value_quantile_ranks,
+    # plus the second sort-drop batch: char_entropy_scores,
+    # ngram_novelty, dsir_weights, simhash64_jvm, dedup_clusters,
+    # dedup_representatives, dup_cluster_size_histogram,
+    # embedding_dedup_clusters, semantic_dedup (balanced_mixture_sample
+    # and snapshot_upsert sit in THIS round's window, so their r7 rows
+    # already reflect the change). 4 + 12 + 9 = 25 names; fill the
+    # remaining ~25 from the oldest still-unrotated r03/r04 vintages
+    # (tools/driver_replay.py --stale is the authoritative list).
     # (a) new or behavior-changed this round
     "copurchase_communities", "user_sessions_bucketed",
     "eval_metrics_test", "eval_metrics_vali", "topk_per_user",

@@ -425,6 +425,78 @@ ORDER BY doc_a, doc_b
 """
 
 
+NEARDUP_TOPK = 3  # neighbors kept per document in the bounded face
+
+
+def dedup_ngram_jaccard_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.1,
+    k: int = NEARDUP_TOPK,
+) -> DataFrame:
+    """Per-document bounded face of ``dedup_ngram_jaccard``: each doc's
+    top-k nearest near-dups among the verified candidates, ranked by
+    Jaccard (ties broken by neighbor id, so the rank is deterministic and
+    hash-checkable). This is the spelling to RECOMMEND at 100 TB — the
+    full pair list is C(g,2) per dup group (the ×100 sweep measured that
+    floor: 27M verified pairs, the output IS the cost), while a curation
+    pass almost always wants "who are this doc's closest duplicates",
+    which is k·n rows regardless of group density.
+
+    Plan shape: verification work is unchanged (exact row-local
+    ``array_intersect`` over the blocked candidates — linear in the
+    candidate list), but everything downstream of the verify —
+    shuffle-write, sort, sink — drops from pair-floor to k·n. The
+    symmetric expansion doubles the verified rows before ONE
+    row_number window partitioned by doc_id; no global sort, no
+    single-partition exchange."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold)
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("neighbor"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("neighbor").asc()
+    )
+    return sym.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
+        F.col("rnk") <= k
+    )
+
+
+def dedup_ngram_jaccard_topk_oracle(
+    threshold: float = 0.1, k: int = NEARDUP_TOPK
+) -> str:
+    return f"""
+WITH {_SHINGLES_SQL},
+pref AS (SELECT doc_id, substr(text, 1, 32) AS pfx FROM documents),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pref a JOIN pref b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+),
+{_pair_jaccard_sql()},
+hits AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {threshold}),
+sym AS (
+    SELECT doc_a AS doc_id, doc_b AS neighbor, jaccard FROM hits
+    UNION ALL
+    SELECT doc_b AS doc_id, doc_a AS neighbor, jaccard FROM hits
+)
+SELECT doc_id, neighbor, jaccard,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY jaccard DESC, neighbor ASC
+       ) AS INT) AS rnk
+FROM sym
+QUALIFY rnk <= {k}
+ORDER BY doc_id, rnk
+"""
+
+
 # -- duplicate passage detection ---------------------------------------------
 
 DUP_PASSAGE_TOP = 50
@@ -4188,6 +4260,85 @@ LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
 JOIN sizes za ON za.doc_id = p.doc_a
 JOIN sizes zb ON zb.doc_id = p.doc_b
 ORDER BY p.doc_a, p.doc_b
+"""
+
+
+def containment_topk(
+    spark: SparkSession, sf_dir: str, k: int = NEARDUP_TOPK
+) -> DataFrame:
+    """Per-document bounded face of ``containment_pairs``: each doc's
+    top-k containment partners among the MinHash-LSH candidates, ranked
+    by the max-direction containment (the symmetric "how contained is
+    this pair" score — both directions of a pair share it, so the
+    expansion is a pure relabeling). Same rationale as
+    ``dedup_ngram_jaccard_topk``: the pair list is the ×100 cost floor
+    (91.7 s on the dup-dense replica, all of it pair output); a
+    quote/sub-document pass wants each doc's strongest containers,
+    which is k·n regardless of dup-group density."""
+    cand = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sh = _shingles(spread(load_table(spark, sf_dir, "documents")))
+    scored = _pair_containment(cand, sh).select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.greatest("cont_a_in_b", "cont_b_in_a"), 6
+        ).alias("containment"),
+    )
+    sym = scored.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor"),
+        "containment",
+    ).unionByName(
+        scored.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("neighbor"),
+            "containment",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("containment").desc(), F.col("neighbor").asc()
+    )
+    return sym.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
+        F.col("rnk") <= k
+    )
+
+
+def containment_topk_oracle(k: int = NEARDUP_TOPK) -> str:
+    return f"""
+WITH {_SHINGLES_SQL},
+cand AS (SELECT doc_a, doc_b FROM ({minhash_lsh_oracle()})),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+    FROM cand p
+    JOIN shingles sa ON sa.doc_id = p.doc_a
+    JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+    GROUP BY p.doc_a, p.doc_b
+),
+scored AS (
+    SELECT p.doc_a, p.doc_b,
+           ROUND(GREATEST(
+               ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                     / CAST(za.n_sh AS DOUBLE), 6),
+               ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                     / CAST(zb.n_sh AS DOUBLE), 6)), 6) AS containment
+    FROM cand p
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN sizes za ON za.doc_id = p.doc_a
+    JOIN sizes zb ON zb.doc_id = p.doc_b
+),
+sym AS (
+    SELECT doc_a AS doc_id, doc_b AS neighbor, containment FROM scored
+    UNION ALL
+    SELECT doc_b AS doc_id, doc_a AS neighbor, containment FROM scored
+)
+SELECT doc_id, neighbor, containment,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY containment DESC, neighbor ASC
+       ) AS INT) AS rnk
+FROM sym
+QUALIFY rnk <= {k}
+ORDER BY doc_id, rnk
 """
 
 

@@ -273,6 +273,13 @@ register(
     lambda spark, sf: text.dedup_ngram_jaccard(spark, sf, 0.1),
     text.dedup_ngram_jaccard_oracle(0.1),
 )
+# bounded per-doc face — the recommended spelling at scale (the full pair
+# list is its own C(g,2) cost floor; this one is k·n regardless of density)
+register(
+    "dedup_ngram_jaccard_topk",
+    lambda spark, sf: text.dedup_ngram_jaccard_topk(spark, sf, 0.1),
+    text.dedup_ngram_jaccard_topk_oracle(0.1),
+)
 register("minhash_lsh_pairs", text.minhash_lsh_pairs, text.minhash_lsh_oracle())
 register("dedup_clusters", text.dedup_clusters, text.dedup_clusters_oracle())
 register(
@@ -411,6 +418,12 @@ register(
     "containment_pairs",
     text.containment_pairs,
     text.containment_pairs_oracle(),
+)
+# bounded per-doc containment face (see dedup_ngram_jaccard_topk rationale)
+register(
+    "containment_topk",
+    text.containment_topk,
+    text.containment_topk_oracle(),
 )
 # RAKE keyword extraction (gaps-and-islands phrase runs, integer scores)
 register("rake_keywords", text.rake_keywords, text.RAKE_KEYWORDS_ORACLE)
@@ -1019,58 +1032,57 @@ register("gan_eval_test", _gan_eval, _frozen_oracle("gan_test"))
 # tools/strict_check.py's full 129-query sweep). Everything not named keeps
 # its registration order after the spread.
 _PRIORITY = [
-    # ROUND-7 ROTATION — pure evidence freshness (r6 verdict item 1).
+    # ROUND-8 ROTATION — evidence freshness (r7 verdict items 1+6).
     # The driver samples EXACTLY the first 50 registry entries per
-    # round; this window = (a) new or behavior-changed this round:
-    # copurchase_communities (semi-synchronous LPA, new code AND new
-    # oracle), user_sessions_bucketed (new skew twin), and the three
-    # eval-family queries riding the candidate_scores/hit_ranks
-    # refactor; then (b) the two media hex twins whose r5 rows certify
-    # a decoder that grew native PNG in r6; then (c) every query whose
-    # newest green row is r01 vintage; then (d) the r02-vintage batch.
-    # 5 + 2 + 11 + 32 = 50 exactly. Four lowest-drift r02 names
-    # (word_counts, union_labels, token_counts, text_stats) defer to r8
-    # to make room for group (a).
+    # round; this window = (a) the ONE registered query with zero
+    # driver rows (event_gaps_bucketed landed after the r7 window was
+    # pinned — the r7 plan comment forgot it; it leads); then (b) the
+    # two top-k dedup faces NEW this round; then (c) the four r02
+    # names deferred from the r7 window; then (d) the 17 remaining
+    # FUNCTION-stale rows (`tools/driver_replay.py --stale`,
+    # authoritative: the ×100-sweep fixes — sort drops, two-level
+    # prefix max, map-dot tf-idf, no-checkpoint perplexity — landed
+    # after these queries' newest driver rows; token_counts is in
+    # group (c)); then (e) the 10 module-stale rows (wrapper-
+    # registered; containing module committed after the row); then
+    # (f) fill from the oldest unrotated r03 vintage.
+    # 1 + 2 + 4 + 17 + 10 + 16 = 50 exactly.
     #
-    # R8 WINDOW PLAN (write it down while the diff is fresh): the four
-    # deferred r02 names above PLUS the queries the round-7 ×100 sweep
-    # changed late in the round (sort drops / two-level prefix max /
-    # map-dot tfidf / no-checkpoint lm — all strict_check-green on
-    # unchanged oracles, but their newest DRIVER rows predate the code):
-    # watermark_late_arrivals, readability_scores, chunk_documents,
-    # sq8_quantize_audit, jl_project_audit, lm_perplexity_scores,
-    # repetition_scores, dedup_ngram_jaccard, cross_source_dup_matrix,
-    # tfidf_doc_similarity, events_trailing_dau, value_quantile_ranks,
-    # plus the second sort-drop batch: char_entropy_scores,
-    # ngram_novelty, dsir_weights, simhash64_jvm, dedup_clusters,
-    # dedup_representatives, dup_cluster_size_histogram,
-    # embedding_dedup_clusters, semantic_dedup (balanced_mixture_sample
-    # and snapshot_upsert sit in THIS round's window, so their r7 rows
-    # already reflect the change). 4 + 12 + 9 = 25 names; fill the
-    # remaining ~25 from the oldest still-unrotated r03/r04 vintages
-    # (tools/driver_replay.py --stale is the authoritative list).
-    # (a) new or behavior-changed this round
-    "copurchase_communities", "user_sessions_bucketed",
-    "eval_metrics_test", "eval_metrics_vali", "topk_per_user",
-    # (b) r5 rows certify a decoder that changed in r6
-    "media_resize_hex", "media_frames_hex",
-    # (c) newest green row is r01 (relational/TPC-H family)
-    "parts_with_shipments", "promo_revenue_share",
-    "purchase_click_attribution", "quarterly_top_supplier",
-    "returned_item_revenue", "shipping_priority",
-    "small_quantity_part_revenue", "sole_late_suppliers",
-    "supplier_variety", "user_event_pivot", "user_event_unpivot",
-    # (d) newest green row is r02 (early text/recsplit/warehouse batch)
-    "ann_cosine_topk", "ann_ivf_topk", "asof_latest_event",
-    "balanced_mixture_sample", "best_epoch", "bigram_counts",
-    "cardinalities", "curated_corpus", "customer_rfm", "dedup_exact",
-    "dedup_incremental", "doc_fingerprints", "domain_overlap",
-    "embedding_norms", "fk_integrity_audit", "lang_id_confusion",
-    "loss_means", "lsh_buckets", "media_stats", "mmd_rbf",
-    "negatives_sample", "pack_sequences", "pii_redact", "pii_scan",
-    "pricing_summary", "quality_scores", "repetition_scores",
-    "scalar_functions", "scd2_user_history", "simhash16",
-    "snapshot_upsert", "splits_leave_two_out",
+    # R9 WINDOW PLAN: the remaining r03 vintage (events_time_rollup,
+    # events_trailing_hour, mmd_rbf_multiscale, monthly_revenue_growth,
+    # orders_by_month, orders_cube, price_correlations, price_histogram,
+    # prior_sample_stats, priority_grouping_sets, props_json_stats,
+    # revenue_rollup, shipping_delay_stats, string_functions,
+    # user_item_vectors, user_session_totals, user_sessions_native,
+    # user_set_ops, user_type_value_map, value_percentiles,
+    # weekly_retention, ann_lsh_topk if bumped) + any query whose body
+    # changes in r8 (run `driver_replay.py --stale` at round open —
+    # it is authoritative over this comment) + fill from r04 vintage.
+    # (a) never driver-sampled (registered after the r7 window pin)
+    "event_gaps_bucketed",
+    # (b) new this round — bounded top-k faces of the pair-floor dedups
+    "dedup_ngram_jaccard_topk", "containment_topk",
+    # (c) r02 vintage, deferred from the r7 window
+    "word_counts", "union_labels", "token_counts", "text_stats",
+    # (d) FUNCTION-stale: body committed after the newest driver row
+    "chunk_documents", "table_profile", "char_entropy_scores",
+    "cross_source_dup_matrix", "events_trailing_dau", "jl_project_audit",
+    "ngram_novelty", "readability_scores", "sq8_quantize_audit",
+    "tfidf_doc_similarity", "theil_sen_revenue_trend",
+    "value_quantile_ranks", "watermark_late_arrivals", "dsir_weights",
+    "lm_perplexity_scores", "embedding_dedup_clusters", "simhash64_jvm",
+    # (e) module-stale: containing module committed after the row
+    "als_eval_test", "cdae_eval_test", "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh", "dedup_ngram_jaccard", "gan_eval_test",
+    "negatives_reject_invariants", "negatives_sample_reject",
+    "top_orders_per_customer", "train_percent_sample",
+    # (f) oldest unrotated r03 vintage
+    "ann_lsh_topk", "best_epoch_reeval", "brand_revenue_share",
+    "conversion_funnel", "corpus_mixture_weights",
+    "dedup_embedding_cosine_lsh_p99", "doc_length_percentiles",
+    "duplicate_passages", "event_transitions", "events_dedup",
+    "events_hourly", "events_hourly_anomalies", "events_hourly_gapfill",
+    "events_hourly_topk_types", "events_moving_avg", "events_sliding_6h",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {

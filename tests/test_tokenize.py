@@ -749,3 +749,67 @@ def test_weekly_seasonality_dow_anchor(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
     r = events_weekly_seasonality(spark, str(tmp_path)).collect()[0]
     assert r["dow"] == 1 and r["hour"] == 10
+
+
+# -- bounded top-k dedup faces --------------------------------------------------
+
+def test_ngram_topk_planted_nearest_neighbor(spark, tmp_path):
+    """Three docs sharing a 32-char prefix: 0 and 1 near-identical, 2
+    farther. Each doc's rank-1 neighbor must be its true nearest, ranks
+    dense from 1, and no doc may list more than k neighbors."""
+    from etl_master_spark.operators.text import (
+        NEARDUP_TOPK,
+        dedup_ngram_jaccard_topk,
+    )
+
+    base = "shared thirty-two char prefix!! " + "alpha beta gamma delta "
+    docs = [
+        (0, base + "epsilon zeta eta theta iota kappa", "en", "s"),
+        (1, base + "epsilon zeta eta theta iota lambda", "en", "s"),
+        (2, base + "totally different tail words here now", "en", "s"),
+    ]
+    _write_docs(spark, str(tmp_path), docs)
+    rows = dedup_ngram_jaccard_topk(spark, str(tmp_path), 0.1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert {r["neighbor"] for r in by_doc[0]}.issuperset({1})
+    assert by_doc[0][0]["rnk"] == 1 and by_doc[0][0]["neighbor"] == 1
+    assert by_doc[1][0]["rnk"] == 1 and by_doc[1][0]["neighbor"] == 0
+    for doc, rs in by_doc.items():
+        assert len(rs) <= NEARDUP_TOPK
+        assert sorted(r["rnk"] for r in rs) == list(range(1, len(rs) + 1))
+
+
+def test_topk_faces_bounded_and_consistent(spark, sf_dir):
+    """At corpus scale: (a) output is <= k rows per doc, (b) every
+    (doc, neighbor, score) row in the top-k face exists in the full
+    pair face with the same score — the bounded face is a strict
+    subset, never a rescoring."""
+    from etl_master_spark.operators.text import (
+        NEARDUP_TOPK,
+        containment_topk,
+        dedup_ngram_jaccard,
+        dedup_ngram_jaccard_topk,
+    )
+
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(spark, sf_dir, 0.1).collect()
+    }
+    topk = dedup_ngram_jaccard_topk(spark, sf_dir, 0.1).collect()
+    assert topk
+    per_doc = {}
+    for r in topk:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+        key = (min(r["doc_id"], r["neighbor"]), max(r["doc_id"], r["neighbor"]))
+        assert full[key] == r["jaccard"]
+    assert max(per_doc.values()) <= NEARDUP_TOPK
+
+    crows = containment_topk(spark, sf_dir).collect()
+    assert crows
+    cnt = {}
+    for r in crows:
+        cnt[r["doc_id"]] = cnt.get(r["doc_id"], 0) + 1
+        assert 0.0 <= r["containment"] <= 1.0
+    assert max(cnt.values()) <= NEARDUP_TOPK

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import PHASH_P, phash_frag
-from ..sources.io import RATINGS_SQL, load_table, ts_s, ts_us
+from ..sources.io import RATINGS_SQL, load_table, shuffle_partitions, ts_s, ts_us
 
 
 # -- ROLLUP subtotals --------------------------------------------------------
@@ -2619,10 +2619,38 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = daily.agg(F.count(F.lit(1)).alias("d")).select(
         (F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n")
     )
-    ranked = slopes.crossJoin(F.broadcast(n)).select(
-        "slope",
-        "n",
-        F.row_number().over(Window.orderBy("slope")).alias("r"),
+    # Two-level rank instead of one global-order row_number (which is a
+    # single task sorting the whole pair frame — the engine's last
+    # global-order window on a frame that can reach millions of rows):
+    # range-partition by slope (pid increases with the value range),
+    # row_number within each partition, then lift by the exclusive
+    # prefix sum of partition counts — a |partitions|-row summary,
+    # broadcast back. Global rank is exact regardless of where the
+    # boundaries fall. localCheckpoint for the same reason as
+    # watermark_late_arrivals: spark_partition_id over a sampled range
+    # partitioner re-samples per execution, and the local-rank branch
+    # and the counts branch must see the SAME assignment.
+    parted = (
+        slopes.repartitionByRange(shuffle_partitions(spark), "slope")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = Window.partitionBy("pid").orderBy("slope")
+    w_prefix = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    counts = (
+        parted.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "off", F.coalesce(F.sum("cnt").over(w_prefix), F.lit(0))
+        )
+    )
+    ranked = (
+        parted.withColumn("lr", F.row_number().over(w_local))
+        .join(F.broadcast(counts.select("pid", "off")), "pid")
+        .select("slope", (F.col("lr") + F.col("off")).alias("r"))
+        .crossJoin(F.broadcast(n))
     )
 
     def q(p: float, name: str):
@@ -3535,7 +3563,7 @@ def watermark_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary branch must see the SAME assignment. Exact integer
     microseconds end to end; one division per output row."""
     ev = load_table(spark, sf_dir, "events")
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_parts = shuffle_partitions(spark)
     parted = (
         ev.select("event_id", ts_us("ts").alias("t_us"))
         .repartitionByRange(n_parts, "event_id")

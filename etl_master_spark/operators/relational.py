@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import phash_frag
-from ..sources.io import load_table, ts_s, ts_us
+from ..sources.io import load_table, shuffle_partitions, ts_s, ts_us
 
 
 # -- TPC-H Q1 flavor: pricing summary ---------------------------------------
@@ -1076,7 +1076,7 @@ def value_quantile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_parts = shuffle_partitions(spark)
     parted = (
         ev.repartitionByRange(n_parts, "event_type", "value")
         .withColumn("pid", F.spark_partition_id())

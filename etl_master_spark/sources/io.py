@@ -111,6 +111,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def shuffle_partitions(spark: SparkSession, default: int = 32) -> int:
+    """The session's shuffle-partition count as an int, tolerating
+    deployments where the conf holds a non-numeric value (e.g. "auto"
+    under some managed AQE setups): fall back to the cluster's default
+    parallelism, then to ``default``. Callers use this to size explicit
+    ``repartitionByRange`` calls — crashing on an exotic conf string
+    would be strictly worse than a slightly-off partition count."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", str(default))
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism or default
+
+
 def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     """Repartition a DataFrame to full core parallelism before CPU-heavy
     per-row work (hashing, shingling, array math).

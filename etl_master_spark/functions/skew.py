@@ -16,8 +16,63 @@ runtime; these helpers cover the cases AQE can't re-plan:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
+
+# A key is "hot" when its rows approach this share of one shuffle
+# partition's volume — the regime where a per-key window becomes a
+# single-task straggler (SCALE.md: the manual switchover contract the
+# router automates).
+HOT_KEY_PARTITION_SHARE = 0.5
+
+
+def max_key_share(df: DataFrame, key: str) -> float:
+    """Largest single-key row share of ``df``: max_k |rows(k)| / |rows|.
+
+    One exact pre-pass — a map-side-combined groupBy count whose shuffle
+    moves |distinct keys| rows, then a scalar aggregate (the collect is a
+    1-row reduction, not a data collect). At warehouse scale the same
+    number usually comes free from table statistics or a prior profiling
+    pass (``table_profile``); the exact spelling keeps the router
+    deterministic, which keeps the routed faces hash-checkable."""
+    row = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("n"))
+        .collect()[0]
+    )
+    if not row["n"]:
+        return 0.0
+    return row["mx"] / row["n"]
+
+
+def skew_route(df: DataFrame, key: str, label: str = "") -> str:
+    """Pick the spelling for a per-``key`` window over ``df``: ``"naive"``
+    (one window, one shuffle — best while every key's history fits a
+    task) or ``"bucketed"`` (the two-level twins — pay ~1.5× extra
+    shuffle at uniform skew to break the hot key across tasks).
+
+    The decision rule is the documented switchover contract: route to
+    the bucketed twin when the hottest key's rows exceed
+    ``HOT_KEY_PARTITION_SHARE`` of one shuffle partition's volume
+    (|rows| / shuffle_partitions). Both spellings are hash-checked equal
+    on the same oracle, so the router changes the PLAN, never the
+    result. The choice is logged so a plan regression is visible in the
+    driver log, not silent."""
+    from ..sources.io import shuffle_partitions
+
+    share = max_key_share(df, key)
+    cutoff = HOT_KEY_PARTITION_SHARE / shuffle_partitions(df.sparkSession)
+    route = "bucketed" if share >= cutoff else "naive"
+    _LOG.info(
+        "skew_route(%s key=%s): max share %.4f vs cutoff %.4f -> %s",
+        label or "frame", key, share, cutoff, route,
+    )
+    return route
 
 
 def salted_join(

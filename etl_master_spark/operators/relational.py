@@ -606,6 +606,28 @@ def event_gaps_bucketed_of(
     )
 
 
+def event_gaps_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-switchover face of the offset twins: the same skew probe as
+    ``user_sessions_routed`` (max per-user row share vs half a shuffle
+    partition's volume) picks ``event_gaps`` on uniform inputs and the
+    two-level ``event_gaps_bucketed`` in the hot-user regime. Identical
+    output either way (one oracle hash-checks both plans); the routing
+    decision is logged, not silent."""
+    return event_gaps_routed_of(load_table(spark, sf_dir, "events"))
+
+
+def event_gaps_routed_of(
+    ev: DataFrame, bucket_hours: int = OFFSET_BUCKET_HOURS
+) -> DataFrame:
+    """Core of ``event_gaps_routed`` — split out for planted-skew
+    routing tests."""
+    from ..functions.skew import skew_route
+
+    if skew_route(ev, "user_id", "event_gaps") == "bucketed":
+        return event_gaps_bucketed_of(ev, bucket_hours)
+    return event_gaps_of(ev)
+
+
 EVENT_GAPS_ORACLE = """
 SELECT event_id, user_id,
        epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us,

@@ -178,6 +178,12 @@ register(
     relational.event_gaps_bucketed,
     relational.EVENT_GAPS_ORACLE,
 )
+# auto-switchover face (see user_sessions_routed)
+register(
+    "event_gaps_routed",
+    relational.event_gaps_routed,
+    relational.EVENT_GAPS_ORACLE,
+)
 register(
     "nation_trade_balance",
     relational.nation_trade_balance,
@@ -937,6 +943,13 @@ register(
     windows.user_sessions_bucketed,
     windows.USER_SESSIONS_ORACLE,
 )
+# auto-switchover face: a cheap exact skew probe picks naive vs bucketed
+# (same oracle — the router changes the plan, never the result)
+register(
+    "user_sessions_routed",
+    windows.user_sessions_routed,
+    windows.USER_SESSIONS_ORACLE,
+)
 register(
     "events_hourly_topk_types",
     windows.events_hourly_topk_types,
@@ -1037,7 +1050,8 @@ _PRIORITY = [
     # round; this window = (a) the ONE registered query with zero
     # driver rows (event_gaps_bucketed landed after the r7 window was
     # pinned — the r7 plan comment forgot it; it leads); then (b) the
-    # two top-k dedup faces NEW this round; then (c) the four r02
+    # four queries NEW this round (two top-k dedup faces, two
+    # auto-switchover skew-router faces); then (c) the four r02
     # names deferred from the r7 window; then (d) the 17 remaining
     # FUNCTION-stale rows (`tools/driver_replay.py --stale`,
     # authoritative: the ×100-sweep fixes — sort drops, two-level
@@ -1046,9 +1060,10 @@ _PRIORITY = [
     # group (c)); then (e) the 10 module-stale rows (wrapper-
     # registered; containing module committed after the row); then
     # (f) fill from the oldest unrotated r03 vintage.
-    # 1 + 2 + 4 + 17 + 10 + 16 = 50 exactly.
+    # 1 + 4 + 4 + 17 + 10 + 14 = 50 exactly.
     #
-    # R9 WINDOW PLAN: the remaining r03 vintage (events_time_rollup,
+    # R9 WINDOW PLAN: the remaining r03 vintage (events_moving_avg,
+    # events_sliding_6h, events_time_rollup,
     # events_trailing_hour, mmd_rbf_multiscale, monthly_revenue_growth,
     # orders_by_month, orders_cube, price_correlations, price_histogram,
     # prior_sample_stats, priority_grouping_sets, props_json_stats,
@@ -1061,7 +1076,9 @@ _PRIORITY = [
     # (a) never driver-sampled (registered after the r7 window pin)
     "event_gaps_bucketed",
     # (b) new this round — bounded top-k faces of the pair-floor dedups
+    # and the auto-switchover faces of the skew twins
     "dedup_ngram_jaccard_topk", "containment_topk",
+    "user_sessions_routed", "event_gaps_routed",
     # (c) r02 vintage, deferred from the r7 window
     "word_counts", "union_labels", "token_counts", "text_stats",
     # (d) FUNCTION-stale: body committed after the newest driver row
@@ -1082,7 +1099,7 @@ _PRIORITY = [
     "dedup_embedding_cosine_lsh_p99", "doc_length_percentiles",
     "duplicate_passages", "event_transitions", "events_dedup",
     "events_hourly", "events_hourly_anomalies", "events_hourly_gapfill",
-    "events_hourly_topk_types", "events_moving_avg", "events_sliding_6h",
+    "events_hourly_topk_types",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {

@@ -515,6 +515,31 @@ def user_sessions_bucketed_of(
     ).orderBy("user_id")
 
 
+def user_sessions_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-switchover face of the sessionizer twins: one cheap exact
+    skew probe (``functions.skew.skew_route`` — max per-user row share
+    vs half a shuffle partition's volume, the documented SCALE.md
+    switchover contract) picks the naive single-window spelling on
+    uniform inputs and the two-level bucketed twin in the hot-user
+    regime. Both spellings hash-check equal on the same oracle, so the
+    router changes the plan, never the result; the choice is logged.
+    The probed faces stay registered unrouted so the driver keeps
+    hash-certifying each plan individually."""
+    return user_sessions_routed_of(load_table(spark, sf_dir, "events"))
+
+
+def user_sessions_routed_of(
+    ev: DataFrame, bucket_hours: int | None = None
+) -> DataFrame:
+    """Core of ``user_sessions_routed`` — split out for planted-skew
+    routing tests."""
+    from ..functions.skew import skew_route
+
+    if skew_route(ev, "user_id", "user_sessions") == "bucketed":
+        return user_sessions_bucketed_of(ev, bucket_hours)
+    return user_sessions_of(ev)
+
+
 # -- custom stateful operator: incremental sessionization ---------------------
 
 SESSION_STATE_SCHEMA = "last_ts LONG, n_sessions INT, n_events LONG, total_dur LONG"

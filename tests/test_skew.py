@@ -213,3 +213,62 @@ def test_bucketed_event_gaps_equal_naive_on_adversarial_boundaries(spark):
     for k in want:
         for c in cols:
             assert got[k][c] == want[k][c], (k, c, got[k][c], want[k][c])
+
+
+def test_skew_router_picks_bucketed_on_planted_bot_and_naive_on_uniform(spark):
+    """The auto-switchover contract (r7 verdict item 4): a planted
+    30%-bot input must route to the bucketed twin, a uniform input to
+    the naive spelling, and BOTH routed outputs must equal the naive
+    face exactly — the router changes the plan, never the result."""
+    from etl_master_spark.functions.skew import skew_route
+    from etl_master_spark.operators.relational import (
+        event_gaps_of,
+        event_gaps_routed_of,
+    )
+    from etl_master_spark.streaming.windows import (
+        user_sessions_of,
+        user_sessions_routed_of,
+    )
+
+    def events(bot_share: float):
+        n = 10_000
+        bot = int(n * bot_share)
+        return spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") < bot, F.lit(7))
+            .otherwise(F.col("id") % 997 + 100)
+            .alias("user_id"),
+            F.expr(
+                "timestampadd(MINUTE, CAST(id AS INT) * 3,"
+                " TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+            ).alias("ts"),
+            F.concat(F.lit("t"), (F.col("id") % 5)).alias("event_type"),
+        )
+
+    skewed, uniform = events(0.30), events(0.0)
+    assert skew_route(skewed, "user_id") == "bucketed"
+    assert skew_route(uniform, "user_id") == "naive"
+
+    for ev in (skewed, uniform):
+        want = sorted(
+            tuple(r) for r in user_sessions_of(ev).collect()
+        )
+        got = sorted(
+            tuple(r) for r in user_sessions_routed_of(ev).collect()
+        )
+        assert got == want
+        want_g = sorted(tuple(r) for r in event_gaps_of(ev).collect())
+        got_g = sorted(
+            tuple(r) for r in event_gaps_routed_of(ev).collect()
+        )
+        assert got_g == want_g
+
+
+def test_skew_router_empty_frame_routes_naive(spark):
+    from etl_master_spark.functions.skew import max_key_share, skew_route
+
+    empty = spark.range(0).select(
+        F.col("id").alias("user_id"), F.col("id").alias("x")
+    )
+    assert max_key_share(empty, "user_id") == 0.0
+    assert skew_route(empty, "user_id") == "naive"

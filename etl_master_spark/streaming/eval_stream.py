@@ -41,7 +41,11 @@ candidate state per batch; measured ×100: a 10-row micro-batch cost
 32 s of pure state rewrite):
   prefix/eN   APPEND-ONLY chunks of new ratings — a batch writes only
               its own novel rows; reads union every chunk below the
-              current epoch
+              current epoch. Chunks below the running epoch fold into
+              one prefix/cB dir ("all epochs <= B") every
+              PREFIX_COMPACT_EVERY batches — rename-committed, crash-
+              tolerant (readers ignore e<=B leftovers), so the per-batch
+              file count stays bounded on a long-running stream
   pop/eN      per-(domain, item) train popularity — tiny, epoch-rewritten
   hitrank/eN  per-(user, domain) hit_rank — |users| rows, epoch-rewritten
   cand/       per-(user, domain) candidate membership, hash-bucketed by
@@ -106,8 +110,8 @@ class _State:
     STRICTLY below the running batch id (pre-batch state — replay-safe
     for the delta-maintained popularity) and prune to the last two
     epochs; the append-only prefix unions every chunk below the batch id
-    and never prunes; the candidate state is hash-bucketed and upserted
-    via dynamic partition overwrite."""
+    (folded periodically by ``compact_chunks``); the candidate state is
+    hash-bucketed and upserted via dynamic partition overwrite."""
 
     def __init__(self, spark: SparkSession, work_dir: str):
         self.spark = spark
@@ -139,12 +143,37 @@ class _State:
         return self.spark.read.parquet(str(path))
 
     # -- append-only prefix ---------------------------------------------------
+    #
+    # Unbounded-stream hygiene (r7 verdict item 3): without compaction the
+    # prefix accumulates one parquet dir per micro-batch FOREVER and every
+    # batch unions all of them. ``compact_chunks`` folds old chunks into a
+    # single ``c<B>`` dir ("all epochs <= B"), rename-committed so a reader
+    # never sees a half-written fold. The read path treats the newest
+    # bound as authoritative and IGNORES any e<=B chunk dirs — so a crash
+    # between the rename and the source cleanup leaves duplicates on disk
+    # but never in a read; the next compaction (or any later one) deletes
+    # the leftovers. Folds take only epochs STRICTLY below the running
+    # batch id (the epoch-read rule): a replayed batch's pre-batch read
+    # (< epoch_id) then sees identical content before and after the fold.
+
+    def _bounds(self, name: str) -> list[int]:
+        base = self.work / name
+        if not base.exists():
+            return []
+        return sorted(
+            int(p.name[1:])
+            for p in base.iterdir()
+            if p.name.startswith("c") and p.name[1:].isdigit()
+        )
 
     def read_chunks(self, name: str, epoch_lt: int) -> DataFrame | None:
-        paths = [
+        bounds = [b for b in self._bounds(name) if b < epoch_lt]
+        base = bounds[-1] if bounds else -1
+        paths = [str(self.work / name / f"c{base}")] if bounds else []
+        paths += [
             str(self.work / name / f"e{e}")
             for e in self._epochs(name)
-            if e < epoch_lt
+            if base < e < epoch_lt
         ]
         if not paths:
             return None
@@ -155,6 +184,43 @@ class _State:
         if path.exists():  # replayed micro-batch: same rows, rewrite
             shutil.rmtree(path)
         df.write.parquet(str(path))
+
+    def compact_chunks(self, name: str, epoch_cur: int, every: int) -> None:
+        """Fold the un-compacted chunks strictly below ``epoch_cur`` into
+        one ``c<B>`` dir once ``every`` of them have accumulated.
+        Idempotent: content is a pure union of its sources, the commit is
+        an atomic dir rename, and re-running after any crash point either
+        redoes the same fold or cleans leftovers the read path already
+        ignores."""
+        bounds = self._bounds(name)
+        base = bounds[-1] if bounds else -1
+        # sweep leftovers of a crashed prior cleanup first (the read path
+        # already ignores anything at-or-below the newest bound)
+        for e in [e for e in self._epochs(name) if e <= base]:
+            shutil.rmtree(self.work / name / f"e{e}", ignore_errors=True)
+        for b in bounds[:-1]:
+            shutil.rmtree(self.work / name / f"c{b}", ignore_errors=True)
+        folds = [e for e in self._epochs(name) if base < e < epoch_cur]
+        if len(folds) < every:
+            return
+        new_bound = max(folds)
+        src = [str(self.work / name / f"e{e}") for e in folds]
+        if bounds:
+            src.append(str(self.work / name / f"c{base}"))
+        tmp = self.work / name / f"c{new_bound}.tmp"
+        if tmp.exists():  # crashed mid-write: content is deterministic
+            shutil.rmtree(tmp)
+        self.spark.read.parquet(*src).write.parquet(str(tmp))
+        final = self.work / name / f"c{new_bound}"
+        if final.exists():
+            shutil.rmtree(final)
+        tmp.rename(final)  # atomic commit of the fold
+        # lazy cleanup — anything at-or-below the new bound is subsumed
+        # (covers leftovers of earlier crashed cleanups too)
+        for e in [e for e in self._epochs(name) if e <= new_bound]:
+            shutil.rmtree(self.work / name / f"e{e}", ignore_errors=True)
+        for b in [b for b in self._bounds(name) if b < new_bound]:
+            shutil.rmtree(self.work / name / f"c{b}", ignore_errors=True)
 
     # -- bucket-partitioned upsert (the candidate state) ----------------------
 
@@ -229,33 +295,29 @@ def _merge(old: DataFrame | None, affected: DataFrame, new: DataFrame) -> DataFr
     return old.join(affected, _UD, "left_anti").unionByName(new)
 
 
-def incremental_eval_metrics(
+# fold prefix chunks once this many un-compacted dirs sit below the
+# running epoch: per-batch union cost stays O(1 fold + every chunks)
+# instead of O(batches), at the price of rewriting the prefix once per
+# `every` batches (amortized ~1 extra prefix write per `every` batches)
+PREFIX_COMPACT_EVERY = 8
+
+
+def make_batch_processor(
     spark: SparkSession,
-    sf_dir: str,
-    stream_dir: str,
     work_dir: str,
     mode: str = "test",
     ks: list[int] | None = None,
-    max_files_per_trigger: int = 1,
     stats: list | None = None,
+    compact_every: int | None = None,
 ):
-    """Start the incremental eval stream (availableNow); returns the
-    streaming query — caller awaits, then reads metrics via
-    ``read_metric_history``. ``stream_dir`` holds event-schema parquet
-    files arriving over time; ``sf_dir`` supplies only the schema.
-
-    ``stats`` (optional, driver-side list) receives one dict per
-    micro-batch: {batch_id, new_ratings, affected_users} — the honest
-    observability for the affected-set bound. NOTE the degenerate
-    regime: when the item catalog is not much larger than the candidate
-    set (gate testdata: 100 items vs 99 negatives), every user holds
-    nearly every item and ANY popularity delta fans out to the whole
-    user base — affected == everyone, by the algorithm's own contract.
-    The steady-state win needs |catalog| ≫ |candidates|
-    (tests/test_eval_stream.py pins both regimes)."""
+    """The foreachBatch processor, exposed so tests can drive replay
+    scenarios directly: calling the returned function twice with the
+    same (batch_df, epoch_id) models a crash after ANY point of the
+    batch — including after a prefix compaction — followed by Structured
+    Streaming's redelivery of the uncommitted epoch."""
     ks = ks or DEFAULT_KS
+    compact_every = compact_every or PREFIX_COMPACT_EVERY
     state = _State(spark, work_dir)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         prefix_old = state.read_chunks("prefix", epoch_id)
@@ -370,6 +432,9 @@ def incremental_eval_metrics(
         # replayed batch then redoes everything from the same pre-batch
         # prefix (idempotent), instead of seeing its own rows as old
         state.append_chunk("prefix", epoch_id, new)
+        # fold old chunks (strictly below this epoch — a replay of THIS
+        # batch reads < epoch_id and must see identical content)
+        state.compact_chunks("prefix", epoch_id, compact_every)
 
         metrics_from_hit_ranks(hit_new, ks).withColumn(
             "batch_id", F.lit(epoch_id).cast("long")
@@ -385,6 +450,39 @@ def incremental_eval_metrics(
         for df in cached:
             df.unpersist()
 
+    return process
+
+
+def incremental_eval_metrics(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str,
+    work_dir: str,
+    mode: str = "test",
+    ks: list[int] | None = None,
+    max_files_per_trigger: int = 1,
+    stats: list | None = None,
+    compact_every: int | None = None,
+):
+    """Start the incremental eval stream (availableNow); returns the
+    streaming query — caller awaits, then reads metrics via
+    ``read_metric_history``. ``stream_dir`` holds event-schema parquet
+    files arriving over time; ``sf_dir`` supplies only the schema.
+
+    ``stats`` (optional, driver-side list) receives one dict per
+    micro-batch: {batch_id, new_ratings, affected_users} — the honest
+    observability for the affected-set bound. NOTE the degenerate
+    regime: when the item catalog is not much larger than the candidate
+    set (gate testdata: 100 items vs 99 negatives), every user holds
+    nearly every item and ANY popularity delta fans out to the whole
+    user base — affected == everyone, by the algorithm's own contract.
+    The steady-state win needs |catalog| ≫ |candidates|
+    (tests/test_eval_stream.py pins both regimes)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    process = make_batch_processor(
+        spark, work_dir, mode=mode, ks=ks, stats=stats,
+        compact_every=compact_every,
+    )
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

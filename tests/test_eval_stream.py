@@ -191,3 +191,128 @@ def test_stream_final_equals_flagship_on_full_table(spark, metric_history):
         assert g["n_users"] == b["n_users"]
         for m in ("hr", "ndcg", "mrr"):
             assert g[m] == pytest.approx(b[m], abs=1e-9)
+
+
+def test_prefix_compaction_folds_and_reads_identically(spark, tmp_path):
+    """State-level contract of compact_chunks: after a fold, every
+    epoch-bounded read returns exactly the rows it returned before; the
+    folded e-dirs are gone; and a crash that leaves both the compacted
+    dir AND its source chunks on disk never double-counts a row."""
+    import shutil
+
+    from etl_master_spark.streaming.eval_stream import _State
+
+    st = _State(spark, str(tmp_path))
+    chunks = {
+        e: [(e * 10 + i, f"u{e}") for i in range(3)] for e in range(5)
+    }
+    for e, rows in chunks.items():
+        st.append_chunk(
+            "prefix", e, spark.createDataFrame(rows, "item_id long, u string")
+        )
+
+    def snap(epoch_lt):
+        df = st.read_chunks("prefix", epoch_lt)
+        return sorted(tuple(r) for r in df.collect()) if df is not None else None
+
+    before = {lt: snap(lt) for lt in range(7)}
+    # crash-state rehearsal: copy the chunk dirs aside before the fold
+    saved = tmp_path / "saved"
+    shutil.copytree(tmp_path / "prefix", saved)
+
+    st.compact_chunks("prefix", epoch_cur=5, every=4)  # folds e0..e4 -> c4
+    assert st._bounds("prefix") == [4]
+    assert st._epochs("prefix") == []
+    # the replay contract: folds run with epoch_cur = the running batch,
+    # and streaming redelivers only that (uncommitted) epoch — so every
+    # read a replay can issue (epoch_lt > bound) is content-identical.
+    # Reads at-or-below the bound are subsumed by design.
+    live = lambda: {lt: snap(lt) for lt in range(5, 7)}  # noqa: E731
+    assert live() == {lt: before[lt] for lt in range(5, 7)}
+
+    # idempotency: nothing left to fold
+    st.compact_chunks("prefix", epoch_cur=5, every=1)
+    assert st._bounds("prefix") == [4]
+
+    # crash between rename and cleanup: c4 exists AND all source e-dirs
+    # are back on disk -> reads must ignore the subsumed e-dirs (no
+    # double-count)
+    for e in range(5):
+        shutil.copytree(saved / f"e{e}", tmp_path / "prefix" / f"e{e}")
+    assert live() == {lt: before[lt] for lt in range(5, 7)}
+    # the next fold attempt cleans the leftovers without changing content
+    st.compact_chunks("prefix", epoch_cur=6, every=1)
+    assert st._epochs("prefix") == []
+    assert live() == {lt: before[lt] for lt in range(5, 7)}
+
+    # strictly-below rule: a chunk AT the running epoch never folds
+    st.append_chunk(
+        "prefix", 5, spark.createDataFrame(chunks[0], "item_id long, u string")
+    )
+    st.compact_chunks("prefix", epoch_cur=5, every=1)
+    assert st._epochs("prefix") == [5]  # e5 untouched
+    assert st._bounds("prefix") == [4]
+
+
+def test_replay_across_compaction_boundary_equals_batch_eval(spark, tmp_path):
+    """Crash/replay across a compaction boundary (r7 verdict item 3's
+    done-bar): drive the batch processor directly with compact_every=2;
+    batch 2 performs the first fold; replay batch 2 in full (models a
+    crash after EVERYTHING in the batch ran — compaction included — but
+    before the streaming checkpoint committed); then run batch 3. Every
+    batch's metrics row must equal the batch flagship on that prefix."""
+    import math
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from etl_master_spark.operators.ranking import eval_metrics
+    from etl_master_spark.streaming.eval_stream import (
+        make_batch_processor,
+        read_metric_history,
+    )
+
+    table = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    n_chunks = 4
+    step = math.ceil(table.num_rows / n_chunks)
+    prefix_dirs = []
+    for i in range(n_chunks):
+        pdir = tmp_path / f"prefix_{i}"
+        pdir.mkdir()
+        pq.write_table(
+            table.slice(0, min(table.num_rows, (i + 1) * step)),
+            pdir / "events.parquet",
+        )
+        prefix_dirs.append(str(pdir))
+
+    work = str(tmp_path / "work")
+    process = make_batch_processor(spark, work, compact_every=2)
+    batches = [
+        spark.createDataFrame(table.slice(i * step, step).to_pandas())
+        for i in range(n_chunks)
+    ]
+    process(batches[0], 0)
+    process(batches[1], 1)
+    process(batches[2], 2)  # folds e0,e1 -> c1
+    from etl_master_spark.streaming.eval_stream import _State
+
+    st = _State(spark, work)
+    assert st._bounds("prefix") == [1], "test must cross a real fold"
+    process(batches[2], 2)  # REPLAY the compacting batch
+    process(batches[3], 3)
+
+    history = read_metric_history(spark, work).collect()
+    for i, pdir in enumerate(prefix_dirs):
+        expected = {
+            (r["domain"], r["k"]): r
+            for r in eval_metrics(spark, pdir, mode="test").collect()
+        }
+        got = {
+            (r["domain"], r["k"]): r for r in history if r["batch_id"] == i
+        }
+        assert set(got) == set(expected), f"prefix {i}"
+        for key, g in got.items():
+            e = expected[key]
+            assert g["n_users"] == e["n_users"], (i, key)
+            for m in ("hr", "ndcg", "mrr"):
+                assert g[m] == _pytest.approx(e[m], abs=1e-9), (i, key, m)

@@ -97,7 +97,14 @@ def _timed(spark, fn, sf: str, timeout: float):
     t0 = time.time()
     try:
         _force(fn(spark, sf))
-        return round(time.time() - t0, 3), None
+        elapsed = round(time.time() - t0, 3)
+        # cancelJobGroup only interrupts jobs ACTIVE when the timer fired;
+        # if it fired during a driver-side gap of an iterative kernel the
+        # remaining jobs run to completion — still a timeout, record it
+        # (previously such a row said status=ok with wall > timeout)
+        if timed_out.is_set() or elapsed > timeout:
+            return None, f"timeout>{timeout:.0f}s (ran {elapsed:.0f}s)"
+        return elapsed, None
     except Exception as exc:  # noqa: BLE001 - recorded, not swallowed
         if timed_out.is_set():
             return None, f"timeout>{timeout:.0f}s"
@@ -164,10 +171,19 @@ def main() -> None:
         xn, errn = _timed(spark, QUERIES[name], sf_n, args.timeout)
         row = {"query": name, "status": "ok", "x1": x1, f"x{args.mult}": xn}
         if err1 or errn:
-            row["status"] = "error" if "timeout" not in str(
-                (err1 or "") + (errn or "")
-            ) else "timeout"
-            row["error"] = errn or err1
+            # per-leg records: when the legs fail DIFFERENTLY (x1 raises,
+            # xN times out) the ledger used to label the row with one
+            # status while showing the other leg's unrelated message
+            if err1:
+                row["err1"] = err1
+            if errn:
+                row["errn"] = errn
+            legs = [e for e in (err1, errn) if e]
+            row["status"] = (
+                "timeout" if any(e.startswith("timeout") for e in legs)
+                else "error"
+            )
+            row["error"] = errn or err1  # back-compat summary field
         elif x1 and xn:
             row["ratio"] = round(xn / x1, 2)
         record(row)

@@ -309,12 +309,32 @@ def make_batch_processor(
     ks: list[int] | None = None,
     stats: list | None = None,
     compact_every: int | None = None,
+    refresh_fraction: float | None = None,
 ):
     """The foreachBatch processor, exposed so tests can drive replay
     scenarios directly: calling the returned function twice with the
     same (batch_df, epoch_id) models a crash after ANY point of the
     batch — including after a prefix compaction — followed by Structured
-    Streaming's redelivery of the uncommitted epoch."""
+    Streaming's redelivery of the uncommitted epoch.
+
+    ``refresh_fraction`` switches on the APPROXIMATE variant (r7 verdict
+    item 8). The exact twin's one scale cliff is catalog growth: a new
+    item reshuffles the hash-sampled negatives of EVERY user in the
+    domain, forcing a full-domain recompute that a 100 TB stream cannot
+    afford per growth batch. With refresh_fraction=p, a growth batch
+    recomputes only the touched users, the popularity-delta holders
+    (both still EXACT) and a deterministic per-epoch hash sample of p of
+    the grown domain's remaining users; the rest keep their pre-growth
+    hit_rank until a later batch's sample (epoch-salted, so coverage
+    rotates) or their own activity refreshes them.
+
+    Error contract — provable, not vibes: every metric is a macro-mean
+    of per-user values in [0, 1], and only the unrefreshed ("stale")
+    users can deviate, so |approx − exact| ≤ stale_users / n_users for
+    every (domain, k, metric). The per-batch stale share is reported in
+    ``stats`` (key ``stale_users``), making the bound checkable row by
+    row; refresh_fraction=1.0 degenerates to the exact twin
+    (tests/test_eval_stream.py pins both)."""
     ks = ks or DEFAULT_KS
     compact_every = compact_every or PREFIX_COMPACT_EVERY
     state = _State(spark, work_dir)
@@ -338,6 +358,7 @@ def make_batch_processor(
         cand_old = state.read_bucketed("cand")
         hit_old = state.read("hitrank", epoch_id)
 
+        all_domain_users = None
         if prefix_old is None or pop_old is None:
             # cold start: everyone is affected, popularity from scratch
             affected = prefix_new.select(*_UD).distinct()
@@ -396,6 +417,19 @@ def make_batch_processor(
             domain_users = prefix_new.join(grown, "domain", "left_semi").select(
                 *_UD
             ).distinct()
+            all_domain_users = domain_users
+            if refresh_fraction is not None and refresh_fraction < 1.0:
+                # approx mode: refresh only an epoch-salted hash sample
+                # of the grown domain's users (deterministic — replays
+                # pick the same sample); the rest stay stale until a
+                # later epoch's sample or their own activity
+                domain_users = domain_users.filter(
+                    F.pmod(
+                        F.xxhash64("user_id", F.lit(int(epoch_id))),
+                        F.lit(1_000_000),
+                    )
+                    < int(refresh_fraction * 1_000_000)
+                )
             affected = touched.unionByName(from_pop).unionByName(
                 domain_users
             ).distinct()
@@ -407,6 +441,17 @@ def make_batch_processor(
         # the rewritten files — corrupting the hitrank merge), a
         # checkpoint is.
         affected = affected.localCheckpoint()
+        # stale share must be counted BEFORE any state mutation below:
+        # its lineage reads prefix chunk files that compaction may fold
+        stale_n = None
+        if (
+            stats is not None
+            and refresh_fraction is not None
+            and all_domain_users is not None
+        ):
+            stale_n = (
+                all_domain_users.join(affected, _UD, "left_anti").count()
+            )
         hit_aff, cand_aff = _recompute(prefix_new, affected, pop_new, mode)
 
         # candidate upsert: full new content of exactly the affected
@@ -440,13 +485,16 @@ def make_batch_processor(
             "batch_id", F.lit(epoch_id).cast("long")
         ).write.mode("append").parquet(str(Path(work_dir) / "metrics"))
         if stats is not None:
-            stats.append(
-                {
-                    "batch_id": epoch_id,
-                    "new_ratings": new.count(),
-                    "affected_users": affected.count(),
-                }
-            )
+            row = {
+                "batch_id": epoch_id,
+                "new_ratings": new.count(),
+                "affected_users": affected.count(),
+            }
+            if stale_n is not None:
+                # the checkable error bound: users the approximation left
+                # stale this batch (|approx − exact| ≤ stale / n per metric)
+                row["stale_users"] = stale_n
+            stats.append(row)
         for df in cached:
             df.unpersist()
 
@@ -463,6 +511,7 @@ def incremental_eval_metrics(
     max_files_per_trigger: int = 1,
     stats: list | None = None,
     compact_every: int | None = None,
+    refresh_fraction: float | None = None,
 ):
     """Start the incremental eval stream (availableNow); returns the
     streaming query — caller awaits, then reads metrics via
@@ -481,7 +530,7 @@ def incremental_eval_metrics(
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     process = make_batch_processor(
         spark, work_dir, mode=mode, ks=ks, stats=stats,
-        compact_every=compact_every,
+        compact_every=compact_every, refresh_fraction=refresh_fraction,
     )
     return (
         spark.readStream.schema(schema)

@@ -316,3 +316,98 @@ def test_replay_across_compaction_boundary_equals_batch_eval(spark, tmp_path):
             assert g["n_users"] == e["n_users"], (i, key)
             for m in ("hr", "ndcg", "mrr"):
                 assert g[m] == _pytest.approx(e[m], abs=1e-9), (i, key, m)
+
+
+def test_approx_refresh_bounds_error_on_growth_heavy_stream(spark, tmp_path):
+    """The approximate variant (r7 verdict item 8): on a growth-heavy
+    stream (every batch introduces new catalog items, each tripping the
+    full-domain negative reshuffle), refresh_fraction=p must (a) shrink
+    the recomputed set vs the exact twin, (b) report its per-batch stale
+    share, (c) keep every metric within the PROVABLE bound
+    |approx - exact| <= stale_users / n_users, and (d) degenerate to the
+    exact twin at p=1.0."""
+    import math
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from etl_master_spark.streaming.eval_stream import (
+        make_batch_processor,
+        read_metric_history,
+    )
+
+    n_users, items_per_user, catalog = 300, 20, 50_000
+    rows, eid = [], 0
+    for u in range(1, n_users + 1):
+        for j in range(items_per_user):
+            item = (u * 37 + j * 101) % catalog
+            rows.append((eid, u, "click", f'{{"k": {item}}}'))
+            eid += 1
+    # growth batches: two fresh users rate brand-NEW items each batch
+    growth = []
+    for b in range(2):
+        batch = []
+        for i in range(2):
+            batch.append(
+                (eid, 50 + b * 2 + i, "click", f'{{"k": {catalog + b * 10 + i}}}')
+            )
+            eid += 1
+        growth.append(batch)
+
+    def frame(data):
+        pdf = pd.DataFrame(
+            data, columns=["event_id", "user_id", "event_type", "props"]
+        )
+        pdf["ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            pdf["event_id"], unit="s"
+        )
+        pdf["value"] = 1.0
+        return spark.createDataFrame(
+            pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+        )
+
+    batches = [frame(rows)] + [frame(b) for b in growth]
+
+    def run(work, refresh, stats):
+        p = make_batch_processor(
+            spark, str(tmp_path / work), stats=stats, refresh_fraction=refresh
+        )
+        for i, b in enumerate(batches):
+            p(b, i)
+        return {
+            (r["batch_id"], r["domain"], r["k"]): r
+            for r in read_metric_history(spark, str(tmp_path / work)).collect()
+        }
+
+    s_exact, s_full, s_approx = [], [], []
+    exact = run("exact", None, s_exact)
+    full = run("full", 1.0, s_full)
+    approx = run("approx", 0.3, s_approx)
+
+    # (d) p=1.0 is the exact twin, bit for bit
+    assert set(full) == set(exact)
+    for key, e in exact.items():
+        g = full[key]
+        assert g["n_users"] == e["n_users"]
+        for m in ("hr", "ndcg", "mrr"):
+            assert g[m] == e[m], (key, m)
+
+    ex_by, ap_by = (
+        {s["batch_id"]: s for s in ss} for ss in (s_exact, s_approx)
+    )
+    for b in (1, 2):  # the growth batches
+        # (a) strictly less recompute work than the exact twin
+        assert ap_by[b]["affected_users"] < ex_by[b]["affected_users"], b
+        # (b) the stale share is reported and non-trivial
+        assert ap_by[b]["stale_users"] > 0, b
+        # full-refresh twin reports zero staleness
+        assert s_full[b]["stale_users"] == 0
+        # (c) the provable bound, per (domain, k, metric)
+        for (bb, domain, k), e in exact.items():
+            if bb != b:
+                continue
+            g = approx[(bb, domain, k)]
+            bound = ap_by[b]["stale_users"] / e["n_users"] + 1e-6
+            for m in ("hr", "ndcg", "mrr"):
+                assert abs(g[m] - e[m]) <= bound, (bb, domain, k, m)
+    assert math.isfinite(sum(v["hr"] for v in approx.values()))

@@ -203,6 +203,11 @@ BENCH_QUERIES = [
     # round-7: the hot-user skew twins (same oracles as their naive forms)
     "user_sessions_bucketed",
     "event_gaps_bucketed",
+    # round-8: bounded top-k dedup faces + skew-router auto-switchover
+    "dedup_ngram_jaccard_topk",
+    "containment_topk",
+    "user_sessions_routed",
+    "event_gaps_routed",
 ]
 
 

@@ -451,23 +451,39 @@ def dedup_ngram_jaccard_topk(
     row_number window partitioned by doc_id; no global sort, no
     single-partition exchange."""
     pairs = dedup_ngram_jaccard(spark, sf_dir, threshold)
-    sym = pairs.select(
-        F.col("doc_a").alias("doc_id"),
-        F.col("doc_b").alias("neighbor"),
-        "jaccard",
-    ).unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_id"),
-            F.col("doc_a").alias("neighbor"),
-            "jaccard",
-        )
-    )
+    sym = _sym_expand(pairs, "jaccard")
     w = Window.partitionBy("doc_id").orderBy(
         F.col("jaccard").desc(), F.col("neighbor").asc()
     )
     return sym.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
         F.col("rnk") <= k
     )
+
+
+def _sym_expand(pairs: DataFrame, score: str) -> DataFrame:
+    """(doc_a, doc_b, score) → both directions as (doc_id, neighbor,
+    score), via ONE row-local explode — NOT a self-union: a union's two
+    branches each re-evaluate the pair subtree (Spark reuses identical
+    exchanges but recomputes join-side projections — measured ×100 on
+    the dup-dense replica: the unioned jaccard top-k cost 2× its own
+    pair face because the 27M array_intersect verifications ran twice).
+    The explode doubles rows inside the same codegen stage instead."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_id"),
+                    F.col("doc_b").alias("neighbor"),
+                    F.col(score).alias(score),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_id"),
+                    F.col("doc_a").alias("neighbor"),
+                    F.col(score).alias(score),
+                ),
+            )
+        ).alias("s")
+    ).select("s.doc_id", "s.neighbor", f"s.{score}")
 
 
 def dedup_ngram_jaccard_topk_oracle(
@@ -572,7 +588,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark uses conv(hex,16,10); both yield the identical integer). Band key
     = md5 of 4 signature values; docs sharing any band bucket become a
     candidate pair (the only join, keyed by band digest — uniformly spread,
-    skew-free). Output: (doc_a, doc_b, n_shared_bands)."""
+    skew-free). Output: (doc_a, doc_b, n_shared_bands). No output sort —
+    the pair list is full-output-sized on a dup-dense corpus (the
+    event_gaps contract; the correctness compare is order-insensitive)."""
     bands = _minhash_bands(spark, sf_dir)
     return (
         bands.alias("a")
@@ -582,7 +600,6 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -2832,7 +2849,8 @@ def _winnow_core(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
-        .orderBy("doc_a", "doc_b")
+        # no output sort: pair lists are full-output-sized on a dup-dense
+        # corpus (event_gaps contract; the compare is order-insensitive)
     )
 
 
@@ -4211,7 +4229,9 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     family over the shared `_shingles` frame."""
     cand = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sh = _shingles(spread(load_table(spark, sf_dir, "documents")))
-    return _pair_containment(cand, sh).orderBy("doc_a", "doc_b")
+    # no output sort: the pair list is full-output-sized on a dup-dense
+    # corpus (event_gaps contract; the compare is order-insensitive)
+    return _pair_containment(cand, sh)
 
 
 def _pair_containment(cand: DataFrame, sh: DataFrame) -> DataFrame:
@@ -4284,17 +4304,7 @@ def containment_topk(
             F.greatest("cont_a_in_b", "cont_b_in_a"), 6
         ).alias("containment"),
     )
-    sym = scored.select(
-        F.col("doc_a").alias("doc_id"),
-        F.col("doc_b").alias("neighbor"),
-        "containment",
-    ).unionByName(
-        scored.select(
-            F.col("doc_b").alias("doc_id"),
-            F.col("doc_a").alias("neighbor"),
-            "containment",
-        )
-    )
+    sym = _sym_expand(scored, "containment")
     w = Window.partitionBy("doc_id").orderBy(
         F.col("containment").desc(), F.col("neighbor").asc()
     )

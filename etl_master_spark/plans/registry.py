@@ -1059,10 +1059,12 @@ _PRIORITY = [
     # after these queries' newest driver rows; token_counts is in
     # group (c)); then (e) the 10 module-stale rows (wrapper-
     # registered; containing module committed after the row); then
-    # (f) fill from the oldest unrotated r03 vintage.
-    # 1 + 4 + 4 + 17 + 10 + 14 = 50 exactly.
+    # (f) fill from the oldest unrotated r03 vintage; (g) the three
+    # pair faces whose sort-drop landed this round.
+    # 1 + 4 + 4 + 17 + 10 + 11 + 3 = 50 exactly.
     #
-    # R9 WINDOW PLAN: the remaining r03 vintage (events_moving_avg,
+    # R9 WINDOW PLAN: the remaining r03 vintage (events_hourly_anomalies,
+    # events_hourly_gapfill, events_hourly_topk_types, events_moving_avg,
     # events_sliding_6h, events_time_rollup,
     # events_trailing_hour, mmd_rbf_multiscale, monthly_revenue_growth,
     # orders_by_month, orders_cube, price_correlations, price_histogram,
@@ -1098,8 +1100,10 @@ _PRIORITY = [
     "conversion_funnel", "corpus_mixture_weights",
     "dedup_embedding_cosine_lsh_p99", "doc_length_percentiles",
     "duplicate_passages", "event_transitions", "events_dedup",
-    "events_hourly", "events_hourly_anomalies", "events_hourly_gapfill",
-    "events_hourly_topk_types",
+    "events_hourly",
+    # (g) bodies changed THIS round (pair-output sort drops) — their
+    # newest driver rows predate the change, so they rotate in now
+    "minhash_lsh_pairs", "containment_pairs", "winnow_matches",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {

@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     # round-8: bounded top-k dedup faces + skew-router auto-switchover
     "dedup_ngram_jaccard_topk",
     "containment_topk",
+    "tfidf_doc_topk",
     "user_sessions_routed",
     "event_gaps_routed",
 ]

@@ -4587,6 +4587,21 @@ TFIDF_W_SCALE = 1_000_000  # micro-unit weights: order-free integer dot products
 
 
 def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face over ``_tfidf_pairs`` — no output sort (the
+    event_gaps contract: the pair list is full-output-sized on a
+    dup-dense corpus and the correctness compare is order-insensitive).
+
+    Measurement note (round 8): an initial ×100 A/B appeared to show the
+    SORTED spelling 1.9× faster; an interleaved U/S/U/S sequence then
+    measured 113/85/66/131 s — no systematic sort effect, just the
+    host's 2× variance band on this ~1.4 GB-scan + map-walk query (the
+    first ×100 evaluation in a session also pays replica first-touch
+    I/O). The sort is dropped for contract consistency, decided on the
+    interleaved evidence, not the first A/B."""
+    return _tfidf_pairs(spark, sf_dir)
+
+
+def _tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tf-idf cosine similarity for the MinHash/LSH candidate pairs — the
     third similarity lens over the same candidate set (Jaccard:
     ``dedup_ngram_jaccard``; shingle containment: ``containment_pairs``),
@@ -4685,8 +4700,45 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("tfidf_cosine"),
         )
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def tfidf_doc_topk(
+    spark: SparkSession, sf_dir: str, k: int = NEARDUP_TOPK
+) -> DataFrame:
+    """Per-document bounded face of ``tfidf_doc_similarity``: each doc's
+    top-k most tf-idf-cosine-similar candidates (deterministic tie-break
+    by neighbor id). Same rationale as ``dedup_ngram_jaccard_topk``: the
+    pair list is the ×100 cost floor (129.7 s, all pair output); a
+    topical-similarity pass wants each doc's nearest neighbors, which is
+    k·n rows regardless of dup-group density. Symmetric expansion is the
+    shared row-local ``_sym_expand`` explode (never a self-union — the
+    union's branches would re-run the map-dot verification twice)."""
+    sym = _sym_expand(_tfidf_pairs(spark, sf_dir), "tfidf_cosine")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_cosine").desc(), F.col("neighbor").asc()
+    )
+    return sym.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
+        F.col("rnk") <= k
+    )
+
+
+def tfidf_doc_topk_oracle(k: int = NEARDUP_TOPK) -> str:
+    return f"""
+WITH base AS ({tfidf_doc_similarity_oracle()}),
+sym AS (
+    SELECT doc_a AS doc_id, doc_b AS neighbor, tfidf_cosine FROM base
+    UNION ALL
+    SELECT doc_b AS doc_id, doc_a AS neighbor, tfidf_cosine FROM base
+)
+SELECT doc_id, neighbor, tfidf_cosine,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tfidf_cosine DESC, neighbor ASC
+       ) AS INT) AS rnk
+FROM sym
+QUALIFY rnk <= {k}
+ORDER BY doc_id, rnk
+"""
 
 
 def tfidf_doc_similarity_oracle() -> str:

@@ -870,6 +870,12 @@ register(
     text.tfidf_doc_similarity,
     text.tfidf_doc_similarity_oracle(),
 )
+# bounded per-doc face (see dedup_ngram_jaccard_topk rationale)
+register(
+    "tfidf_doc_topk",
+    text.tfidf_doc_topk,
+    text.tfidf_doc_topk_oracle(),
+)
 # incremental MV maintenance: merged partials hash-checked vs full recompute
 register(
     "incremental_agg_refresh",
@@ -1061,9 +1067,10 @@ _PRIORITY = [
     # registered; containing module committed after the row); then
     # (f) fill from the oldest unrotated r03 vintage; (g) the three
     # pair faces whose sort-drop landed this round.
-    # 1 + 4 + 4 + 17 + 10 + 11 + 3 = 50 exactly.
+    # 1 + 5 + 4 + 17 + 10 + 10 + 3 = 50 exactly.
     #
-    # R9 WINDOW PLAN: the remaining r03 vintage (events_hourly_anomalies,
+    # R9 WINDOW PLAN: the remaining r03 vintage (events_hourly,
+    # events_hourly_anomalies,
     # events_hourly_gapfill, events_hourly_topk_types, events_moving_avg,
     # events_sliding_6h, events_time_rollup,
     # events_trailing_hour, mmd_rbf_multiscale, monthly_revenue_growth,
@@ -1079,7 +1086,7 @@ _PRIORITY = [
     "event_gaps_bucketed",
     # (b) new this round — bounded top-k faces of the pair-floor dedups
     # and the auto-switchover faces of the skew twins
-    "dedup_ngram_jaccard_topk", "containment_topk",
+    "dedup_ngram_jaccard_topk", "containment_topk", "tfidf_doc_topk",
     "user_sessions_routed", "event_gaps_routed",
     # (c) r02 vintage, deferred from the r7 window
     "word_counts", "union_labels", "token_counts", "text_stats",
@@ -1100,7 +1107,6 @@ _PRIORITY = [
     "conversion_funnel", "corpus_mixture_weights",
     "dedup_embedding_cosine_lsh_p99", "doc_length_percentiles",
     "duplicate_passages", "event_transitions", "events_dedup",
-    "events_hourly",
     # (g) bodies changed THIS round (pair-output sort drops) — their
     # newest driver rows predate the change, so they rotate in now
     "minhash_lsh_pairs", "containment_pairs", "winnow_matches",

@@ -813,3 +813,28 @@ def test_topk_faces_bounded_and_consistent(spark, sf_dir):
         cnt[r["doc_id"]] = cnt.get(r["doc_id"], 0) + 1
         assert 0.0 <= r["containment"] <= 1.0
     assert max(cnt.values()) <= NEARDUP_TOPK
+
+
+def test_tfidf_topk_bounded_and_subset(spark, sf_dir):
+    """The tf-idf top-k face is a strict subset of the full pair face
+    with identical scores, at most k rows per doc, dense ranks."""
+    from etl_master_spark.operators.text import (
+        NEARDUP_TOPK,
+        tfidf_doc_similarity,
+        tfidf_doc_topk,
+    )
+
+    full = {
+        (r["doc_a"], r["doc_b"]): r["tfidf_cosine"]
+        for r in tfidf_doc_similarity(spark, sf_dir).collect()
+    }
+    rows = tfidf_doc_topk(spark, sf_dir).collect()
+    assert rows
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["rnk"])
+        key = (min(r["doc_id"], r["neighbor"]), max(r["doc_id"], r["neighbor"]))
+        assert full[key] == r["tfidf_cosine"]
+    for doc, rnks in per_doc.items():
+        assert len(rnks) <= NEARDUP_TOPK
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))

@@ -29,16 +29,23 @@ _LOG = logging.getLogger(__name__)
 # router automates).
 HOT_KEY_PARTITION_SHARE = 0.5
 
+# Session-scoped probe memo: (cache_key) -> measured max share. A routed
+# face over the same (table, key) pays the exact probe once per session,
+# not once per construction (the probe runs eagerly at plan-construction
+# time — an accepted trade-off, but re-paying it on every call was not).
+_SHARE_CACHE: dict[tuple, float] = {}
+
 
 def max_key_share(df: DataFrame, key: str) -> float:
     """Largest single-key row share of ``df``: max_k |rows(k)| / |rows|.
 
     One exact pre-pass — a map-side-combined groupBy count whose shuffle
     moves |distinct keys| rows, then a scalar aggregate (the collect is a
-    1-row reduction, not a data collect). At warehouse scale the same
-    number usually comes free from table statistics or a prior profiling
-    pass (``table_profile``); the exact spelling keeps the router
-    deterministic, which keeps the routed faces hash-checkable."""
+    1-row reduction, not a data collect). At warehouse scale prefer
+    supplying the number from table statistics or a prior profiling pass
+    via ``skew_route(share=...)``, or the O(sample) ``sampled_key_share``
+    — the exact spelling is the deterministic fallback that keeps the
+    routed faces hash-checkable with zero caller setup."""
     row = (
         df.groupBy(key)
         .agg(F.count(F.lit(1)).alias("c"))
@@ -50,7 +57,28 @@ def max_key_share(df: DataFrame, key: str) -> float:
     return row["mx"] / row["n"]
 
 
-def skew_route(df: DataFrame, key: str, label: str = "") -> str:
+def sampled_key_share(
+    df: DataFrame, key: str, fraction: float = 0.05, seed: int = 9
+) -> float:
+    """Estimate of ``max_key_share`` from a Bernoulli row sample — the
+    cheap probe for tables where even one groupBy-count pass is too much
+    (a 100 TB routed face should not pay a full scan before doing work).
+
+    Per-key counts scale by ~``fraction`` on both numerator and
+    denominator, so the ratio is an unbiased-ish estimate of the hot
+    key's share; variance only matters near the cutoff, where both
+    routes are acceptable anyway. Contract (tested): a mis-estimate may
+    flip the PLAN, never the RESULT — the twins hash-check equal."""
+    return max_key_share(df.sample(fraction=fraction, seed=seed), key)
+
+
+def skew_route(
+    df: DataFrame,
+    key: str,
+    label: str = "",
+    share: float | None = None,
+    cache_key: tuple | None = None,
+) -> str:
     """Pick the spelling for a per-``key`` window over ``df``: ``"naive"``
     (one window, one shuffle — best while every key's history fits a
     task) or ``"bucketed"`` (the two-level twins — pay ~1.5× extra
@@ -62,15 +90,32 @@ def skew_route(df: DataFrame, key: str, label: str = "") -> str:
     (|rows| / shuffle_partitions). Both spellings are hash-checked equal
     on the same oracle, so the router changes the PLAN, never the
     result. The choice is logged so a plan regression is visible in the
-    driver log, not silent."""
+    driver log, not silent.
+
+    Probe cost ladder (cheapest wins; all three produce the same routing
+    contract because a wrong share can only flip the plan):
+
+    1. ``share=`` — caller-supplied, e.g. from warehouse table statistics
+       or a prior ``table_profile``-style pass: ZERO extra scans here.
+    2. ``cache_key=`` — a prior probe for the same (table, key) this
+       session is reused: the exact scan is paid once, not per call.
+    3. neither — the exact ``max_key_share`` pre-pass (deterministic,
+       zero setup; the default the oracle-checked faces use)."""
     from ..sources.io import shuffle_partitions
 
-    share = max_key_share(df, key)
+    src = "supplied"
+    if share is None:
+        if cache_key is not None and cache_key in _SHARE_CACHE:
+            share, src = _SHARE_CACHE[cache_key], "cached"
+        else:
+            share, src = max_key_share(df, key), "probed"
+            if cache_key is not None:
+                _SHARE_CACHE[cache_key] = share
     cutoff = HOT_KEY_PARTITION_SHARE / shuffle_partitions(df.sparkSession)
     route = "bucketed" if share >= cutoff else "naive"
     _LOG.info(
-        "skew_route(%s key=%s): max share %.4f vs cutoff %.4f -> %s",
-        label or "frame", key, share, cutoff, route,
+        "skew_route(%s key=%s): max share %.4f (%s) vs cutoff %.4f -> %s",
+        label or "frame", key, share, src, cutoff, route,
     )
     return route
 

@@ -612,18 +612,29 @@ def event_gaps_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition's volume) picks ``event_gaps`` on uniform inputs and the
     two-level ``event_gaps_bucketed`` in the hot-user regime. Identical
     output either way (one oracle hash-checks both plans); the routing
-    decision is logged, not silent."""
-    return event_gaps_routed_of(load_table(spark, sf_dir, "events"))
+    decision is logged, not silent. The probe memoizes per (table, key):
+    within a session this face and ``user_sessions_routed`` pay ONE
+    probe scan between them, not one each."""
+    return event_gaps_routed_of(
+        load_table(spark, sf_dir, "events"),
+        cache_key=(sf_dir, "events", "user_id"),
+    )
 
 
 def event_gaps_routed_of(
-    ev: DataFrame, bucket_hours: int = OFFSET_BUCKET_HOURS
+    ev: DataFrame,
+    bucket_hours: int = OFFSET_BUCKET_HOURS,
+    share: float | None = None,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """Core of ``event_gaps_routed`` — split out for planted-skew
-    routing tests."""
+    routing tests. ``share`` lets a caller with table statistics skip
+    the probe scan entirely; a wrong share can flip the plan, never
+    the result (the twins share one oracle)."""
     from ..functions.skew import skew_route
 
-    if skew_route(ev, "user_id", "event_gaps") == "bucketed":
+    route = skew_route(ev, "user_id", "event_gaps", share, cache_key)
+    if route == "bucketed":
         return event_gaps_bucketed_of(ev, bucket_hours)
     return event_gaps_of(ev)
 

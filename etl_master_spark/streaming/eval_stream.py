@@ -167,7 +167,20 @@ class _State:
         )
 
     def read_chunks(self, name: str, epoch_lt: int) -> DataFrame | None:
-        bounds = [b for b in self._bounds(name) if b < epoch_lt]
+        all_bounds = self._bounds(name)
+        bounds = [b for b in all_bounds if b < epoch_lt]
+        if all_bounds and not bounds:
+            # Every chunk has been folded into a bound >= epoch_lt.
+            # Impossible under monotonic-epoch streaming (folds take
+            # epochs strictly below the running batch), so this means a
+            # reset/deleted streaming checkpoint with a retained work
+            # dir: silently returning None would recompute metrics from
+            # only the current batch. Fail loudly instead.
+            raise RuntimeError(
+                f"prefix '{name}' compacted past requested epoch "
+                f"{epoch_lt} (bounds {all_bounds}) — state dir and "
+                "streaming checkpoint out of sync; clear one of them"
+            )
         base = bounds[-1] if bounds else -1
         paths = [str(self.work / name / f"c{base}")] if bounds else []
         paths += [

@@ -524,18 +524,29 @@ def user_sessions_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     regime. Both spellings hash-check equal on the same oracle, so the
     router changes the plan, never the result; the choice is logged.
     The probed faces stay registered unrouted so the driver keeps
-    hash-certifying each plan individually."""
-    return user_sessions_routed_of(load_table(spark, sf_dir, "events"))
+    hash-certifying each plan individually. The probe memoizes per
+    (table, key) — the sibling ``event_gaps_routed`` reuses this face's
+    probe within a session instead of re-scanning."""
+    return user_sessions_routed_of(
+        load_table(spark, sf_dir, "events"),
+        cache_key=(sf_dir, "events", "user_id"),
+    )
 
 
 def user_sessions_routed_of(
-    ev: DataFrame, bucket_hours: int | None = None
+    ev: DataFrame,
+    bucket_hours: int | None = None,
+    share: float | None = None,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """Core of ``user_sessions_routed`` — split out for planted-skew
-    routing tests."""
+    routing tests. ``share`` lets a caller with table statistics skip
+    the probe scan entirely; a mis-supplied share can flip the plan,
+    never the result (the twins share one oracle)."""
     from ..functions.skew import skew_route
 
-    if skew_route(ev, "user_id", "user_sessions") == "bucketed":
+    route = skew_route(ev, "user_id", "user_sessions", share, cache_key)
+    if route == "bucketed":
         return user_sessions_bucketed_of(ev, bucket_hours)
     return user_sessions_of(ev)
 

@@ -411,3 +411,35 @@ def test_approx_refresh_bounds_error_on_growth_heavy_stream(spark, tmp_path):
             for m in ("hr", "ndcg", "mrr"):
                 assert abs(g[m] - e[m]) <= bound, (bb, domain, k, m)
     assert math.isfinite(sum(v["hr"] for v in approx.values()))
+
+
+def test_read_chunks_raises_when_compacted_past_requested_epoch(
+    spark, tmp_path
+):
+    """Out-of-sync guard (r8 advice item 1): a reset/deleted streaming
+    checkpoint with a retained work dir asks for a prefix below the
+    newest compaction bound. Silently returning None here would trigger
+    the cold-start branch and compute metrics from only the current
+    batch — the store must fail loudly instead. Reads ABOVE the bound
+    and reads of a never-written prefix keep their existing semantics."""
+    import pytest as _pytest
+
+    from etl_master_spark.streaming.eval_stream import _State
+
+    st = _State(spark, str(tmp_path))
+    for e in range(4):
+        st.append_chunk(
+            "prefix",
+            e,
+            spark.createDataFrame([(e, "u")], "item_id long, u string"),
+        )
+    st.compact_chunks("prefix", epoch_cur=4, every=4)  # folds e0..e3 -> c3
+    assert st._bounds("prefix") == [3]
+    # a fresh-checkpoint replay would start again at epoch 0..3
+    for lt in range(4):
+        with _pytest.raises(RuntimeError, match="compacted past"):
+            st.read_chunks("prefix", lt)
+    # normal monotonic reads above the bound still work
+    assert st.read_chunks("prefix", 4).count() == 4
+    # an unwritten prefix still cold-starts with None
+    assert st.read_chunks("other", 2) is None

@@ -272,3 +272,86 @@ def test_skew_router_empty_frame_routes_naive(spark):
     )
     assert max_key_share(empty, "user_id") == 0.0
     assert skew_route(empty, "user_id") == "naive"
+
+
+def test_skew_router_supplied_share_skips_probe_entirely(spark, monkeypatch):
+    """Stats path (r8 verdict item 3): a caller-supplied share must route
+    with ZERO probe scans — max_key_share is patched to explode, so any
+    scan would fail the test — and a mis-supplied share may flip the
+    plan but never the result (twins already share one oracle)."""
+    from etl_master_spark.functions import skew
+    from etl_master_spark.operators.relational import (
+        event_gaps_of,
+        event_gaps_routed_of,
+    )
+
+    def boom(*a, **k):  # pragma: no cover - must never run
+        raise AssertionError("probe scan ran despite supplied share")
+
+    monkeypatch.setattr(skew, "max_key_share", boom)
+    assert skew.skew_route(spark.range(1), "id", share=0.9) == "bucketed"
+    assert skew.skew_route(spark.range(1), "id", share=0.0) == "naive"
+
+    ev = spark.range(300).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("user_id"),
+        F.expr(
+            "timestampadd(MINUTE, CAST(id AS INT) * 3,"
+            " TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+        ).alias("ts"),
+        F.concat(F.lit("t"), (F.col("id") % 5)).alias("event_type"),
+    )
+    want = sorted(tuple(r) for r in event_gaps_of(ev).collect())
+    # deliberately WRONG share (input is uniform): plan flips to the
+    # bucketed twin, output must still be identical
+    got = sorted(
+        tuple(r) for r in event_gaps_routed_of(ev, share=0.9).collect()
+    )
+    assert got == want
+
+
+def test_skew_router_memoizes_probe_per_cache_key(spark, monkeypatch):
+    """With a cache_key the exact probe is paid once per session: the
+    second routed construction over the same (table, key) must not
+    re-scan (probe patched to explode after the first call)."""
+    from etl_master_spark.functions import skew
+
+    skew._SHARE_CACHE.clear()
+    df = spark.range(100).select((F.col("id") % 3).alias("user_id"))
+    calls = {"n": 0}
+    real = skew.max_key_share
+
+    def counting(frame, key):
+        calls["n"] += 1
+        return real(frame, key)
+
+    monkeypatch.setattr(skew, "max_key_share", counting)
+    key = ("sfX", "events", "user_id")
+    r1 = skew.skew_route(df, "user_id", cache_key=key)
+    r2 = skew.skew_route(df, "user_id", cache_key=key)
+    assert r1 == r2
+    assert calls["n"] == 1
+    skew._SHARE_CACHE.clear()
+
+
+def test_sampled_key_share_routes_planted_bot(spark):
+    """The sampled probe must still detect a planted 30% hot key (the
+    estimate's variance is tiny relative to a 30-point share) and read
+    only the sample. Mis-routing near the cutoff is acceptable by
+    contract; gross skew must not be missed."""
+    from etl_master_spark.functions.skew import (
+        max_key_share,
+        sampled_key_share,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.when(F.col("id") < int(n * 0.3), F.lit(7))
+        .otherwise(F.col("id") % 997 + 100)
+        .alias("user_id")
+    )
+    exact = max_key_share(df, "user_id")
+    est = sampled_key_share(df, "user_id", fraction=0.1, seed=9)
+    assert abs(est - exact) < 0.05
+    uniform = spark.range(n).select((F.col("id") % 997).alias("user_id"))
+    assert sampled_key_share(uniform, "user_id", fraction=0.1, seed=9) < 0.01

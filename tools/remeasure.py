@@ -85,7 +85,10 @@ def main() -> None:
                 else "error"
             )
             row["error"] = errn or err1
-        else:
+        elif x1 and xn:
+            # mirror scale_sweep's truthiness guard: a sub-millisecond
+            # best time rounds to 0.0 and must not ZeroDivision-abort
+            # the remaining re-measures — omit the field instead
             row["ratio"] = round(xn / x1, 2)
         rows[name] = row
         print(json.dumps(row), flush=True)

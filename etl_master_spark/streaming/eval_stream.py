@@ -64,6 +64,7 @@ a second run); metrics reads drop duplicate (batch_id, domain, k) rows.
 
 from __future__ import annotations
 
+import math
 import shutil
 from pathlib import Path
 
@@ -323,6 +324,7 @@ def make_batch_processor(
     stats: list | None = None,
     compact_every: int | None = None,
     refresh_fraction: float | None = None,
+    max_stale_age: int | None = None,
 ):
     """The foreachBatch processor, exposed so tests can drive replay
     scenarios directly: calling the returned function twice with the
@@ -339,17 +341,28 @@ def make_batch_processor(
     (both still EXACT) and a deterministic per-epoch hash sample of p of
     the grown domain's remaining users; the rest keep their pre-growth
     hit_rank until a later batch's sample (epoch-salted, so coverage
-    rotates) or their own activity refreshes them.
+    rotates), their own activity, or the age sweep refreshes them.
 
     Error contract — provable, not vibes: every metric is a macro-mean
     of per-user values in [0, 1], and only the unrefreshed ("stale")
     users can deviate, so |approx − exact| ≤ stale_users / n_users for
-    every (domain, k, metric). The per-batch stale share is reported in
-    ``stats`` (key ``stale_users``), making the bound checkable row by
-    row; refresh_fraction=1.0 degenerates to the exact twin
-    (tests/test_eval_stream.py pins both)."""
+    every (domain, k, metric). ``stale_users`` in ``stats`` counts ALL
+    currently-stale (user, domain) pairs — persisted in the hitrank
+    state as ``stale_since``, so leftovers from earlier growth batches
+    stay counted even when a DIFFERENT domain grows next — making the
+    bound checkable row by row; refresh_fraction=1.0 degenerates to the
+    exact twin (tests/test_eval_stream.py pins both).
+
+    Staleness AGE is hard-bounded, not just probabilistically rotated
+    (r8 verdict item 4): any pair stale for ``max_stale_age`` batches
+    (default ⌈1/p⌉) is force-refreshed regardless of the hash sample, so
+    after every batch no surviving staleness is older than
+    max_stale_age − 1 batches (``stale_age_max`` in ``stats`` reports
+    the post-batch maximum)."""
     ks = ks or DEFAULT_KS
     compact_every = compact_every or PREFIX_COMPACT_EVERY
+    if refresh_fraction is not None and max_stale_age is None:
+        max_stale_age = math.ceil(1.0 / max(refresh_fraction, 1e-9))
     state = _State(spark, work_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -435,7 +448,8 @@ def make_batch_processor(
                 # approx mode: refresh only an epoch-salted hash sample
                 # of the grown domain's users (deterministic — replays
                 # pick the same sample); the rest stay stale until a
-                # later epoch's sample or their own activity
+                # later epoch's sample, their own activity, or the age
+                # sweep below
                 domain_users = domain_users.filter(
                     F.pmod(
                         F.xxhash64("user_id", F.lit(int(epoch_id))),
@@ -443,6 +457,18 @@ def make_batch_processor(
                     )
                     < int(refresh_fraction * 1_000_000)
                 )
+                # hard staleness-age bound: pairs stale for max_stale_age
+                # batches are force-refreshed regardless of the sample
+                if hit_old is not None and "stale_since" in hit_old.columns:
+                    domain_users = domain_users.unionByName(
+                        hit_old.filter(
+                            F.col("stale_since").isNotNull()
+                            & (
+                                F.lit(int(epoch_id)) - F.col("stale_since")
+                                >= F.lit(int(max_stale_age))
+                            )
+                        ).select(*_UD)
+                    )
             affected = touched.unionByName(from_pop).unionByName(
                 domain_users
             ).distinct()
@@ -454,18 +480,12 @@ def make_batch_processor(
         # the rewritten files — corrupting the hitrank merge), a
         # checkpoint is.
         affected = affected.localCheckpoint()
-        # stale share must be counted BEFORE any state mutation below:
-        # its lineage reads prefix chunk files that compaction may fold
-        stale_n = None
-        if (
-            stats is not None
-            and refresh_fraction is not None
-            and all_domain_users is not None
-        ):
-            stale_n = (
-                all_domain_users.join(affected, _UD, "left_anti").count()
-            )
         hit_aff, cand_aff = _recompute(prefix_new, affected, pop_new, mode)
+        if refresh_fraction is not None:
+            # freshly recomputed pairs are by definition not stale
+            hit_aff = hit_aff.withColumn(
+                "stale_since", F.lit(None).cast("long")
+            )
 
         # candidate upsert: full new content of exactly the affected
         # users' BUCKETS (survivors of the bucket keep their rows)
@@ -482,9 +502,45 @@ def make_batch_processor(
             merged_cand = survivors.unionByName(cand_aff_b)
         state.upsert_bucketed("cand", merged_cand)
 
-        hit_new = state.write(
-            "hitrank", epoch_id, _merge(hit_old, affected, hit_aff)
-        )
+        hit_merged = _merge(hit_old, affected, hit_aff)
+        if refresh_fraction is not None and all_domain_users is not None:
+            # persist staleness: grown-domain pairs the sample skipped
+            # keep their EARLIEST stale epoch (the age the sweep bounds);
+            # everyone in `affected` was rewritten fresh by the merge
+            newly_stale = all_domain_users.join(affected, _UD, "left_anti")
+            hit_merged = (
+                hit_merged.join(
+                    newly_stale.withColumn("_ns", F.lit(1)), _UD, "left"
+                )
+                .withColumn(
+                    "stale_since",
+                    F.when(
+                        F.col("_ns").isNotNull(),
+                        F.coalesce("stale_since", F.lit(int(epoch_id))),
+                    ).otherwise(F.col("stale_since")),
+                )
+                .drop("_ns")
+            )
+        hit_new = state.write("hitrank", epoch_id, hit_merged)
+        # the checkable error bound, CUMULATIVE across growth batches
+        # (state-persisted, so staleness left by one domain's growth
+        # stays counted while another domain grows)
+        stale_n = stale_age = None
+        if (
+            stats is not None
+            and refresh_fraction is not None
+            and "stale_since" in hit_new.columns
+        ):
+            srow = hit_new.agg(
+                F.count(
+                    F.when(F.col("stale_since").isNotNull(), 1)
+                ).alias("ns"),
+                F.max(
+                    F.lit(int(epoch_id)) - F.col("stale_since")
+                ).alias("age"),
+            ).collect()[0]
+            stale_n = int(srow["ns"])
+            stale_age = int(srow["age"]) if srow["age"] is not None else 0
 
         # the recompute must be DONE before the prefix chunk lands: a
         # replayed batch then redoes everything from the same pre-batch
@@ -504,9 +560,11 @@ def make_batch_processor(
                 "affected_users": affected.count(),
             }
             if stale_n is not None:
-                # the checkable error bound: users the approximation left
-                # stale this batch (|approx − exact| ≤ stale / n per metric)
+                # the checkable error bound: all currently-stale pairs
+                # (|approx − exact| ≤ stale / n per metric) plus the
+                # post-batch staleness-age maximum the sweep bounds
                 row["stale_users"] = stale_n
+                row["stale_age_max"] = stale_age
             stats.append(row)
         for df in cached:
             df.unpersist()
@@ -525,6 +583,7 @@ def incremental_eval_metrics(
     stats: list | None = None,
     compact_every: int | None = None,
     refresh_fraction: float | None = None,
+    max_stale_age: int | None = None,
 ):
     """Start the incremental eval stream (availableNow); returns the
     streaming query — caller awaits, then reads metrics via
@@ -544,6 +603,7 @@ def incremental_eval_metrics(
     process = make_batch_processor(
         spark, work_dir, mode=mode, ks=ks, stats=stats,
         compact_every=compact_every, refresh_fraction=refresh_fraction,
+        max_stale_age=max_stale_age,
     )
     return (
         spark.readStream.schema(schema)

@@ -443,3 +443,106 @@ def test_read_chunks_raises_when_compacted_past_requested_epoch(
     assert st.read_chunks("prefix", 4).count() == 4
     # an unwritten prefix still cold-starts with None
     assert st.read_chunks("other", 2) is None
+
+
+def test_stale_age_hard_bound_and_drain(spark, tmp_path):
+    """Hard staleness-age bound (r8 verdict item 4): with
+    refresh_fraction=p, any pair the epoch-salted sample leaves stale is
+    force-refreshed after at most ceil(1/p) batches, so (a) the reported
+    post-batch staleness age never reaches the bound, (b) staleness
+    DRAINS — after >= ceil(1/p) quiet batches no stale pair survives and
+    the approx metrics equal the exact twin's exactly — and (c) the
+    cumulative error bound holds on every batch."""
+    import pandas as pd
+
+    from etl_master_spark.streaming.eval_stream import (
+        make_batch_processor,
+        read_metric_history,
+    )
+
+    n_users, items_per_user, catalog = 150, 20, 50_000
+    rows, eid = [], 0
+    for u in range(1, n_users + 1):
+        for j in range(items_per_user):
+            item = (u * 37 + j * 101) % catalog
+            rows.append((eid, u, "click", f'{{"k": {item}}}'))
+            eid += 1
+    batches_raw = [rows]
+    # growth batches 1..3: fresh users rate brand-NEW items (negative
+    # reshuffle for the whole domain each time)
+    for b in range(3):
+        batch = []
+        for i in range(2):
+            batch.append(
+                (eid, 60 + b * 2 + i, "click",
+                 f'{{"k": {catalog + b * 10 + i}}}')
+            )
+            eid += 1
+        batches_raw.append(batch)
+    # quiet batches 4..7: existing users rate EXISTING items — no
+    # growth, so the only refresh pressure left is the age sweep
+    for b in range(4):
+        u = 100 + b
+        # user u+1's first item: guaranteed in-catalog (no growth), and
+        # provably absent from user u's own history (37 != j*101 mod
+        # catalog for j in 0..19) so the batch is non-empty
+        item = ((u + 1) * 37) % catalog
+        batches_raw.append([(eid, u, "click", f'{{"k": {item}}}')])
+        eid += 1
+
+    def frame(data):
+        pdf = pd.DataFrame(
+            data, columns=["event_id", "user_id", "event_type", "props"]
+        )
+        pdf["ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            pdf["event_id"], unit="s"
+        )
+        pdf["value"] = 1.0
+        return spark.createDataFrame(
+            pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+        )
+
+    batches = [frame(b) for b in batches_raw]
+
+    def run(work, refresh, stats):
+        p = make_batch_processor(
+            spark, str(tmp_path / work), stats=stats, refresh_fraction=refresh
+        )
+        for i, b in enumerate(batches):
+            p(b, i)
+        return {
+            (r["batch_id"], r["domain"], r["k"]): r
+            for r in read_metric_history(
+                spark, str(tmp_path / work)
+            ).collect()
+        }
+
+    s_exact, s_approx = [], []
+    exact = run("exact", None, s_exact)
+    approx = run("approx", 0.34, s_approx)  # ceil(1/0.34) = 3
+
+    max_age = 3
+    ap_by = {s["batch_id"]: s for s in s_approx}
+    # (a) the hard bound: post-batch staleness age < max_stale_age always
+    for b, s in ap_by.items():
+        if "stale_age_max" in s:
+            assert s["stale_age_max"] < max_age, (b, s)
+    # staleness genuinely occurred on the growth batches
+    assert any(ap_by[b].get("stale_users", 0) > 0 for b in (1, 2, 3))
+    # (b) drain: >= max_age quiet batches after the last growth leave
+    # nothing stale, and the final metrics equal the exact twin exactly
+    last = max(ap_by)
+    assert ap_by[last]["stale_users"] == 0
+    for (b, domain, k), e in exact.items():
+        if b != last:
+            continue
+        g = approx[(b, domain, k)]
+        assert g["n_users"] == e["n_users"]
+        for m in ("hr", "ndcg", "mrr"):
+            assert g[m] == e[m], (b, domain, k, m)
+    # (c) the cumulative bound on every batch
+    for (b, domain, k), e in exact.items():
+        g = approx[(b, domain, k)]
+        bound = ap_by[b].get("stale_users", 0) / e["n_users"] + 1e-6
+        for m in ("hr", "ndcg", "mrr"):
+            assert abs(g[m] - e[m]) <= bound, (b, domain, k, m)

@@ -1117,3 +1117,113 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in _PRIORITY},
 }
 ORACLES = {k: ORACLES[k] for k in QUERIES if k in ORACLES}
+
+
+# -- recommended-face map (r8 verdict item 6) ---------------------------------
+#
+# Several operator families are deliberately registered as multiple faces
+# of ONE contract (all hash-checked on the same or equivalent oracles):
+# the exact/baseline spelling stays as the certified definition, and a
+# scale spelling carries the 100 TB plan. A user facing 232 names should
+# not need SCALE.md prose to pick — `recommended()` is the machine-
+# readable pointer. Evidence for each pick is the ×100 ledger (SCALE.md).
+FAMILIES: dict[str, dict] = {
+    "sessionize": {
+        "faces": [
+            "user_sessions", "user_sessions_bucketed", "user_sessions_routed",
+        ],
+        "recommended": "user_sessions_routed",
+        "why": "probes max key share once per (table, key) — or takes it "
+               "from table stats — and auto-picks naive vs two-level "
+               "bucketed; 1.9x on a 30%-bot replica, naive cost on uniform",
+    },
+    "event_offsets": {
+        "faces": ["event_gaps", "event_gaps_bucketed", "event_gaps_routed"],
+        "recommended": "event_gaps_routed",
+        "why": "same auto-switchover contract as sessionize",
+    },
+    "ngram_jaccard_dedup": {
+        "faces": ["dedup_ngram_jaccard", "dedup_ngram_jaccard_topk"],
+        "recommended": "dedup_ngram_jaccard_topk",
+        "why": "k*n output regardless of dup-group density; the pair list "
+               "emits C(g,2) rows per dup group (27M at x100)",
+    },
+    "containment_dedup": {
+        "faces": ["containment_pairs", "containment_topk"],
+        "recommended": "containment_topk",
+        "why": "bounded per-doc output vs the C(g,2) pair floor",
+    },
+    "tfidf_similarity": {
+        "faces": ["tfidf_doc_similarity", "tfidf_doc_topk"],
+        "recommended": "tfidf_doc_topk",
+        "why": "bounded per-doc output vs the full similar-pair list",
+    },
+    "embedding_near_dup": {
+        "faces": [
+            "dedup_embedding_cosine",
+            "dedup_embedding_cosine_lsh",
+            "dedup_embedding_cosine_lsh_p99",
+        ],
+        "recommended": "dedup_embedding_cosine_lsh_p99",
+        "why": "production 4x8 band shape: collision volume capped at "
+               "bands*n*32 (122 s vs 228.6 s permissive-shape at x100); "
+               "exact all-pairs is O(n^2) by definition",
+    },
+    "negative_sampling": {
+        "faces": ["negatives_sample", "negatives_sample_reject"],
+        "recommended": "negatives_sample_reject",
+        "why": "no row ever holds the catalog array (valid to ~1e6 items "
+               "only); rejection rounds keep every shuffle key hash-uniform",
+    },
+    "mmd": {
+        "faces": ["mmd_rbf", "mmd_rbf_fast"],
+        "recommended": "mmd_rbf_fast",
+        "why": "blocked distributed BLAS path vs the exact relational "
+               "pair expansion",
+    },
+    "column_profiling": {
+        "faces": ["table_profile", "approx_profiles"],
+        "recommended": "approx_profiles",
+        "why": "mergeable one-pass sketches vs exact per-column distincts",
+    },
+    "ann_topk": {
+        "faces": [
+            "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+            "ann_pq_topk", "ann_ivfpq_topk",
+        ],
+        "recommended": "ann_ivfpq_topk",
+        "why": "IVF prune bounds the scored stream to nprobe/cells of the "
+               "corpus and PQ codes shrink it ~dim*4/M bytes per vector; "
+               "recall is contract-audited (ann_recall_audit)",
+    },
+    "simhash_signatures": {
+        "faces": ["simhash64", "simhash64_jvm"],
+        "recommended": "simhash64_jvm",
+        "why": "whole-stage-codegen aggregation (no Python at all) of the "
+               "same 64-bit signature",
+    },
+    "stratified_sampling": {
+        "faces": ["stratified_sample", "stratified_sample_threshold"],
+        "recommended": "stratified_sample_threshold",
+        "why": "per-stratum hash thresholds: exact ranks only over "
+               "~quota*slack boundary survivors instead of a full-sort "
+               "window per stratum; measured flat at x10",
+    },
+}
+
+# twin-marking suffixes: any registered name carrying one of these is a
+# scale face by convention and MUST belong to a family above (tested)
+SCALE_TWIN_SUFFIXES = (
+    "_routed", "_bucketed", "_reject", "_jvm", "_threshold", "_p99",
+)
+
+_FACE_TO_FAMILY: dict[str, str] = {
+    face: fam for fam, spec in FAMILIES.items() for face in spec["faces"]
+}
+
+
+def recommended(name: str) -> str:
+    """The scale-recommended face of the family containing ``name``
+    (identity for queries without a scale twin)."""
+    fam = _FACE_TO_FAMILY.get(name)
+    return FAMILIES[fam]["recommended"] if fam else name

@@ -209,6 +209,9 @@ BENCH_QUERIES = [
     "tfidf_doc_topk",
     "user_sessions_routed",
     "event_gaps_routed",
+    # round-9: the candidate-cap recall contract (runs each capped face
+    # AND its uncapped banded comparator — the honest price of the audit)
+    "neardup_topk_recall_audit",
 ]
 
 

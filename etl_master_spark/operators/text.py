@@ -426,6 +426,7 @@ ORDER BY doc_a, doc_b
 
 
 NEARDUP_TOPK = 3  # neighbors kept per document in the bounded face
+NEARDUP_CAND_CAP = 16  # per-doc candidate budget before exact verification
 
 
 def dedup_ngram_jaccard_topk(
@@ -433,24 +434,39 @@ def dedup_ngram_jaccard_topk(
     sf_dir: str,
     threshold: float = 0.1,
     k: int = NEARDUP_TOPK,
+    cap: int | None = NEARDUP_CAND_CAP,
 ) -> DataFrame:
-    """Per-document bounded face of ``dedup_ngram_jaccard``: each doc's
-    top-k nearest near-dups among the verified candidates, ranked by
-    Jaccard (ties broken by neighbor id, so the rank is deterministic and
-    hash-checkable). This is the spelling to RECOMMEND at 100 TB — the
-    full pair list is C(g,2) per dup group (the ×100 sweep measured that
-    floor: 27M verified pairs, the output IS the cost), while a curation
-    pass almost always wants "who are this doc's closest duplicates",
-    which is k·n rows regardless of group density.
+    """Per-document bounded face of the Jaccard near-dup family: each
+    doc's top-k nearest near-dups, ranked by exact Jaccard (ties broken
+    by neighbor id, so the rank is deterministic and hash-checkable).
+    This is the spelling to RECOMMEND at 100 TB — the full pair list is
+    C(g,2) per dup group (the ×100 sweep measured that floor: 27M
+    verified pairs), while a curation pass almost always wants "who are
+    this doc's closest duplicates", which is k·n rows regardless of
+    group density.
 
-    Plan shape: verification work is unchanged (exact row-local
-    ``array_intersect`` over the blocked candidates — linear in the
-    candidate list), but everything downstream of the verify —
-    shuffle-write, sort, sink — drops from pair-floor to k·n. The
-    symmetric expansion doubles the verified rows before ONE
-    row_number window partitioned by doc_id; no global sort, no
+    Round 9 (r8 verdict item 2): candidates now come from the banded
+    MinHash index CAPPED per doc by shared-band count
+    (``_capped_lsh_candidates``) instead of the prefix-block pair list —
+    the r8 face bounded the OUTPUT but still exact-verified every
+    blocked candidate pair (136.9 s vs the pair face's 145.7 s at ×100:
+    only ~6% saved, because the 27M verifications dominated). With the
+    cap, verification is bounded by 2·cap·|docs| — independent of
+    dup-group density. Recall vs the uncapped spelling is contract-
+    audited (``neardup_topk_recall_audit``); the exact-prefix pair face
+    ``dedup_ngram_jaccard`` stays registered unchanged as the certified
+    exhaustive definition.
+
+    Plan shape: one window over the (already-aggregated) banded pair
+    frame picks the capped candidates, exact row-local
+    ``array_intersect`` verifies only those, then ONE row_number window
+    partitioned by doc_id ranks the survivors. No global sort, no
     single-partition exchange."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir, threshold)
+    cand = _capped_lsh_candidates(spark, sf_dir, cap)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _pair_jaccard(cand, _shingles(docs)).filter(
+        F.col("jaccard") >= threshold
+    )
     sym = _sym_expand(pairs, "jaccard")
     w = Window.partitionBy("doc_id").orderBy(
         F.col("jaccard").desc(), F.col("neighbor").asc()
@@ -487,16 +503,14 @@ def _sym_expand(pairs: DataFrame, score: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard_topk_oracle(
-    threshold: float = 0.1, k: int = NEARDUP_TOPK
+    threshold: float = 0.1,
+    k: int = NEARDUP_TOPK,
+    cap: int | None = NEARDUP_CAND_CAP,
 ) -> str:
     return f"""
 WITH {_SHINGLES_SQL},
-pref AS (SELECT doc_id, substr(text, 1, 32) AS pfx FROM documents),
-pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM pref a JOIN pref b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
-),
-{_pair_jaccard_sql()},
+{_capped_cand_sql(cap)},
+{_pair_jaccard_sql("cand")},
 hits AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {threshold}),
 sym AS (
     SELECT doc_a AS doc_id, doc_b AS neighbor, jaccard FROM hits
@@ -601,6 +615,68 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+def _capped_lsh_candidates(
+    spark: SparkSession, sf_dir: str, cap: int | None = NEARDUP_CAND_CAP
+) -> DataFrame:
+    """Banded MinHash candidate pairs, capped per document BEFORE exact
+    verification (r8 verdict item 2): each doc keeps its ``cap`` most
+    promising candidates by shared-band count (the similarity signal the
+    banding already computed for free — pairs colliding in more bands
+    have higher estimated Jaccard), ties broken by neighbor id so the
+    cap replays deterministically in the DuckDB oracle. A pair survives
+    when EITHER endpoint keeps it, so verification is bounded by
+    2·cap·|docs| regardless of dup-group density — on a dup-dense corpus
+    the uncapped candidate list is C(g,2) per group and its exact
+    verification IS the measured ×100 cost floor of the whole family.
+    ``cap=None`` returns the uncapped candidates (the recall-audit
+    comparator)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    if cap is None:
+        return pairs.select("doc_a", "doc_b")
+    sym = _sym_expand(pairs, "n_shared_bands")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_shared_bands").desc(), F.col("neighbor").asc()
+    )
+    kept = sym.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= cap
+    )
+    return kept.select(
+        F.least("doc_id", "neighbor").alias("doc_a"),
+        F.greatest("doc_id", "neighbor").alias("doc_b"),
+    ).distinct()
+
+
+def _capped_cand_sql(cap: int | None = NEARDUP_CAND_CAP) -> str:
+    """CTE chain ending in ``cand (doc_a, doc_b)`` — the SQL twin of
+    ``_capped_lsh_candidates`` (deterministic cap replay: identical
+    band-count ranking, identical tie-break)."""
+    if cap is None:
+        return f"cand AS (SELECT doc_a, doc_b FROM ({minhash_lsh_oracle()}))"
+    return f"""cand_all AS (
+    SELECT doc_a, doc_b, n_shared_bands FROM ({minhash_lsh_oracle()})
+),
+cand_sym AS (
+    SELECT doc_a AS doc_id, doc_b AS neighbor, n_shared_bands FROM cand_all
+    UNION ALL
+    SELECT doc_b AS doc_id, doc_a AS neighbor, n_shared_bands FROM cand_all
+),
+cand_kept AS (
+    SELECT doc_id, neighbor FROM (
+        SELECT doc_id, neighbor,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY n_shared_bands DESC, neighbor ASC
+               ) AS r
+        FROM cand_sym
+    ) WHERE r <= {cap}
+),
+cand AS (
+    SELECT DISTINCT LEAST(doc_id, neighbor) AS doc_a,
+                    GREATEST(doc_id, neighbor) AS doc_b
+    FROM cand_kept
+)"""
 
 
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4284,7 +4360,10 @@ ORDER BY p.doc_a, p.doc_b
 
 
 def containment_topk(
-    spark: SparkSession, sf_dir: str, k: int = NEARDUP_TOPK
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = NEARDUP_TOPK,
+    cap: int | None = NEARDUP_CAND_CAP,
 ) -> DataFrame:
     """Per-document bounded face of ``containment_pairs``: each doc's
     top-k containment partners among the MinHash-LSH candidates, ranked
@@ -4294,8 +4373,14 @@ def containment_topk(
     ``dedup_ngram_jaccard_topk``: the pair list is the ×100 cost floor
     (91.7 s on the dup-dense replica, all of it pair output); a
     quote/sub-document pass wants each doc's strongest containers,
-    which is k·n regardless of dup-group density."""
-    cand = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    which is k·n regardless of dup-group density.
+
+    Round 9 (r8 verdict item 2): candidates are CAPPED per doc by
+    shared-band count before the exact set-overlap verification
+    (``_capped_lsh_candidates``) — verification drops from the C(g,2)
+    candidate floor to ≤ 2·cap·|docs|. Recall vs the uncapped spelling
+    is contract-audited (``neardup_topk_recall_audit``)."""
+    cand = _capped_lsh_candidates(spark, sf_dir, cap)
     sh = _shingles(spread(load_table(spark, sf_dir, "documents")))
     scored = _pair_containment(cand, sh).select(
         "doc_a",
@@ -4313,10 +4398,12 @@ def containment_topk(
     )
 
 
-def containment_topk_oracle(k: int = NEARDUP_TOPK) -> str:
+def containment_topk_oracle(
+    k: int = NEARDUP_TOPK, cap: int | None = NEARDUP_CAND_CAP
+) -> str:
     return f"""
 WITH {_SHINGLES_SQL},
-cand AS (SELECT doc_a, doc_b FROM ({minhash_lsh_oracle()})),
+{_capped_cand_sql(cap)},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
 inter AS (
     SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
@@ -4601,7 +4688,9 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tfidf_pairs(spark, sf_dir)
 
 
-def _tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _tfidf_pairs(
+    spark: SparkSession, sf_dir: str, cand: DataFrame | None = None
+) -> DataFrame:
     """Tf-idf cosine similarity for the MinHash/LSH candidate pairs — the
     third similarity lens over the same candidate set (Jaccard:
     ``dedup_ngram_jaccard``; shingle containment: ``containment_pairs``),
@@ -4664,7 +4753,8 @@ def _tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("wu") * F.col("wu")).alias("n2")
     )
-    cand = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    if cand is None:
+        cand = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     wmap = w.groupBy("doc_id").agg(
         F.map_from_entries(F.collect_list(F.struct("term", "wu"))).alias("wm")
     )
@@ -4704,7 +4794,10 @@ def _tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tfidf_doc_topk(
-    spark: SparkSession, sf_dir: str, k: int = NEARDUP_TOPK
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = NEARDUP_TOPK,
+    cap: int | None = NEARDUP_CAND_CAP,
 ) -> DataFrame:
     """Per-document bounded face of ``tfidf_doc_similarity``: each doc's
     top-k most tf-idf-cosine-similar candidates (deterministic tie-break
@@ -4713,8 +4806,14 @@ def tfidf_doc_topk(
     topical-similarity pass wants each doc's nearest neighbors, which is
     k·n rows regardless of dup-group density. Symmetric expansion is the
     shared row-local ``_sym_expand`` explode (never a self-union — the
-    union's branches would re-run the map-dot verification twice)."""
-    sym = _sym_expand(_tfidf_pairs(spark, sf_dir), "tfidf_cosine")
+    union's branches would re-run the map-dot verification twice).
+
+    Round 9 (r8 verdict item 2): candidates CAPPED per doc by
+    shared-band count before the map-dot verification
+    (``_capped_lsh_candidates``); recall vs the uncapped spelling is
+    contract-audited (``neardup_topk_recall_audit``)."""
+    cand = _capped_lsh_candidates(spark, sf_dir, cap)
+    sym = _sym_expand(_tfidf_pairs(spark, sf_dir, cand), "tfidf_cosine")
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf_cosine").desc(), F.col("neighbor").asc()
     )
@@ -4723,9 +4822,11 @@ def tfidf_doc_topk(
     )
 
 
-def tfidf_doc_topk_oracle(k: int = NEARDUP_TOPK) -> str:
+def tfidf_doc_topk_oracle(
+    k: int = NEARDUP_TOPK, cap: int | None = NEARDUP_CAND_CAP
+) -> str:
     return f"""
-WITH base AS ({tfidf_doc_similarity_oracle()}),
+WITH base AS ({tfidf_doc_similarity_oracle(cap)}),
 sym AS (
     SELECT doc_a AS doc_id, doc_b AS neighbor, tfidf_cosine FROM base
     UNION ALL
@@ -4741,9 +4842,11 @@ ORDER BY doc_id, rnk
 """
 
 
-def tfidf_doc_similarity_oracle() -> str:
+def tfidf_doc_similarity_oracle(cap: int | None = None) -> str:
+    """``cap=None`` replays the registered pair face (all banded
+    candidates); a cap replays the bounded faces' capped candidates."""
     return f"""
-WITH cand AS (SELECT doc_a, doc_b FROM ({minhash_lsh_oracle()})),
+WITH {_capped_cand_sql(cap)},
 tf AS (
     SELECT doc_id, term, COUNT(*) AS tf
     FROM (
@@ -4780,6 +4883,139 @@ JOIN norms nb ON nb.doc_id = c.doc_b
 WHERE na.n2 > 0 AND nb.n2 > 0
 ORDER BY c.doc_a, c.doc_b
 """
+
+
+# -- recall contract of the per-doc candidate cap ------------------------------
+
+def neardup_topk_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of each CAPPED bounded dedup face against its uncapped
+    spelling (all banded candidates verified), as ONE registered query —
+    the quality contract of the candidate cap, continuously checkable
+    instead of a one-off notebook claim (the ``ann_recall_audit``
+    pattern). Truth per face = the top-k over EVERY banded candidate.
+
+    Two recalls, because dup groups make them genuinely different:
+
+    - ``score_recall`` — THE contract: at each (doc, rank) the capped
+      face must deliver a neighbor as near as truth's (capped candidates
+      ⊆ uncapped, so capped score ≤ truth score at equal rank; a hit is
+      score equality at 6 dp). Inside an equivalence class of equal-
+      similarity duplicates the cap may return a DIFFERENT equally-near
+      member — for a curation pass that is full quality.
+    - ``id_recall`` — the stricter identity overlap on (doc, neighbor)
+      rows; diagnostic only, depressed by exactly those ties.
+
+    The audit's own joins are over ≤ k·|docs| rows per side; its cost is
+    the two spellings' cost (which is the point — it measures what the
+    cap saves elsewhere while proving what it keeps)."""
+
+    def recall_of(
+        face: str, capped: DataFrame, uncapped: DataFrame, score: str
+    ) -> DataFrame:
+        truth = uncapped.select(
+            "doc_id", "neighbor", "rnk", F.col(score).alias("ts")
+        )
+        cap_rows = capped.select(
+            "doc_id", "neighbor", "rnk", F.col(score).alias("cs")
+        )
+        id_hits = cap_rows.join(truth, ["doc_id", "neighbor"]).agg(
+            F.count(F.lit(1)).alias("id_hits")
+        )
+        by_rank = truth.join(
+            cap_rows.select("doc_id", "rnk", "cs"), ["doc_id", "rnk"], "left"
+        )
+        score_stats = by_rank.agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count(F.when(F.col("cs") >= F.col("ts"), 1)).alias(
+                "score_hits"
+            ),
+        )
+        return (
+            score_stats.crossJoin(id_hits)
+            .select(
+                F.lit(face).alias("face"),
+                "n_truth",
+                "score_hits",
+                "id_hits",
+                F.round(
+                    F.col("score_hits").cast("double") / F.col("n_truth"), 6
+                ).alias("score_recall"),
+                F.round(
+                    F.col("id_hits").cast("double") / F.col("n_truth"), 6
+                ).alias("id_recall"),
+            )
+        )
+
+    return (
+        recall_of(
+            "jaccard",
+            dedup_ngram_jaccard_topk(spark, sf_dir, 0.1),
+            dedup_ngram_jaccard_topk(spark, sf_dir, 0.1, cap=None),
+            "jaccard",
+        )
+        .unionByName(
+            recall_of(
+                "containment",
+                containment_topk(spark, sf_dir),
+                containment_topk(spark, sf_dir, cap=None),
+                "containment",
+            )
+        )
+        .unionByName(
+            recall_of(
+                "tfidf",
+                tfidf_doc_topk(spark, sf_dir),
+                tfidf_doc_topk(spark, sf_dir, cap=None),
+                "tfidf_cosine",
+            )
+        )
+        .orderBy("face")
+    )
+
+
+def neardup_topk_recall_audit_oracle() -> str:
+    def one(
+        face: str, capped_sql: str, uncapped_sql: str, score: str
+    ) -> str:
+        return f"""
+SELECT '{face}' AS face, n_truth, score_hits, id_hits,
+       ROUND(CAST(score_hits AS DOUBLE) / n_truth, 6) AS score_recall,
+       ROUND(CAST(id_hits AS DOUBLE) / n_truth, 6) AS id_recall
+FROM (
+    SELECT CAST((SELECT COUNT(*) FROM ({uncapped_sql})) AS BIGINT)
+               AS n_truth,
+           CAST((SELECT COUNT(*)
+                 FROM ({uncapped_sql}) u
+                 JOIN ({capped_sql}) c
+                   ON c.doc_id = u.doc_id AND c.rnk = u.rnk
+                  AND c.{score} >= u.{score}) AS BIGINT) AS score_hits,
+           CAST((SELECT COUNT(*) FROM ({capped_sql}) c
+                 JOIN ({uncapped_sql}) u
+                   ON u.doc_id = c.doc_id AND u.neighbor = c.neighbor)
+            AS BIGINT) AS id_hits
+) t"""
+
+    parts = [
+        one(
+            "jaccard",
+            dedup_ngram_jaccard_topk_oracle(0.1),
+            dedup_ngram_jaccard_topk_oracle(0.1, cap=None),
+            "jaccard",
+        ),
+        one(
+            "containment",
+            containment_topk_oracle(),
+            containment_topk_oracle(cap=None),
+            "containment",
+        ),
+        one(
+            "tfidf",
+            tfidf_doc_topk_oracle(),
+            tfidf_doc_topk_oracle(cap=None),
+            "tfidf_cosine",
+        ),
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY face"
 
 
 # -- corpus-health: source × language mix -------------------------------------

@@ -876,6 +876,13 @@ register(
     text.tfidf_doc_topk,
     text.tfidf_doc_topk_oracle(),
 )
+# recall contract of the per-doc candidate cap (r8 verdict item 2):
+# capped top-k faces vs their uncapped banded spellings, one row per face
+register(
+    "neardup_topk_recall_audit",
+    text.neardup_topk_recall_audit,
+    text.neardup_topk_recall_audit_oracle(),
+)
 # incremental MV maintenance: merged partials hash-checked vs full recompute
 register(
     "incremental_agg_refresh",
@@ -1051,65 +1058,51 @@ register("gan_eval_test", _gan_eval, _frozen_oracle("gan_test"))
 # tools/strict_check.py's full 129-query sweep). Everything not named keeps
 # its registration order after the spread.
 _PRIORITY = [
-    # ROUND-8 ROTATION — evidence freshness (r7 verdict items 1+6).
-    # The driver samples EXACTLY the first 50 registry entries per
-    # round; this window = (a) the ONE registered query with zero
-    # driver rows (event_gaps_bucketed landed after the r7 window was
-    # pinned — the r7 plan comment forgot it; it leads); then (b) the
-    # four queries NEW this round (two top-k dedup faces, two
-    # auto-switchover skew-router faces); then (c) the four r02
-    # names deferred from the r7 window; then (d) the 17 remaining
-    # FUNCTION-stale rows (`tools/driver_replay.py --stale`,
-    # authoritative: the ×100-sweep fixes — sort drops, two-level
-    # prefix max, map-dot tf-idf, no-checkpoint perplexity — landed
-    # after these queries' newest driver rows; token_counts is in
-    # group (c)); then (e) the 10 module-stale rows (wrapper-
-    # registered; containing module committed after the row); then
-    # (f) fill from the oldest unrotated r03 vintage; (g) the three
-    # pair faces whose sort-drop landed this round.
-    # 1 + 5 + 4 + 17 + 10 + 10 + 3 = 50 exactly.
+    # ROUND-9 ROTATION — evidence freshness (r8 verdict item 1: clear
+    # the last r03-vintage driver rows). The driver samples EXACTLY the
+    # first 50 registry entries per round; this window =
+    # (a) the ONE query NEW this round (the candidate-cap recall
+    # contract); then (b) the six queries whose BODIES changed this
+    # round (three top-k dedup faces gained the per-doc candidate cap
+    # with a new banded candidate source + oracles; tfidf_doc_similarity
+    # shares the reworked _tfidf_pairs kernel; the two routed faces
+    # gained the probe memo/stats path); then (c) ALL 27 remaining
+    # r03-vintage rows; then (d) 16 oldest r04-vintage fill.
+    # 1 + 6 + 27 + 16 = 50 exactly.
     #
-    # R9 WINDOW PLAN: the remaining r03 vintage (events_hourly,
-    # events_hourly_anomalies,
-    # events_hourly_gapfill, events_hourly_topk_types, events_moving_avg,
-    # events_sliding_6h, events_time_rollup,
-    # events_trailing_hour, mmd_rbf_multiscale, monthly_revenue_growth,
-    # orders_by_month, orders_cube, price_correlations, price_histogram,
-    # prior_sample_stats, priority_grouping_sets, props_json_stats,
-    # revenue_rollup, shipping_delay_stats, string_functions,
-    # user_item_vectors, user_session_totals, user_sessions_native,
-    # user_set_ops, user_type_value_map, value_percentiles,
-    # weekly_retention, ann_lsh_topk if bumped) + any query whose body
-    # changes in r8 (run `driver_replay.py --stale` at round open —
-    # it is authoritative over this comment) + fill from r04 vintage.
-    # (a) never driver-sampled (registered after the r7 window pin)
-    "event_gaps_bucketed",
-    # (b) new this round — bounded top-k faces of the pair-floor dedups
-    # and the auto-switchover faces of the skew twins
+    # R10 WINDOW PLAN: the remaining 21 r04-vintage rows
+    # (hash_collision_audit, incremental_agg_refresh,
+    # jackknife_revenue_ci, join_cardinality_estimate, join_skew_audit,
+    # link_prediction, mahalanobis_outliers, pareto_front_parts,
+    # pmi_collocations, rake_keywords, revenue_concentration,
+    # robust_value_stats, shipping_survival_curve, simhash_hamming_pairs,
+    # source_lang_mix, stratified_kfold_assignment, user_behavior_entropy,
+    # weighted_sample_aes, woe_priority_encoding, events_cusum_changepoint,
+    # events_seasonal_decompose) + any query whose body changes in r9
+    # (run `driver_replay.py --stale` at round open — it is authoritative
+    # over this comment) + fill from r05 vintage.
+    # (a) new this round
+    "neardup_topk_recall_audit",
+    # (b) bodies changed this round
     "dedup_ngram_jaccard_topk", "containment_topk", "tfidf_doc_topk",
-    "user_sessions_routed", "event_gaps_routed",
-    # (c) r02 vintage, deferred from the r7 window
-    "word_counts", "union_labels", "token_counts", "text_stats",
-    # (d) FUNCTION-stale: body committed after the newest driver row
-    "chunk_documents", "table_profile", "char_entropy_scores",
-    "cross_source_dup_matrix", "events_trailing_dau", "jl_project_audit",
-    "ngram_novelty", "readability_scores", "sq8_quantize_audit",
-    "tfidf_doc_similarity", "theil_sen_revenue_trend",
-    "value_quantile_ranks", "watermark_late_arrivals", "dsir_weights",
-    "lm_perplexity_scores", "embedding_dedup_clusters", "simhash64_jvm",
-    # (e) module-stale: containing module committed after the row
-    "als_eval_test", "cdae_eval_test", "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh", "dedup_ngram_jaccard", "gan_eval_test",
-    "negatives_reject_invariants", "negatives_sample_reject",
-    "top_orders_per_customer", "train_percent_sample",
-    # (f) oldest unrotated r03 vintage
-    "ann_lsh_topk", "best_epoch_reeval", "brand_revenue_share",
-    "conversion_funnel", "corpus_mixture_weights",
-    "dedup_embedding_cosine_lsh_p99", "doc_length_percentiles",
-    "duplicate_passages", "event_transitions", "events_dedup",
-    # (g) bodies changed THIS round (pair-output sort drops) — their
-    # newest driver rows predate the change, so they rotate in now
-    "minhash_lsh_pairs", "containment_pairs", "winnow_matches",
+    "tfidf_doc_similarity", "user_sessions_routed", "event_gaps_routed",
+    # (c) the 27 remaining r03-vintage rows
+    "events_hourly", "events_hourly_anomalies", "events_hourly_gapfill",
+    "events_hourly_topk_types", "events_moving_avg", "events_sliding_6h",
+    "events_time_rollup", "events_trailing_hour", "mmd_rbf_multiscale",
+    "monthly_revenue_growth", "orders_by_month", "orders_cube",
+    "price_correlations", "price_histogram", "prior_sample_stats",
+    "priority_grouping_sets", "props_json_stats", "revenue_rollup",
+    "shipping_delay_stats", "string_functions", "user_item_vectors",
+    "user_session_totals", "user_sessions_native", "user_set_ops",
+    "user_type_value_map", "value_percentiles", "weekly_retention",
+    # (d) oldest r04-vintage fill
+    "ab_conversion_ztest", "association_rules", "benford_price_audit",
+    "bloom_membership_audit", "bpe_merge_candidates", "cohort_ltv_triangle",
+    "conversion_latency_stats", "dedup_levenshtein", "degree_powerlaw_fit",
+    "deletion_cascade_audit", "dim_truncation_recall", "dq_violations_audit",
+    "dup_cluster_size_histogram", "embedding_dim_clip_stats",
+    "event_hour_independence", "events_above_mean_streaks",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {

@@ -30,6 +30,7 @@ BNLJ_OK = {
     "best_epoch_reeval",  # K-cutoff fanout (rn <= k vs a 2-row K table)
     "mmd_rbf",
     "ann_recall_audit",  # 1-row hit/truth aggregates cross-joined
+    "neardup_topk_recall_audit",  # 1-row recall aggregates cross-joined
     "bm25_search",  # 1-row corpus-stats (N, avgdl) cross-joined in
     "triangle_count",  # three 1-row census aggregates cross-joined
     "mmd_rbf_multiscale",

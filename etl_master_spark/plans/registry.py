@@ -1066,12 +1066,16 @@ _PRIORITY = [
     # round (three top-k dedup faces gained the per-doc candidate cap
     # with a new banded candidate source + oracles; tfidf_doc_similarity
     # shares the reworked _tfidf_pairs kernel; the two routed faces
-    # gained the probe memo/stats path); then (c) ALL 27 remaining
-    # r03-vintage rows; then (d) 16 oldest r04-vintage fill.
-    # 1 + 6 + 27 + 16 = 50 exactly.
+    # gained the probe memo/stats path); then (b2) the five module-stale
+    # rows the round-close `--stale` run surfaced (registry/text/
+    # relational modules moved; bodies unchanged); then (c) ALL 27
+    # remaining r03-vintage rows; then (d) 11 oldest r04-vintage fill.
+    # 1 + 6 + 5 + 27 + 11 = 50 exactly.
     #
-    # R10 WINDOW PLAN: the remaining 21 r04-vintage rows
-    # (hash_collision_audit, incremental_agg_refresh,
+    # R10 WINDOW PLAN: the remaining 26 r04-vintage rows
+    # (dq_violations_audit, dup_cluster_size_histogram,
+    # embedding_dim_clip_stats, event_hour_independence,
+    # events_above_mean_streaks, hash_collision_audit, incremental_agg_refresh,
     # jackknife_revenue_ci, join_cardinality_estimate, join_skew_audit,
     # link_prediction, mahalanobis_outliers, pareto_front_parts,
     # pmi_collocations, rake_keywords, revenue_concentration,
@@ -1096,13 +1100,16 @@ _PRIORITY = [
     "shipping_delay_stats", "string_functions", "user_item_vectors",
     "user_session_totals", "user_sessions_native", "user_set_ops",
     "user_type_value_map", "value_percentiles", "weekly_retention",
+    # (b2) module-stale at round close (`driver_replay.py --stale`,
+    # authoritative: registry.py/text.py/relational.py moved this round,
+    # so their wrapper-registered rows re-certify now; bodies unchanged)
+    "als_eval_test", "cdae_eval_test", "gan_eval_test",
+    "dedup_ngram_jaccard", "top_orders_per_customer",
     # (d) oldest r04-vintage fill
     "ab_conversion_ztest", "association_rules", "benford_price_audit",
     "bloom_membership_audit", "bpe_merge_candidates", "cohort_ltv_triangle",
     "conversion_latency_stats", "dedup_levenshtein", "degree_powerlaw_fit",
-    "deletion_cascade_audit", "dim_truncation_recall", "dq_violations_audit",
-    "dup_cluster_size_histogram", "embedding_dim_clip_stats",
-    "event_hour_independence", "events_above_mean_streaks",
+    "deletion_cascade_audit", "dim_truncation_recall",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {

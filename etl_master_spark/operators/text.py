@@ -435,6 +435,7 @@ def dedup_ngram_jaccard_topk(
     threshold: float = 0.1,
     k: int = NEARDUP_TOPK,
     cap: int | None = NEARDUP_CAND_CAP,
+    cand: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document bounded face of the Jaccard near-dup family: each
     doc's top-k nearest near-dups, ranked by exact Jaccard (ties broken
@@ -461,8 +462,10 @@ def dedup_ngram_jaccard_topk(
     frame picks the capped candidates, exact row-local
     ``array_intersect`` verifies only those, then ONE row_number window
     partitioned by doc_id ranks the survivors. No global sort, no
-    single-partition exchange."""
-    cand = _capped_lsh_candidates(spark, sf_dir, cap)
+    single-partition exchange. ``cand`` lets the recall audit supply a
+    shared materialized candidate frame."""
+    if cand is None:
+        cand = _capped_lsh_candidates(spark, sf_dir, cap)
     docs = load_table(spark, sf_dir, "documents")
     pairs = _pair_jaccard(cand, _shingles(docs)).filter(
         F.col("jaccard") >= threshold
@@ -618,7 +621,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _capped_lsh_candidates(
-    spark: SparkSession, sf_dir: str, cap: int | None = NEARDUP_CAND_CAP
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int | None = NEARDUP_CAND_CAP,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Banded MinHash candidate pairs, capped per document BEFORE exact
     verification (r8 verdict item 2): each doc keeps its ``cap`` most
@@ -631,8 +637,11 @@ def _capped_lsh_candidates(
     the uncapped candidate list is C(g,2) per group and its exact
     verification IS the measured ×100 cost floor of the whole family.
     ``cap=None`` returns the uncapped candidates (the recall-audit
-    comparator)."""
-    pairs = minhash_lsh_pairs(spark, sf_dir)
+    comparator); ``pairs`` lets a caller that already materialized the
+    banded pair frame (the recall audit builds SIX spellings over one
+    index) skip rebuilding the signature subtree."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(spark, sf_dir)
     if cap is None:
         return pairs.select("doc_a", "doc_b")
     sym = _sym_expand(pairs, "n_shared_bands")
@@ -4364,6 +4373,7 @@ def containment_topk(
     sf_dir: str,
     k: int = NEARDUP_TOPK,
     cap: int | None = NEARDUP_CAND_CAP,
+    cand: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document bounded face of ``containment_pairs``: each doc's
     top-k containment partners among the MinHash-LSH candidates, ranked
@@ -4380,7 +4390,8 @@ def containment_topk(
     (``_capped_lsh_candidates``) — verification drops from the C(g,2)
     candidate floor to ≤ 2·cap·|docs|. Recall vs the uncapped spelling
     is contract-audited (``neardup_topk_recall_audit``)."""
-    cand = _capped_lsh_candidates(spark, sf_dir, cap)
+    if cand is None:
+        cand = _capped_lsh_candidates(spark, sf_dir, cap)
     sh = _shingles(spread(load_table(spark, sf_dir, "documents")))
     scored = _pair_containment(cand, sh).select(
         "doc_a",
@@ -4798,6 +4809,7 @@ def tfidf_doc_topk(
     sf_dir: str,
     k: int = NEARDUP_TOPK,
     cap: int | None = NEARDUP_CAND_CAP,
+    cand: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document bounded face of ``tfidf_doc_similarity``: each doc's
     top-k most tf-idf-cosine-similar candidates (deterministic tie-break
@@ -4812,7 +4824,8 @@ def tfidf_doc_topk(
     shared-band count before the map-dot verification
     (``_capped_lsh_candidates``); recall vs the uncapped spelling is
     contract-audited (``neardup_topk_recall_audit``)."""
-    cand = _capped_lsh_candidates(spark, sf_dir, cap)
+    if cand is None:
+        cand = _capped_lsh_candidates(spark, sf_dir, cap)
     sym = _sym_expand(_tfidf_pairs(spark, sf_dir, cand), "tfidf_cosine")
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf_cosine").desc(), F.col("neighbor").asc()
@@ -4907,7 +4920,11 @@ def neardup_topk_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The audit's own joins are over ≤ k·|docs| rows per side; its cost is
     the two spellings' cost (which is the point — it measures what the
-    cap saves elsewhere while proving what it keeps)."""
+    cap saves elsewhere while proving what it keeps). The banded MinHash
+    index is materialized ONCE and shared by all six spellings
+    (localCheckpoint'd pair frame + the capped/uncapped candidate frames
+    derived from it) — without the sharing the audit rebuilt the
+    signature subtree six times."""
 
     def recall_of(
         face: str, capped: DataFrame, uncapped: DataFrame, score: str
@@ -4946,26 +4963,33 @@ def neardup_topk_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    pairs = minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    cand_all = pairs.select("doc_a", "doc_b")
+    cand_cap = _capped_lsh_candidates(
+        spark, sf_dir, pairs=pairs
+    ).localCheckpoint()
     return (
         recall_of(
             "jaccard",
-            dedup_ngram_jaccard_topk(spark, sf_dir, 0.1),
-            dedup_ngram_jaccard_topk(spark, sf_dir, 0.1, cap=None),
+            dedup_ngram_jaccard_topk(spark, sf_dir, 0.1, cand=cand_cap),
+            dedup_ngram_jaccard_topk(
+                spark, sf_dir, 0.1, cap=None, cand=cand_all
+            ),
             "jaccard",
         )
         .unionByName(
             recall_of(
                 "containment",
-                containment_topk(spark, sf_dir),
-                containment_topk(spark, sf_dir, cap=None),
+                containment_topk(spark, sf_dir, cand=cand_cap),
+                containment_topk(spark, sf_dir, cap=None, cand=cand_all),
                 "containment",
             )
         )
         .unionByName(
             recall_of(
                 "tfidf",
-                tfidf_doc_topk(spark, sf_dir),
-                tfidf_doc_topk(spark, sf_dir, cap=None),
+                tfidf_doc_topk(spark, sf_dir, cand=cand_cap),
+                tfidf_doc_topk(spark, sf_dir, cap=None, cand=cand_all),
                 "tfidf_cosine",
             )
         )

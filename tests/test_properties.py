@@ -269,3 +269,49 @@ def test_png_decode_reconstructs_any_filtered_image(case):
         expect = [float(r[x * ch]) for r in rows for x in range(width)]
     assert len(got) == len(expect)
     assert all(abs(a - b) < 1e-9 for a, b in zip(got, expect))
+
+
+def test_capped_topk_partitioning_invariance(spark, tmp_path):
+    """The capped top-k dedup face is a pure function of the document
+    SET: minhash signatures are row-local, shared-band counts are
+    set-aggregates, and both the candidate cap and the final rank break
+    ties deterministically (band count desc / jaccard desc, then
+    neighbor id) — so file layout and row order must not change a
+    single output row."""
+    import random
+
+    from etl_master_spark.operators.text import dedup_ngram_jaccard_topk
+
+    rng = random.Random(91)
+    words = [f"w{i}" for i in range(50)]
+    base = " ".join(rng.choice(words) for _ in range(25))
+    rows = []
+    for i in range(24):
+        if i % 4 == 0:  # a planted 6-member near-dup group
+            rows.append((i, f"{base} tail{i}", "en", "s"))
+        else:
+            rows.append(
+                (i, " ".join(rng.choice(words) for _ in range(25)), "en", "s")
+            )
+    df = spark.createDataFrame(
+        [(i, t, lang, s, len(t)) for i, t, lang, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    layouts = [
+        df.repartition(1),
+        df.repartition(7),
+        df.orderBy(df.doc_id.desc()).coalesce(1),
+    ]
+    ref = None
+    for j, layout in enumerate(layouts):
+        d = tmp_path / f"layout{j}"
+        layout.write.parquet(f"{d}/documents.parquet")
+        got = sorted(
+            tuple(r)
+            for r in dedup_ngram_jaccard_topk(spark, str(d), 0.1).collect()
+        )
+        if ref is None:
+            ref = got
+            assert ref, "the planted dup group must emit top-k rows"
+        else:
+            assert got == ref, f"layout {j} changed the output"

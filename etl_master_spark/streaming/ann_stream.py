@@ -91,6 +91,23 @@ def make_pq_append_processor(
     h = F.expr(phash_frag("vec_id", seed=IDX_SEED))
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        # Checkpoint/state desync guard (mirrors eval_stream.read_chunks):
+        # under monotonic-epoch streaming only the RUNNING epoch can be
+        # replayed, so code dirs strictly above it mean a reset/deleted
+        # streaming checkpoint with a retained codes/ dir — the fresh
+        # checkpoint renumbers epochs from 0 with a possibly different
+        # file-to-epoch assignment, and silently rewriting e0 while stale
+        # e1..eN persist would double-count or drop vectors in every
+        # reader. Fail loudly instead.
+        ahead = sorted(
+            e for e in _code_epochs(work_dir) if e > int(epoch_id)
+        )
+        if ahead:
+            raise RuntimeError(
+                f"pq stream codes dir has epochs {ahead} above running "
+                f"epoch {int(epoch_id)} — codes dir and streaming "
+                "checkpoint out of sync; clear one of them"
+            )
         new = batch_df.filter((h % IDX_OLD_MOD) >= IDX_OLD_LT)
         codes = encode_batch(cdf, new).withColumn(
             "batch_id", F.lit(int(epoch_id)).cast("long")
@@ -101,6 +118,17 @@ def make_pq_append_processor(
         codes.write.parquet(str(path))
 
     return process
+
+
+def _code_epochs(work_dir: str) -> list[int]:
+    base = Path(work_dir) / "codes"
+    if not base.exists():
+        return []
+    return sorted(
+        int(p.name[1:])
+        for p in base.iterdir()
+        if p.name.startswith("e") and p.name[1:].isdigit()
+    )
 
 
 def pq_index_append_stream(
@@ -131,15 +159,23 @@ def pq_index_append_stream(
 def read_pq_codes(spark: SparkSession, work_dir: str) -> DataFrame | None:
     """All appended (vec_id, m, code, qerr, batch_id) rows — the raw
     index a serving tier would ingest."""
-    base = Path(work_dir) / "codes"
-    if not base.exists():
-        return None
-    paths = sorted(
-        str(p) for p in base.iterdir() if p.name.startswith("e")
-    )
+    paths = [
+        str(Path(work_dir) / "codes" / f"e{e}")
+        for e in _code_epochs(work_dir)
+    ]
     if not paths:
         return None
     return spark.read.parquet(*paths)
+
+
+def _codes_or_raise(spark: SparkSession, work_dir: str) -> DataFrame:
+    codes = read_pq_codes(spark, work_dir)
+    if codes is None:
+        raise RuntimeError(
+            f"no PQ codes under {work_dir}/codes — the stream has not "
+            "drained any batch yet (await the query before auditing)"
+        )
+    return codes
 
 
 def pq_stream_index_audit(spark: SparkSession, work_dir: str) -> DataFrame:
@@ -147,7 +183,7 @@ def pq_stream_index_audit(spark: SparkSession, work_dir: str) -> DataFrame:
     everything appended so far — the EXACT output shape of the batch
     face, so convergence is checkable row-for-row: after the stream
     drains the same arrival set, this equals ``pq_index_append``."""
-    codes = read_pq_codes(spark, work_dir)
+    codes = _codes_or_raise(spark, work_dir)
     return (
         codes.groupBy("m", "code")
         .agg(
@@ -162,7 +198,7 @@ def read_pq_drift(spark: SparkSession, work_dir: str) -> DataFrame:
     """Per-batch drift series (batch_id, n_codes, avg_qerr): the retrain
     trigger — derived from the epoch-keyed code files, so a replayed
     batch can never double-count a row."""
-    codes = read_pq_codes(spark, work_dir)
+    codes = _codes_or_raise(spark, work_dir)
     return (
         codes.groupBy("batch_id")
         .agg(

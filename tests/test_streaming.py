@@ -530,22 +530,54 @@ def test_pq_index_append_stream_converges_to_batch(spark, sf_dir, tmp_path):
         r["n_new"] for r in pq_index_append(spark, sf_dir).collect()
     )
 
-    # replay: re-deliver epoch 0's own rows straight into the processor
-    # (availableNow assigns files to epochs in its own order, so rebuild
-    # the batch from what epoch 0 actually committed) — the epoch dir
-    # rewrites, the audit must not move
+    # replay: re-deliver the LAST epoch's own rows straight into the
+    # processor (only the running = latest epoch can replay in a real
+    # stream; the desync guard rejects older ones — tested separately).
+    # availableNow assigns files to epochs in its own order, so rebuild
+    # the batch from what that epoch actually committed — the epoch dir
+    # rewrites, the audit must not move.
+    from etl_master_spark.streaming.ann_stream import _code_epochs
+
     process = make_pq_append_processor(spark, sf_dir, str(work))
+    last = max(_code_epochs(str(work)))
     # localCheckpoint: the rebuilt batch's lineage must not read the very
-    # e0 files the replay deletes before rewriting
-    e0_ids = spark.read.parquet(str(work / "codes" / "e0")).select(
+    # epoch files the replay deletes before rewriting
+    last_ids = spark.read.parquet(str(work / "codes" / f"e{last}")).select(
         "vec_id"
     ).distinct().localCheckpoint()
     replay_batch = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .join(e0_ids, "vec_id", "left_semi")
+        .join(last_ids, "vec_id", "left_semi")
     )
-    process(replay_batch, 0)
+    process(replay_batch, last)
     got2 = sorted(
         tuple(r) for r in pq_stream_index_audit(spark, str(work)).collect()
     )
     assert got2 == got
+
+    # desync guard (r9 ADVICE): a reset streaming checkpoint renumbers
+    # epochs from 0 while e1..eN persist — process() must fail loudly,
+    # never silently rewrite e0 under stale higher dirs
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="out of sync"):
+        process(replay_batch, 0)
+
+
+def test_pq_stream_audit_before_drain_raises(spark, sf_dir, tmp_path):
+    """Auditing an undrained stream (no codes landed yet) raises a
+    descriptive error instead of AttributeError-ing on None (r9 ADVICE)."""
+    import pytest as _pytest
+
+    from etl_master_spark.streaming.ann_stream import (
+        pq_stream_index_audit,
+        read_pq_codes,
+        read_pq_drift,
+    )
+
+    work = tmp_path / "pq_empty"
+    assert read_pq_codes(spark, str(work)) is None
+    with _pytest.raises(RuntimeError, match="not .*drained|no PQ codes"):
+        pq_stream_index_audit(spark, str(work))
+    with _pytest.raises(RuntimeError, match="not .*drained|no PQ codes"):
+        read_pq_drift(spark, str(work))

@@ -25,6 +25,7 @@ Design for scale:
 from __future__ import annotations
 
 import hashlib
+from typing import NamedTuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -383,6 +384,58 @@ jac AS (
 )"""
 
 
+def _ngram_rep_edges(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-dup-collapsed core of the prefix-blocked Jaccard family
+    (r9 verdict item 2 — the 41×-superlinear fix): verification runs
+    ONCE per pair of DISTINCT texts instead of once per member pair.
+
+    Returns ``(edges, groups)``: ``groups`` is (doc_id, gid, source)
+    over ALL documents (gid = min doc_id of the md5(text) group —
+    ``dedup_exact``'s canonical id; prefix and fingerprint ride the same
+    scan, so nothing but narrow columns shuffles); ``edges`` is
+    (doc_a=ga, doc_b=gb, jaccard) rep-level — prefix-blocked pairs of
+    representatives plus one self-loop per multi-member group, both
+    scored by the SAME ``_pair_jaccard`` kernel (a self-loop scores its
+    group's identical texts: array_intersect(sa, sa) → jaccard exactly
+    1.0; groups under SHINGLE_N tokens drop in the kernel's inner join,
+    exactly like every member pair they stand for). Jaccard and the
+    32-char prefix are pure functions of the text, so rep-level results
+    apply verbatim to every member pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    gf = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("fp"),
+            F.substring("text", 1, 32).alias("pfx"),
+        )
+        .withColumn("gid", F.min("doc_id").over(Window.partitionBy("fp")))
+        .drop("fp")
+    )
+    groups = gf.select("doc_id", "gid", "source").localCheckpoint()
+    reps = gf.filter(F.col("doc_id") == F.col("gid")).select("gid", "pfx")
+    rep_pairs = (
+        reps.alias("a")
+        .join(reps.alias("b"), "pfx")
+        .filter(F.col("a.gid") < F.col("b.gid"))
+        .select(
+            F.col("a.gid").alias("doc_a"), F.col("b.gid").alias("doc_b")
+        )
+    )
+    loops = (
+        groups.groupBy("gid")
+        .agg(F.count(F.lit(1)).alias("g_size"))
+        .filter(F.col("g_size") >= 2)
+        .select(F.col("gid").alias("doc_a"), F.col("gid").alias("doc_b"))
+    )
+    edges = _pair_jaccard(rep_pairs.unionByName(loops), _shingles(docs)).filter(
+        F.col("jaccard") >= threshold
+    )
+    return edges, groups
+
+
 def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, threshold: float = 0.1
 ) -> DataFrame:
@@ -393,19 +446,20 @@ def dedup_ngram_jaccard(
     inherently its own cost floor (dup groups of size g emit C(g,2) rows)
     and a global range-sort over it bought nothing — consumers
     (``cross_source_dup_matrix``) aggregate it, and the correctness
-    compare is order-insensitive (the event_gaps contract)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pref = docs.select("doc_id", F.substring("text", 1, 32).alias("pfx"))
-    pairs = (
-        pref.alias("a")
-        .join(pref.alias("b"), "pfx")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-    )
-    return _pair_jaccard(pairs, _shingles(docs)).filter(
-        F.col("jaccard") >= threshold
+    compare is order-insensitive (the event_gaps contract).
+
+    Round 10: verification is exact-dup-collapsed (``_ngram_rep_edges``)
+    — the expensive array_intersect runs per DISTINCT-text pair; member
+    pairs are restored by ``_expand_pairs`` carrying the rep's jaccard
+    (text-invariant, so bit-identical to scoring each pair). The DuckDB
+    oracle keeps the uncollapsed spelling — equality is the proof."""
+    edges, groups = _ngram_rep_edges(spark, sf_dir, threshold)
+    return _expand_pairs(
+        edges.select(
+            F.col("doc_a").alias("ga"), F.col("doc_b").alias("gb"), "jaccard"
+        ),
+        groups.select("doc_id", "gid"),
+        ["jaccard"],
     )
 
 
@@ -596,7 +650,9 @@ def _minhash_consts() -> list[tuple[int, int]]:
     ]
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, index: "_LshIndex | None" = None
+) -> DataFrame:
     """MinHash(16)/LSH(4x4) candidate pairs.
 
     Hash family: ONE md5 per shingle parsed to a 56-bit integer, then 16
@@ -604,19 +660,69 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheaper than 16 md5 passes and portable (DuckDB parses '0x…'::BIGINT,
     Spark uses conv(hex,16,10); both yield the identical integer). Band key
     = md5 of 4 signature values; docs sharing any band bucket become a
-    candidate pair (the only join, keyed by band digest — uniformly spread,
-    skew-free). Output: (doc_a, doc_b, n_shared_bands). No output sort —
+    candidate pair. Output: (doc_a, doc_b, n_shared_bands). No output sort —
     the pair list is full-output-sized on a dup-dense corpus (the
-    event_gaps contract; the correctness compare is order-insensitive)."""
-    bands = _minhash_bands(spark, sf_dir)
-    return (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bkey"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+    event_gaps contract; the correctness compare is order-insensitive).
+
+    Hot-bucket guard (r9 verdict item 2): exact-duplicate documents have
+    identical signatures, so a g-member boilerplate group used to put g
+    rows in EVERY one of its band buckets and the self-join emitted
+    4·C(g,2) rows before any downstream bound. Identical texts now enter
+    banding ONCE (``_lsh_index`` collapses md5(text) groups to their
+    min-doc_id representative), the self-join runs on representatives,
+    and member pairs are restored by ``_expand_pairs`` — bit-identical
+    output (signatures, hence band keys and n_shared_bands, are pure
+    functions of the text): within a group every pair shares all
+    ``MINHASH_BANDS`` bands; across groups the rep-level count applies to
+    every member pair. The join is then bounded by DISTINCT-text bucket
+    occupancy; the expansion is output-sized, which for a pair-reporting
+    face is the floor."""
+    idx = index if index is not None else _lsh_index(spark, sf_dir)
+    return _expand_pairs(_rep_band_edges(idx), idx.groups, ["n_shared_bands"])
+
+
+def _rep_band_edges(idx: "_LshIndex") -> DataFrame:
+    """Representative-level LSH edges (ga, gb, n_shared_bands), ga <= gb:
+    the band self-join over one-row-per-distinct-text bands, plus one
+    self-loop per multi-member group (identical texts share all bands by
+    definition — no join needed to know it)."""
+    rb = idx.rep_bands
+    cross = (
+        rb.alias("a")
+        .join(rb.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.gid") < F.col("b.gid"))
+        .groupBy(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    loops = idx.multi_gids.select(
+        F.col("gid").alias("ga"),
+        F.col("gid").alias("gb"),
+        F.lit(MINHASH_BANDS).cast("long").alias("n_shared_bands"),
+    )
+    return cross.unionByName(loops)
+
+
+def _expand_pairs(
+    edges: DataFrame, groups: DataFrame, payload: list[str]
+) -> DataFrame:
+    """Rep-level edges (ga, gb, *payload) → member pairs (doc_a, doc_b,
+    *payload): every (x ∈ ga, y ∈ gb) combination for cross edges, every
+    unordered member pair for self-loops. The payload is text-invariant
+    by construction (similarity of identical texts), so copying it is
+    exact. Output-sized by definition; a self-loop over a g-member group
+    emits its C(g,2) pairs through one equi-join key — inherent to any
+    full-pair contract, and exactly what the capped/top-k faces avoid."""
+    ma = groups.select(F.col("gid").alias("ga"), F.col("doc_id").alias("xa"))
+    mb = groups.select(F.col("gid").alias("gb"), F.col("doc_id").alias("xb"))
+    return (
+        edges.join(ma, "ga")
+        .join(mb, "gb")
+        .filter((F.col("ga") != F.col("gb")) | (F.col("xa") < F.col("xb")))
+        .select(
+            F.least("xa", "xb").alias("doc_a"),
+            F.greatest("xa", "xb").alias("doc_b"),
+            *payload,
+        )
     )
 
 
@@ -624,7 +730,7 @@ def _capped_lsh_candidates(
     spark: SparkSession,
     sf_dir: str,
     cap: int | None = NEARDUP_CAND_CAP,
-    pairs: DataFrame | None = None,
+    index: "_LshIndex | None" = None,
 ) -> DataFrame:
     """Banded MinHash candidate pairs, capped per document BEFORE exact
     verification (r8 verdict item 2): each doc keeps its ``cap`` most
@@ -633,22 +739,55 @@ def _capped_lsh_candidates(
     have higher estimated Jaccard), ties broken by neighbor id so the
     cap replays deterministically in the DuckDB oracle. A pair survives
     when EITHER endpoint keeps it, so verification is bounded by
-    2·cap·|docs| regardless of dup-group density — on a dup-dense corpus
-    the uncapped candidate list is C(g,2) per group and its exact
-    verification IS the measured ×100 cost floor of the whole family.
-    ``cap=None`` returns the uncapped candidates (the recall-audit
-    comparator); ``pairs`` lets a caller that already materialized the
-    banded pair frame (the recall audit builds SIX spellings over one
-    index) skip rebuilding the signature subtree."""
-    if pairs is None:
-        pairs = minhash_lsh_pairs(spark, sf_dir)
+    2·cap·|docs| regardless of dup-group density. ``cap=None`` returns
+    the uncapped candidates (the recall-audit comparator); ``index``
+    lets a caller that already materialized the banded index (the recall
+    audit builds SIX spellings over one) skip rebuilding it.
+
+    Truncated expansion (r9 verdict item 2): the cap is applied WITHOUT
+    materializing the full member-pair expansion. Candidates of doc d
+    ranked by (n_shared_bands DESC, neighbor ASC) come whole-group at a
+    time — every member of a neighbor group shares d's rep-level band
+    count — so any candidate d can keep is among its group's ``cap+1``
+    smallest doc_ids (were cap+1 same-group ids ahead of it, they alone
+    would fill the cap; +1 covers d occupying a slot in its own group).
+    Each group therefore contributes at most cap+1 ids (precomputed by
+    one sort_array/slice), the per-doc frame is (#neighbor groups)·
+    (cap+1) rows instead of Σ group sizes, and a 10⁴-member boilerplate
+    group costs O(g·cap), not O(g²). The DuckDB oracle keeps replaying
+    the cap over the FULL expansion — equality is the proof."""
+    idx = index if index is not None else _lsh_index(spark, sf_dir)
     if cap is None:
-        return pairs.select("doc_a", "doc_b")
-    sym = _sym_expand(pairs, "n_shared_bands")
+        return minhash_lsh_pairs(spark, sf_dir, index=idx).select(
+            "doc_a", "doc_b"
+        )
+    edges = _rep_band_edges(idx)
+    sym_edges = edges.select(
+        F.col("ga").alias("gid"), F.col("gb").alias("ngid"), "n_shared_bands"
+    ).unionByName(
+        edges.filter(F.col("ga") != F.col("gb")).select(
+            F.col("gb").alias("gid"),
+            F.col("ga").alias("ngid"),
+            "n_shared_bands",
+        )
+    )
+    trunc = idx.groups.groupBy(F.col("gid").alias("ngid")).agg(
+        F.slice(
+            F.sort_array(F.collect_list("doc_id")), 1, cap + 1
+        ).alias("nbrs")
+    )
+    cand = (
+        idx.groups.join(sym_edges, "gid")
+        .join(trunc, "ngid")
+        .select(
+            "doc_id", "n_shared_bands", F.explode("nbrs").alias("neighbor")
+        )
+        .filter(F.col("neighbor") != F.col("doc_id"))
+    )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("n_shared_bands").desc(), F.col("neighbor").asc()
     )
-    kept = sym.withColumn("r", F.row_number().over(w)).filter(
+    kept = cand.withColumn("r", F.row_number().over(w)).filter(
         F.col("r") <= cap
     )
     return kept.select(
@@ -688,10 +827,39 @@ cand AS (
 )"""
 
 
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, bkey) LSH band frame, checkpointed — the
-    materialized index that BOTH the pair query (self-join) and the
-    clustering star edges build on. Hash family documented in
+class _LshIndex(NamedTuple):
+    """The materialized banded-MinHash index, exact-dup-collapsed
+    (r9 verdict item 2 — the hot-bucket guard):
+
+    - ``groups``: (doc_id, gid) for every banded doc (>= SHINGLE_N
+      tokens); gid = min doc_id over the doc's md5(text) group, i.e.
+      ``dedup_exact``'s canonical id restricted to banded docs.
+    - ``rep_bands``: (gid, band, bkey) — band rows for ONE representative
+      per distinct text, the only rows any self-join sees.
+    - ``multi_gids``: (gid) groups with >= 2 members — exactly the
+      self-loop edges (identical texts share every band by definition).
+
+    All three are localCheckpoint'd: every face of the family (pairs,
+    capped candidates, clusters, the recall audit's six spellings) reads
+    the materialized frames instead of replaying the signature subtree."""
+
+    groups: DataFrame
+    rep_bands: DataFrame
+    multi_gids: DataFrame
+
+
+def _lsh_index(spark: SparkSession, sf_dir: str) -> _LshIndex:
+    """Build the collapsed index. The signature stays row-local in the
+    scan exactly as before (no pre-join exchange for it); the ONE new
+    shuffle is the narrow (doc_id, fp, 16×bigint ≈ 160 B/row) window
+    that assigns group ids — in exchange, duplicate texts never enter
+    the band frame, so the band self-join's bucket occupancy is bounded
+    by DISTINCT-text collisions and the boilerplate mega-bucket
+    (g identical docs → 4·C(g,2) join rows) cannot occur. Signatures are
+    still computed for every doc (cheaper than shuffling text or hashed
+    shingle arrays to collapse first); a corpus with extreme dup rates
+    can flip that trade by grouping on md5(text) before signing, at the
+    cost of one corpus-wide text exchange. Hash family documented in
     ``minhash_lsh_pairs``."""
     from ..functions.hashing import PHASH_P
 
@@ -726,14 +894,20 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(PHASH_P)
 
     sig = spread(docs.filter(F.size(toks) >= SHINGLE_N)).select(
-        "doc_id", hs.alias("hs")
+        "doc_id", F.md5("text").alias("fp"), hs.alias("hs")
     ).select(
         "doc_id",
+        "fp",
         *[
             F.array_min(F.transform("hs", _rehash(a, b))).alias(f"mh{j}")
             for j, (a, b) in enumerate(_minhash_consts())
         ],
     )
+    sig_g = sig.withColumn(
+        "gid", F.min("doc_id").over(Window.partitionBy("fp"))
+    ).drop("fp")
+    groups = sig_g.select("doc_id", "gid").localCheckpoint()
+    rep_sig = sig_g.filter(F.col("doc_id") == F.col("gid"))
     rows_per_band = MINHASH_K // MINHASH_BANDS
     # one explode instead of a 4-way union: the union spelling recomputes
     # the signature aggregate once per band (and once more per join side)
@@ -754,13 +928,13 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    return (
-        sig.select("doc_id", F.explode(band_structs).alias("bb"))
+    rep_bands = (
+        rep_sig.select("gid", F.explode(band_structs).alias("bb"))
         .select(
-            "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+            "gid", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
         )
         # every consumer (both sides of the pair self-join, or the star-
-        # edge window) re-reads this 4×|docs|-row frame; without
+        # edge window) re-reads this 4×|distinct texts|-row frame; without
         # materialization the shingle→md5→signature subtree (the expensive
         # part) executes once per consumer. localCheckpoint, not cache: its
         # blocks are reference-GC'd when the query's frames go out of
@@ -768,6 +942,14 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         # accumulates pinned cache entries
         .localCheckpoint()
     )
+    multi_gids = (
+        groups.groupBy("gid")
+        .agg(F.count(F.lit(1)).alias("g_size"))
+        .filter(F.col("g_size") >= 2)
+        .select("gid")
+        .localCheckpoint()
+    )
+    return _LshIndex(groups=groups, rep_bands=rep_bands, multi_gids=multi_gids)
 
 
 def minhash_lsh_oracle() -> str:
@@ -1059,15 +1241,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     still matches) while a dup group of g docs contributes O(g) edges
     instead of O(g²). On a dup-heavy corpus this is the difference
     between linear and quadratic: the ×100 replica (dup groups of ~100)
-    generates ~119M collision pairs but only ~2.4M star edges."""
-    bands = _minhash_bands(spark, sf_dir)
+    generates ~119M collision pairs but only ~2.4M star edges.
+
+    With the exact-dup collapse (r9 verdict item 2) the stars are two
+    disjoint tiers: per-bucket stars over REPRESENTATIVE bands (one row
+    per distinct text) plus one star per md5(text) group (gid → member).
+    Connectivity is unchanged — a member reaches everything its rep
+    reaches, and identical texts were mutually connected through their
+    shared buckets anyway — and the component minimum is preserved
+    because gid IS its group's min doc_id. Labels are therefore
+    bit-identical while boilerplate groups stop inflating bucket windows."""
+    idx = _lsh_index(spark, sf_dir)
     w = Window.partitionBy("band", "bkey")
-    pairs = (
-        bands.withColumn("root", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") != F.col("root"))
-        .select(F.col("root").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    rep_star = (
+        idx.rep_bands.withColumn("root", F.min("gid").over(w))
+        .filter(F.col("gid") != F.col("root"))
+        .select(F.col("root").alias("doc_a"), F.col("gid").alias("doc_b"))
         .distinct()
     )
+    member_star = idx.groups.filter(F.col("doc_id") != F.col("gid")).select(
+        F.col("gid").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    # the tiers are disjoint by construction (rep_star targets are gids,
+    # member_star targets are non-rep members) — no cross-tier distinct
+    pairs = rep_star.unionByName(member_star)
     nodes = load_table(spark, sf_dir, "documents").select("doc_id")
     return _connected_components(nodes, pairs)
 
@@ -4922,9 +5119,19 @@ def neardup_topk_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two spellings' cost (which is the point — it measures what the
     cap saves elsewhere while proving what it keeps). The banded MinHash
     index is materialized ONCE and shared by all six spellings
-    (localCheckpoint'd pair frame + the capped/uncapped candidate frames
-    derived from it) — without the sharing the audit rebuilt the
-    signature subtree six times."""
+    (the collapsed ``_LshIndex`` plus the capped/uncapped candidate
+    frames derived from it) — without the sharing the audit rebuilt the
+    signature subtree six times.
+
+    SCOPE (r9 ADVICE): both sides draw candidates from the SAME banded
+    MinHash index, so these recalls measure the CAP's loss only —
+    band-level LSH misses (a true near-dup pair colliding in no band,
+    probability (1-J^r)^b of the S-curve) are outside this contract and
+    are NOT bounded by score_recall=1.0. The banding's own miss rate vs
+    the exact generator is what ``minhash_band_calibration`` measures
+    (observed collision rate per Jaccard decile against the S-curve
+    value), and the exact-prefix pair face ``dedup_ngram_jaccard`` stays
+    registered as the exhaustive definition."""
 
     def recall_of(
         face: str, capped: DataFrame, uncapped: DataFrame, score: str
@@ -4963,10 +5170,12 @@ def neardup_topk_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    pairs = minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
-    cand_all = pairs.select("doc_a", "doc_b")
+    idx = _lsh_index(spark, sf_dir)
+    cand_all = minhash_lsh_pairs(spark, sf_dir, index=idx).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint()
     cand_cap = _capped_lsh_candidates(
-        spark, sf_dir, pairs=pairs
+        spark, sf_dir, index=idx
     ).localCheckpoint()
     return (
         recall_of(
@@ -5143,29 +5352,76 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     or within-source duplication (re-crawls) dominates, i.e. WHERE the
     dedup budget should go.
 
-    The pair census joins the (doc → source) map twice onto the verified
-    pairs and canonicalizes the source pair by least/greatest. Scale:
-    inherits the candidate-bounded dedup pipeline; the pair stream is the
-    cost floor (dup groups of size g emit C(g,2) verified pairs — the
-    ×100 sweep's 210× ratio was that inherent pair blowup PLUS an
-    inherited 27M-row global sort, since removed from the jaccard face),
-    the source joins are plain shuffle joins on the pair stream (the doc
-    map is corpus-sized, NOT broadcastable at 100 TB), and the matrix
-    itself is |sources|² at most."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    src = docs.select("doc_id", "source")
-    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
-    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+    Round 10 (r9 verdict item 2): the census never materializes the
+    member-pair expansion. Verified edges are rep-level
+    (``_ngram_rep_edges`` — one verification per distinct-text pair) and
+    the matrix counts are pure multiplicity arithmetic over per-(group,
+    source) member counts: a cross edge between groups i and j
+    contributes cnt_i[s1]·cnt_j[s2] pairs to cell (s1,s2); a group's
+    self-loop contributes cnt[s1]·cnt[s2] for s1<s2 and C(cnt,2) on the
+    diagonal. A 10⁴-member boilerplate group costs O(sources), not
+    C(g,2) ≈ 5·10⁷ joined rows — the ×100 sweep's 41× superlinearity was
+    exactly that expansion. The DuckDB oracle keeps counting the full
+    expansion — equality is the proof. The matrix itself stays
+    |sources|² at most."""
+    edges, groups = _ngram_rep_edges(spark, sf_dir, 0.1)
+    gsrc = groups.groupBy("gid", "source").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cross = (
+        edges.filter(F.col("doc_a") != F.col("doc_b"))
+        .join(
+            gsrc.select(
+                F.col("gid").alias("doc_a"),
+                F.col("source").alias("sa"),
+                F.col("cnt").alias("ca"),
+            ),
+            "doc_a",
+        )
+        .join(
+            gsrc.select(
+                F.col("gid").alias("doc_b"),
+                F.col("source").alias("sb"),
+                F.col("cnt").alias("cb"),
+            ),
+            "doc_b",
+        )
         .select(
             F.least("sa", "sb").alias("source_a"),
             F.greatest("sa", "sb").alias("source_b"),
+            (F.col("ca") * F.col("cb")).alias("npairs"),
         )
+    )
+    # groups whose identical-text pairs passed the threshold (and the
+    # kernel's shingle gate) — their members pair among themselves
+    loop_src = gsrc.join(
+        edges.filter(F.col("doc_a") == F.col("doc_b")).select(
+            F.col("doc_a").alias("gid")
+        ),
+        "gid",
+    )
+    within_cross = (
+        loop_src.alias("a")
+        .join(loop_src.alias("b"), "gid")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            (F.col("a.cnt") * F.col("b.cnt")).alias("npairs"),
+        )
+    )
+    within_same = loop_src.filter(F.col("cnt") >= 2).select(
+        F.col("source").alias("source_a"),
+        F.col("source").alias("source_b"),
+        (F.col("cnt") * (F.col("cnt") - 1) / F.lit(2))
+        .cast("long")
+        .alias("npairs"),
+    )
+    return (
+        cross.unionByName(within_cross)
+        .unionByName(within_same)
         .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .agg(F.sum("npairs").alias("n_dup_pairs"))
         .withColumn("is_cross_source", F.col("source_a") != F.col("source_b"))
         .orderBy(F.col("n_dup_pairs").desc(), "source_a", "source_b")
     )

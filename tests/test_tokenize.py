@@ -898,3 +898,109 @@ def test_candidate_cap_bounds_verification_and_keeps_recall(spark, tmp_path):
         1 for key, ts in truth.items() if got.get(key, -1.0) >= ts
     )
     assert score_hits / len(truth) == 1.0, (score_hits, len(truth))
+
+
+def test_minhash_collapse_expansion_is_exact(spark, tmp_path):
+    """r9 verdict item 2 (hot-bucket guard): identical texts enter banding
+    once, yet the pair contract is unchanged — every within-group member
+    pair appears with n_shared_bands = MINHASH_BANDS, and every
+    cross-group member pair carries exactly the rep-level band count
+    (signatures are pure functions of the text)."""
+    from etl_master_spark.operators.text import (
+        MINHASH_BANDS,
+        _lsh_index,
+        minhash_lsh_pairs,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    g1 = [(i, f"{base} tailA", "en", "s") for i in range(4)]
+    g2 = [(10 + i, f"{base} tailB", "en", "s") for i in range(3)]
+    lone = [(100, "completely different standalone vocabulary here okay",
+             "en", "s")]
+    _write_docs(spark, str(tmp_path), g1 + g2 + lone)
+
+    idx = _lsh_index(spark, str(tmp_path))
+    # 3 distinct texts -> 3 reps x 4 bands; 2 multi-member groups
+    assert idx.rep_bands.count() == 3 * MINHASH_BANDS
+    assert {r["gid"] for r in idx.multi_gids.collect()} == {0, 10}
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+        for r in minhash_lsh_pairs(spark, str(tmp_path)).collect()
+    }
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert pairs[(a, b)] == MINHASH_BANDS
+    for a in range(10, 13):
+        for b in range(a + 1, 13):
+            assert pairs[(a, b)] == MINHASH_BANDS
+    cross = {k: v for k, v in pairs.items() if k[0] < 10 <= k[1]}
+    if cross:  # one-token-apart texts collide w.h.p., not certainly
+        # full 4x3 expansion, every member pair carrying the same count
+        assert len(cross) == 12
+        assert len(set(cross.values())) == 1
+    assert not any(100 in k for k in pairs)
+
+
+def test_lsh_collapse_guards_mega_group(spark, tmp_path):
+    """r9 verdict item 2 'done' criterion: a boilerplate-heavy replica —
+    one mega group of identical docs that used to occupy every one of its
+    band buckets g-deep (4·C(g,2) self-join rows before any cap) — now
+    costs rep-level work everywhere except the faces whose OUTPUT is the
+    expansion. Capped candidates stay within budget, clustering labels
+    the group in O(g) star edges, and the cross-source census reproduces
+    the closed-form pair counts by multiplicity arithmetic without ever
+    materializing the ~4.5M member pairs."""
+    from etl_master_spark.operators.text import (
+        MINHASH_BANDS,
+        _capped_lsh_candidates,
+        _lsh_index,
+        cross_source_dup_matrix,
+        dedup_clusters,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    n0, n1, n2 = 1500, 1000, 500
+    group = (
+        [(i, base, "en", "s0") for i in range(n0)]
+        + [(n0 + i, base, "en", "s1") for i in range(n1)]
+        + [(n0 + n1 + i, base, "en", "s2") for i in range(n2)]
+    )
+    noise = [
+        (10_000 + j,
+         f"noise{j} unique{j}a words{j}b that{j}c never{j}d repeat{j}e",
+         "en", "s0")
+        for j in range(10)
+    ]
+    _write_docs(spark, str(tmp_path), group + noise)
+    g = n0 + n1 + n2
+
+    idx = _lsh_index(spark, str(tmp_path))
+    # 11 distinct texts total: the band frame is 44 rows, NOT 4*(g+10)
+    assert idx.rep_bands.count() == (1 + 10) * MINHASH_BANDS
+    assert [r["gid"] for r in idx.multi_gids.collect()] == [0]
+
+    capped = _capped_lsh_candidates(spark, str(tmp_path), 8)
+    assert capped.count() <= 8 * (g + 10)
+
+    labels = dedup_clusters(spark, str(tmp_path)).collect()
+    assert len(labels) == g + 10
+    by_id = {r["doc_id"]: r["cluster"] for r in labels}
+    assert all(by_id[i] == 0 for i in range(g))
+    assert all(by_id[10_000 + j] == 10_000 + j for j in range(10))
+
+    m = {
+        (r["source_a"], r["source_b"]): (r["n_dup_pairs"],
+                                         r["is_cross_source"])
+        for r in cross_source_dup_matrix(spark, str(tmp_path)).collect()
+    }
+    assert m == {
+        ("s0", "s0"): (n0 * (n0 - 1) // 2, False),
+        ("s1", "s1"): (n1 * (n1 - 1) // 2, False),
+        ("s2", "s2"): (n2 * (n2 - 1) // 2, False),
+        ("s0", "s1"): (n0 * n1, True),
+        ("s0", "s2"): (n0 * n2, True),
+        ("s1", "s2"): (n1 * n2, True),
+    }

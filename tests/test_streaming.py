@@ -581,3 +581,106 @@ def test_pq_stream_audit_before_drain_raises(spark, sf_dir, tmp_path):
         pq_stream_index_audit(spark, str(work))
     with _pytest.raises(RuntimeError, match="not .*drained|no PQ codes"):
         read_pq_drift(spark, str(work))
+
+
+def test_pq_stream_retrain_converges_to_batch(spark, sf_dir, tmp_path):
+    """r9 verdict item 3: the drift series now has a consumer. Below the
+    threshold nothing happens; above it the codebook retrains on the
+    accumulated corpus (historical slice + every indexed arrival), the
+    index re-encodes under version 1 with batch attribution preserved,
+    and the serving audit equals the batch face trained on the same
+    total corpus. A second call at the documented threshold must not
+    re-trigger — the restated drift is measured against the NEW
+    codebook's own baseline."""
+    from pyspark.sql import functions as F
+
+    from etl_master_spark.functions.hashing import phash_frag
+    from etl_master_spark.operators.vectors import (
+        IDX_OLD_LT,
+        IDX_OLD_MOD,
+        IDX_SEED,
+        _pq_train_cdf,
+        _pq_vsub,
+    )
+    from etl_master_spark.sources.io import load_table, spread_by
+    from etl_master_spark.streaming.ann_stream import (
+        PQ_RETRAIN_DRIFT,
+        encode_batch,
+        pq_index_append_stream,
+        pq_index_version,
+        pq_stream_index_audit,
+        pq_stream_retrain_if_drifted,
+        read_pq_codes,
+        read_pq_drift,
+    )
+
+    arrivals = tmp_path / "emb_stream"
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        3
+    ).write.parquet(str(arrivals))
+    work = tmp_path / "pq_work"
+    q = pq_index_append_stream(
+        spark, sf_dir, str(arrivals), str(work), max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+
+    # below threshold: no-op, still serving version 0
+    assert pq_stream_retrain_if_drifted(
+        spark, sf_dir, str(arrivals), str(work), drift_factor=1e9
+    ) == (0, False)
+    assert pq_index_version(str(work)) == 0
+
+    # force the trigger: version 1 commits
+    assert pq_stream_retrain_if_drifted(
+        spark, sf_dir, str(arrivals), str(work), drift_factor=0.0
+    ) == (1, True)
+    assert pq_index_version(str(work)) == 1
+
+    # batch twin with the retrain's own corpus lineage (historical slice
+    # ∪ arrived vectors from the stream files) so the Lloyd trajectory
+    # aggregates the identical frame
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    h = F.expr(phash_frag("vec_id", seed=IDX_SEED))
+    old = emb.filter((h % IDX_OLD_MOD) < IDX_OLD_LT)
+    indexed = read_pq_codes(spark, str(work)).select(
+        "vec_id", "batch_id"
+    ).distinct().localCheckpoint()
+    arrived = (
+        spark.read.schema(emb.schema)
+        .parquet(str(arrivals))
+        .select("vec_id", "embedding")
+        .join(indexed.select("vec_id"), "vec_id", "left_semi")
+    )
+    corpus = spread_by(old.unionByName(arrived), "vec_id")
+    cdf = _pq_train_cdf(spark, _pq_vsub(corpus)).localCheckpoint()
+    want = sorted(
+        tuple(r)
+        for r in encode_batch(cdf, arrived)
+        .groupBy("m", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.round(F.avg("qerr"), 6).alias("avg_qerr"),
+        )
+        .collect()
+    )
+    got = sorted(
+        tuple(r) for r in pq_stream_index_audit(spark, str(work)).collect()
+    )
+    assert got == want
+
+    # drift series restates every batch under v1 (attribution preserved;
+    # one code row per (vector, subspace))
+    from etl_master_spark.operators.vectors import PQ_M
+
+    drift = read_pq_drift(spark, str(work)).collect()
+    assert len(drift) >= 3
+    assert sum(r["n_codes"] for r in drift) == PQ_M * indexed.count()
+
+    # the retrained codebook serves its own distribution: the documented
+    # threshold must not re-trigger (deterministic — no randomness)
+    assert pq_stream_retrain_if_drifted(
+        spark, sf_dir, str(arrivals), str(work),
+        drift_factor=PQ_RETRAIN_DRIFT,
+    ) == (1, False)

@@ -33,7 +33,20 @@ HOT_KEY_PARTITION_SHARE = 0.5
 # face over the same (table, key) pays the exact probe once per session,
 # not once per construction (the probe runs eagerly at plan-construction
 # time — an accepted trade-off, but re-paying it on every call was not).
+# Callers must fold a table FINGERPRINT (file count + byte total from
+# parquet footer metadata — ``sources.io.table_meta``) into the key:
+# a rewritten table changes the fingerprint, so a stale share can never
+# be served for data that no longer exists (r9 verdict item 6).
 _SHARE_CACHE: dict[tuple, float] = {}
+
+# Above this row count the routed faces probe with the O(sample)
+# ``sampled_key_share`` instead of the exact groupBy pass: the exact
+# probe's full-scan cost starts to rival the routed face's own work,
+# while the sampled estimate only gates a PLAN choice between two
+# oracle-equal spellings — near the cutoff both routes are acceptable,
+# which is exactly where sampling noise lives (r9 verdict item 4). Row
+# counts come from parquet footer metadata, never a scan.
+SAMPLED_PROBE_MIN_ROWS = 1_000_000
 
 
 def max_key_share(df: DataFrame, key: str) -> float:
@@ -78,6 +91,7 @@ def skew_route(
     label: str = "",
     share: float | None = None,
     cache_key: tuple | None = None,
+    approx_rows: int | None = None,
 ) -> str:
     """Pick the spelling for a per-``key`` window over ``df``: ``"naive"``
     (one window, one shuffle — best while every key's history fits a
@@ -97,10 +111,17 @@ def skew_route(
 
     1. ``share=`` — caller-supplied, e.g. from warehouse table statistics
        or a prior ``table_profile``-style pass: ZERO extra scans here.
-    2. ``cache_key=`` — a prior probe for the same (table, key) this
-       session is reused: the exact scan is paid once, not per call.
-    3. neither — the exact ``max_key_share`` pre-pass (deterministic,
-       zero setup; the default the oracle-checked faces use)."""
+    2. ``cache_key=`` — a prior probe for the same (table, key,
+       fingerprint) this session is reused: the scan is paid once, not
+       per call (callers fold ``table_meta``'s file-count/byte-total
+       fingerprint into the key so a rewrite re-probes).
+    3. ``approx_rows=`` at or above ``SAMPLED_PROBE_MIN_ROWS`` (a footer
+       -metadata row count, no scan) — the O(sample)
+       ``sampled_key_share`` estimator: large routed inputs pay a 5%
+       Bernoulli pass, never a full groupBy probe.
+    4. none of the above — the exact ``max_key_share`` pre-pass
+       (deterministic, zero setup; what small oracle-checked inputs
+       use)."""
     from ..sources.io import shuffle_partitions
 
     src = "supplied"
@@ -108,7 +129,10 @@ def skew_route(
         if cache_key is not None and cache_key in _SHARE_CACHE:
             share, src = _SHARE_CACHE[cache_key], "cached"
         else:
-            share, src = max_key_share(df, key), "probed"
+            if approx_rows is not None and approx_rows >= SAMPLED_PROBE_MIN_ROWS:
+                share, src = sampled_key_share(df, key), "sampled"
+            else:
+                share, src = max_key_share(df, key), "probed"
             if cache_key is not None:
                 _SHARE_CACHE[cache_key] = share
     cutoff = HOT_KEY_PARTITION_SHARE / shuffle_partitions(df.sparkSession)

@@ -247,3 +247,32 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def table_meta(sf_dir: str, name: str) -> tuple[int, int, int]:
+    """(n_rows, n_files, total_bytes) of a parquet table from FOOTER
+    metadata only — a driver-side pyarrow read of each file's footer:
+    no Spark job, no data scan (r9 verdict items 4/6). Feeds two scale
+    decisions in the skew router: the probe-tier pick (exact groupBy
+    probe vs the O(sample) estimator, by row count) and the probe memo's
+    invalidation fingerprint (a rewritten table changes its file count /
+    byte total, so a session-cached share can never be served for data
+    that no longer exists). On a production lake the same three numbers
+    come from the catalog or table-format manifests (Delta/Iceberg
+    stats) — the contract is "no data scan", not pyarrow."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    path = Path(sf_dir) / f"{name}.parquet"
+    files = (
+        [path]
+        if path.is_file()
+        else sorted(p for p in path.rglob("*.parquet") if p.is_file())
+    )
+    n_rows = 0
+    n_bytes = 0
+    for f in files:
+        n_rows += pq.ParquetFile(f).metadata.num_rows
+        n_bytes += f.stat().st_size
+    return n_rows, len(files), n_bytes

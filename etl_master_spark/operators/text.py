@@ -481,6 +481,11 @@ ORDER BY doc_a, doc_b
 
 NEARDUP_TOPK = 3  # neighbors kept per document in the bounded face
 NEARDUP_CAND_CAP = 16  # per-doc candidate budget before exact verification
+# second operating point (r9 verdict item 7): a corpus with legitimately
+# high dup density (top-k saturating near the cap) gets a registered
+# deeper budget — same machinery, same oracle, same recall audit row,
+# 4x the verification bound (still 2·cap·|docs|, density-independent)
+NEARDUP_CAND_CAP_DEEP = 64
 
 
 def dedup_ngram_jaccard_topk(
@@ -5118,10 +5123,12 @@ def neardup_topk_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     The audit's own joins are over ≤ k·|docs| rows per side; its cost is
     the two spellings' cost (which is the point — it measures what the
     cap saves elsewhere while proving what it keeps). The banded MinHash
-    index is materialized ONCE and shared by all six spellings
-    (the collapsed ``_LshIndex`` plus the capped/uncapped candidate
-    frames derived from it) — without the sharing the audit rebuilt the
-    signature subtree six times.
+    index is materialized ONCE and shared by all the spellings — four
+    capped faces (jaccard at both cap operating points, containment,
+    tfidf) and their three uncapped comparators (the jaccard truth is
+    shared by both jaccard rows) derive from the one collapsed
+    ``_LshIndex``; without the sharing the audit rebuilt the signature
+    subtree per spelling.
 
     SCOPE (r9 ADVICE): both sides draw candidates from the SAME banded
     MinHash index, so these recalls measure the CAP's loss only —
@@ -5177,6 +5184,9 @@ def neardup_topk_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_cap = _capped_lsh_candidates(
         spark, sf_dir, index=idx
     ).localCheckpoint()
+    cand_deep = _capped_lsh_candidates(
+        spark, sf_dir, NEARDUP_CAND_CAP_DEEP, index=idx
+    ).localCheckpoint()
     return (
         recall_of(
             "jaccard",
@@ -5185,6 +5195,16 @@ def neardup_topk_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, sf_dir, 0.1, cap=None, cand=cand_all
             ),
             "jaccard",
+        )
+        .unionByName(
+            recall_of(
+                "jaccard_deep",
+                dedup_ngram_jaccard_topk(spark, sf_dir, 0.1, cand=cand_deep),
+                dedup_ngram_jaccard_topk(
+                    spark, sf_dir, 0.1, cap=None, cand=cand_all
+                ),
+                "jaccard",
+            )
         )
         .unionByName(
             recall_of(
@@ -5238,6 +5258,12 @@ FROM (
         one(
             "jaccard",
             dedup_ngram_jaccard_topk_oracle(0.1),
+            dedup_ngram_jaccard_topk_oracle(0.1, cap=None),
+            "jaccard",
+        ),
+        one(
+            "jaccard_deep",
+            dedup_ngram_jaccard_topk_oracle(0.1, cap=NEARDUP_CAND_CAP_DEEP),
             dedup_ngram_jaccard_topk_oracle(0.1, cap=None),
             "jaccard",
         ),

@@ -286,6 +286,16 @@ register(
     lambda spark, sf: text.dedup_ngram_jaccard_topk(spark, sf, 0.1),
     text.dedup_ngram_jaccard_topk_oracle(0.1),
 )
+# second operating point (r9 verdict item 7): same machinery and oracle
+# with a 4x candidate budget for legitimately dup-dense corpora (top-k
+# saturating at cap=16); audited as its own recall row (jaccard_deep)
+register(
+    "dedup_ngram_jaccard_topk_deep",
+    lambda spark, sf: text.dedup_ngram_jaccard_topk(
+        spark, sf, 0.1, cap=text.NEARDUP_CAND_CAP_DEEP
+    ),
+    text.dedup_ngram_jaccard_topk_oracle(0.1, cap=text.NEARDUP_CAND_CAP_DEEP),
+)
 register("minhash_lsh_pairs", text.minhash_lsh_pairs, text.minhash_lsh_oracle())
 register("dedup_clusters", text.dedup_clusters, text.dedup_clusters_oracle())
 register(
@@ -1143,10 +1153,16 @@ FAMILIES: dict[str, dict] = {
         "why": "same auto-switchover contract as sessionize",
     },
     "ngram_jaccard_dedup": {
-        "faces": ["dedup_ngram_jaccard", "dedup_ngram_jaccard_topk"],
+        "faces": [
+            "dedup_ngram_jaccard", "dedup_ngram_jaccard_topk",
+            "dedup_ngram_jaccard_topk_deep",
+        ],
         "recommended": "dedup_ngram_jaccard_topk",
         "why": "k*n output regardless of dup-group density; the pair list "
-               "emits C(g,2) rows per dup group (27M at x100)",
+               "emits C(g,2) rows per dup group (27M at x100). _deep is "
+               "the cap=64 operating point for dup-dense corpora (top-k "
+               "saturating at cap=16); both audited in "
+               "neardup_topk_recall_audit",
     },
     "containment_dedup": {
         "faces": ["containment_pairs", "containment_topk"],

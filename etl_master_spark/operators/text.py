@@ -707,6 +707,13 @@ def _rep_band_edges(idx: "_LshIndex") -> DataFrame:
     return cross.unionByName(loops)
 
 
+# broadcast gate for the expansion's member-list frame: rows = docs that
+# HAVE an exact duplicate (the multi-group members), usually a tiny slice
+# of the corpus. Same actual-row-count gating as CC_BROADCAST_LABELS_MAX
+# — a hint proxy could ship a huge map on a boilerplate-heavy corpus.
+EXPAND_BROADCAST_MAX = 2_000_000
+
+
 def _expand_pairs(
     edges: DataFrame, groups: DataFrame, payload: list[str]
 ) -> DataFrame:
@@ -715,13 +722,40 @@ def _expand_pairs(
     unordered member pair for self-loops. The payload is text-invariant
     by construction (similarity of identical texts), so copying it is
     exact. Output-sized by definition; a self-loop over a g-member group
-    emits its C(g,2) pairs through one equi-join key — inherent to any
-    full-pair contract, and exactly what the capped/top-k faces avoid."""
-    ma = groups.select(F.col("gid").alias("ga"), F.col("doc_id").alias("xa"))
-    mb = groups.select(F.col("gid").alias("gb"), F.col("doc_id").alias("xb"))
+    emits its C(g,2) pairs — inherent to any full-pair contract, and
+    exactly what the capped/top-k faces avoid.
+
+    Cost on a dup-FREE corpus is ~zero: only multi-member groups carry a
+    member list (collected once from the checkpointed groups frame,
+    broadcast when small — the common case); every other gid expands to
+    itself via coalesce inside the same stage, so no shuffle is added to
+    the pair stream when the collapse found nothing to collapse."""
+    multi_members = (
+        groups.groupBy("gid")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+        .localCheckpoint()
+    )
+    n_members = multi_members.select(
+        F.coalesce(F.sum(F.size("ms")), F.lit(0)).alias("n")
+    ).first()["n"]
+    if n_members <= EXPAND_BROADCAST_MAX:
+        multi_members = F.broadcast(multi_members)
+    ma = multi_members.select(
+        F.col("gid").alias("ga"), F.col("ms").alias("ms_a")
+    )
+    mb = multi_members.select(
+        F.col("gid").alias("gb"), F.col("ms").alias("ms_b")
+    )
     return (
-        edges.join(ma, "ga")
-        .join(mb, "gb")
+        edges.join(ma, "ga", "left")
+        .join(mb, "gb", "left")
+        .withColumn(
+            "xa", F.explode(F.coalesce("ms_a", F.array(F.col("ga"))))
+        )
+        .withColumn(
+            "xb", F.explode(F.coalesce("ms_b", F.array(F.col("gb"))))
+        )
         .filter((F.col("ga") != F.col("gb")) | (F.col("xa") < F.col("xb")))
         .select(
             F.least("xa", "xb").alias("doc_a"),

@@ -699,12 +699,65 @@ def _rep_band_edges(idx: "_LshIndex") -> DataFrame:
         .groupBy(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
-    loops = idx.multi_gids.select(
+    return cross.unionByName(_self_loops(idx))
+
+
+def _self_loops(idx: "_LshIndex") -> DataFrame:
+    return idx.multi_gids.select(
         F.col("gid").alias("ga"),
         F.col("gid").alias("gb"),
         F.lit(MINHASH_BANDS).cast("long").alias("n_shared_bands"),
     )
-    return cross.unionByName(loops)
+
+
+def _chained_band_edges(idx: "_LshIndex", cap: int) -> DataFrame:
+    """Bounded candidate edges for the CAPPED faces (r9 verdict item 2,
+    second half — per-bucket contribution cap): within each band bucket,
+    representatives ordered by gid probe only their next ``cap``
+    neighbors, so a bucket of g DISTINCT texts emits at most g·cap chain
+    rows instead of C(g,2) (exact duplicates never reach the bucket —
+    the index collapsed them; their members rejoin via the self-loops).
+    The probe is an EQUI-join on (band, bkey, rank): ranks are unique
+    within a bucket, so even a mega bucket has no hot join key — the
+    quadratic blowup is structurally impossible, not just mitigated.
+
+    ``n_shared_bands`` here counts the bands in which the pair is
+    CHAIN-ADJACENT — equal to the true shared-band count whenever bucket
+    occupancy <= cap+1 (every bucket at the sf0.01 gate), a lower bound
+    under flood. The per-doc candidate ranking consumes it as the same
+    similarity signal. What the chain may lose under flood is exactly
+    what ``neardup_topk_recall_audit`` measures against the uncapped
+    spelling; production recovers chain misses by deepening bands or
+    raising the cap (the SIMHASH_BAND_CAP recovery note), and the
+    uncapped faces keep the exhaustive contract."""
+    wb = Window.partitionBy("band", "bkey")
+    ranked = idx.rep_bands.select(
+        "gid",
+        "band",
+        "bkey",
+        F.row_number().over(wb.orderBy("gid")).alias("r"),
+        F.count(F.lit(1)).over(wb).alias("n"),
+    )
+    probes = ranked.filter(F.col("r") < F.col("n")).select(
+        "band",
+        "bkey",
+        F.col("gid").alias("ga"),
+        F.explode(
+            F.sequence(
+                F.col("r") + 1, F.least(F.col("n"), F.col("r") + cap)
+            )
+        ).alias("r2"),
+    )
+    chain = probes.join(
+        ranked.select(
+            "band", "bkey", F.col("gid").alias("gb"), F.col("r").alias("r2")
+        ),
+        ["band", "bkey", "r2"],
+    )
+    cross = chain.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("n_shared_bands")
+    )
+    return cross.unionByName(_self_loops(idx))
 
 
 # broadcast gate for the expansion's member-list frame: rows = docs that
@@ -793,14 +846,17 @@ def _capped_lsh_candidates(
     Each group therefore contributes at most cap+1 ids (precomputed by
     one sort_array/slice), the per-doc frame is (#neighbor groups)·
     (cap+1) rows instead of Σ group sizes, and a 10⁴-member boilerplate
-    group costs O(g·cap), not O(g²). The DuckDB oracle keeps replaying
-    the cap over the FULL expansion — equality is the proof."""
+    group costs O(g·cap), not O(g²). Candidate enumeration itself is
+    bounded too: edges come from the per-bucket CHAIN generator
+    (``_chained_band_edges``), so distinct-text bucket floods cannot go
+    quadratic either. The DuckDB oracle replays the identical chain rule
+    and cap over the FULL expansion — equality is the proof."""
     idx = index if index is not None else _lsh_index(spark, sf_dir)
     if cap is None:
         return minhash_lsh_pairs(spark, sf_dir, index=idx).select(
             "doc_a", "doc_b"
         )
-    edges = _rep_band_edges(idx)
+    edges = _chained_band_edges(idx, cap)
     sym_edges = edges.select(
         F.col("ga").alias("gid"), F.col("gb").alias("ngid"), "n_shared_bands"
     ).unionByName(
@@ -837,32 +893,74 @@ def _capped_lsh_candidates(
 
 def _capped_cand_sql(cap: int | None = NEARDUP_CAND_CAP) -> str:
     """CTE chain ending in ``cand (doc_a, doc_b)`` — the SQL twin of
-    ``_capped_lsh_candidates`` (deterministic cap replay: identical
-    band-count ranking, identical tie-break)."""
+    ``_capped_lsh_candidates``: identical exact-dup collapse (gid = min
+    doc_id over md5(text)), identical per-bucket chain rule (each rep
+    pairs with its next ``cap`` gid-ordered bucket neighbors), identical
+    self-loops, identical per-doc cap ranking and tie-break — replayed
+    over the FULL member expansion (the Spark side's truncated expansion
+    is provably equal; this spelling is the proof)."""
     if cap is None:
         return f"cand AS (SELECT doc_a, doc_b FROM ({minhash_lsh_oracle()}))"
-    return f"""cand_all AS (
-    SELECT doc_a, doc_b, n_shared_bands FROM ({minhash_lsh_oracle()})
-),
-cand_sym AS (
-    SELECT doc_a AS doc_id, doc_b AS neighbor, n_shared_bands FROM cand_all
-    UNION ALL
-    SELECT doc_b AS doc_id, doc_a AS neighbor, n_shared_bands FROM cand_all
-),
-cand_kept AS (
-    SELECT doc_id, neighbor FROM (
-        SELECT doc_id, neighbor,
-               ROW_NUMBER() OVER (
-                   PARTITION BY doc_id
-                   ORDER BY n_shared_bands DESC, neighbor ASC
-               ) AS r
-        FROM cand_sym
-    ) WHERE r <= {cap}
-),
-cand AS (
+    return f"""cand AS (
+    WITH {_minhash_bands_sql()},
+    gmap AS (
+        SELECT doc_id, gid FROM (
+            SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS gid
+            FROM documents
+        )
+        WHERE doc_id IN (SELECT DISTINCT doc_id FROM bands)
+    ),
+    rb AS (
+        SELECT g.gid, b.band, b.bkey
+        FROM bands b JOIN gmap g ON g.doc_id = b.doc_id AND g.doc_id = g.gid
+    ),
+    ranked AS (
+        SELECT gid, band, bkey,
+               ROW_NUMBER() OVER (PARTITION BY band, bkey ORDER BY gid) AS r,
+               COUNT(*) OVER (PARTITION BY band, bkey) AS n
+        FROM rb
+    ),
+    chain AS (
+        SELECT a.gid AS ga, b.gid AS gb, COUNT(*) AS nsb
+        FROM ranked a
+        JOIN ranked b ON b.band = a.band AND b.bkey = a.bkey
+                     AND b.r > a.r AND b.r <= a.r + {cap}
+        GROUP BY 1, 2
+    ),
+    loops AS (
+        SELECT gid AS ga, gid AS gb, CAST({MINHASH_BANDS} AS BIGINT) AS nsb
+        FROM gmap GROUP BY gid HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+        SELECT ga, gb, nsb FROM chain
+        UNION ALL
+        SELECT ga, gb, nsb FROM loops
+    ),
+    sym AS (
+        SELECT ga AS gid, gb AS ngid, nsb FROM edges
+        UNION ALL
+        SELECT gb AS gid, ga AS ngid, nsb FROM edges WHERE ga <> gb
+    ),
+    cand_sym AS (
+        SELECT m.doc_id, x.doc_id AS neighbor, s.nsb
+        FROM gmap m
+        JOIN sym s ON s.gid = m.gid
+        JOIN gmap x ON x.gid = s.ngid
+        WHERE x.doc_id <> m.doc_id
+    ),
+    kept AS (
+        SELECT doc_id, neighbor FROM (
+            SELECT doc_id, neighbor,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY nsb DESC, neighbor ASC
+                   ) AS rr
+            FROM cand_sym
+        ) WHERE rr <= {cap}
+    )
     SELECT DISTINCT LEAST(doc_id, neighbor) AS doc_a,
                     GREATEST(doc_id, neighbor) AS doc_b
-    FROM cand_kept
+    FROM kept
 )"""
 
 
@@ -991,7 +1089,11 @@ def _lsh_index(spark: SparkSession, sf_dir: str) -> _LshIndex:
     return _LshIndex(groups=groups, rep_bands=rep_bands, multi_gids=multi_gids)
 
 
-def minhash_lsh_oracle() -> str:
+def _minhash_bands_sql() -> str:
+    """CTE chain (toks, shingles, hashed, sig, bands) — the doc-level LSH
+    band frame, shared by the exhaustive pair oracle and the
+    capped-candidate oracle (both replay the UNCOLLAPSED band frame; the
+    capped one derives the rep level itself)."""
     from ..functions.hashing import PHASH_P
 
     rows_per_band = MINHASH_K // MINHASH_BANDS
@@ -1009,8 +1111,7 @@ def minhash_lsh_oracle() -> str:
         )
         for b in range(MINHASH_BANDS)
     )
-    return f"""
-WITH {_SHINGLES_SQL},
+    return f"""{_SHINGLES_SQL},
 hashed AS (
     SELECT doc_id,
            CAST('0x' || substr(md5(shingle), 1, 14) AS BIGINT) % {PHASH_P} AS h
@@ -1019,7 +1120,12 @@ hashed AS (
 sig AS (SELECT doc_id, {aggs} FROM hashed GROUP BY doc_id),
 bands AS (
     {band_selects}
-)
+)"""
+
+
+def minhash_lsh_oracle() -> str:
+    return f"""
+WITH {_minhash_bands_sql()}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
 FROM bands a
 JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id

@@ -1068,58 +1068,59 @@ register("gan_eval_test", _gan_eval, _frozen_oracle("gan_test"))
 # tools/strict_check.py's full 129-query sweep). Everything not named keeps
 # its registration order after the spread.
 _PRIORITY = [
-    # ROUND-9 ROTATION — evidence freshness (r8 verdict item 1: clear
-    # the last r03-vintage driver rows). The driver samples EXACTLY the
-    # first 50 registry entries per round; this window =
-    # (a) the ONE query NEW this round (the candidate-cap recall
-    # contract); then (b) the six queries whose BODIES changed this
-    # round (three top-k dedup faces gained the per-doc candidate cap
-    # with a new banded candidate source + oracles; tfidf_doc_similarity
-    # shares the reworked _tfidf_pairs kernel; the two routed faces
-    # gained the probe memo/stats path); then (b2) the five module-stale
-    # rows the round-close `--stale` run surfaced (registry/text/
-    # relational modules moved; bodies unchanged); then (c) ALL 27
-    # remaining r03-vintage rows; then (d) 11 oldest r04-vintage fill.
-    # 1 + 6 + 5 + 27 + 11 = 50 exactly.
+    # ROUND-10 ROTATION — evidence freshness. The driver samples EXACTLY
+    # the first 50 registry entries per round; this window =
+    # (a) the ONE query NEW this round (the cap=64 deep operating point);
+    # then (b) the six FUNCTION-stale rows (`driver_replay.py --stale`,
+    # authoritative): bodies changed by the exact-dup collapse
+    # (minhash_lsh_pairs, dedup_clusters, cross_source_dup_matrix,
+    # neardup_topk_recall_audit — also gained the jaccard_deep row) and
+    # by the footer-metadata probe wiring (user_sessions_routed,
+    # event_gaps_routed); then (b2) the six module-stale wrapper rows
+    # (text/relational/registry modules moved: the two jaccard lambdas —
+    # both genuinely reworked by the collapse —, top_orders_per_customer,
+    # and the three model wrappers registry.py edits always re-stale);
+    # then (c) ALL 26 remaining r04-vintage rows; then (d) 11 oldest
+    # r05-vintage fill (alphabetical prefix of the r05 list).
+    # 1 + 6 + 6 + 26 + 11 = 50 exactly.
     #
-    # R10 WINDOW PLAN: the remaining 26 r04-vintage rows
-    # (dq_violations_audit, dup_cluster_size_histogram,
-    # embedding_dim_clip_stats, event_hour_independence,
-    # events_above_mean_streaks, hash_collision_audit, incremental_agg_refresh,
-    # jackknife_revenue_ci, join_cardinality_estimate, join_skew_audit,
-    # link_prediction, mahalanobis_outliers, pareto_front_parts,
-    # pmi_collocations, rake_keywords, revenue_concentration,
-    # robust_value_stats, shipping_survival_curve, simhash_hamming_pairs,
-    # source_lang_mix, stratified_kfold_assignment, user_behavior_entropy,
-    # weighted_sample_aes, woe_priority_encoding, events_cusum_changepoint,
-    # events_seasonal_decompose) + any query whose body changes in r9
+    # R11 WINDOW PLAN: the remaining 21 r05-vintage rows
+    # (embedding_drift_audit, events_weekly_seasonality,
+    # hard_negatives_mine, heaps_fit, hll_cardinality_audit,
+    # kcenter_coreset, knn_label_audit, line_status_priority,
+    # media_features, minhash_band_calibration, mmd_rbf_fast, mmr_rerank,
+    # nation_pagerank, pq_index_append, prf_query_expansion,
+    # prior_family_stats, semantic_dedup, simhash64, tokenizer_fertility,
+    # training_shards, zipf_fit) + any query whose body changes in r10
     # (run `driver_replay.py --stale` at round open — it is authoritative
-    # over this comment) + fill from r05 vintage.
+    # over this comment) + fill from r06 vintage.
     # (a) new this round
-    "neardup_topk_recall_audit",
-    # (b) bodies changed this round
-    "dedup_ngram_jaccard_topk", "containment_topk", "tfidf_doc_topk",
-    "tfidf_doc_similarity", "user_sessions_routed", "event_gaps_routed",
-    # (c) the 27 remaining r03-vintage rows
-    "events_hourly", "events_hourly_anomalies", "events_hourly_gapfill",
-    "events_hourly_topk_types", "events_moving_avg", "events_sliding_6h",
-    "events_time_rollup", "events_trailing_hour", "mmd_rbf_multiscale",
-    "monthly_revenue_growth", "orders_by_month", "orders_cube",
-    "price_correlations", "price_histogram", "prior_sample_stats",
-    "priority_grouping_sets", "props_json_stats", "revenue_rollup",
-    "shipping_delay_stats", "string_functions", "user_item_vectors",
-    "user_session_totals", "user_sessions_native", "user_set_ops",
-    "user_type_value_map", "value_percentiles", "weekly_retention",
-    # (b2) module-stale at round close (`driver_replay.py --stale`,
-    # authoritative: registry.py/text.py/relational.py moved this round,
-    # so their wrapper-registered rows re-certify now; bodies unchanged)
-    "als_eval_test", "cdae_eval_test", "gan_eval_test",
-    "dedup_ngram_jaccard", "top_orders_per_customer",
-    # (d) oldest r04-vintage fill
-    "ab_conversion_ztest", "association_rules", "benford_price_audit",
-    "bloom_membership_audit", "bpe_merge_candidates", "cohort_ltv_triangle",
-    "conversion_latency_stats", "dedup_levenshtein", "degree_powerlaw_fit",
-    "deletion_cascade_audit", "dim_truncation_recall",
+    "dedup_ngram_jaccard_topk_deep",
+    # (b) FUNCTION-stale: bodies changed this round
+    "minhash_lsh_pairs", "dedup_clusters", "cross_source_dup_matrix",
+    "neardup_topk_recall_audit", "user_sessions_routed",
+    "event_gaps_routed",
+    # (b2) module-stale wrapper rows (text/relational/registry moved)
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_topk",
+    "top_orders_per_customer", "als_eval_test", "cdae_eval_test",
+    "gan_eval_test",
+    # (c) the 26 remaining r04-vintage rows
+    "dq_violations_audit", "dup_cluster_size_histogram",
+    "embedding_dim_clip_stats", "event_hour_independence",
+    "events_above_mean_streaks", "events_cusum_changepoint",
+    "events_seasonal_decompose", "hash_collision_audit",
+    "incremental_agg_refresh", "jackknife_revenue_ci",
+    "join_cardinality_estimate", "join_skew_audit", "link_prediction",
+    "mahalanobis_outliers", "pareto_front_parts", "pmi_collocations",
+    "rake_keywords", "revenue_concentration", "robust_value_stats",
+    "shipping_survival_curve", "simhash_hamming_pairs", "source_lang_mix",
+    "stratified_kfold_assignment", "user_behavior_entropy",
+    "weighted_sample_aes", "woe_priority_encoding",
+    # (d) oldest r05-vintage fill
+    "ann_ivfpq_topk", "ann_pq_topk", "centroid_classify",
+    "cluster_label_purity", "cms_word_counts_audit", "corpus_drift_psi",
+    "corpus_entropy", "dedup_representatives", "distinctive_terms_llr",
+    "dp_lang_counts", "embedding_covariance",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {

@@ -1079,12 +1079,14 @@ def _lsh_index(spark: SparkSession, sf_dir: str) -> _LshIndex:
         # accumulates pinned cache entries
         .localCheckpoint()
     )
+    # no checkpoint: a one-agg derivation of the checkpointed groups
+    # frame — materializing it eagerly cost a fixed job per query
+    # construction for nothing
     multi_gids = (
         groups.groupBy("gid")
         .agg(F.count(F.lit(1)).alias("g_size"))
         .filter(F.col("g_size") >= 2)
         .select("gid")
-        .localCheckpoint()
     )
     return _LshIndex(groups=groups, rep_bands=rep_bands, multi_gids=multi_gids)
 

@@ -1076,30 +1076,36 @@ _PRIORITY = [
     # (minhash_lsh_pairs, dedup_clusters, cross_source_dup_matrix,
     # neardup_topk_recall_audit — also gained the jaccard_deep row) and
     # by the footer-metadata probe wiring (user_sessions_routed,
-    # event_gaps_routed); then (b2) the six module-stale wrapper rows
+    # event_gaps_routed), plus the two capped faces whose ORACLE SQL the
+    # chain rule rewrote (containment_topk, tfidf_doc_topk — oracle-only
+    # changes are invisible to --stale by its documented limitation);
+    # then (b2) the six module-stale wrapper rows
     # (text/relational/registry modules moved: the two jaccard lambdas —
     # both genuinely reworked by the collapse —, top_orders_per_customer,
     # and the three model wrappers registry.py edits always re-stale);
-    # then (c) ALL 26 remaining r04-vintage rows; then (d) 11 oldest
+    # then (c) ALL 26 remaining r04-vintage rows; then (d) 9 oldest
     # r05-vintage fill (alphabetical prefix of the r05 list).
-    # 1 + 6 + 6 + 26 + 11 = 50 exactly.
+    # 1 + 8 + 6 + 26 + 9 = 50 exactly.
     #
-    # R11 WINDOW PLAN: the remaining 21 r05-vintage rows
-    # (embedding_drift_audit, events_weekly_seasonality,
-    # hard_negatives_mine, heaps_fit, hll_cardinality_audit,
-    # kcenter_coreset, knn_label_audit, line_status_priority,
-    # media_features, minhash_band_calibration, mmd_rbf_fast, mmr_rerank,
-    # nation_pagerank, pq_index_append, prf_query_expansion,
-    # prior_family_stats, semantic_dedup, simhash64, tokenizer_fertility,
-    # training_shards, zipf_fit) + any query whose body changes in r10
-    # (run `driver_replay.py --stale` at round open — it is authoritative
-    # over this comment) + fill from r06 vintage.
+    # R11 WINDOW PLAN: the remaining 23 r05-vintage rows
+    # (dp_lang_counts, embedding_covariance, embedding_drift_audit,
+    # events_weekly_seasonality, hard_negatives_mine, heaps_fit,
+    # hll_cardinality_audit, kcenter_coreset, knn_label_audit,
+    # line_status_priority, media_features, minhash_band_calibration,
+    # mmd_rbf_fast, mmr_rerank, nation_pagerank, pq_index_append,
+    # prf_query_expansion, prior_family_stats, semantic_dedup, simhash64,
+    # tokenizer_fertility, training_shards, zipf_fit) + any query whose
+    # body changes in r11 (run `driver_replay.py --stale` at round open —
+    # it is authoritative over this comment) + fill from r06 vintage.
     # (a) new this round
     "dedup_ngram_jaccard_topk_deep",
-    # (b) FUNCTION-stale: bodies changed this round
+    # (b) FUNCTION-stale bodies changed this round, plus the two capped
+    # faces whose ORACLE SQL was rewritten by the chain rule (an
+    # oracle-only change is invisible to --stale by its documented
+    # limitation; re-certify them anyway)
     "minhash_lsh_pairs", "dedup_clusters", "cross_source_dup_matrix",
     "neardup_topk_recall_audit", "user_sessions_routed",
-    "event_gaps_routed",
+    "event_gaps_routed", "containment_topk", "tfidf_doc_topk",
     # (b2) module-stale wrapper rows (text/relational/registry moved)
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_topk",
     "top_orders_per_customer", "als_eval_test", "cdae_eval_test",
@@ -1120,7 +1126,6 @@ _PRIORITY = [
     "ann_ivfpq_topk", "ann_pq_topk", "centroid_classify",
     "cluster_label_purity", "cms_word_counts_audit", "corpus_drift_psi",
     "corpus_entropy", "dedup_representatives", "distinctive_terms_llr",
-    "dp_lang_counts", "embedding_covariance",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {

@@ -768,7 +768,10 @@ EXPAND_BROADCAST_MAX = 2_000_000
 
 
 def _expand_pairs(
-    edges: DataFrame, groups: DataFrame, payload: list[str]
+    edges: DataFrame,
+    groups: DataFrame,
+    payload: list[str],
+    swap: dict[str, str] | None = None,
 ) -> DataFrame:
     """Rep-level edges (ga, gb, *payload) → member pairs (doc_a, doc_b,
     *payload): every (x ∈ ga, y ∈ gb) combination for cross edges, every
@@ -782,7 +785,22 @@ def _expand_pairs(
     member list (collected once from the checkpointed groups frame,
     broadcast when small — the common case); every other gid expands to
     itself via coalesce inside the same stage, so no shuffle is added to
-    the pair stream when the collapse found nothing to collapse."""
+    the pair stream when the collapse found nothing to collapse.
+
+    ``swap`` handles DIRECTIONAL payloads (containment): when the member
+    pair's canonical least/greatest order flips the rep edge's (ga, gb)
+    orientation, each column in the map takes its partner's value —
+    containment of the new doc_a in the new doc_b IS the rep edge's
+    reverse direction."""
+    swap = swap or {}
+    partner = {**swap, **{v: k for k, v in swap.items()}}
+    flip = F.col("xa") > F.col("xb")
+    out = [
+        F.when(flip, F.col(partner[p])).otherwise(F.col(p)).alias(p)
+        if p in partner
+        else F.col(p)
+        for p in payload
+    ]
     multi_members = (
         groups.groupBy("gid")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ms"))
@@ -813,7 +831,7 @@ def _expand_pairs(
         .select(
             F.least("xa", "xb").alias("doc_a"),
             F.greatest("xa", "xb").alias("doc_b"),
-            *payload,
+            *out,
         )
     )
 
@@ -4655,12 +4673,36 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: candidates come from the SAME banded MinHash generator as the
     dedup family (never all-pairs); the verification joins are bounded by
     the candidate list exactly like ``_pair_jaccard``. One new shuffle
-    family over the shared `_shingles` frame."""
-    cand = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    family over the shared `_shingles` frame.
+
+    Round 10: verification is exact-dup-collapsed — the overlap kernel
+    runs per DISTINCT-text rep pair (self-loops score a group's
+    identical texts: containment exactly 1.0 both ways); member pairs
+    are restored by ``_expand_pairs`` with the DIRECTIONAL columns
+    swapped when the canonical pair order flips the rep orientation.
+    The DuckDB oracle keeps the uncollapsed spelling — equality is the
+    proof."""
+    idx = _lsh_index(spark, sf_dir)
+    rep_cand = _rep_band_edges(idx).select(
+        F.col("ga").alias("doc_a"), F.col("gb").alias("doc_b")
+    )
     sh = _shingles(spread(load_table(spark, sf_dir, "documents")))
     # no output sort: the pair list is full-output-sized on a dup-dense
     # corpus (event_gaps contract; the compare is order-insensitive)
-    return _pair_containment(cand, sh)
+    scored = _pair_containment(rep_cand, sh)
+    return _expand_pairs(
+        scored.select(
+            F.col("doc_a").alias("ga"),
+            F.col("doc_b").alias("gb"),
+            "n_inter",
+            "cont_a_in_b",
+            "cont_b_in_a",
+            "is_contained",
+        ),
+        idx.groups,
+        ["n_inter", "cont_a_in_b", "cont_b_in_a", "is_contained"],
+        swap={"cont_a_in_b": "cont_b_in_a"},
+    )
 
 
 def _pair_containment(cand: DataFrame, sh: DataFrame) -> DataFrame:
@@ -5039,8 +5081,27 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     host's 2× variance band on this ~1.4 GB-scan + map-walk query (the
     first ×100 evaluation in a session also pays replica first-touch
     I/O). The sort is dropped for contract consistency, decided on the
-    interleaved evidence, not the first A/B."""
-    return _tfidf_pairs(spark, sf_dir)
+    interleaved evidence, not the first A/B.
+
+    Round 10: the cosine kernel runs per DISTINCT-text rep pair
+    (exact-dup collapse; a self-loop scores a group's identical texts —
+    same integer weight maps, so both engines compute the identical
+    rounded value) and member pairs expand back with the symmetric
+    score. The DuckDB oracle keeps the uncollapsed spelling."""
+    idx = _lsh_index(spark, sf_dir)
+    rep_cand = _rep_band_edges(idx).select(
+        F.col("ga").alias("doc_a"), F.col("gb").alias("doc_b")
+    )
+    scored = _tfidf_pairs(spark, sf_dir, cand=rep_cand)
+    return _expand_pairs(
+        scored.select(
+            F.col("doc_a").alias("ga"),
+            F.col("doc_b").alias("gb"),
+            "tfidf_cosine",
+        ),
+        idx.groups,
+        ["tfidf_cosine"],
+    )
 
 
 def _tfidf_pairs(

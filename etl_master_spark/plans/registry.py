@@ -1078,17 +1078,20 @@ _PRIORITY = [
     # by the footer-metadata probe wiring (user_sessions_routed,
     # event_gaps_routed), plus the two capped faces whose ORACLE SQL the
     # chain rule rewrote (containment_topk, tfidf_doc_topk — oracle-only
-    # changes are invisible to --stale by its documented limitation);
+    # changes are invisible to --stale by its documented limitation) and
+    # the two uncapped faces rep-verified late in the round
+    # (containment_pairs, tfidf_doc_similarity);
     # then (b2) the six module-stale wrapper rows
     # (text/relational/registry modules moved: the two jaccard lambdas —
     # both genuinely reworked by the collapse —, top_orders_per_customer,
     # and the three model wrappers registry.py edits always re-stale);
-    # then (c) ALL 26 remaining r04-vintage rows; then (d) 9 oldest
+    # then (c) ALL 26 remaining r04-vintage rows; then (d) 7 oldest
     # r05-vintage fill (alphabetical prefix of the r05 list).
-    # 1 + 8 + 6 + 26 + 9 = 50 exactly.
+    # 1 + 10 + 6 + 26 + 7 = 50 exactly.
     #
-    # R11 WINDOW PLAN: the remaining 23 r05-vintage rows
-    # (dp_lang_counts, embedding_covariance, embedding_drift_audit,
+    # R11 WINDOW PLAN: the remaining 25 r05-vintage rows
+    # (dedup_representatives, distinctive_terms_llr, dp_lang_counts,
+    # embedding_covariance, embedding_drift_audit,
     # events_weekly_seasonality, hard_negatives_mine, heaps_fit,
     # hll_cardinality_audit, kcenter_coreset, knn_label_audit,
     # line_status_priority, media_features, minhash_band_calibration,
@@ -1106,6 +1109,7 @@ _PRIORITY = [
     "minhash_lsh_pairs", "dedup_clusters", "cross_source_dup_matrix",
     "neardup_topk_recall_audit", "user_sessions_routed",
     "event_gaps_routed", "containment_topk", "tfidf_doc_topk",
+    "containment_pairs", "tfidf_doc_similarity",
     # (b2) module-stale wrapper rows (text/relational/registry moved)
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_topk",
     "top_orders_per_customer", "als_eval_test", "cdae_eval_test",
@@ -1125,7 +1129,7 @@ _PRIORITY = [
     # (d) oldest r05-vintage fill
     "ann_ivfpq_topk", "ann_pq_topk", "centroid_classify",
     "cluster_label_purity", "cms_word_counts_audit", "corpus_drift_psi",
-    "corpus_entropy", "dedup_representatives", "distinctive_terms_llr",
+    "corpus_entropy",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {

@@ -1042,3 +1042,34 @@ def test_chained_band_edges_bound_distinct_text_floods(spark, tmp_path):
         per_doc.setdefault(r["doc_id"], []).append(r["jaccard"])
     # every doc that surfaces has its full k of equally-near neighbors
     assert per_doc and all(len(v) == 3 for v in per_doc.values())
+
+
+def test_expand_pairs_swaps_directional_payload(spark):
+    """Containment is directional: when member expansion flips a rep
+    edge's orientation (a bigger-id member of the LOWER group), the
+    cont_a_in_b / cont_b_in_a columns must swap with it."""
+    from etl_master_spark.operators.text import _expand_pairs
+
+    edges = spark.createDataFrame(
+        [(1, 10, 3, 0.25, 1.0, True)],
+        "ga long, gb long, n_inter int, cont_a_in_b double, "
+        "cont_b_in_a double, is_contained boolean",
+    )
+    groups = spark.createDataFrame(
+        [(1, 1), (15, 1), (10, 10)], "doc_id long, gid long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["cont_a_in_b"], r["cont_b_in_a"], r["n_inter"]
+        )
+        for r in _expand_pairs(
+            edges,
+            groups,
+            ["n_inter", "cont_a_in_b", "cont_b_in_a", "is_contained"],
+            swap={"cont_a_in_b": "cont_b_in_a"},
+        ).collect()
+    }
+    assert got == {
+        (1, 10): (0.25, 1.0, 3),   # orientation preserved
+        (10, 15): (1.0, 0.25, 3),  # flipped: directions swap, n_inter not
+    }

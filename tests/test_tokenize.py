@@ -1073,3 +1073,38 @@ def test_expand_pairs_swaps_directional_payload(spark):
         (1, 10): (0.25, 1.0, 3),   # orientation preserved
         (10, 15): (1.0, 0.25, 3),  # flipped: directions swap, n_inter not
     }
+
+
+def test_lsh_index_memo_invalidates_on_corpus_rewrite(spark, tmp_path):
+    """The session index memo serves the whole near-dup family from one
+    build, but a REWRITTEN documents table (different footer fingerprint)
+    must rebuild — the skew-probe-memo staleness contract applied here."""
+    from etl_master_spark.operators.text import (
+        _LSH_INDEX_CACHE,
+        _lsh_index,
+        minhash_lsh_pairs,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    _write_docs(spark, str(tmp_path), [(i, f"{base} t{i}", "en", "s")
+                                       for i in range(4)])
+    idx1 = _lsh_index(spark, str(tmp_path))
+    assert _lsh_index(spark, str(tmp_path)) is idx1  # memo hit
+    n1 = minhash_lsh_pairs(spark, str(tmp_path)).count()
+    assert n1 == 6  # all four near-identical docs collide
+
+    # rewrite: two exact-dup groups of two -> different pair structure
+    _write_docs(spark, str(tmp_path), [(0, f"{base} tA", "en", "s"),
+                                       (1, f"{base} tA", "en", "s"),
+                                       (2, f"{base} tB", "en", "s"),
+                                       (3, f"{base} tB", "en", "s"),
+                                       (4, "something else entirely here",
+                                        "en", "s")])
+    idx2 = _lsh_index(spark, str(tmp_path))
+    assert idx2 is not idx1  # fingerprint changed -> rebuilt
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(spark, str(tmp_path)).collect()
+    }
+    assert {(0, 1), (2, 3)} <= pairs and not any(4 in p for p in pairs)

@@ -1005,6 +1005,14 @@ def test_lsh_collapse_guards_mega_group(spark, tmp_path):
         ("s1", "s2"): (n1 * n2, True),
     }
 
+    from etl_master_spark.operators.text import dup_cluster_size_histogram
+
+    hist = {
+        r["size"]: (r["n_clusters"], r["n_docs"], r["n_deletable"])
+        for r in dup_cluster_size_histogram(spark, str(tmp_path)).collect()
+    }
+    assert hist == {1: (10, 10, 0), g: (1, g, g - 1)}
+
 
 def test_chained_band_edges_bound_distinct_text_floods(spark, tmp_path):
     """r9 verdict item 2 (second half — per-bucket contribution cap): a

@@ -212,8 +212,10 @@ BENCH_QUERIES = [
     # round-9: the candidate-cap recall contract (runs each capped face
     # AND its uncapped banded comparator — the honest price of the audit)
     "neardup_topk_recall_audit",
-    # round-10: the cap=64 operating point of the jaccard top-k face
+    # round-10: the cap=64 operating point of the jaccard top-k face,
+    # and the SemDeDup scaling-rule face
     "dedup_ngram_jaccard_topk_deep",
+    "semantic_dedup_scaled",
 ]
 
 

@@ -1722,7 +1722,7 @@ def _km_literal_assign(emb: DataFrame, cent_vals: list[list[float]]) -> DataFram
 
 
 def _km_train(
-    spark: SparkSession, emb: DataFrame, dim: int = 64
+    spark: SparkSession, emb: DataFrame, dim: int = 64, k: int = IVF_CELLS
 ) -> tuple[list[list[float]], dict[int, int]]:
     """KM_ITERS−1 Lloyd refinement rounds from the deterministic phash
     init; returns (trained k×dim centroid list, last-round cluster
@@ -1742,13 +1742,13 @@ def _km_train(
             phash_py(c, i, seed=IVF_SEED) / float(PHASH_P) - 0.5
             for i in range(dim)
         ]
-        for c in range(IVF_CELLS)
+        for c in range(k)
     ]
     last_counts: dict[int, int] = {}
     d2_col = F.expr(_km_dist2_sql("c"))
     for _ in range(KM_ITERS - 1):
         cdf = spark.createDataFrame(
-            [(c, cent_vals[c]) for c in range(IVF_CELLS)],
+            [(c, cent_vals[c]) for c in range(k)],
             "cluster int, c array<double>",
         )
         w = Window.partitionBy("vec_id").orderBy(
@@ -1780,7 +1780,7 @@ def _km_train(
         last_counts = {r["cluster"]: r["cnt"] for r in rows}
         cent_vals = [
             [float(x) for x in new_vals[c]] if c in new_vals else cent_vals[c]
-            for c in range(IVF_CELLS)
+            for c in range(k)
         ]
     return cent_vals, last_counts
 
@@ -1876,6 +1876,13 @@ SEMDEDUP_TAU = 0.3
 # cosines on a single join key no matter how healthy the mean looks.
 SEMDEDUP_MAX_AVG_CLUSTER = 10_000
 SEMDEDUP_MAX_CLUSTER = 20_000
+# the SCALED face's operating point: cluster count grows with the corpus
+# so the mean population — and the O(n·mean) intra-cluster pair stream —
+# stays pinned here regardless of corpus size (the SemDeDup scaling rule
+# the demo face's guard error prescribes). At the sf0.01 gate
+# n <= IVF_CELLS·TARGET, so k = IVF_CELLS and the scaled face IS the demo
+# face — one oracle certifies both operating points.
+SEMDEDUP_TARGET_CELL = 500
 
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1947,6 +1954,86 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production SemDeDup pass writes to parquet anyway)
     assigned = (
         _km_literal_assign(emb, cent_vals)
+        .select("vec_id", "embedding", "cluster")
+        .localCheckpoint()
+    )
+    return _semantic_dedup_core(assigned)
+
+
+def _km_frame_assign(
+    spark: SparkSession, emb: DataFrame, cent_vals: list[list[float]]
+) -> DataFrame:
+    """Final assignment through a broadcast k-row centroid frame + window
+    argmin — the train loop's own shape, for codebooks too large to
+    inline as a literal expression (a k×dim literal costs Catalyst
+    analysis seconds once k reaches the hundreds — the PQ lesson).
+    Tie-break (d2 asc, cluster asc) matches ``_km_literal_assign``'s
+    struct-min exactly, and dist2 is the identical fold over the
+    identical doubles, so the two spellings assign every vector the same
+    cluster. Output: (vec_id, embedding, cluster, d2)."""
+    cdf = spark.createDataFrame(
+        [(c, cv) for c, cv in enumerate(cent_vals)],
+        "cluster int, c array<double>",
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("cluster").asc()
+    )
+    return (
+        emb.crossJoin(F.broadcast(cdf))
+        .withColumn("d2", F.expr(_km_dist2_sql("c")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster", "d2")
+    )
+
+
+def semantic_dedup_scaled(
+    spark: SparkSession,
+    sf_dir: str,
+    target_cell: int = SEMDEDUP_TARGET_CELL,
+) -> DataFrame:
+    """SemDeDup at the paper's own scaling rule (Abbas et al. 2023 §3:
+    "the number of clusters is scaled with the dataset size"): cluster
+    count k = max(IVF_CELLS, ⌈n / target_cell⌉), so the mean cluster
+    population — and with it the intra-cluster pair stream, Σ sizeᵢ² ≈
+    n·target_cell — stays bounded at ANY corpus size. This is the
+    registered spelling the demo face's loud-fail guard points at: where
+    ``semantic_dedup`` refuses a corpus that outgrew IVF_CELLS=8, this
+    face re-clusters finer and proceeds.
+
+    Certification: at the sf0.01 gate n ≤ IVF_CELLS·target_cell, so
+    k = IVF_CELLS and the trajectory, assignment, and prune are
+    IDENTICAL to ``semantic_dedup`` — the shared oracle hash-certifies
+    this face at its gate operating point (the
+    ``stratified_sample_threshold`` pattern: one oracle, the scale
+    behavior additionally pytest-pinned — below-threshold equality to
+    the demo face, and a forced-fine-k run where planted identical
+    vectors still collapse because identical embeddings share an argmin
+    cluster under ANY codebook).
+
+    Plan: training assigns through a broadcast k-row frame per round
+    (k-agnostic), and the FINAL assignment does too
+    (``_km_frame_assign`` — a k×dim literal argmin would pay Catalyst
+    seconds at k in the hundreds); the skew guard on the largest trained
+    cluster stays, because Lloyd can collapse a correlated corpus into
+    one cell no matter how fine k is."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = max(IVF_CELLS, -(-n // target_cell))
+    emb = spread_by(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+    )
+    cent_vals, last_counts = _km_train(spark, emb, k=k)
+    max_sz = max(last_counts.values(), default=0)
+    if max_sz > SEMDEDUP_MAX_CLUSTER:
+        raise ValueError(
+            f"semantic_dedup_scaled: largest cluster holds ~{max_sz} "
+            f"vectors (> {SEMDEDUP_MAX_CLUSTER}) even at k={k} — the "
+            "corpus is degenerately correlated; raise target resolution "
+            "or pre-split by a coarse key before pruning."
+        )
+    assigned = (
+        _km_frame_assign(spark, emb, cent_vals)
         .select("vec_id", "embedding", "cluster")
         .localCheckpoint()
     )

@@ -568,6 +568,14 @@ register(
 )
 # SemDeDup: reuses the kmeans trajectory, prunes within clusters by cosine
 register("semantic_dedup", vectors.semantic_dedup, vectors.semantic_dedup_oracle())
+# the SemDeDup scaling rule as a registered face (k grows with the
+# corpus; at the gate k = IVF_CELLS so the demo oracle certifies it —
+# the stratified_sample_threshold pattern)
+register(
+    "semantic_dedup_scaled",
+    vectors.semantic_dedup_scaled,
+    vectors.semantic_dedup_oracle(),
+)
 register("mmd_rbf", vectors.mmd_rbf, vectors.mmd_rbf_oracle())
 register("mmd_rbf_multiscale", vectors.mmd_rbf_multiscale, vectors.mmd_rbf_multiscale_oracle())
 # BLAS tile path: shares the relational spelling's oracle. Both engines
@@ -1070,7 +1078,8 @@ register("gan_eval_test", _gan_eval, _frozen_oracle("gan_test"))
 _PRIORITY = [
     # ROUND-10 ROTATION — evidence freshness. The driver samples EXACTLY
     # the first 50 registry entries per round; this window =
-    # (a) the ONE query NEW this round (the cap=64 deep operating point);
+    # (a) the TWO queries NEW this round (the cap=64 deep operating
+    # point; the SemDeDup scaled face);
     # then (b) the six FUNCTION-stale rows (`driver_replay.py --stale`,
     # authoritative): bodies changed by the exact-dup collapse
     # (minhash_lsh_pairs, dedup_clusters, cross_source_dup_matrix,
@@ -1080,17 +1089,20 @@ _PRIORITY = [
     # chain rule rewrote (containment_topk, tfidf_doc_topk — oracle-only
     # changes are invisible to --stale by its documented limitation) and
     # the two uncapped faces rep-verified late in the round
-    # (containment_pairs, tfidf_doc_similarity);
+    # (containment_pairs, tfidf_doc_similarity), and pca_whiten_audit
+    # (function-stale from the _km_train k-parameterization shifting
+    # vectors.py line attributions);
     # then (b2) the six module-stale wrapper rows
     # (text/relational/registry modules moved: the two jaccard lambdas —
     # both genuinely reworked by the collapse —, top_orders_per_customer,
     # and the three model wrappers registry.py edits always re-stale);
-    # then (c) ALL 26 remaining r04-vintage rows; then (d) 7 oldest
+    # then (c) ALL 26 remaining r04-vintage rows; then (d) 5 oldest
     # r05-vintage fill (alphabetical prefix of the r05 list).
-    # 1 + 10 + 6 + 26 + 7 = 50 exactly.
+    # 2 + 11 + 6 + 26 + 5 = 50 exactly.
     #
-    # R11 WINDOW PLAN: the remaining 25 r05-vintage rows
-    # (dedup_representatives, distinctive_terms_llr, dp_lang_counts,
+    # R11 WINDOW PLAN: the remaining 27 r05-vintage rows
+    # (corpus_drift_psi, corpus_entropy, dedup_representatives,
+    # distinctive_terms_llr, dp_lang_counts,
     # embedding_covariance, embedding_drift_audit,
     # events_weekly_seasonality, hard_negatives_mine, heaps_fit,
     # hll_cardinality_audit, kcenter_coreset, knn_label_audit,
@@ -1101,7 +1113,7 @@ _PRIORITY = [
     # body changes in r11 (run `driver_replay.py --stale` at round open —
     # it is authoritative over this comment) + fill from r06 vintage.
     # (a) new this round
-    "dedup_ngram_jaccard_topk_deep",
+    "dedup_ngram_jaccard_topk_deep", "semantic_dedup_scaled",
     # (b) FUNCTION-stale bodies changed this round, plus the two capped
     # faces whose ORACLE SQL was rewritten by the chain rule (an
     # oracle-only change is invisible to --stale by its documented
@@ -1109,7 +1121,7 @@ _PRIORITY = [
     "minhash_lsh_pairs", "dedup_clusters", "cross_source_dup_matrix",
     "neardup_topk_recall_audit", "user_sessions_routed",
     "event_gaps_routed", "containment_topk", "tfidf_doc_topk",
-    "containment_pairs", "tfidf_doc_similarity",
+    "containment_pairs", "tfidf_doc_similarity", "pca_whiten_audit",
     # (b2) module-stale wrapper rows (text/relational/registry moved)
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_topk",
     "top_orders_per_customer", "als_eval_test", "cdae_eval_test",
@@ -1128,8 +1140,7 @@ _PRIORITY = [
     "weighted_sample_aes", "woe_priority_encoding",
     # (d) oldest r05-vintage fill
     "ann_ivfpq_topk", "ann_pq_topk", "centroid_classify",
-    "cluster_label_purity", "cms_word_counts_audit", "corpus_drift_psi",
-    "corpus_entropy",
+    "cluster_label_purity", "cms_word_counts_audit",
 ]
 assert set(_PRIORITY) <= set(QUERIES), sorted(set(_PRIORITY) - set(QUERIES))
 QUERIES = {
@@ -1183,6 +1194,14 @@ FAMILIES: dict[str, dict] = {
         "faces": ["tfidf_doc_similarity", "tfidf_doc_topk"],
         "recommended": "tfidf_doc_topk",
         "why": "bounded per-doc output vs the full similar-pair list",
+    },
+    "semantic_dedup": {
+        "faces": ["semantic_dedup", "semantic_dedup_scaled"],
+        "recommended": "semantic_dedup_scaled",
+        "why": "cluster count scales with the corpus (the SemDeDup rule) "
+               "so the intra-cluster pair stream stays ~n*target_cell at "
+               "any size; the demo face fail-louds past IVF_CELLS*10k "
+               "vectors by design",
     },
     "embedding_near_dup": {
         "faces": [

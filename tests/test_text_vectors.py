@@ -720,3 +720,61 @@ def test_embedding_covariance_matches_numpy(spark):
     for r in out:
         assert abs(r["exy"] - round(exy[r["i"], r["j"]], 9)) <= 2e-9, r
         assert abs(r["cov"] - round(cov[r["i"], r["j"]], 9)) <= 4e-9, r
+
+
+def test_semantic_dedup_scaled_matches_demo_below_threshold(spark, sf_dir):
+    """At the gate the scaling formula yields k = IVF_CELLS, so the
+    scaled face must equal the demo face row-for-row (same trajectory,
+    same prune) — this is what lets one oracle certify both."""
+    from etl_master_spark.operators.vectors import (
+        semantic_dedup,
+        semantic_dedup_scaled,
+    )
+
+    want = sorted(tuple(r) for r in semantic_dedup(spark, sf_dir).collect())
+    got = sorted(
+        tuple(r) for r in semantic_dedup_scaled(spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+def test_semantic_dedup_scaled_fine_k_still_prunes_identicals(spark, sf_dir):
+    """Force the scaling rule to re-cluster finer than the demo face
+    (tiny target_cell -> k >> IVF_CELLS): the face must complete, keep
+    the demo schema, assign every vector, and still collapse exact
+    duplicates — identical embeddings share an argmin cluster under ANY
+    codebook, so the later twin always drops."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_master_spark.operators.vectors import (
+        IVF_CELLS,
+        semantic_dedup,
+        semantic_dedup_scaled,
+    )
+    from etl_master_spark.sources.io import load_table
+
+    import tempfile, pathlib, shutil
+
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    try:
+        # corpus = the real sf table + one exact twin of an existing vector
+        base = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        twin = base.slice(0, 1).to_pydict()
+        orig_id = twin["vec_id"][0]
+        twin["vec_id"] = [10_000_000]
+        pq.write_table(
+            pa.concat_tables([base, pa.table(twin, schema=base.schema)]),
+            tmp / "embeddings.parquet",
+        )
+        n = load_table(spark, str(tmp), "embeddings").count()
+        out = semantic_dedup_scaled(spark, str(tmp), target_cell=25)
+        assert out.columns == semantic_dedup(spark, sf_dir).columns
+        rows = {r["vec_id"]: r for r in out.collect()}
+        assert len(rows) == n
+        assert rows[10_000_000]["keep"] is False  # twin collapses
+        assert rows[orig_id]["keep"] is True
+        # finer than the demo face actually ran: enough vectors per 25
+        assert n // 25 > IVF_CELLS
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

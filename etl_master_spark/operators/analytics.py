@@ -1371,11 +1371,21 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(revenue_e4).alias("w"))
     )
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    # edge share of its source's out-weight: the transition matrix row
+    # edge share of its source's out-weight: the transition matrix row.
+    # MATERIALIZED (r10 optimization): the unrolled power iteration
+    # references ``trans`` once per round and the delta join duplicates
+    # the whole previous-round subtree, so the lazy spelling re-ran the
+    # fact-scale edge aggregation (lineitem ⋈ orders ⋈ customer ⋈ …)
+    # NINE times per execution — plans/r10/nation_pagerank_before.txt
+    # shows 119 parquet scans. The frame is ≤ 25·24 rows (guide §5:
+    # materialize reused intermediates; §2.4: remove repeated passes) —
+    # one localCheckpoint makes every iteration a broadcast-sized join
+    # over 600 rows. Values are the identical doubles, so the trajectory
+    # and the oracle hash are unchanged.
     trans = edges.join(out_w, "src").select(
         "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
-    )
-    nodes = nation.select(F.col("n_name").alias("node"))
+    ).localCheckpoint()
+    nodes = nation.select(F.col("n_name").alias("node")).localCheckpoint()
     n_nodes = nodes.count()  # 25 — dimension-sized by schema
     return pagerank_ranks(nodes, trans, n_nodes, PR_ITERS, PR_DAMP, PR_TOL)
 
@@ -1556,19 +1566,24 @@ def _pairs_of(baskets: DataFrame) -> DataFrame:
     successors only). The ONE pair-build shared by co_purchase_pairs,
     triangle_count, association_rules, and copurchase_communities, so
     the subtle slice offset lives in exactly one place."""
-    parts = F.col("parts")
-    pair_arr = F.flatten(
-        F.transform(
-            parts,
-            lambda x, i: F.transform(
-                F.slice(parts, i + 2, F.size(parts)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    # two Generate(explode) steps + a plain slice (r10 optimization,
+    # guide §4.1): the former nested transform/flatten lambda spelling
+    # evaluated INTERPRETED per row (higher-order functions never enter
+    # whole-stage codegen) and allocated a struct per pair; posexplode +
+    # slice emit the identical (a, b) stream through codegen'd
+    # generators. Same rows, same aggregate — oracle-equal by hash.
     return (
-        baskets.select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
+        baskets.select(
+            F.posexplode(F.col("parts")).alias("i", "a"),
+            F.col("parts"),
+        )
+        .select(
+            F.col("a"),
+            F.explode(
+                F.slice(F.col("parts"), F.col("i") + 2, F.size("parts"))
+            ).alias("b"),
+        )
+        .groupBy(F.col("a").alias("part_a"), F.col("b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
 

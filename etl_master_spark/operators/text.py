@@ -1500,20 +1500,22 @@ def _connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     # exact and overflow-free at any id range)
     prev_sum = None
     for _ in range(CC_MAX_ITERS):
-        nbr_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("cluster").alias("nbr_min"))
+        # one union-min round (r10 optimization, guide §2.4): the former
+        # nbr_min-aggregate + left-join spelling paid FIVE exchanges per
+        # round (edge join both sides, the per-node agg, the join-back,
+        # the explicit repartition); folding the node's own label into
+        # the message stream computes the identical
+        # min(own ∪ neighbor labels) in one grouped aggregate — three
+        # exchanges, no join-back, no repartition job. Labels per round
+        # are value-identical, so the trajectory, the convergence sum
+        # and the fixpoint are unchanged.
+        msgs = edges.join(labels, edges.doc_b == labels.doc_id).select(
+            F.col("doc_a").alias("doc_id"), "cluster"
         )
         new_labels = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster"), F.coalesce("nbr_min", F.col("cluster"))
-                ).alias("cluster"),
-            )
-            .repartition(npart, "doc_id")
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("cluster").alias("cluster"))
             .localCheckpoint()
         )
         cur_sum = new_labels.agg(
@@ -1639,12 +1641,19 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     # length guard: Spark's sequence(1, n) DESCENDS for n < 1 (the same
     # trap bigram_counts documents) — short docs must not reach it
+    # explode the POSITIONS and slice with a plain substring (r10
+    # optimization, guide §4.1): the former transform(sequence, i ->
+    # substring) lambda evaluated interpreted and materialized an array
+    # of n string copies per row — per CONSUMER (this stream feeds both
+    # the model build and the scoring join). The generator + substring
+    # spelling stays inside whole-stage codegen; identical trigrams.
     tri = docs.filter(F.length("text") >= 3).select(
         "doc_id",
+        "text",
         F.explode(
-            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
-        ).alias("tri"),
-    )
+            F.sequence(F.lit(1), F.length("text") - 2)
+        ).alias("i"),
+    ).select("doc_id", F.expr("substring(text, i, 3)").alias("tri"))
     # the trigram stream feeds BOTH the model build and the scoring join —
     # and is deliberately NOT materialized: a localCheckpoint of the
     # exploded stream writes |corpus|·|chars| rows (~800 M / ~24 GB at

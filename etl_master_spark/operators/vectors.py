@@ -1476,7 +1476,15 @@ def _ann_pq_core(spark: SparkSession, emb: DataFrame, topk: int = 5) -> DataFram
     # (measured 3.8 -> 2.7 s; a localCheckpoint would erase the
     # partitioning metadata and bring the shuffles back)
     emb = spread_by(emb, "vec_id")
-    vsub = _pq_vsub(emb)
+    # materialize the subvector frame ONCE and re-key it (r10
+    # optimization, guide §5): four consumers (both Lloyd rounds, the
+    # encode argmin, the query LUT) each re-ran the explode + self-dot
+    # from the scan; the checkpoint computes it once, and the spread_by
+    # on top restores the HashPartitioning(vec_id) the checkpoint erases
+    # so the train/encode argmins stay exchange-free (one narrow 4-rows-
+    # per-vector reshuffle per consuming plan, shared by ReusedExchange
+    # inside the train plan). A/B min-of-4: 3.48 -> 3.13 s.
+    vsub = spread_by(_pq_vsub(emb).localCheckpoint(), "vec_id")
     # the trained codebook feeds BOTH encode and LUT; checkpoint the
     # 64-row frame so the two training rounds execute exactly once
     cdf = _pq_train_cdf(spark, vsub).localCheckpoint()
@@ -2497,7 +2505,12 @@ def _ann_ivfpq_core(
     # corpus exchange outweighs the deleted argmin shuffles, 4.9 vs
     # 5.1 s min-of-3 — so the checkpoint stands alone here, unlike
     # _ann_pq_core)
-    vsub = _pq_vsub(resid, keys=("vec_id", "cell"))
+    # same vsub materialize-once + re-key as _ann_pq_core (r10, guide
+    # §5); HashPartitioning(vec_id) satisfies the (vec_id, cell, m)
+    # argmins' clustering. A/B min-of-4: 5.98 -> 5.71 s.
+    vsub = spread_by(
+        _pq_vsub(resid, keys=("vec_id", "cell")).localCheckpoint(), "vec_id"
+    )
     cdf = _pq_train_cdf(spark, vsub).localCheckpoint()
     codes = _pq_assign(vsub, cdf, keys=("vec_id", "cell")).select(
         "vec_id", "cell", "m", F.col("k").alias("code")

@@ -4444,13 +4444,6 @@ def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PRF_FB_DOCS)
         .select("doc_id")
     )
-    # corpus document frequency for ALL terms (two-level agg, no expand)
-    df_all = (
-        base.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df_corpus"))
-    )
     fb_tf = (
         base.join(F.broadcast(fb_docs), "doc_id")
         .filter(
@@ -4460,9 +4453,29 @@ def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("fb_tf"))
+        # materialized: the frame is ≤ the 5 feedback docs' vocabulary,
+        # and it feeds both the df prune's broadcast side and the
+        # expansion scorer — lazily each consumer re-ran the corpus pass
+        .localCheckpoint()
+    )
+    # corpus document frequency for the FEEDBACK terms only (r10
+    # optimization, guide §2.3/§3.2): the expansion scorer inner-joins df
+    # on fb_tf's terms — a vocabulary bounded by five documents — so
+    # aggregating df over the ENTIRE corpus vocabulary shuffled the full
+    # (doc_id, term) distinct stream for nothing. The broadcast semi-join
+    # drops non-feedback terms BEFORE the two-level agg's exchange; df
+    # values for the surviving terms are computed over the same full
+    # corpus scan, so every escore is unchanged (inner-join semantics
+    # identical).
+    df_fb = (
+        base.join(F.broadcast(fb_tf.select("term")), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_corpus"))
     )
     exp_terms = (
-        fb_tf.join(df_all, "term")
+        fb_tf.join(df_fb, "term")
         .crossJoin(F.broadcast(stats.select("n_docs")))
         .select(
             "term",

@@ -287,6 +287,20 @@ def main() -> None:
         cold["negatives_sample_reject_cold"] = round(time.time() - t0, 3)
     except Exception as e:  # noqa: BLE001
         errors["negatives_sample_reject_cold"] = str(e).splitlines()[0][:200]
+    # Same honesty twin for the near-dup family's session-memoized
+    # collapsed LSH index (r10): the interleaved passes' min() reads the
+    # memo-warm cost for every face that starts from `_lsh_index`. Clear
+    # the memo and time ONE representative face cold, so BENCH_DETAIL
+    # records what the first construction in a fresh session pays.
+    try:
+        from etl_master_spark.operators import text as _text
+
+        _text._LSH_INDEX_CACHE.clear()
+        t0 = time.time()
+        _force(QUERIES["minhash_lsh_pairs"](spark, SF_DIR))
+        cold["minhash_lsh_pairs_cold"] = round(time.time() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        errors["minhash_lsh_pairs_cold"] = str(e).splitlines()[0][:200]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -339,6 +339,21 @@ def main() -> None:
     Path(REPO, "BENCH_DETAIL.json").write_text(json.dumps(out, indent=1))
     print(json.dumps(headline))
     print(json.dumps(out))
+    # Per-query driver visibility (r11; r10 verdict item 2a): the full
+    # map above is ONE >2000-char line, so the driver's tail capture
+    # always cuts it mid-stream and its PERF builder got per_query={} /
+    # n_common=0 two rounds running. Re-emit every timing as its own
+    # <200-char JSON line the tail parser can reassemble, sorted
+    # cheapest-first so the ~2000-char tail window ends with the MOST
+    # EXPENSIVE queries (the ones whose regressions matter). The compact
+    # headline stays the LAST line, exactly as before, so whichever line
+    # the driver picks from the tail still parses. Timing methodology,
+    # headline value and the queries map are unchanged — this is an
+    # output-format fix only (documented in OPTIMIZATION_r11.md).
+    for q_name, q_sec in sorted(
+        timings.items(), key=lambda kv: (kv[1], kv[0])
+    ):
+        print(json.dumps({"q": q_name, "sec": q_sec}))
     print(json.dumps(headline))
     spark.stop()
 

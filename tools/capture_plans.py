@@ -1,8 +1,8 @@
-"""Dump `.explain("formatted")` for benched queries to plans/r10/.
+"""Dump `.explain("formatted")` for benched queries to plans/$SPARK_GRAFT_PLANS_ROUND/ (default r11).
 
 Usage: python tools/capture_plans.py before|after [substr ...]
 
-Writes plans/r10/<query>_<tag>.txt for each selected query at
+Writes plans/<round>/<query>_<tag>.txt for each selected query at
 $SPARK_GRAFT_SF_DIR (default sf0.1). Explain-only — no execution, so
 timings elsewhere are unaffected; constructions that localCheckpoint
 still run their materialization jobs (that IS part of the plan shape).
@@ -30,7 +30,7 @@ def main() -> None:
     names = [
         n for n in bench.BENCH_QUERIES if not subs or any(s in n for s in subs)
     ]
-    out_dir = REPO / "plans" / "r10"
+    out_dir = REPO / "plans" / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11")
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name=f"capture_plans_{tag}")
     for n in names:

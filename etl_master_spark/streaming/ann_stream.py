@@ -46,15 +46,13 @@ from ..sources.io import load_table, spread_by
 def frozen_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The codebook trained once on the historical (~80%) slice —
     the identical deterministic trajectory the batch face trains
-    (``vectors.pq_index_append``), localCheckpoint'd so every
-    micro-batch reuses the materialized frame instead of replaying
-    Lloyd rounds."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    )
-    h = F.expr(phash_frag("vec_id", seed=IDX_SEED))
-    old = spread_by(emb.filter((h % IDX_OLD_MOD) < IDX_OLD_LT), "vec_id")
-    return _pq_train_cdf(spark, _pq_vsub(old)).localCheckpoint()
+    (``vectors.pq_index_append``). r11: both faces now read the shared
+    session-memoized materialization (``frozen_append_codebook``) — the
+    'version 0' artifact — instead of each training their own copy of
+    the same Lloyd rounds."""
+    from ..operators.vectors import frozen_append_codebook
+
+    return frozen_append_codebook(spark, sf_dir)
 
 
 def encode_batch(cdf: DataFrame, batch: DataFrame) -> DataFrame:

@@ -313,6 +313,17 @@ def main() -> None:
         cold["pq_index_append_cold"] = round(time.time() - t0, 3)
     except Exception as e:  # noqa: BLE001
         errors["pq_index_append_cold"] = str(e).splitlines()[0][:200]
+    # Cold twin for the corpus k-means trajectory memo (r11): clear it
+    # and time one representative face paying its Lloyd training.
+    try:
+        from etl_master_spark.operators import vectors as _vectors
+
+        _vectors._KM_TRAIN_CACHE.clear()
+        t0 = time.time()
+        _force(QUERIES["kmeans_embeddings"](spark, SF_DIR))
+        cold["kmeans_embeddings_cold"] = round(time.time() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        errors["kmeans_embeddings_cold"] = str(e).splitlines()[0][:200]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -1469,12 +1469,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_pq_core(spark: SparkSession, emb: DataFrame, topk: int = 5) -> DataFrame:
     """PQ train/encode/LUT/score over any (vec_id, embedding) frame —
     split out so tests can plant clustered corpora."""
-    # keyed spread instead of a checkpoint: HashPartitioning(vec_id)
-    # satisfies every (vec_id, m) argmin's clustering, so the train and
-    # encode groupBys lose their exchange barriers entirely; the parquet
-    # scan subtree is shallow enough that re-reading beats materializing
-    # (measured 3.8 -> 2.7 s; a localCheckpoint would erase the
-    # partitioning metadata and bring the shuffles back)
+    # keyed spread of EMB instead of a checkpoint: HashPartitioning
+    # (vec_id) satisfies every (vec_id, m) argmin's clustering, so the
+    # train and encode groupBys lose their exchange barriers entirely;
+    # the parquet scan subtree is shallow enough that re-reading beats
+    # materializing (measured 3.8 -> 2.7 s; checkpointing emb bare would
+    # erase the partitioning metadata and bring the shuffles back — the
+    # vsub checkpoint below therefore re-keys itself via spread_by)
     emb = spread_by(emb, "vec_id")
     # materialize the subvector frame ONCE and re-key it (r10
     # optimization, guide §5): four consumers (both Lloyd rounds, the
@@ -2529,12 +2530,13 @@ def _ann_ivfpq_core(
         )
         .localCheckpoint()
     )
-    # (measured: a spread_by(vec_id) after this checkpoint wins on the
-    # isolated train+encode sub-DAG but LOSES on the full query — the
-    # probe/LUT/score stages don't reuse the keyed layout and the extra
-    # corpus exchange outweighs the deleted argmin shuffles, 4.9 vs
-    # 5.1 s min-of-3 — so the checkpoint stands alone here, unlike
-    # _ann_pq_core)
+    # (measured: a spread_by(vec_id) after THIS resid checkpoint wins on
+    # the isolated train+encode sub-DAG but LOSES on the full query —
+    # the probe/LUT/score stages don't reuse the keyed layout and the
+    # extra corpus exchange outweighs the deleted argmin shuffles, 4.9
+    # vs 5.1 s min-of-3 — so the RESID checkpoint stands alone, un-keyed.
+    # The vsub frame below is a different trade: it was re-keyed in r10
+    # because its four consumers are all (vec_id, ...) argmins.)
     # same vsub materialize-once + re-key as _ann_pq_core (r10, guide
     # §5); HashPartitioning(vec_id) satisfies the (vec_id, cell, m)
     # argmins' clustering. A/B min-of-4: 5.98 -> 5.71 s.

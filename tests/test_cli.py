@@ -4,6 +4,8 @@ so it must not share the test fixture's)."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import subprocess
 import sys
@@ -12,6 +14,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
+@pytest.mark.slow
 def test_cli_lifecycle(tmp_path):
     run = subprocess.run(
         [

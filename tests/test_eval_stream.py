@@ -90,6 +90,7 @@ def test_stream_metrics_equal_batch_eval_on_every_prefix(
                 assert g[m] == pytest.approx(e[m], abs=1e-9), (i, key, m)
 
 
+@pytest.mark.slow
 def test_affected_set_stays_bounded_on_wide_catalog(spark, tmp_path):
     """The steady-state contract: with |catalog| >> |candidates| a
     single-user micro-batch's affected set is that user plus the few
@@ -254,6 +255,7 @@ def test_prefix_compaction_folds_and_reads_identically(spark, tmp_path):
     assert st._bounds("prefix") == [4]
 
 
+@pytest.mark.slow
 def test_replay_across_compaction_boundary_equals_batch_eval(spark, tmp_path):
     """Crash/replay across a compaction boundary (r7 verdict item 3's
     done-bar): drive the batch processor directly with compact_every=2;
@@ -318,6 +320,7 @@ def test_replay_across_compaction_boundary_equals_batch_eval(spark, tmp_path):
                 assert g[m] == _pytest.approx(e[m], abs=1e-9), (i, key, m)
 
 
+@pytest.mark.slow
 def test_approx_refresh_bounds_error_on_growth_heavy_stream(spark, tmp_path):
     """The approximate variant (r7 verdict item 8): on a growth-heavy
     stream (every batch introduces new catalog items, each tripping the
@@ -445,6 +448,7 @@ def test_read_chunks_raises_when_compacted_past_requested_epoch(
     assert st.read_chunks("other", 2) is None
 
 
+@pytest.mark.slow
 def test_stale_age_hard_bound_and_drain(spark, tmp_path):
     """Hard staleness-age bound (r8 verdict item 4): with
     refresh_fraction=p, any pair the epoch-salted sample leaves stale is

@@ -4,6 +4,8 @@ equality is covered by test_oracle_parity.py."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from etl_master_spark.operators.analytics import (
@@ -237,6 +239,7 @@ def test_kcore_peel_reports_nonconvergence_on_long_chain(spark):
     assert all(r["converged"] is True and r["rounds_used"] == 7 for r in slack)
 
 
+@pytest.mark.slow
 def test_lpa_semisync_converges_on_bipartite_cycle(spark):
     """Synchronous LPA 2-cycles forever on a bipartite 4-cycle (each side
     adopts the other side's min label every round) — the adversarial
@@ -275,6 +278,7 @@ def test_lpa_reports_truncation_under_tight_ceiling(spark):
     assert all(r["rounds_used"] < 16 for r in full)
 
 
+@pytest.mark.slow
 def test_pagerank_reports_nonconvergence_under_few_rounds(spark):
     """Damped power iteration contracts at rate 0.85 per round: on a
     3-node star-and-return graph, 2 rounds leave per-node movement far

@@ -41,6 +41,7 @@ def test_cross_domain_map_recovers_exact_linear(spark):
     assert np.allclose(two["W1"] @ two["W2"], np.eye(dim), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_als_eval_protocol_shape(spark, sf_dir):
     from etl_master_spark.model.als import als_eval
 
@@ -67,6 +68,7 @@ def test_media_decode_stub_contract(spark, sf_dir):
         assert all(0.0 <= v <= 1.0 for v in r["feature"])
 
 
+@pytest.mark.slow
 def test_mlp_map_learns_nonlinear_transform(spark):
     """Variant3 strategy: distributed full-batch GD on relu(x·W1)·W2 must
     drive the fit loss well below the linear ridge fit on a genuinely
@@ -114,6 +116,7 @@ def test_mlp_map_learns_nonlinear_transform(spark):
     assert mse_mlp < 0.7 * mse_lin, (mse_mlp, mse_lin)
 
 
+@pytest.mark.slow
 def test_cdae_trains_and_evaluates(spark, sf_dir):
     """The distributed CDAE loop must actually learn (strictly lower BCE
     after training) and its scores must flow through the shared eval
@@ -236,6 +239,7 @@ def test_gan_prior_is_standard_normal():
     assert np.array_equal(z, z2)
 
 
+@pytest.mark.slow
 def test_gan_trains_and_evaluates(spark, sf_dir):
     """End-to-end adversarial training on the real split tables: G loss
     decreases, D passes run, and the eval protocol emits the 4 metric rows
@@ -252,6 +256,7 @@ def test_gan_trains_and_evaluates(spark, sf_dir):
         assert 0.0 <= r["hr"] <= 1.0
 
 
+@pytest.mark.slow
 def test_checkpoint_reload_reeval_matches_live(spark, sf_dir, tmp_path):
     """R7 second half: save both domains' factor checkpoints, reload them,
     re-evaluate at K in {5,10} — the reloaded scorer must reproduce the
@@ -325,6 +330,7 @@ def test_gan_two_maps_strategy_trains(spark, sf_dir):
     assert model["g_losses"][-1] < model["g_losses"][0]
 
 
+@pytest.mark.slow
 def test_gan_adam_optimizer_converges_faster(spark, sf_dir):
     """T11 fidelity: optimizer='adam' reproduces the reference pair
     (Adam+wd for G, SGD+wd for D — main_my.py:113-114) driver-side over
@@ -346,6 +352,7 @@ def test_gan_adam_optimizer_converges_faster(spark, sf_dir):
         assert np.array_equal(adam2["g"][k], adam["g"][k])
 
 
+@pytest.mark.slow
 def test_gan_checkpoint_reload_reeval_matches_live(spark, sf_dir, tmp_path):
     """S4/R7 for the adversarial model (reference torch.save/load,
     main_my.py:322-346,350-375): save trained params to parquet, reload,
@@ -376,6 +383,7 @@ def test_gan_checkpoint_reload_reeval_matches_live(spark, sf_dir, tmp_path):
     assert rel == live
 
 
+@pytest.mark.slow
 def test_cdae_checkpoint_reload_reeval_matches_live(spark, sf_dir, tmp_path):
     """S4/R7 for the CDAE family: parquet round-trip of both domains'
     weights reproduces the live eval metrics exactly."""

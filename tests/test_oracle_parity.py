@@ -36,7 +36,19 @@ def con():
     c.close()
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+# the recall audit's DuckDB side unrolls four faces' capped+uncapped
+# spellings (~100 s alone); the builder's strict_check replays it at two
+# SFs and the full-suite tier keeps it — the fast tier drops just this id
+_SLOW_PARITY = {"neardup_topk_recall_audit"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_PARITY else n
+        for n in sorted(ORACLES)
+    ],
+)
 def test_oracle_parity(spark, con, name):
     problems = compare(QUERIES[name](spark, SF), con, _oracle_for(name))
     assert not problems, problems

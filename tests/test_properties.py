@@ -4,6 +4,8 @@ input shape, not just the handcrafted fixtures."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import defaultdict
 
 from hypothesis import HealthCheck, given, settings
@@ -127,6 +129,7 @@ def test_semantic_dedup_partitioning_invariance(spark):
         assert got == ref
 
 
+@pytest.mark.slow
 def test_kcenter_partitioning_invariance(spark):
     """Farthest-point traversal is a pure function of the (vec_id,
     embedding) SET: the per-round TakeOrdered argmax and the final
@@ -147,6 +150,7 @@ def test_kcenter_partitioning_invariance(spark):
         assert got == ref
 
 
+@pytest.mark.slow
 def test_centroid_classify_partitioning_invariance(spark):
     """Centroid means round to 9 dp before the argmax and ties break on
     the class id, so the confusion matrix must be layout-independent."""

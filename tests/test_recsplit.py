@@ -130,6 +130,7 @@ def test_sample_reject_negatives_contract(spark, sf_dir):
     )
 
 
+@pytest.mark.slow
 def test_sample_reject_exhausted_user_yields_zero_rows(spark):
     """A (user, domain) that has interacted with the WHOLE catalog legally
     samples nothing — and the invariants companion must still emit its
@@ -159,6 +160,7 @@ def test_sample_reject_exhausted_user_yields_zero_rows(spark):
     assert inv[(2, "d")]["n_negs"] == 2
 
 
+@pytest.mark.slow
 def test_sample_reject_exact_topup_fills_sliver_remainder(spark):
     """Adversarial underfill: a user who has seen all but 3 items of a
     2000-item catalog — 12n hash trials expect ~1.8 hits on the sliver,
@@ -215,6 +217,7 @@ def test_recsplit_golden_hashes(spark, sf_dir):
         assert (len(rows), h) == (n_rows, digest), name
 
 
+@pytest.mark.slow
 def test_sample_reject_oracle_replays_topup_on_adversarial_ratings(spark):
     """The round-6 full hash oracle must replay the sampler EXACTLY on
     inputs that exercise the exact top-up stage and the exhausted-user

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -72,6 +74,7 @@ def test_compact_parquet(spark, sf_dir, tmp_path):
     assert ts == sorted(ts)
 
 
+@pytest.mark.slow
 def test_freeze_and_eval_fingerprint_invalidation(spark, tmp_path, monkeypatch):
     """freeze_and_eval's reuse gate: same fingerprint reuses the frozen
     parquet byte-stably; a changed fingerprint (a model hyperparameter
@@ -115,6 +118,7 @@ def test_freeze_and_eval_fingerprint_invalidation(spark, tmp_path, monkeypatch):
     assert spark.read.parquet(f"{base}/scores").collect()[0]["score"] == 0.9
 
 
+@pytest.mark.slow
 def test_freeze_and_eval_empty_fingerprint_never_reuses(
     spark, tmp_path, monkeypatch
 ):

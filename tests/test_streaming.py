@@ -3,6 +3,8 @@ plan, incremental execution)."""
 
 from __future__ import annotations
 
+import pytest
+
 from etl_master_spark.streaming.windows import events_hourly, events_hourly_stream
 
 
@@ -294,6 +296,7 @@ def test_stream_drift_histogram_equals_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_dedup_state_stays_bounded_over_50_batches(
     spark, sf_dir, tmp_path
 ):
@@ -377,6 +380,7 @@ def test_stream_dedup_state_stays_bounded_over_50_batches(
     ) >= 2 * per_hour
 
 
+@pytest.mark.slow
 def test_stream_watermark_drops_late_rows_matches_batch_accounting(
     spark, sf_dir, tmp_path
 ):

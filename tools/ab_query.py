@@ -3,7 +3,15 @@ the CURRENT tree's query N times in one warm session and reports each
 pass (construct_s + exec_s), so variants run back-to-back give
 comparable mins without session-boot noise.
 
+Caveat (r10 ADVICE): session memos (_LSH_INDEX_CACHE, _REJECT_CACHE,
+_KM_TRAIN_CACHE, _PQ_APPEND_CDF_CACHE) survive clearCache(), so for
+memoized queries the min-of-N reports the memo-WARM cost — fine for
+A/B of the same query across variants (both sides warm identically),
+but do not read it as a cold-session cost; bench.py's `cold` twins
+measure those.
+
 Usage: python tools/ab_query.py <query> [passes=4]
+Env: SPARK_GRAFT_SF_DIR (timed dir), SPARK_GRAFT_WARM_DIR (warm pass).
 """
 
 from __future__ import annotations
@@ -28,7 +36,9 @@ def main() -> None:
     name = sys.argv[1]
     passes = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     spark = get_spark(app_name="ab_query")
-    bench._force(QUERIES[name](spark, "/root/testdata/sf0.001"))
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if warm_dir != SF_DIR:
+        bench._force(QUERIES[name](spark, warm_dir))
     spark.catalog.clearCache()
     times = []
     for _ in range(passes):

@@ -2000,7 +2000,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", "cluster")
         .localCheckpoint()
     )
-    return _semantic_dedup_core(assigned)
+    return _semantic_dedup_core(assigned, n_rows=n)
 
 
 def _km_frame_assign(
@@ -2076,15 +2076,28 @@ def semantic_dedup_scaled(
         .select("vec_id", "embedding", "cluster")
         .localCheckpoint()
     )
-    return _semantic_dedup_core(assigned)
+    return _semantic_dedup_core(assigned, n_rows=n)
+
+
+SEMDEDUP_BROADCAST_MAX = 200_000  # rows; ~64-dim vectors ≈ 110 MB built
 
 
 def _semantic_dedup_core(
-    assigned: DataFrame, tau: float = SEMDEDUP_TAU
+    assigned: DataFrame, tau: float = SEMDEDUP_TAU, n_rows: int | None = None
 ) -> DataFrame:
     """Intra-cluster cosine prune over any (vec_id, embedding, cluster)
     frame — split out so tests can plant clustered near-duplicates and
-    check the keep/drop decisions at a production-like τ."""
+    check the keep/drop decisions at a production-like τ.
+
+    ``n_rows`` (the corpus count the callers already hold for their
+    budget guards) gates a broadcast hint on the self-join's build side:
+    a checkpointed RDD carries no catalog stats, and the two faces'
+    different checkpoint provenance made the planner give the IDENTICAL
+    2000-row frame a BroadcastHashJoin in one face and a SortMergeJoin
+    (two extra exchanges + sorts, measured exec 0.49 vs 2.07 s) in the
+    other. The gate is an ACTUAL row count, never an estimate, so a
+    corpus-sized frame keeps the shuffle join (the CC_BROADCAST_LABELS_MAX
+    discipline)."""
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     lhs = assigned.select(
         "cluster",
@@ -2098,6 +2111,8 @@ def _semantic_dedup_core(
         F.col("embedding").alias("v_b"),
         norm.alias("n_b"),
     )
+    if n_rows is not None and n_rows <= SEMDEDUP_BROADCAST_MAX:
+        rhs = F.broadcast(rhs)
     cos = F.round(
         _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
     )

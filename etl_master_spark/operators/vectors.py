@@ -2503,7 +2503,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_ivfpq_core(
     spark: SparkSession, emb: DataFrame, topk: int = 5
 ) -> DataFrame:
-    emb = emb.localCheckpoint()
+    # emb stays lazy (r11): its two consumers (the coarse-assign chain,
+    # which vsub's checkpoint cuts off, and the tiny query-probe filter)
+    # each re-read a shallow column-pruned scan — cheaper than an eager
+    # corpus materialization job (the _ann_pq_core lesson; jobs 21→19,
+    # A/B flat-to-better under host noise)
     # coarse centroids as data (cell, c): Python-computed phash values,
     # identical doubles to the plan-literal planes and the oracle's SQL
     # fragment (the _pq_cdf precedent)
@@ -2534,24 +2538,23 @@ def _ann_ivfpq_core(
     with_cell = emb.select(
         "vec_id", "embedding", (-best["negcell"]).cast("int").alias("cell")
     )
-    resid = (
-        with_cell.join(F.broadcast(coarse), "cell")
-        .select(
-            "vec_id",
-            "cell",
-            F.expr(
-                "zip_with(embedding, c, (x, w) -> CAST(x AS DOUBLE) - w)"
-            ).alias("embedding"),
-        )
-        .localCheckpoint()
-    )
-    # (measured: a spread_by(vec_id) after THIS resid checkpoint wins on
+    # resid has exactly ONE consumer (the vsub frame, itself checkpointed
+    # right below), so it stays LAZY (r11): its former eager checkpoint
+    # added a serial materialization job whose only reader was the next
+    # checkpoint's job. The coarse-assign + residual subtraction now runs
+    # inside vsub's materialization.
+    # (r10 note, still true: a spread_by(vec_id) at THIS level wins on
     # the isolated train+encode sub-DAG but LOSES on the full query —
-    # the probe/LUT/score stages don't reuse the keyed layout and the
-    # extra corpus exchange outweighs the deleted argmin shuffles, 4.9
-    # vs 5.1 s min-of-3 — so the RESID checkpoint stands alone, un-keyed.
-    # The vsub frame below is a different trade: it was re-keyed in r10
-    # because its four consumers are all (vec_id, ...) argmins.)
+    # the probe/LUT/score stages don't reuse the keyed layout, 4.9 vs
+    # 5.1 s min-of-3. The vsub frame below is a different trade: its
+    # four consumers are all (vec_id, ...) argmins, hence its re-key.)
+    resid = with_cell.join(F.broadcast(coarse), "cell").select(
+        "vec_id",
+        "cell",
+        F.expr(
+            "zip_with(embedding, c, (x, w) -> CAST(x AS DOUBLE) - w)"
+        ).alias("embedding"),
+    )
     # same vsub materialize-once + re-key as _ann_pq_core (r10, guide
     # §5); HashPartitioning(vec_id) satisfies the (vec_id, cell, m)
     # argmins' clustering. A/B min-of-4: 5.98 -> 5.71 s.

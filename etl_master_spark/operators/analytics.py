@@ -1975,18 +1975,33 @@ def lpa_labels(edges: DataFrame, rounds_max: int) -> DataFrame:
         new = labels
         for parity in (0, 1):
             new = _lpa_half_round(edges, new, parity)
-        new = new.localCheckpoint()
-        changed = (
+        # fuse the changed-count into the round's one materialization
+        # (r11, r10 verdict item 7): checkpoint the (new ⋈ prev) frame —
+        # same |V| rows, one extra narrow column — and observe the
+        # changed-count on that plan, so each round runs ONE Spark job
+        # where checkpoint + a separate count (which performed the
+        # identical join) ran two. Next round's labels are a lazy select
+        # over the checkpointed frame; label values, the change counts,
+        # rounds_used and converged are unchanged.
+        obs = Observation(f"lpa_chg_r{r}")
+        joined = (
             new.join(
                 labels.select(
                     F.col("v").alias("pv"), F.col("label").alias("prev_label")
                 ),
                 new["v"] == F.col("pv"),
             )
-            .filter(F.col("label") != F.col("prev_label"))
-            .count()
+            .select("v", "label", "prev_label")
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("label") != F.col("prev_label"), 1)
+                ).alias("chg"),
+            )
+            .localCheckpoint()
         )
-        labels = new
+        changed = obs.get["chg"]
+        labels = joined.select("v", "label")
         if changed == 0:  # a full round changed nothing: fixpoint reached
             rounds_used, converged = r, True
             break
